@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+All real logic lives in the ``aws_etl_pipeline_spark`` package; this
+module just adapts its query registry to the driver's interface.
 """
 
 from __future__ import annotations
@@ -13,26 +15,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_etl_pipeline_spark.registry import all_queries
+from aws_etl_pipeline_spark.session import ensure_engine_confs
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Runs the reference's composite ETL pipeline (SURVEY §2A
+    R1->R3->R4..R14, `lambda_function.py:40-50`) re-expressed as one
+    lazy Catalyst-optimized DataFrame chain.
+    """
+    ensure_engine_confs(spark)
+    from aws_etl_pipeline_spark.operators.etl import etl_flagship
+
+    return etl_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: q.fn for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle twin for each SQL-expressible query; rows-only
+    queries (streaming/state/approximate ops) are omitted."""
+    return {
+        name: q.oracle for name, q in all_queries().items() if q.oracle is not None
+    }

@@ -1,0 +1,268 @@
+"""The reference's ETL surface, Spark-first.
+
+Implements the composite pipeline of `lambda_function.py:96-151`
+(reference R3-R14 in SURVEY.md §2A) as one lazy DataFrame chain of
+built-in expressions — Catalyst fuses the whole thing into a single
+whole-stage-codegen'd projection over the scan, where the reference
+materializes a pandas frame per step and falls back to a row-wise
+Python ``apply`` for the bucketize step (`lambda_function.py:128`).
+
+Soft-column semantics are preserved: every step guards on column
+presence (`if '<col>' in df.columns`, `lambda_function.py:112-143`),
+so partial schemas degrade gracefully exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+#: |amount| bucket thresholds, `lambda_function.py:154-167`.
+AMOUNT_BUCKETS = (25.0, 100.0, 500.0)
+PROCESSED_BY = "lambda-etl-pipeline"  # `lambda_function.py:123`
+TEXT_COLUMNS = ("description", "category", "location")  # `lambda_function.py:140`
+
+
+def amount_category_expr(amount):
+    """R9 bucketize as a Catalyst CASE expression (reference: row-wise
+    ``apply(categorize_amount)``, `lambda_function.py:126-167`)."""
+    a = F.abs(amount)
+    return (
+        F.when(amount.isNull(), F.lit("unknown"))
+        .when(a < AMOUNT_BUCKETS[0], "small")
+        .when(a < AMOUNT_BUCKETS[1], "medium")
+        .when(a < AMOUNT_BUCKETS[2], "large")
+        .otherwise("very_large")
+    )
+
+
+def transform_transactions(
+    df: DataFrame,
+    *,
+    required: tuple[str, ...] = ("transaction_id", "amount"),
+    stamp_processing_time: bool = True,
+) -> DataFrame:
+    """The flagship transform chain, R3-R14 (`lambda_function.py:96-151`).
+
+    Column-presence-driven like the reference; missing columns are
+    skipped, ``required`` columns drive the null-drop filter (R3).
+    Cast failures yield null (ANSI off), matching pandas
+    ``errors='coerce'`` (R4-R6). Divergence from the reference, by
+    design: pandas ``astype(str)`` turns NaN into the literal ``'Nan'``
+    after title-casing (`lambda_function.py:139-143`); we keep null
+    (SURVEY §2A R14 note).
+    """
+    cols = set(df.columns)
+
+    present = [c for c in required if c in cols]
+    if present:  # R3 drop-null filter
+        df = df.na.drop(subset=present)
+
+    if "amount" in cols:  # R4 numeric cast, null on error
+        df = df.withColumn("amount", F.col("amount").cast("double"))
+    if "date" in cols:  # R5 date cast
+        df = df.withColumn("date", F.to_date("date"))
+    if "timestamp" in cols:  # R6 timestamp cast
+        df = df.withColumn("timestamp", F.to_timestamp("timestamp"))
+
+    if stamp_processing_time:  # R7 (non-deterministic; off for oracle queries)
+        df = df.withColumn("processed_timestamp", F.current_timestamp())
+    df = df.withColumn("processed_by", F.lit(PROCESSED_BY))  # R8
+
+    if "amount" in cols:
+        df = df.withColumn("amount_category", amount_category_expr(F.col("amount")))  # R9
+        df = df.withColumn("amount_abs", F.abs("amount"))  # R10
+    if "date" in cols:
+        df = df.withColumn("day_of_week", F.date_format("date", "EEEE"))  # R11
+        df = df.withColumn("month", F.month("date"))  # R12
+        df = df.withColumn("year", F.year("date"))  # R13
+
+    for c in TEXT_COLUMNS:  # R14 trim + title-case
+        if c in cols:
+            df = df.withColumn(c, F.initcap(F.trim(F.col(c))))
+    return df
+
+
+# --- Sinks (R16, R21, R22) --------------------------------------------------
+
+
+def write_json(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """R16/R22 JSON sink. Spark writes JSON-lines shards; the reference's
+    records-orient single file (`lambda_function.py:285`) is the
+    concatenation — acceptable per SURVEY §2A."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def write_csv(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """R21 partitioned CSV sink (` s3_uploader.py:97-143` key layout ->
+    native Hive partitioning, which — unlike the reference — Spark also
+    prunes on read)."""
+    w = df.write.mode("overwrite").option("header", True)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """Parquet sink (README.md:310 lists parquet as the intended
+    extension; it is the engine default for analytic storage)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def run_pipeline(
+    df: DataFrame,
+    json_path: str | None = None,
+    upsert_target: str | None = None,
+) -> DataFrame:
+    """R18 conditional sink dispatch: the reference gates the warehouse
+    load on env config (`lambda_function.py:170-173`); here sink
+    selection is explicit plan-build-time configuration."""
+    out = transform_transactions(df)
+    if upsert_target is not None:
+        from .upsert import merge_into_parquet
+
+        merge_into_parquet(out, upsert_target, key="transaction_id")
+    if json_path is not None:
+        write_json(out, json_path)
+    return out
+
+
+# --- Named queries (driver correctness gate) --------------------------------
+
+def events_as_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events -> transaction-shaped mapping used by the flagship query: a
+    deterministic projection so the DuckDB oracle can reproduce it. Every
+    97th event gets a null amount to exercise the R3 drop filter."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("transaction_id"),
+        F.col("ts").cast("date").cast("string").alias("date"),
+        F.when(F.col("event_id") % 97 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("amount"),
+        F.col("event_type").alias("category"),
+        F.concat(F.lit("  evt "), F.col("event_type"), F.lit(" ")).alias("description"),
+        F.element_at(
+            F.array(
+                *[
+                    F.lit(s)
+                    for s in ("online", "new york", "los angeles", "chicago", "houston")
+                ]
+            ),
+            (F.col("user_id") % 5 + 1).cast("int"),
+        ).alias("location"),
+    )
+
+
+_FLAGSHIP_ORACLE = """
+WITH txn AS (
+  SELECT
+    event_id::VARCHAR                       AS transaction_id,
+    (ts::DATE)::VARCHAR                     AS date,
+    CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS amount,
+    event_type                              AS category,
+    '  evt ' || event_type || ' '           AS description,
+    ['online','new york','los angeles','chicago','houston'][(user_id % 5 + 1)::INT] AS location
+  FROM events
+)
+SELECT
+  transaction_id,
+  amount,
+  abs(amount)                                   AS amount_abs,
+  CASE WHEN amount IS NULL THEN 'unknown'
+       WHEN abs(amount) < 25  THEN 'small'
+       WHEN abs(amount) < 100 THEN 'medium'
+       WHEN abs(amount) < 500 THEN 'large'
+       ELSE 'very_large' END                    AS amount_category,
+  array_to_string(list_transform(string_split(trim(category), ' '),
+                  w -> upper(w[1]) || lower(w[2:])), ' ')    AS category,
+  array_to_string(list_transform(string_split(trim(description), ' '),
+                  w -> upper(w[1]) || lower(w[2:])), ' ')    AS description,
+  array_to_string(list_transform(string_split(trim(location), ' '),
+                  w -> upper(w[1]) || lower(w[2:])), ' ')    AS location,
+  dayname(date::DATE)                           AS day_of_week,
+  month(date::DATE)::BIGINT                     AS month,
+  year(date::DATE)::BIGINT                      AS year,
+  'lambda-etl-pipeline'                         AS processed_by
+FROM txn
+WHERE transaction_id IS NOT NULL AND amount IS NOT NULL
+"""
+
+
+@query("etl_flagship", oracle=_FLAGSHIP_ORACLE)
+def etl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's composite pipeline (R1->R14, `lambda_function.py:40-50`)
+    over the events table mapped to the transaction schema."""
+    txn = events_as_transactions(spark, sf_dir)
+    out = transform_transactions(txn, stamp_processing_time=False)
+    return out.select(
+        "transaction_id",
+        "amount",
+        "amount_abs",
+        "amount_category",
+        "category",
+        "description",
+        "location",
+        "day_of_week",
+        F.col("month").cast("long").alias("month"),
+        F.col("year").cast("long").alias("year"),
+        "processed_by",
+    )
+
+
+@query(
+    "etl_bucketize_histogram",
+    oracle="""
+SELECT CASE WHEN value IS NULL THEN 'unknown'
+            WHEN abs(value) < 25  THEN 'small'
+            WHEN abs(value) < 100 THEN 'medium'
+            WHEN abs(value) < 500 THEN 'large'
+            ELSE 'very_large' END AS amount_category,
+       count(*)::BIGINT AS n,
+       round(sum(abs(value)), 2) AS total_abs
+FROM events
+GROUP BY 1
+""",
+)
+def etl_bucketize_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9+R10 as an aggregation: bucket counts over the CASE expression."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(amount_category_expr(F.col("value")).alias("amount_category"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.abs("value")), 2).alias("total_abs"),
+        )
+    )
+
+
+@query(
+    "etl_dropna_required",
+    oracle="""
+SELECT count(*)::BIGINT AS kept,
+       (SELECT count(*) FROM events)::BIGINT - count(*)::BIGINT AS dropped
+FROM (
+  SELECT CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS amount
+  FROM events
+) WHERE amount IS NOT NULL
+""",
+)
+def etl_dropna_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 drop-null filter with the removed-row accounting the reference
+    logs (`lambda_function.py:107-109`)."""
+    txn = events_as_transactions(spark, sf_dir)
+    total = txn.count()
+    kept_df = txn.na.drop(subset=["transaction_id", "amount"])
+    return kept_df.agg(
+        F.count(F.lit(1)).alias("kept"),
+        (F.lit(total) - F.count(F.lit(1))).cast("long").alias("dropped"),
+    )
