@@ -1,1 +1,620 @@
-"""(round-1 placeholder)"""
+"""Relational core: joins (all variants) and aggregations.
+
+The reference contains no joins or aggregations at all (SURVEY §2C);
+this module provides the engine surface required by the north star
+(§2B), expressed as lazy DataFrame plans so Catalyst chooses the
+physical strategy (broadcast-hash for small dims, sort-merge beyond
+the broadcast threshold, AQE skew splitting at runtime).
+
+Exactness convention (see registry docstring): double aggregates are
+summed through DECIMAL(18,s) casts — exact, order-independent
+arithmetic that matches the DuckDB oracle bit-for-bit, unlike float
+summation whose result depends on partition order. The final value is
+cast back to double. ``s`` is 2 for money columns (all 2dp in the
+testdata) and 4 for products of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Exact sum of a double column via decimal arithmetic -> double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 2) -> Column:
+    """Exact-sum average -> double (sum/count, both order-independent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale) / F.count(c)
+
+
+# SQL twin of dsum/davg for the oracle side.
+def _dsum(expr: str, scale: int = 2) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def _davg(expr: str, scale: int = 2) -> str:
+    return f"{_dsum(expr, scale)} / count({expr})"
+
+
+# --------------------------------------------------------------------------
+# Aggregation pipeline queries (TPC-H-shaped)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity')}                                        AS sum_qty,
+       {_dsum('l_extendedprice')}                                   AS sum_base_price,
+       {_dsum('l_extendedprice * (1 - l_discount)', 4)}             AS sum_disc_price,
+       {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       {_davg('l_quantity')}                                        AS avg_qty,
+       {_davg('l_extendedprice')}                                   AS avg_price,
+       {_davg('l_discount')}                                        AS avg_disc,
+       count(*)::BIGINT                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with 8 aggregates. The
+    filter pushes to the parquet scan; partial aggregation happens
+    map-side before the 6-group shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT o.o_orderkey,
+       {_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + aggregate + deterministic top-10.
+    customer is far below the broadcast threshold -> broadcast-hash
+    join; lineitem⋈orders shuffles on orderkey."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       {_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey  = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey  = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. The dimension chain
+    region->nation->supplier broadcasts; fact-fact joins shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Join variants
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_broadcast",
+    oracle="""
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+""",
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join with an explicit broadcast hint on the dimension."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle=f"""
+SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS n_orders,
+       {_dsum('o.o_totalprice', 4)} AS total_spend
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers without orders (null-extended
+    side aggregates to 0 / null)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice", 4).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+""",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (non-matching right rows null-extended); the
+    extra join predicate keeps plenty of null-extended rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(
+        c, (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "P"), "right"
+    ).select("c_custkey", "o_orderkey")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+WITH cn AS (SELECT c_nationkey AS nationkey, count(*)::BIGINT AS n_cust
+            FROM customer GROUP BY 1),
+     sn AS (SELECT s_nationkey AS nationkey, count(*)::BIGINT AS n_supp
+            FROM supplier GROUP BY 1)
+SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey, cn.n_cust, sn.n_supp
+FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (nations seen by customers vs
+    suppliers), null-extended on both sides."""
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, "nationkey", "full").select(
+        F.coalesce(cn.nationkey, sn.nationkey).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join == EXISTS: customers having a big order; emits each
+    qualifying left row once regardless of match multiplicity."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join == NOT EXISTS: customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT a.r_name AS r1, b.r_name AS r2 FROM region a CROSS JOIN region b
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (explicit crossJoin; Catalyst uses
+    BroadcastNestedLoopJoin for the tiny side)."""
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("r1"))
+    b = r.select(F.col("r_name").alias("r2"))
+    return a.crossJoin(b)
+
+
+@query(
+    "join_theta_nonequi",
+    oracle="""
+SELECT s.s_suppkey, count(*)::BIGINT AS n_poorer_custs
+FROM supplier s JOIN customer c
+  ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+GROUP BY s.s_suppkey
+""",
+)
+def join_theta_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi part on nation plus a non-equi balance predicate
+    (hash join on the equi key, predicate applied as residual)."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_poorer_custs"))
+    )
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+SELECT l.l_returnflag, count(*)::BIGINT AS n
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+GROUP BY l.l_returnflag
+""",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: ship date within 90 days of the order date.
+    The equi key carries the join; the BETWEEN is a residual filter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate <= F.expr("o_orderdate + INTERVAL 90 DAY"))
+    )
+    return l.join(o, cond).groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "join_asof",
+    oracle="""
+WITH m AS (
+  SELECT *, CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       last_value(click_ts IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+FROM m
+QUALIFY event_type = 'purchase'
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest strictly-earlier click
+    by the same user. Implemented as a single-pass conditional
+    last_value window over the unioned stream — no join at all, which
+    at scale beats a per-key merge (one shuffle on user_id, no
+    build-side materialization). DuckDB twin uses the same window
+    formulation (its ASOF JOIN would also work)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "click_ts", F.when(F.col("event_type") == "click", F.col("ts"))
+    )
+    return (
+        marked.withColumn("prev_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "prev_click_ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation variants
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_basic",
+    oracle=f"""
+SELECT event_type, count(*)::BIGINT AS n,
+       {_dsum('value')} AS total, {_davg('value')} AS mean,
+       min(value) AS vmin, max(value) AS vmax
+FROM events GROUP BY event_type
+""",
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate: count/sum/avg/min/max per key with map-side
+    partial aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total"),
+        davg("value").alias("mean"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(DISTINCT user_id % 10)::BIGINT AS n_user_buckets
+FROM events GROUP BY event_type
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase aggregate in Spark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.col("user_id") % 10).alias("n_user_buckets"),
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct next to the exact count (rows-only:
+    sketch estimates are implementation-specific, SURVEY §2B). At 100 TB
+    this replaces the exact expand-shuffle for dashboard-grade counts."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status, status+priority, grand total)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations of the two dimensions."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (same Catalyst Expand
+    node as rollup/cube)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (WHERE l_discount > 0.05) AS DOUBLE)      AS qty_highdisc,
+       count(*) FILTER (WHERE l_tax > 0.04)::BIGINT          AS n_hightax,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_linestatus = 'O') AS DOUBLE)     AS price_open
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: sum(when(cond, x)) == SQL FILTER clause."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity"))).alias(
+            "qty_highdisc"
+        ),
+        F.count(F.when(F.col("l_tax") > 0.04, F.lit(1))).alias("n_hightax"),
+        dsum(F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice"))).alias(
+            "price_open"
+        ),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+SELECT n_regionkey, list_sort(list(n_name)) AS nations,
+       list_sort(list(DISTINCT n_name[1:1])) AS initials
+FROM nation GROUP BY n_regionkey
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set, canonicalized with array_sort so the
+    (unordered) collection compares deterministically."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.array_sort(F.collect_set(F.substring("n_name", 1, 1))).alias("initials"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+SELECT o_orderstatus,
+       round(stddev_samp(o_totalprice), 2) AS sd_price,
+       round(corr(o_totalprice, o_custkey), 6) AS corr_price_cust,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev, correlation, exact interpolated
+    percentiles (rounded — incremental moment algorithms differ in
+    last-bit float behavior across engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_price_cust"),
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+SELECT l_returnflag,
+       {_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS "O",
+       {_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS "F"
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per l_linestatus value (explicit value list so
+    no extra distinct-discovery job runs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_multi_nulls",
+    oracle="""
+SELECT c_custkey, bal FROM (
+  SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer
+) ORDER BY bal ASC NULLS FIRST, c_custkey LIMIT 25
+""",
+)
+def sort_multi_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null placement; LIMIT makes the
+    ordering observable under the driver's order-insensitive hash."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return (
+        c.select("c_custkey", bal.alias("bal"))
+        .orderBy(F.asc_nulls_first("bal"), F.asc("c_custkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "limit_topk",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+""",
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark runs TakeOrderedAndProject (per-partition
+    top-k then merge on the driver — no full sort, no full shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )

@@ -1,1 +1,181 @@
-"""(round-1 placeholder)"""
+"""Window functions (SURVEY §2B): ranking, analytic, framed aggregates.
+
+Determinism discipline for the oracle gate: any function whose result
+depends on intra-tie row order (row_number, ntile, lag/lead, framed
+sums) runs over a total order (sort key + unique tie-breaker); rank
+and dense_rank are exercised over a genuinely coarse key where their
+tie semantics differ from row_number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .relational import _dsum  # SQL twin helper
+
+
+def _dwsum(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,2)))"
+
+
+@query(
+    "window_ranking",
+    oracle="""
+SELECT o_orderkey,
+       row_number() OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rn,
+       rank()       OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_orderpriority)::BIGINT AS rnk,
+       dense_rank() OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_orderpriority)::BIGINT AS drnk,
+       ntile(4)     OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS quartile
+FROM orders
+""",
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/ntile over a total order; rank/dense_rank over a
+    coarse key (priority) where ties make their semantics observable."""
+    o = load_table(spark, sf_dir, "orders")
+    total = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    coarse = W.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(total).cast("long").alias("rn"),
+        F.rank().over(coarse).cast("long").alias("rnk"),
+        F.dense_rank().over(coarse).cast("long").alias("drnk"),
+        F.ntile(4).over(total).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+SELECT event_id,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       first_value(value) OVER w AS first_value,
+       lag(value, 2, -1.0) OVER w AS prev2_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic functions per user session stream: lag/lead/first and an
+    offset lag with default."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+    )
+
+
+@query(
+    "window_running",
+    oracle="""
+SELECT event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+FROM events
+""",
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed aggregates: running total and 3-row moving average
+    (decimal-exact so both engines agree bit-for-bit)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mov = base.rowsBetween(-2, W.currentRow)
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "event_id",
+        F.sum(dec).over(run).cast("double").alias("running_total"),
+        (F.sum(dec).over(mov).cast("double") / F.count("value").over(mov)).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+SELECT o_orderkey,
+       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)::BIGINT AS n_similar
+FROM orders
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric sort key: peers within a 1000-unit
+    price band below each row (tie rows share results, so the count is
+    order-deterministic by value)."""
+    o = load_table(spark, sf_dir, "orders")
+    # Python Window.rangeBetween only takes ints; a float range frame is
+    # expressed through the SQL window syntax (same Catalyst plan).
+    return o.selectExpr(
+        "o_orderkey",
+        """CAST(count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+           RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_similar""",
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle=f"""
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority via row_number filter (the scalable
+    grouped-top-k idiom: one shuffle, no per-group sort spill beyond
+    the window)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "window_cume_pct",
+    oracle="""
+SELECT o_orderkey,
+       round(percent_rank() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey), 8) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey), 8) AS cume
+FROM orders
+""",
+)
+def window_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist distribution functions (rounded: the
+    division is float, same formula both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+    )
