@@ -1,1 +1,364 @@
-"""(round-1 placeholder)"""
+"""Scalar function surface (SURVEY §2B, M3): string / date / math /
+array / map / json batteries.
+
+Everything here is a built-in ``pyspark.sql.functions`` expression —
+JVM-side, whole-stage-codegen'd, no Python in the hot path. The
+reference's only scalar machinery is pandas string/dt accessors and a
+row-wise apply (`lambda_function.py:128,139-143`); this module is the
+engine-wide generalization.
+
+Cross-engine parity notes (vs the DuckDB oracle):
+  * integer-returning Spark fns are pinned to BIGINT on both sides;
+  * set-valued array results (distinct/intersect) are array_sort'ed —
+    their element order is unspecified in both engines;
+  * transcendental results (pow/log/exp) are rounded to 9 dp: JVM and
+    libm may differ in the final ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand)                              AS brand_up,
+       lower(p_type)                               AS type_lo,
+       trim(p_name)                                AS name_trim,
+       length(p_name)::BIGINT                      AS name_len,
+       substr(p_type, 1, 5)                        AS type_pre,
+       concat(p_brand, ':', p_type)                AS brand_type,
+       replace(p_brand, 'Brand', 'B')              AS brand_short,
+       regexp_extract(p_brand, '([0-9]+)', 1)      AS brand_num,
+       lpad(p_size::VARCHAR, 4, '0')               AS size_pad,
+       reverse(p_brand)                            AS brand_rev,
+       strpos(p_type, ' ')::BIGINT                 AS first_space,
+       translate(p_brand, '#', '-')                AS brand_dash
+FROM part
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery: case, trim, length, substring, concat, replace,
+    regexp_extract, pad, reverse, locate, translate."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.trim("p_name").alias("name_trim"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_pre"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_brand", "Brand", "B").alias("brand_short"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.locate(" ", F.col("p_type")).cast("long").alias("first_space"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+    )
+
+
+@query(
+    "fn_string_split",
+    oracle="""
+SELECT p_partkey,
+       string_split(p_name, ' ')           AS words,
+       len(string_split(p_name, ' '))::BIGINT AS n_words,
+       string_split(p_name, ' ')[1]        AS first_word
+FROM part
+""",
+)
+def fn_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split -> array, element access, cardinality."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        words.alias("words"),
+        F.size(words).cast("long").alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)::BIGINT                       AS yr,
+       month(o_orderdate)::BIGINT                      AS mo,
+       day(o_orderdate)::BIGINT                        AS dy,
+       quarter(o_orderdate)::BIGINT                    AS qtr,
+       isodow(o_orderdate)::BIGINT                     AS iso_dow,
+       dayname(o_orderdate)                            AS dow_name,
+       strftime(o_orderdate, '%Y-%m')                  AS ym,
+       date_trunc('month', o_orderdate)::DATE          AS month_start,
+       last_day(o_orderdate::DATE)                     AS month_end,
+       (o_orderdate::DATE + 30)                        AS due_date,
+       datediff('day', o_orderdate,
+                TIMESTAMP '2000-01-01 00:00:00')::BIGINT AS days_to_y2k,
+       epoch(o_orderdate)::BIGINT                      AS epoch_s
+FROM orders
+""",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery: parts, ISO weekday, names, formatting, trunc,
+    last_day, arithmetic, datediff, epoch."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dy"),
+        F.quarter(d).cast("long").alias("qtr"),
+        (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+        F.date_format(d, "EEEE").alias("dow_name"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.trunc(d.cast("date"), "month").alias("month_start"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.datediff(
+            F.lit("2000-01-01").cast("date"), d.cast("date")
+        ).cast("long").alias("days_to_y2k"),
+        F.unix_timestamp(d.cast("timestamp")).alias("epoch_s"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 30000)          AS price_dev,
+       round(l_extendedprice / 7, 2)         AS price_7th_round,
+       floor(l_quantity / 10)::BIGINT        AS qty_decile,
+       ceil(l_extendedprice / 1000)::BIGINT  AS price_k,
+       round(sqrt(l_extendedprice), 9)       AS price_sqrt,
+       round(ln(l_extendedprice + 1), 9)     AS price_ln,
+       round(pow(l_discount + 1, 3), 9)      AS disc_cube,
+       sign(l_extendedprice - 30000)         AS dev_sign,
+       (l_orderkey % 7)::BIGINT              AS key_mod,
+       greatest(l_discount, l_tax)           AS max_rate,
+       least(l_discount, l_tax)              AS min_rate
+FROM lineitem
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery: abs/round/floor/ceil/sqrt/ln/pow/sign/mod and
+    greatest/least. Transcendentals rounded to 9dp (ulp differences
+    between JVM and libm)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - 30000).alias("price_dev"),
+        F.round(price / 7, 2).alias("price_7th_round"),
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_decile"),
+        F.ceil(price / 1000).cast("long").alias("price_k"),
+        F.round(F.sqrt(price), 9).alias("price_sqrt"),
+        F.round(F.log(price + 1), 9).alias("price_ln"),
+        F.round(F.pow(F.col("l_discount") + 1, 3), 9).alias("disc_cube"),
+        F.signum(price - 30000).alias("dev_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "fn_predicates",
+    oracle="""
+SELECT p_partkey,
+       (p_size BETWEEN 10 AND 20)                       AS size_mid,
+       (p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')) AS brand_pick,
+       (p_type LIKE '%BRASS%')                          AS is_brass,
+       (p_name IS NULL)                                 AS name_null,
+       CASE WHEN p_retailprice < 1000 THEN 'cheap'
+            WHEN p_retailprice < 1500 THEN 'mid'
+            ELSE 'pricey' END                           AS price_band,
+       (p_size > 25 OR (p_type LIKE 'SMALL%' AND NOT p_size > 10)) AS odd_combo
+FROM part
+""",
+)
+def fn_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate battery: BETWEEN, IN, LIKE, IS NULL, CASE, boolean
+    algebra — all as Catalyst expressions usable in filters."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").between(10, 20).alias("size_mid"),
+        F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33").alias("brand_pick"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+        F.col("p_name").isNull().alias("name_null"),
+        F.when(F.col("p_retailprice") < 1000, "cheap")
+        .when(F.col("p_retailprice") < 1500, "mid")
+        .otherwise("pricey")
+        .alias("price_band"),
+        (
+            (F.col("p_size") > 25)
+            | (F.col("p_type").like("SMALL%") & ~(F.col("p_size") > 10))
+        ).alias("odd_combo"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+WITH w AS (SELECT p_partkey, string_split(p_type, ' ') AS ws FROM part)
+SELECT p_partkey,
+       list_sort(ws)                          AS sorted_words,
+       list_sort(list_distinct(ws))           AS uniq_words,
+       list_contains(ws, 'BRASS')             AS has_brass,
+       ws[2:3]                                AS mid_slice,
+       list_sum(list_transform(ws, w -> length(w)))::BIGINT AS total_chars,
+       list_sort(list_intersect(ws, ['SMALL', 'LARGE', 'BRASS'])) AS kw_hits,
+       array_to_string(ws, '_')               AS joined
+FROM w
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery: sort, distinct, contains, slice, higher-order
+    aggregate/transform, intersect, join-to-string."""
+    p = load_table(spark, sf_dir, "part")
+    ws = F.split("p_type", " ")
+    kw = F.array(F.lit("SMALL"), F.lit("LARGE"), F.lit("BRASS"))
+    return p.select(
+        "p_partkey",
+        F.array_sort(ws).alias("sorted_words"),
+        F.array_sort(F.array_distinct(ws)).alias("uniq_words"),
+        F.array_contains(ws, "BRASS").alias("has_brass"),
+        F.slice(ws, 2, 2).alias("mid_slice"),
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        ).cast("long").alias("total_chars"),
+        F.array_sort(F.array_intersect(ws, kw)).alias("kw_hits"),
+        F.array_join(ws, "_").alias("joined"),
+    )
+
+
+@query(
+    "fn_explode",
+    oracle="""
+SELECT word, count(*)::BIGINT AS n
+FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+GROUP BY word
+""",
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (UNNEST): word histogram over the split p_type corpus —
+    the generate-then-aggregate shape used by every tokenizer pipeline."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+SELECT o_orderkey,
+       map_extract(MAP {'status': o_orderstatus, 'prio': o_orderpriority},
+                   'status')[1]                 AS status_val,
+       len(map_keys(MAP {'status': o_orderstatus, 'prio': o_orderpriority}))::BIGINT
+                                                AS n_keys,
+       list_sort(map_keys(MAP {'status': o_orderstatus, 'prio': o_orderpriority}))
+                                                AS keys_sorted
+FROM orders
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map battery: construction, element_at, map_keys/size. Scalar
+    projections of the map are compared (a raw map column has no
+    canonical order to hash)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_val"),
+        F.size(m).cast("long").alias("n_keys"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k')            AS k_str,
+       CAST(json_extract(props, '$.k') AS BIGINT)   AS k_int,
+       (CAST(json_extract(props, '$.k') AS BIGINT) > 50) AS k_big
+FROM events
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON battery over events.props: string path extraction, typed
+    extraction via from_json with an explicit schema, derived predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        (parsed.getField("k") > 50).alias("k_big"),
+    )
+
+
+@query(
+    "fn_json_roundtrip",
+    oracle="""
+SELECT event_id,
+       to_json(struct_pack(et := event_type, uid := user_id))::VARCHAR AS packed
+FROM events
+""",
+)
+def fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json over a struct: serialize typed columns back to JSON
+    (both engines emit compact key:value with no whitespace)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(F.col("event_type").alias("et"), F.col("user_id").alias("uid"))
+        ).alias("packed"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')  AS seg_masked,
+       ifnull(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_floor,
+       CASE WHEN c_acctbal > 5000 THEN 'gold'
+            WHEN c_acctbal > 0    THEN 'silver'
+            ELSE 'zinc' END                                  AS tier,
+       (c_acctbal IS NOT DISTINCT FROM NULL)                 AS bal_is_null_safe
+FROM customer
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional battery: coalesce, nullif, ifnull, CASE, null-safe
+    equality (<=>)."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.ifnull(F.when(bal < 0, None).otherwise(bal), F.lit(0.0)).alias("bal_floor"),
+        F.when(bal > 5000, "gold").when(bal > 0, "silver").otherwise("zinc").alias(
+            "tier"
+        ),
+        bal.eqNullSafe(F.lit(None).cast("double")).alias("bal_is_null_safe"),
+    )
