@@ -1,1 +1,350 @@
-"""(round-1 placeholder)"""
+"""Deduplication for LLM data pipelines (north star, SURVEY §2B).
+
+Five dedup families, each designed for the 100 TB path:
+
+  * exact           — hash-groupBy on a normalized fingerprint (one
+                      shuffle on a 128-bit key, no text movement)
+  * n-gram Jaccard  — blocked pairwise shingle-set similarity
+  * MinHash + LSH   — md5-derived minhash signatures, banded into LSH
+                      buckets; only same-bucket pairs are compared
+                      (the candidate set, not O(n²))
+  * SimHash         — 16-bit sign-of-weighted-bits fingerprint with
+                      Hamming-distance pairing
+  * embedding cosine— near-dup by vector similarity within a block
+
+All hashing is md5-based so Spark and DuckDB compute identical
+signatures — the oracle verifies the *hashes*, not just row counts.
+MLlib's MinHashLSH/BucketedRandomProjectionLSH offer the same
+algorithms with opaque seeds; this implementation trades them for
+cross-engine verifiability at identical plan shape and cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+N_MINHASH = 16  # minhash permutations
+N_BANDS = 4  # LSH bands (4 rows/band)
+SHINGLE = 3  # words per shingle
+
+
+def _words() -> F.Column:
+    return F.split(F.lower(F.trim(F.col("text"))), " ")
+
+
+def _shingles_spark(ws: F.Column) -> F.Column:
+    """3-word shingles as strings: transform over a sliding index."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (SHINGLE - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, SHINGLE)),
+    )
+
+
+_SHINGLES_SQL = f"""
+list_transform(
+  generate_series(1, greatest(len(ws) - {SHINGLE - 1}, 1)),
+  i -> array_to_string(ws[i:i+{SHINGLE - 1}], ' '))
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, md5(lower(trim(text))) AS content_md5 FROM documents
+)
+SELECT content_md5,
+       min(doc_id)::BIGINT AS keeper_doc_id,
+       count(*)::BIGINT    AS n_copies
+FROM fp GROUP BY content_md5
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized-content hash, keep the lowest
+    doc_id. At scale: shuffle 16-byte keys, never the documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct({_SHINGLES_SQL.strip()}) AS sh
+  FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws
+        FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         AS jaccard
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: Jaccard over 3-word shingle sets for
+    same-language pairs above 0.05. Blocking (here: lang) bounds the
+    pair count; at 100 TB the block key becomes an LSH bucket (next
+    query) so candidates stay ~linear."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.array_distinct(_shingles_spark(_words())).alias("sh")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.05)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def _minhash_sql(k: int) -> str:
+    """One md5-derived minhash value over the shingle list (SQL side)."""
+    return (
+        f"list_min(list_transform(sh, s -> "
+        f"(('0x' || substr(md5({k} || ':' || s), 1, 15))::UBIGINT::BIGINT)))"
+    )
+
+
+def _minhash_spark(sh: F.Column, k: int) -> F.Column:
+    return F.array_min(
+        F.transform(
+            sh,
+            lambda s: F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{k}:"), s)), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    )
+
+
+_MINHASH_COLS_SQL = ",\n         ".join(
+    f"{_minhash_sql(k)} AS mh{k}" for k in range(N_MINHASH)
+)
+_BAND_SQL = ",\n       ".join(
+    "md5(" + " || '_' || ".join(f"mh{k}" for k in range(b * 4, b * 4 + 4)) + f") AS band{b}"
+    for b in range(N_BANDS)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL.strip()}) AS sh
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents)
+),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_COLS_SQL}
+  FROM t
+),
+banded AS (
+  SELECT doc_id,
+       {_BAND_SQL}
+  FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1
+     OR a.band2 = b.band2 OR a.band3 = b.band3)
+)
+SELECT p.doc_a, p.doc_b,
+       round(({" + ".join(f"CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END" for k in range(N_MINHASH))})
+             / {N_MINHASH}.0, 6) AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 16 md5-derived minhashes, 4
+    bands of 4; pairs sharing any band bucket are candidates, scored
+    by signature agreement (estimated Jaccard).
+
+    Scale path: the band join is an equi-join on band hashes — the
+    shuffle is on bucket keys and only same-bucket docs ever meet, so
+    cost tracks the duplicate density, not n². Deterministic md5
+    hashing replaces MLlib MinHashLSH's seeded perm for oracle parity.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.array_distinct(_shingles_spark(_words())).alias("sh"))
+    sig = t.select(
+        "doc_id",
+        *[_minhash_spark(F.col("sh"), k).alias(f"mh{k}") for k in range(N_MINHASH)],
+    )
+    banded = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws("_", *[F.col(f"mh{k}") for k in range(b * 4, b * 4 + 4)])
+            ).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    band_match = (
+        (F.col("a.band0") == F.col("b.band0"))
+        | (F.col("a.band1") == F.col("b.band1"))
+        | (F.col("a.band2") == F.col("b.band2"))
+        | (F.col("a.band3") == F.col("b.band3"))
+    )
+    pairs = (
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & band_match)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agreement = sum(
+        F.when(F.col(f"sa.mh{k}") == F.col(f"sb.mh{k}"), 1).otherwise(0)
+        for k in range(N_MINHASH)
+    )
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agreement / float(N_MINHASH), 6).alias("est_jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, w,
+         ('0x' || substr(md5(w), 1, 15))::UBIGINT::BIGINT AS h
+  FROM words
+),
+bits AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS weight
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       sum(CASE WHEN weight > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint: per-word md5 bit votes, sign-
+    aggregated per bit position. Near-dups then pair by small Hamming
+    distance (tests/test_llm.py); the fingerprint itself is verified
+    here bit-for-bit against the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_words()).alias("w"))
+    hashed = words.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    bits = (
+        hashed.crossJoin(spark.range(16).select(F.col("id").alias("b")))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                # shiftright's Python API wants a literal count; the SQL
+                # form accepts a column shift amount.
+                F.when(F.expr("shiftright(h, cast(b as int)) % 2") == 1, 1).otherwise(-1)
+            ).alias("weight")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("weight") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(b as int))"),
+            ).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: same-label pairs with cosine >= 0.35.
+    Blocking on label keeps the pair space linear-ish; the 100 TB form
+    replaces the label block with LSH buckets (see similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    n = e.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("nrm"),
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )

@@ -1,1 +1,236 @@
-"""(round-1 placeholder)"""
+"""Similarity search over embedding columns (north star, SURVEY §2B).
+
+Two paths, mirroring how a 100 TB vector corpus is actually served:
+
+  * brute-force — exact top-k cosine: broadcast the (small) query set
+    against the corpus, score with a codegen'd fold over the array,
+    keep top-k per query with one window. Linear in corpus size, no
+    shuffle of the corpus itself: the baseline and the recall oracle.
+  * LSH ANN     — random-hyperplane signatures bucket the corpus; only
+    same-bucket candidates get exact scoring. The bucket join replaces
+    the cross product, making cost ~ bucket occupancy. Hyperplanes are
+    md5-derived constants, so the DuckDB oracle computes the identical
+    buckets (MLlib's BucketedRandomProjectionLSH is the same algorithm
+    with an opaque seed).
+
+Dot products fold left-to-right over doubles in both engines ->
+bit-identical scores (rounded only to absorb final-ulp risk).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+N_PLANES = 8
+DIM = 64
+
+
+def plane_weights(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]: md5-seeded so
+    the engine and the oracle embed the same constants."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _as_double(col: str) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(v: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+),
+q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+c AS (SELECT * FROM n WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 8) AS cosine
+  FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, cosine FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= {TOP_K}
+""",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector. The query
+    side is broadcast, so the corpus streams through one scoring stage
+    and a single top-k window — the shape that scales to a sharded
+    corpus (score locally, take per-shard top-k, merge)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = n.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "v", "nrm"
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 8).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def _planes_sql() -> str:
+    rows = plane_weights()
+    return ", ".join(
+        "[" + ", ".join(f"{x:.3f}" for x in row) + "]" for row in rows
+    )
+
+
+def _bucket_sql(vexpr: str) -> str:
+    rows = plane_weights()
+    bits = []
+    for row in rows:
+        lit = "[" + ", ".join(f"{x:.3f}" for x in row) + "]"
+        bits.append(f"CASE WHEN list_dot_product({vexpr}, {lit}) > 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+def _bucket_spark(v: F.Column) -> F.Column:
+    parts = []
+    for row in plane_weights():
+        lit = F.array(*[F.lit(x) for x in row])
+        parts.append(F.when(_dot(v, lit) > 0, "1").otherwise("0"))
+    return F.concat(*parts)
+
+
+@query(
+    "sim_lsh_ann",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         {_bucket_sql('v')} AS bucket
+  FROM e
+),
+q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+c AS (SELECT * FROM n WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 8) AS cosine
+  FROM q JOIN c ON q.bucket = c.bucket
+)
+SELECT query_id, neighbor_id, cosine FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= 3
+""",
+)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: 8-bit random-hyperplane LSH
+    bucket join + exact rescoring of the candidates, top-3 per query.
+    The equi-join on bucket is the whole trick — at 100 TB the corpus
+    shuffles once by bucket and each query probes one bucket instead
+    of the full corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = (
+        e.select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn("bucket", _bucket_spark(F.col("v")))
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        "bucket",
+    )
+    c = n.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "v", "nrm", "bucket"
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 8).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+@query(
+    "sim_label_centroid",
+    oracle="""
+WITH dims AS (
+  SELECT label, u.d, u.x
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS d,
+                       unnest(list_transform(embedding, e -> e::DOUBLE)) AS x) u
+),
+cent AS (
+  SELECT label, d, CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+  FROM dims GROUP BY label, d
+)
+SELECT label, count(*)::BIGINT AS dim, round(sum(c * c), 8) AS centroid_sqnorm
+FROM cent GROUP BY label
+""",
+)
+def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (the IVF coarse-quantizer build step):
+    explode to (label, dim, value), average per cell, reduce to a
+    verifiable squared-norm per centroid."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(_as_double("embedding")).alias("d0", "x")
+    ).select("label", (F.col("d0") + 1).alias("d"), "x")
+    cent = dims.groupBy("label", "d").agg(
+        (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias(
+            "c"
+        )
+    )
+    return cent.groupBy("label").agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.round(F.sum(F.col("c") * F.col("c")), 8).alias("centroid_sqnorm"),
+    )

@@ -1,1 +1,293 @@
-"""(round-1 placeholder)"""
+"""Text analysis for LLM data pipelines (north star, SURVEY §2B):
+token/char statistics, language ID, quality scoring, fingerprinting,
+TF-IDF — all as built-in Catalyst expressions over ``documents.text``
+(no Python in the hot path; at 100 TB these run inside whole-stage
+codegen next to the scan).
+
+Tokenization convention: lowercase, split on single spaces (the corpus
+is single-space word salad; a production pipeline would swap in
+``regexp_split`` with the same plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+#: tiny per-language stopword profiles for the n-gram/stopword scorer.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.split(F.lower(F.trim(F.col(col))), " ")
+
+
+@query(
+    "text_stats",
+    oracle="""
+WITH t AS (SELECT doc_id, n_chars, string_split(lower(trim(text)), ' ') AS ws
+           FROM documents)
+SELECT doc_id,
+       n_chars,
+       len(ws)::BIGINT                                   AS n_words,
+       len(list_distinct(ws))::BIGINT                    AS n_distinct_words,
+       round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 6)
+                                                         AS avg_word_len,
+       round(len(list_distinct(ws))::DOUBLE / len(ws), 6) AS type_token_ratio,
+       list_max(list_transform(ws, w -> length(w)))::BIGINT AS longest_word_len
+FROM t
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics: counts, vocabulary size,
+    mean word length, type-token ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct_words"),
+        F.round(
+            F.aggregate(
+                F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+            ).cast("double")
+            / F.size(ws),
+            6,
+        ).alias("avg_word_len"),
+        F.round(
+            F.size(F.array_distinct(ws)).cast("double") / F.size(ws), 6
+        ).alias("type_token_ratio"),
+        F.array_max(F.transform(ws, lambda w: F.length(w)))
+        .cast("long")
+        .alias("longest_word_len"),
+    )
+
+
+def _langid_score_sql(lang: str) -> str:
+    stop = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return f"len(list_filter(ws, w -> list_contains([{stop}], w)))"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+scored AS (
+  SELECT doc_id,
+         {_langid_score_sql('en')}::BIGINT AS score_en,
+         {_langid_score_sql('es')}::BIGINT AS score_es,
+         {_langid_score_sql('de')}::BIGINT AS score_de,
+         {_langid_score_sql('fr')}::BIGINT AS score_fr,
+         {_langid_score_sql('zh')}::BIGINT AS score_zh,
+         len(ws) AS n
+  FROM t
+)
+SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+       CASE WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) = 0
+            THEN 'und'
+            WHEN score_en >= greatest(score_es, score_de, score_fr, score_zh) THEN 'en'
+            WHEN score_es >= greatest(score_de, score_fr, score_zh) THEN 'es'
+            WHEN score_de >= greatest(score_fr, score_zh) THEN 'de'
+            WHEN score_fr >= score_zh THEN 'fr'
+            ELSE 'zh' END AS predicted_lang
+FROM scored
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: per-language hit counts with a
+    deterministic argmax (priority order en>es>de>fr>zh on ties).
+    Heuristic by design — the scoring, not the labels, is verified."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    scores = {}
+    for lang, stops in LANG_PROFILES.items():
+        stop_arr = F.array(*[F.lit(s) for s in stops])
+        scores[lang] = F.size(
+            F.filter(ws, lambda w: F.array_contains(stop_arr, w))
+        ).cast("long")
+    df = d.select("doc_id", *[scores[l].alias(f"score_{l}") for l in LANG_PROFILES])
+    s = {l: F.col(f"score_{l}") for l in LANG_PROFILES}
+    pred = (
+        F.when(
+            F.greatest(*s.values()) == 0, "und"
+        )
+        .when(s["en"] >= F.greatest(s["es"], s["de"], s["fr"], s["zh"]), "en")
+        .when(s["es"] >= F.greatest(s["de"], s["fr"], s["zh"]), "es")
+        .when(s["de"] >= F.greatest(s["fr"], s["zh"]), "de")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return df.withColumn("predicted_lang", pred)
+
+
+@query(
+    "text_quality",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws, text
+           FROM documents),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS awl,
+         len(list_filter(ws, w -> list_contains(['the','a','of','and','to'], w)))::DOUBLE
+           / len(ws) AS stop_ratio,
+         len(list_distinct(ws))::DOUBLE / len(ws) AS ttr
+  FROM t
+)
+SELECT doc_id,
+       round(
+         0.25 * CASE WHEN n_words BETWEEN 20 AND 400 THEN 1.0 ELSE 0.0 END
+       + 0.25 * CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END
+       + 0.25 * least(stop_ratio * 10, 1.0)
+       + 0.25 * ttr, 6) AS quality_score,
+       CASE WHEN round(
+         0.25 * CASE WHEN n_words BETWEEN 20 AND 400 THEN 1.0 ELSE 0.0 END
+       + 0.25 * CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END
+       + 0.25 * least(stop_ratio * 10, 1.0)
+       + 0.25 * ttr, 6) >= 0.6 THEN 'keep' ELSE 'review' END AS quality_band
+FROM m
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length band, word-length band, stopword
+    ratio, lexical diversity) — the filter stage of a pretraining data
+    pipeline, as one fused expression."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    stop_arr = F.array(*[F.lit(s) for s in LANG_PROFILES["en"]])
+    n_words = F.size(ws)
+    awl = (
+        F.aggregate(F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x)
+        .cast("double")
+        / n_words
+    )
+    stop_ratio = (
+        F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))).cast("double")
+        / n_words
+    )
+    ttr = F.size(F.array_distinct(ws)).cast("double") / n_words
+    score = F.round(
+        0.25 * F.when(n_words.between(20, 400), 1.0).otherwise(0.0)
+        + 0.25 * F.when(awl.between(3.0, 8.0), 1.0).otherwise(0.0)
+        + 0.25 * F.least(stop_ratio * 10, F.lit(1.0))
+        + 0.25 * ttr,
+        6,
+    )
+    return d.select(
+        "doc_id",
+        score.alias("quality_score"),
+        F.when(score >= 0.6, "keep").otherwise("review").alias("quality_band"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(text)))                                     AS content_md5,
+       ('0x' || substr(md5(lower(trim(text))), 1, 15))::UBIGINT::BIGINT AS fp60,
+       (('0x' || substr(md5(lower(trim(text))), 1, 15))::UBIGINT % 1024)::BIGINT
+                                                                  AS fp_bucket
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of normalized text plus a
+    60-bit integer projection and shard bucket — the primitive under
+    exact dedup and stable sampling. md5 is computed identically by
+    Spark and DuckDB, making the hash itself verifiable."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    h = F.md5(norm)
+    fp60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    return d.select(
+        "doc_id",
+        h.alias("content_md5"),
+        fp60.alias("fp60"),
+        (fp60 % 1024).alias("fp_bucket"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT   AS n_alnum_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]{4,}'))::BIGINT   AS n_long_tokens,
+       (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_ws_tokens,
+       ceil(length(text) / 4.0)::BIGINT                            AS approx_llm_tokens
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: regex token classes, whitespace
+    splits, and the chars/4 LLM-token rule of thumb."""
+    d = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(lower, F.lit(r"[a-z0-9]+")).cast("long").alias("n_alnum_tokens"),
+        F.regexp_count(lower, F.lit(r"[a-z]{4,}")).cast("long").alias("n_long_tokens"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+        ).cast("long").alias("n_ws_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("approx_llm_tokens"),
+    )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM words GROUP BY 1, 2
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM words GROUP BY 1
+),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.n_docs + 1) / (df.df + 1)), 8) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+""",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF with top-3 terms per document: explode -> tf ->
+    document-frequency join -> windowed top-k. The same plan shape as
+    MLlib's HashingTF+IDF but with exact terms, so it is oracle-
+    verifiable."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = float(d.count())
+    words = d.select("doc_id", F.explode(_words()).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 8
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
