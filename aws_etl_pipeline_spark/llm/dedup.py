@@ -37,10 +37,16 @@ def _words() -> F.Column:
 
 
 def _shingles_spark(ws: F.Column) -> F.Column:
-    """3-word shingles as strings: transform over a sliding index."""
+    """3-word shingles as strings: transform over a sliding index.
+    element_at beyond the end yields null, which concat_ws drops —
+    cheaper than allocating a slice() array per position, same result
+    (partial shingles at the tail for <3-word docs)."""
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ws) - (SHINGLE - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, SHINGLE)),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(ws, (i + off).cast("int")) for off in range(SHINGLE)],
+        ),
     )
 
 
@@ -124,28 +130,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql(k: int) -> str:
-    """One md5-derived minhash value over the shingle list (SQL side)."""
-    return (
-        f"list_min(list_transform(sh, s -> "
-        f"(('0x' || substr(md5({k} || ':' || s), 1, 15))::UBIGINT::BIGINT)))"
-    )
+# Universal-hash permutation constants: minhash_k = min((a_k*h + b_k) mod P)
+# over base hashes h — ONE md5 per shingle instead of N_MINHASH of them,
+# then 16 integer mixes. P = 2^31-1 keeps a*h within BIGINT on both engines.
+_P = 2_147_483_647
 
 
-def _minhash_spark(sh: F.Column, k: int) -> F.Column:
-    return F.array_min(
-        F.transform(
-            sh,
-            lambda s: F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{k}:"), s)), 1, 15), 16, 10
-            ).cast("long"),
-        )
-    )
+def _perm_constants() -> list[tuple[int, int]]:
+    import hashlib as _hl
 
+    out = []
+    for k in range(N_MINHASH):
+        a = int(_hl.md5(f"a{k}".encode()).hexdigest()[:8], 16) % (_P - 1) + 1
+        b = int(_hl.md5(f"b{k}".encode()).hexdigest()[:8], 16) % _P
+        out.append((a, b))
+    return out
+
+
+_PERMS = _perm_constants()
+
+#: base hash of one shingle (md5 -> 60-bit int -> mod P), SQL side
+_BASEHASH_SQL = (
+    f"list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT % {_P})"
+)
 
 _MINHASH_COLS_SQL = ",\n         ".join(
-    f"{_minhash_sql(k)} AS mh{k}" for k in range(N_MINHASH)
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_P})) AS mh{k}"
+    for k, (a, b) in enumerate(_PERMS)
 )
+
+
+def _basehash_spark(sh: F.Column) -> F.Column:
+    return F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _P,
+    )
+
+
+def _minhash_spark(hs: F.Column, k: int) -> F.Column:
+    a, b = _PERMS[k]
+    return F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % _P))
 _BAND_SQL = ",\n       ".join(
     "md5(" + " || '_' || ".join(f"mh{k}" for k in range(b * 4, b * 4 + 4)) + f") AS band{b}"
     for b in range(N_BANDS)
@@ -159,28 +183,32 @@ WITH t AS (
   SELECT doc_id, list_distinct({_SHINGLES_SQL.strip()}) AS sh
   FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents)
 ),
+hashed AS (
+  SELECT doc_id, {_BASEHASH_SQL} AS hs FROM t
+),
 sig AS (
   SELECT doc_id,
          {_MINHASH_COLS_SQL}
-  FROM t
+  FROM hashed
 ),
 banded AS (
-  SELECT doc_id,
+  SELECT doc_id, [{", ".join(f"mh{k}" for k in range(N_MINHASH))}] AS sig,
        {_BAND_SQL}
   FROM sig
 ),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b ON a.doc_id < b.doc_id
-   AND (a.band0 = b.band0 OR a.band1 = b.band1
-     OR a.band2 = b.band2 OR a.band3 = b.band3)
+band_rows AS (
+  SELECT doc_id, sig, 0 AS band_idx, band0 AS band_hash FROM banded
+  UNION ALL SELECT doc_id, sig, 1, band1 FROM banded
+  UNION ALL SELECT doc_id, sig, 2, band2 FROM banded
+  UNION ALL SELECT doc_id, sig, 3, band3 FROM banded
 )
-SELECT p.doc_a, p.doc_b,
-       round(({" + ".join(f"CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END" for k in range(N_MINHASH))})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(list_sum(list_transform(generate_series(1, {N_MINHASH}),
+               i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
              / {N_MINHASH}.0, 6) AS est_jaccard
-FROM pairs p
-JOIN sig sa ON sa.doc_id = p.doc_a
-JOIN sig sb ON sb.doc_id = p.doc_b
+FROM band_rows a JOIN band_rows b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,13 +222,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing replaces MLlib MinHashLSH's seeded perm for oracle parity.
     """
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.array_distinct(_shingles_spark(_words())).alias("sh"))
-    sig = t.select(
-        "doc_id",
-        *[_minhash_spark(F.col("sh"), k).alias(f"mh{k}") for k in range(N_MINHASH)],
+    # Explode shingles to rows so the md5 pass and all 16 permutation
+    # mins run inside whole-stage codegen (array higher-order functions
+    # are interpreted in Spark — at 100 TB that interpretation tax is
+    # the difference between a scan-speed pass and a CPU wall). Minhash
+    # over the multiset equals minhash over the set, so no distinct is
+    # needed before the min.
+    shingle_rows = d.select(
+        "doc_id", F.explode(_shingles_spark(_words())).alias("s")
+    )
+    h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long") % _P
+    sig = (
+        shingle_rows.select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{k}")
+                for k, (a, b) in enumerate(_PERMS)
+            ]
+        )
     )
     banded = sig.select(
         "doc_id",
+        F.array(*[F.col(f"mh{k}") for k in range(N_MINHASH)]).alias("sig"),
         *[
             F.md5(
                 F.concat_ws("_", *[F.col(f"mh{k}") for k in range(b * 4, b * 4 + 4)])
@@ -208,33 +252,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ],
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    band_match = (
-        (F.col("a.band0") == F.col("b.band0"))
-        | (F.col("a.band1") == F.col("b.band1"))
-        | (F.col("a.band2") == F.col("b.band2"))
-        | (F.col("a.band3") == F.col("b.band3"))
+    # Unpivot bands to rows so candidate generation is a pure equi-join
+    # on (band_idx, band_hash): this is the step that keeps LSH linear —
+    # an OR-of-bands join condition would degenerate to a nested-loop
+    # cross product. The signature rides along so scoring needs no
+    # third join back to sig (which would recompute the hash pass).
+    band_rows = banded.selectExpr(
+        "doc_id",
+        "sig",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_idx, band_hash)",
     )
-    pairs = (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & band_match)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    agreement = sum(
-        F.when(F.col(f"sa.mh{k}") == F.col(f"sb.mh{k}"), 1).otherwise(0)
-        for k in range(N_MINHASH)
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    agreement = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
-        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
-        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             F.round(agreement / float(N_MINHASH), 6).alias("est_jaccard"),
         )
+        .distinct()
     )
 
 

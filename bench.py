@@ -1,0 +1,86 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed once after a warm-up action on the session; the
+timed region covers plan + execution to a count() sink (results are
+not collected to the driver — we measure engine throughput, not
+driver serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_etl_pipeline_spark.registry import all_queries
+from aws_etl_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: one per operator family, excluding the O(n^2)-ish
+#: pairwise dedup demos (those are correctness fixtures; the scalable
+#: variants minhash-lsh / lsh-ann are included).
+HEADLINE = [
+    "etl_flagship",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_asof",
+    "agg_rollup",
+    "agg_distinct",
+    "window_ranking",
+    "topk_per_group",
+    "set_union_all",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "upsert_merge",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
+    "sim_lsh_ann",
+    "text_stats",
+    "text_tfidf_topterms",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = SF_DIR
+    queries = all_queries()
+    spark = get_spark("bench")
+    # warm-up: JVM, parquet footers, shuffle machinery
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = queries[name]
+        t0 = time.time()
+        df = q.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

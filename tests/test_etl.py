@@ -1,0 +1,105 @@
+"""Unit tests for the flagship ETL transform — the semantics the
+DuckDB oracle can't see: coerce-cast behavior, soft columns, null
+branches, and the documented pandas divergence (SURVEY §2A R14)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F, types as T
+
+from aws_etl_pipeline_spark.operators.etl import (
+    amount_category_expr,
+    transform_transactions,
+)
+from aws_etl_pipeline_spark.schemas import TRANSACTIONS_RAW
+
+
+def make_txn(spark, rows):
+    defaults = dict(
+        transaction_id="TXN_1",
+        date="2024-03-15",
+        timestamp="2024-03-15 10:00:00",
+        amount=50.0,
+        category="food",
+        description=" groceries ",
+        transaction_type="expense",
+        account="checking",
+        location="new york",
+    )
+    data = [Row(**{**defaults, **r}) for r in rows]
+    # all-nullable copy: fixtures deliberately violate the id contract
+    # to exercise the R3 drop filter
+    schema = T.StructType([T.StructField(f.name, f.dataType, True) for f in TRANSACTIONS_RAW])
+    return spark.createDataFrame(data, schema=schema)
+
+
+def test_drop_null_required(spark):
+    # R3: rows missing transaction_id or amount are dropped
+    df = make_txn(
+        spark,
+        [{}, {"transaction_id": None}, {"amount": None}, {"amount": -3.0}],
+    )
+    out = transform_transactions(df)
+    assert out.count() == 2
+
+
+def test_cast_coerce_null_on_error(spark):
+    # R4-R6: unparseable values coerce to null, row is kept (ANSI off)
+    df = make_txn(spark, [{"date": "not-a-date", "timestamp": "garbage"}])
+    row = transform_transactions(df).first()
+    assert row.date is None
+    assert row.timestamp is None
+    # date-derived columns null out too
+    assert row.day_of_week is None and row.month is None and row.year is None
+
+
+def test_bucketize_thresholds(spark):
+    # R9 boundaries: null->unknown, |x|<25 small, <100 medium, <500 large
+    cases = [
+        (None, "unknown"),
+        (0.0, "small"),
+        (-24.99, "small"),
+        (25.0, "medium"),
+        (-99.99, "medium"),
+        (100.0, "large"),
+        (-499.99, "large"),
+        (500.0, "very_large"),
+        (-5000.0, "very_large"),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in cases], "amount double")
+    got = [
+        r.cat
+        for r in df.select(amount_category_expr(F.col("amount")).alias("cat")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_soft_columns_degrade(spark):
+    # Missing optional columns are skipped, like `if col in df.columns`
+    df = spark.createDataFrame(
+        [("T1", 10.0)], "transaction_id string, amount double"
+    )
+    out = transform_transactions(df)
+    assert out.count() == 1
+    assert "amount_category" in out.columns
+    assert "day_of_week" not in out.columns  # no date column -> no date parts
+
+
+def test_text_clean_null_preserved(spark):
+    # Documented divergence from the reference: pandas astype(str) turns
+    # NaN into the literal 'Nan'; the engine keeps null (SURVEY §2A R14).
+    df = make_txn(spark, [{"description": None, "location": "  los angeles  "}])
+    row = transform_transactions(df).first()
+    assert row.description is None
+    assert row.location == "Los Angeles"
+
+
+def test_processed_metadata(spark):
+    df = make_txn(spark, [{}])
+    row = transform_transactions(df).first()
+    assert row.processed_by == "lambda-etl-pipeline"
+    assert isinstance(row.processed_timestamp, dt.datetime)
+    # R10/R11/R12/R13 derivations
+    assert row.amount_abs == 50.0
+    assert row.day_of_week == "Friday"
+    assert (row.month, row.year) == (3, 2024)

@@ -1,0 +1,80 @@
+"""Plan-shape assertions — the 100 TB design contract, checked on the
+physical plans Catalyst actually produces: pushdown reaches the scan,
+small dimensions broadcast, hot paths stay in whole-stage codegen."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_spark.catalog import load_table
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    # ReadSchema carries only the projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_broadcast_join_for_small_dim(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.relational import q3_shipping_priority
+
+    plan = _plan(q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_is_single_codegen_projection(spark, sf_dir):
+    # The whole R3-R14 chain must fuse: no exchange, no Python eval.
+    from aws_etl_pipeline_spark.operators.etl import etl_flagship
+
+    plan = _plan(etl_flagship(spark, sf_dir))
+    assert "Exchange" not in plan, "flagship transform must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # formatted mode marks codegen'd operators with '*'
+    assert "* Project" in plan and "* Filter" in plan
+
+
+def test_scalar_batteries_no_python(spark, sf_dir):
+    from aws_etl_pipeline_spark.functions.scalar import fn_math, fn_string
+
+    for q in (fn_math, fn_string):
+        plan = _plan(q(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{q.__name__} fell off the JVM path"
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.relational import limit_topk
+
+    plan = _plan(limit_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "global top-k should not full-sort"
+
+
+def test_partition_pruning_on_hive_layout(spark, tmp_path):
+    # write partitioned (R21 layout), read back with a partition filter:
+    # the scan must prune to one partition directory
+    from aws_etl_pipeline_spark.generator import generate_historical
+    import datetime as dt
+
+    df = generate_historical(spark, days_back=3, end_date=dt.date(2024, 3, 15))
+    df = df.withColumn("day", F.substring("date", 9, 2))
+    out = str(tmp_path / "part")
+    df.write.partitionBy("day").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("day") == "14")
+    plan = _plan(back)
+    assert "PartitionFilters: [isnotnull(day" in plan
+    assert back.count() > 0
