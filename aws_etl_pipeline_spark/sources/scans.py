@@ -1,0 +1,84 @@
+"""Source/scan operators (SURVEY §2B Scan rows; reference R1/R2).
+
+The reference reads one CSV per Lambda invocation with inferred schema
+(`lambda_function.py:74-93`); the engine reads CSV/JSON/parquet with
+explicit schemas and gets pushdown + partition pruning from the
+format. These queries verify *round-trip fidelity*: parquet -> sink
+format -> scan must reproduce the table bit-for-bit, so the oracle is
+simply the original table — any encode/decode defect surfaces as a
+hash mismatch.
+
+Each query materializes its fixture under /tmp keyed by sf_dir, so
+runs are self-contained and rerunnable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from ..schemas import TESTDATA
+
+
+def _fixture_dir(sf_dir: str, tag: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{key}")
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan with explicit schema (R1/R21): customer written
+    as headered CSV, read back typed. The oracle is the source table —
+    the round trip must be lossless."""
+    out = _fixture_dir(sf_dir, "csv")
+    c = load_table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(TESTDATA["customer"]).option("header", True).csv(out)
+
+
+@query(
+    "scan_json_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + scan with explicit schema (R16/R22 -> scan)."""
+    out = _fixture_dir(sf_dir, "json")
+    r = load_table(spark, sf_dir, "region")
+    r.write.mode("overwrite").json(out)
+    return spark.read.schema(TESTDATA["region"]).json(out)
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+SELECT o_orderkey, o_totalprice, year(o_orderdate)::BIGINT AS yr
+FROM orders WHERE year(o_orderdate) = 1997
+""",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + pruned scan: orders partitioned by year
+    (the reference's year=/month=/day= layout, ` s3_uploader.py:113-118`,
+    which it never reads back selectively — SURVEY §4.1). The filter on
+    the partition column prunes directories before any IO; the plan
+    assertion lives in tests/test_plans.py."""
+    out = _fixture_dir(sf_dir, "part_orders")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):  # idempotent fixture build
+        o = load_table(spark, sf_dir, "orders")
+        o.withColumn("yr", F.year("o_orderdate").cast("long")).write.mode(
+            "overwrite"
+        ).partitionBy("yr").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("yr") == 1997)
+        .select("o_orderkey", "o_totalprice", "yr")
+    )

@@ -65,6 +65,37 @@ def run_pipeline_available_now(
     return writer.foreachBatch(sink_batch).outputMode("update").start()
 
 
+from ..registry import query
+
+
+@query("stream_file_ingest")
+def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R19 end-to-end as a named query (rows-only: Structured Streaming
+    has no SQL oracle): generate two 'uploads', drain them through the
+    streaming flagship pipeline with availableNow, return the processed
+    rows. Row count is deterministic (seeded generator)."""
+    import datetime as dt
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..generator import generate_transactions
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_ingest_{key}")
+    in_dir = os.path.join(base, "raw-data")
+    shutil.rmtree(base, ignore_errors=True)
+    for i, (day, n) in enumerate([(dt.date(2024, 3, 14), 60), (dt.date(2024, 3, 15), 40)]):
+        generate_transactions(spark, n, day, seed=100 + i).coalesce(1).write.mode(
+            "append"
+        ).option("header", True).csv(in_dir)
+    qname = f"ingest_{key}"
+    q = run_pipeline_available_now(spark, in_dir, query_name=qname)
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
 def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
     """Watermarked tumbling-window counts — the streaming twin of
     batch_windows.stream_tumbling_window; late rows beyond 1 hour are
