@@ -36,6 +36,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table and spread it across the session's parallelism.
+
+    Small single-file tables arrive as one partition; any compute-heavy
+    operator downstream (per-row hashing, pandas UDF batches, pairwise
+    scoring) would then run on one core. One explicit round-robin
+    shuffle up front buys full parallelism — the same move a 100 TB job
+    makes when a stage's input partitioning doesn't match its CPU cost.
+    Use for compute-bound operators only; scan-bound queries should
+    keep the file partitioning.
+    """
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> None:

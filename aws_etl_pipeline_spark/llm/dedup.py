@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_spread, load_table
 from ..registry import query
 
 N_MINHASH = 16  # minhash permutations
@@ -36,13 +36,19 @@ def _words() -> F.Column:
     return F.split(F.lower(F.trim(F.col("text"))), " ")
 
 
+# Shingle convention (both engines, all dedup operators): one shingle
+# per word position 1..n, clamped at the tail — so the last two
+# positions yield 2- and 1-word shingles. This matches the window-lead
+# formulation (concat_ws drops the null leads) that keeps the Spark
+# side in whole-stage codegen.
+
+
 def _shingles_spark(ws: F.Column) -> F.Column:
-    """3-word shingles as strings: transform over a sliding index.
-    element_at beyond the end yields null, which concat_ws drops —
-    cheaper than allocating a slice() array per position, same result
-    (partial shingles at the tail for <3-word docs)."""
+    """Clamped 3-word shingles as an array column (interpreted
+    higher-order transform — fine for set-valued uses like Jaccard;
+    the minhash hot path uses the codegen window-lead form instead)."""
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - (SHINGLE - 1), F.lit(1))),
+        F.sequence(F.lit(1), F.size(ws)),
         lambda i: F.concat_ws(
             " ",
             *[F.element_at(ws, (i + off).cast("int")) for off in range(SHINGLE)],
@@ -52,7 +58,7 @@ def _shingles_spark(ws: F.Column) -> F.Column:
 
 _SHINGLES_SQL = f"""
 list_transform(
-  generate_series(1, greatest(len(ws) - {SHINGLE - 1}, 1)),
+  generate_series(1, len(ws)),
   i -> array_to_string(ws[i:i+{SHINGLE - 1}], ' '))
 """
 
@@ -71,7 +77,9 @@ FROM fp GROUP BY content_md5
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by normalized-content hash, keep the lowest
-    doc_id. At scale: shuffle 16-byte keys, never the documents."""
+    doc_id. At scale: shuffle 16-byte keys, never the documents. (No
+    pre-spread: the groupBy itself redistributes, and the map side is
+    one cheap md5 per row.)"""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"))
@@ -106,7 +114,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-language pairs above 0.05. Blocking (here: lang) bounds the
     pair count; at 100 TB the block key becomes an LSH bucket (next
     query) so candidates stay ~linear."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", "lang", F.array_distinct(_shingles_spark(_words())).alias("sh")
     )
@@ -221,15 +229,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost tracks the duplicate density, not n². Deterministic md5
     hashing replaces MLlib MinHashLSH's seeded perm for oracle parity.
     """
-    d = load_table(spark, sf_dir, "documents")
-    # Explode shingles to rows so the md5 pass and all 16 permutation
-    # mins run inside whole-stage codegen (array higher-order functions
-    # are interpreted in Spark — at 100 TB that interpretation tax is
-    # the difference between a scan-speed pass and a CPU wall). Minhash
-    # over the multiset equals minhash over the set, so no distinct is
-    # needed before the min.
-    shingle_rows = d.select(
-        "doc_id", F.explode(_shingles_spark(_words())).alias("s")
+    d = load_spread(spark, sf_dir, "documents")
+    # Shingles via posexplode + window lead: every step (explode,
+    # window, md5, permutation mins) stays inside whole-stage codegen —
+    # the array higher-order transform alternative is interpreted and
+    # ~5x slower per core at 100 TB scan rates. Minhash over the
+    # multiset equals minhash over the set, so no distinct is needed
+    # before the min.
+    from pyspark.sql import Window as W
+
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("pos", "w"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    shingle_rows = words.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+        ).alias("s"),
     )
     h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long") % _P
     sig = (
@@ -317,7 +335,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated per bit position. Near-dups then pair by small Hamming
     distance (tests/test_llm.py); the fingerprint itself is verified
     here bit-for-bit against the oracle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(_words()).alias("w"))
     hashed = words.select(
         "doc_id",
@@ -366,7 +384,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: same-label pairs with cosine >= 0.35.
     Blocking on label keeps the pair space linear-ish; the 100 TB form
     replaces the label block with LSH buckets (see similarity.py)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     n = e.select(
         "vec_id",

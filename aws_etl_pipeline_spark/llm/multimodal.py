@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_spread, load_table
 from ..registry import query
 
 FRAME_BYTES = 16
@@ -83,7 +83,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     image blob), features computed per Arrow batch in pandas. The
     oracle recomputes the same bytes with SQL blob functions — what's
     verified is the batch plumbing, not the stub features."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(
         _feature_batches,
@@ -131,7 +131,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per sampled 16-byte frame at a 64-byte stride. The expansion
     happens inside the Arrow batch iterator (no driver loop, no
     explode of a materialized array)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(
         _frame_batches, schema="doc_id long, frame_idx long, frame_hex string"

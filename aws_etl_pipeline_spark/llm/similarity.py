@@ -24,7 +24,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_spread, load_table
 from ..registry import query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -89,7 +89,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is broadcast, so the corpus streams through one scoring stage
     and a single top-k window — the shape that scales to a sharded
     corpus (score locally, take per-shard top-k, merge)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     n = e.select(
         "vec_id", _as_double("embedding").alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
@@ -170,7 +170,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     The equi-join on bucket is the whole trick — at 100 TB the corpus
     shuffles once by bucket and each query probes one bucket instead
     of the full corpus."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     n = (
         e.select("vec_id", _as_double("embedding").alias("v"))
         .withColumn("nrm", _norm(F.col("v")))
@@ -221,7 +221,7 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (the IVF coarse-quantizer build step):
     explode to (label, dim, value), average per cell, reduce to a
     verifiable squared-norm per centroid."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     dims = e.select(
         "label", F.posexplode(_as_double("embedding")).alias("d0", "x")
     ).select("label", (F.col("d0") + 1).alias("d"), "x")

@@ -50,12 +50,22 @@ HEADLINE = [
 ]
 
 
+WARMUP_SF = "/root/testdata/sf0.001"
+
+
 def main() -> None:
     sf_dir = SF_DIR
     queries = all_queries()
     spark = get_spark("bench")
-    # warm-up: JVM, parquet footers, shuffle machinery
+    # warm-up: JVM, parquet footers, shuffle machinery, and each plan's
+    # whole-stage-codegen compilation (run once at the smallest SF so
+    # the timed sf run measures engine throughput, not JIT latency)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in HEADLINE:
+        try:
+            queries[name].fn(spark, WARMUP_SF).count()
+        except Exception as e:  # warmup is best-effort
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
