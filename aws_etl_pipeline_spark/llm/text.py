@@ -274,16 +274,22 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     MLlib's HashingTF+IDF but with exact terms, so it is oracle-
     verifiable."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = float(d.count())
+    # corpus size as a broadcast scalar inside the plan — no eager
+    # driver-side count() action, the whole query stays one lazy DAG
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     words = d.select("doc_id", F.explode(_words()).alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df_, "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 8
-        ).alias("tfidf"),
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 8
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

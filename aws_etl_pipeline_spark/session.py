@@ -30,6 +30,12 @@ RUNTIME_CONFS = {
     # Null-on-error cast semantics (reference uses pandas errors='coerce';
     # ANSI would raise instead).
     "spark.sql.ansi.enabled": "false",
+    # Split size stays at the 128 MB default: at bench SF the per-query
+    # data (~20 MB) is below one split, and forcing smaller splits was
+    # measured to cost more in task scheduling than it buys in
+    # parallelism. Compute-bound operators spread explicitly instead
+    # (catalog.load_spread); scan-bound ones are IO-trivial here and
+    # split naturally at production file sizes.
 }
 
 
