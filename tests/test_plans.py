@@ -6,29 +6,26 @@ import pytest
 from pyspark.sql import functions as F
 
 from aws_etl_pipeline_spark.catalog import load_table
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from aws_etl_pipeline_spark.plans.explain import plan_string as _plan
+from aws_etl_pipeline_spark.plans.explain import (
+    pushed_filters,
+    python_eval_nodes,
+    read_schema_columns,
+)
 
 
 def test_filter_pushdown_to_parquet(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_orderkey", "l_quantity")
-    plan = _plan(q)
-    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    pf = pushed_filters(q)
+    assert any(f.startswith("LessThanOrEqual(l_shipdate") for f in pf), pf
 
 
 def test_column_pruning(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    q = li.select("l_orderkey", "l_quantity")
-    plan = _plan(q)
-    # ReadSchema carries only the projected columns
-    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
-    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
-    assert "l_extendedprice" not in read_schema
+    cols = read_schema_columns(li.select("l_orderkey", "l_quantity"))
+    assert "l_orderkey" in cols and "l_quantity" in cols
+    assert "l_extendedprice" not in cols
 
 
 def test_broadcast_join_for_small_dim(spark, sf_dir):
@@ -42,9 +39,10 @@ def test_flagship_is_single_codegen_projection(spark, sf_dir):
     # The whole R3-R14 chain must fuse: no exchange, no Python eval.
     from aws_etl_pipeline_spark.operators.etl import etl_flagship
 
-    plan = _plan(etl_flagship(spark, sf_dir))
+    df = etl_flagship(spark, sf_dir)
+    plan = _plan(df)
     assert "Exchange" not in plan, "flagship transform must not shuffle"
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert not python_eval_nodes(df)
     # formatted mode marks codegen'd operators with '*'
     assert "* Project" in plan and "* Filter" in plan
 
@@ -53,8 +51,9 @@ def test_scalar_batteries_no_python(spark, sf_dir):
     from aws_etl_pipeline_spark.functions.scalar import fn_math, fn_string
 
     for q in (fn_math, fn_string):
-        plan = _plan(q(spark, sf_dir))
-        assert "EvalPython" not in plan, f"{q.__name__} fell off the JVM path"
+        assert not python_eval_nodes(q(spark, sf_dir)), (
+            f"{q.__name__} fell off the JVM path"
+        )
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):

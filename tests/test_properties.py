@@ -1,0 +1,87 @@
+"""Property-based spot checks (SURVEY §5.2): algebraic identities the
+DuckDB oracle can't directly express, over generated inputs."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # key
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+COMMON = dict(
+    deadline=None,
+    max_examples=12,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**COMMON)
+@given(rows=ROWS)
+def test_drop_duplicates_idempotent(spark, rows):
+    df = spark.createDataFrame(rows or [(0, 0.0)], "k int, v float")
+    once = df.dropDuplicates(["k"])
+    twice = once.dropDuplicates(["k"])
+    assert sorted(r.k for r in once.collect()) == sorted(r.k for r in twice.collect())
+    assert once.count() == df.select("k").distinct().count()
+
+
+@settings(**COMMON)
+@given(rows=ROWS)
+def test_union_all_count_additive(spark, rows):
+    df = spark.createDataFrame(rows or [(0, 0.0)], "k int, v float")
+    assert df.unionByName(df).count() == 2 * df.count()
+
+
+@settings(**COMMON)
+@given(rows=ROWS)
+def test_except_then_intersect_partition(spark, rows):
+    """distinct(A) splits exactly into (A∩B) ⊎ (A−B) for any B."""
+    df = spark.createDataFrame(rows or [(0, 0.0)], "k int, v float").select("k")
+    b = df.filter(F.col("k") % 2 == 0)
+    inter = df.intersect(b)
+    diff = df.subtract(b)
+    assert inter.count() + diff.count() == df.distinct().count()
+    assert inter.intersect(diff).count() == 0
+
+
+@settings(**COMMON)
+@given(rows=ROWS)
+def test_decimal_sum_order_invariant(spark, rows):
+    """The engine's exact-sum convention: identical totals under any
+    repartitioning (the property plain float sums lack)."""
+    df = spark.createDataFrame(rows or [(0, 0.0)], "k int, v float")
+    s1 = df.agg(F.sum(F.col("v").cast("decimal(18,2)")).alias("s")).first().s
+    s2 = (
+        df.repartition(7)
+        .agg(F.sum(F.col("v").cast("decimal(18,2)")).alias("s"))
+        .first()
+        .s
+    )
+    assert s1 == s2
+
+
+@settings(**COMMON)
+@given(
+    amounts=st.lists(
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bucketize_total(spark, amounts):
+    """Every row lands in exactly one bucket; null -> unknown."""
+    from aws_etl_pipeline_spark.operators.etl import amount_category_expr
+
+    df = spark.createDataFrame([(a,) for a in amounts], "amount float")
+    out = df.select(amount_category_expr(F.col("amount").cast("double")).alias("c"))
+    rows = [r.c for r in out.collect()]
+    assert len(rows) == len(amounts)
+    assert set(rows) <= {"unknown", "small", "medium", "large", "very_large"}
+    assert rows.count("unknown") == sum(1 for a in amounts if a is None)
