@@ -63,6 +63,37 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, "global top-k should not full-sort"
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """bucketBy on the join key co-locates both sides: the sort-merge
+    join needs no Exchange — the mechanism that amortizes fact-fact
+    shuffles across repeated joins at 100 TB (SCALING.md Joins)."""
+    # (warehouse dir is a static conf — bucketed tables land in the
+    # default ./spark-warehouse, which is gitignored)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        "b_orders"
+    )
+    li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        "b_lineitem"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_partition_pruning_on_hive_layout(spark, tmp_path):
     # write partitioned (R21 layout), read back with a partition filter:
     # the scan must prune to one partition directory
