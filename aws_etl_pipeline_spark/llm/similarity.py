@@ -234,3 +234,142 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("dim"),
         F.round(F.sum(F.col("c") * F.col("c")), 8).alias("centroid_sqnorm"),
     )
+
+
+N_PROBE = 2  # centroid cells probed per query
+
+
+@query(
+    "sim_ivf_ann",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT label, u.d, u.x
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS d,
+                          unnest(v) AS x) u
+),
+cent AS (
+  SELECT label AS cell, list(c ORDER BY d) AS cv
+  FROM (SELECT label, d,
+               CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+        FROM dims GROUP BY label, d)
+  GROUP BY label
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, cent.cv)
+                      / (n.nrm * sqrt(list_sum(list_transform(cent.cv, x -> x*x))))
+                      DESC, cent.cell) AS rn
+    FROM n CROSS JOIN cent
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, cent.cv)
+                      / (n.nrm * sqrt(list_sum(list_transform(cent.cv, x -> x*x))))
+                      DESC, cent.cell) AS rn
+    FROM n CROSS JOIN cent WHERE n.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(qn.v, cn_.v) / (qn.nrm * cn_.nrm), 8) AS cosine,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY round(list_dot_product(qn.v, cn_.v) / (qn.nrm * cn_.nrm), 8) DESC,
+                    a.vec_id) AS rn
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id >= {N_QUERIES}
+  JOIN n qn  ON qn.vec_id = p.vec_id
+  JOIN n cn_ ON cn_.vec_id = a.vec_id
+) WHERE rn <= 3
+""",
+)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: data-derived coarse quantizer (per-label centroid
+    = the kmeans-lite cell), corpus vectors assigned to their nearest
+    cell, queries probe their {N_PROBE} nearest cells, exact cosine
+    rescoring only within probed cells.
+
+    The 100 TB shape: centroids are tiny and broadcast; the corpus is
+    shuffled ONCE by cell id (a write-time layout in practice —
+    partitionBy(cell)); each query touches n_probe/n_cells of the
+    data. sim_bruteforce_topk is the recall oracle."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "label", _as_double("embedding").alias("v"))
+    # centroid build (explode -> per-dim decimal-exact mean -> rebuild)
+    dims = base.select(
+        "label", F.posexplode("v").alias("d0", "x")
+    ).select("label", (F.col("d0") + 1).alias("d"), "x")
+    cent = (
+        dims.groupBy("label", "d")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cell"), "cv")
+    )
+    n = base.select("vec_id", "v").withColumn("nrm", _norm(F.col("v")))
+    cent_n = cent.withColumn("cnrm", _norm(F.col("cv")))
+
+    def ranked_cells(side: DataFrame) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cent_n)).select(
+            "vec_id",
+            "cell",
+            (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("sim"),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+        return scored.withColumn("rn", F.row_number().over(w))
+
+    assign = (
+        ranked_cells(n.filter(F.col("vec_id") >= N_QUERIES))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    probes = (
+        ranked_cells(n.filter(F.col("vec_id") < N_QUERIES))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    qn = n.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cn_ = n.select(
+        F.col("vec_id").alias("neighbor_id"), "v", "nrm"
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .join(F.broadcast(qn), "query_id")
+        .join(cn_, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 8
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -50,7 +50,7 @@ def query(name: str, oracle: Optional[str] = None, doc: str = ""):
 
 def all_queries() -> dict[str, Query]:
     """Import all operator modules (populating the registry) and return it."""
-    from .operators import etl, relational, setops, sql_surface, windows, upsert  # noqa: F401
+    from .operators import etl, relational, setops, sql_surface, tpch_extra, windows, upsert  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
     from .sources import scans  # noqa: F401
     from .streaming import batch_windows, ingest  # noqa: F401
