@@ -31,6 +31,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q16_supplier_part_stats",
+    "sql_cte_chain",
     "join_asof",
     "agg_rollup",
     "agg_distinct",
@@ -44,9 +48,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
     "sim_lsh_ann",
+    "sim_ivf_ann",
     "text_stats",
     "text_tfidf_topterms",
     "multimodal_features",
+    "sample_stable_hash",
+    "scd2_intervals",
 ]
 
 
