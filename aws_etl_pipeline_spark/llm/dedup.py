@@ -417,3 +417,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+@query("dedup_minhash_mllib")
+def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib's MinHashLSH over HashingTF shingle vectors (seeded) —
+    the library twin of dedup_minhash_lsh (rows-only: MLlib's hash
+    family is JVM-seeded, not SQL-reproducible; the md5 variant is the
+    oracle-verified one). Kept to document the drop-in MLlib path:
+    approxSimilarityJoin(threshold) ~ the banded candidate join."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_spread(spark, sf_dir, "documents")
+    t = d.select("doc_id", _shingles_spark(_words()).alias("sh"))
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(t).filter(F.expr("size(sh) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.95, distCol="jaccard_dist")
+    return pairs.filter(
+        F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+    ).select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+        F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+    )

@@ -297,3 +297,41 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@query(
+    "text_bigrams",
+    oracle="""
+WITH t AS (SELECT string_split(lower(trim(text)), ' ') AS ws FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1])) AS bigram
+  FROM t WHERE len(ws) > 1
+)
+SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY bigram
+QUALIFY row_number() OVER (ORDER BY count(*) DESC, bigram) <= 20
+""",
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams across the corpus — the n-gram LM-statistics
+    primitive (the 3-gram variant underlies the dedup shingles)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i.cast("int")), F.element_at(ws, (i + 1).cast("int"))
+        ),
+    )
+    counts = (
+        d.filter(F.size(ws) > 1)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy().orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("bigram", "n")
+    )

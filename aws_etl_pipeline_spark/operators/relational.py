@@ -618,3 +618,18 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(15)
     )
+
+
+@query("agg_approx_quantile")
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch) next to the exact
+    interpolated percentile (rows-only: sketch values are
+    implementation-specific). The sketch is the 100 TB path — mergeable,
+    bounded-memory — with the exact value as the local accuracy
+    reference."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+        F.percentile("o_totalprice", 0.5).alias("exact_median"),
+        F.percentile_approx("o_totalprice", 0.99, 1000).alias("approx_p99"),
+    )
