@@ -168,16 +168,6 @@ _MINHASH_COLS_SQL = ",\n         ".join(
 )
 
 
-def _basehash_spark(sh: F.Column) -> F.Column:
-    return F.transform(
-        sh,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _P,
-    )
-
-
-def _minhash_spark(hs: F.Column, k: int) -> F.Column:
-    a, b = _PERMS[k]
-    return F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % _P))
 _BAND_SQL = ",\n       ".join(
     "md5(" + " || '_' || ".join(f"mh{k}" for k in range(b * 4, b * 4 + 4)) + f") AS band{b}"
     for b in range(N_BANDS)

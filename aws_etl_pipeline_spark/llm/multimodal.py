@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_spread, load_table
+from ..catalog import load_spread
 from ..registry import query
 
 FRAME_BYTES = 16

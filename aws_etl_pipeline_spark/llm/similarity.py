@@ -24,7 +24,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_spread, load_table
+from ..catalog import load_spread
 from ..registry import query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors

@@ -87,3 +87,66 @@ def test_apply_in_pandas_with_state_running_totals(spark):
         latest[r.user_id] = (r.n_events, r.total_value)
     assert latest[7] == (3, 16.0)  # 10+5 in batch1, +1 in batch2
     assert latest[8] == (1, 2.0)
+
+
+def test_stream_stream_interval_join(spark):
+    """Stream-stream inner join with watermarks + event-time interval:
+    each purchase joins clicks by the same user within the preceding
+    30 minutes — the streaming twin of join_asof's candidate window."""
+    import pyspark.sql.functions as F
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    with tempfile.TemporaryDirectory() as root:
+        cdir = os.path.join(root, "clicks")
+        pdir = os.path.join(root, "purchases")
+        os.makedirs(cdir), os.makedirs(pdir)
+        _write_batch(
+            spark, cdir,
+            [
+                (1, base, 10, "click", 1.0, "{}"),
+                (2, base + dt.timedelta(minutes=10), 10, "click", 2.0, "{}"),
+                (3, base - dt.timedelta(hours=2), 10, "click", 9.0, "{}"),  # too old
+            ],
+        )
+        _write_batch(
+            spark, pdir,
+            [(100, base + dt.timedelta(minutes=20), 10, "purchase", 50.0, "{}")],
+        )
+        clicks = (
+            spark.readStream.schema(SCHEMA).parquet(cdir)
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+                F.col("user_id").alias("click_user"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        purchases = (
+            spark.readStream.schema(SCHEMA).parquet(pdir)
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+                "user_id",
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        joined = purchases.join(
+            clicks,
+            F.expr(
+                """
+                user_id = click_user AND
+                click_ts BETWEEN purchase_ts - INTERVAL 30 MINUTES AND purchase_ts
+                """
+            ),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("t_ssj")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.table("t_ssj").collect()
+    got = sorted((r.purchase_id, r.click_id) for r in rows)
+    assert got == [(100, 1), (100, 2)]  # the 2-hours-old click is outside the interval
