@@ -373,3 +373,37 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+@query("sim_brp_lsh_mllib")
+def sim_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH ANN (seeded) — the library twin
+    of sim_lsh_ann (rows-only: JVM-seeded projections aren't SQL-
+    reproducible). approxNearestNeighbors per query on euclidean
+    distance; documents the drop-in MLlib path."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    e = load_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", to_vec(_as_double("embedding")).alias("features")
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = lsh.fit(corpus)
+    hashed = model.transform(corpus)
+    queries_ = e.filter(F.col("vec_id") < N_QUERIES).collect()
+    frames = []
+    for row in queries_:
+        nn = model.approxNearestNeighbors(hashed, row.features, 3).select(
+            F.lit(row.vec_id).alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("distCol", 6).alias("euclidean_dist"),
+        )
+        frames.append(nn)
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out

@@ -633,3 +633,43 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", 0.5).alias("exact_median"),
         F.percentile_approx("o_totalprice", 0.99, 1000).alias("approx_p99"),
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+WITH big AS (
+  SELECT event_id, CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END AS k, value
+  FROM events
+),
+dim AS (
+  SELECT user_id AS k, count(*)::BIGINT AS user_events
+  FROM events GROUP BY user_id
+)
+SELECT b.event_id, b.k, d.user_events
+FROM big b JOIN dim d ON b.k = d.k
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling pattern made explicit: a third of the fact rows
+    collapse onto one hot key (k=0). The join salts the big side
+    (pmod(hash, 8)) and replicates the dim side 8x, so the hot key
+    spreads over 8 shuffle partitions instead of one straggler task.
+    The oracle is the UNSALTED join — salting must be semantically
+    invisible. (AQE skew-join does this adaptively; the manual pattern
+    is for engines/joins AQE can't reach.)"""
+    ev = load_table(spark, sf_dir, "events")
+    n_salt = 8
+    big = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    ).withColumn("salt", F.pmod(F.hash("event_id"), F.lit(n_salt)))
+    dim = (
+        ev.groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("user_events"))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    )
+    return big.join(dim, ["k", "salt"]).select("event_id", "k", "user_events")
