@@ -136,3 +136,51 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         _frame_batches, schema="doc_id long, frame_idx long, frame_hex string"
     )
+
+
+RESIZE_STRIDE = 4  # keep every 4th byte — the stand-in for a real resample
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic 'resize': stride-sample the payload bytes (what a
+    real image resample does to pixels, minus the codec — which is
+    stubbed, see decode_image)."""
+    for pdf in batches:
+        resized = pdf["payload"].map(lambda b: b[::RESIZE_STRIDE])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "resized_len": resized.map(len).astype("int64"),
+                "resized_hex": resized.map(lambda b: b.hex().upper()),
+            }
+        )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS n
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, (n - 1) // {RESIZE_STRIDE}),
+                        i -> substr(hex(p), i * {RESIZE_STRIDE * 2} + 1, 2)) AS px
+  FROM b
+)
+SELECT doc_id,
+       len(px)::BIGINT AS resized_len,
+       array_to_string(px, '') AS resized_hex
+FROM r
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/resample over binary payloads via mapInPandas: every 4th
+    byte survives (the codec-free stand-in for image downsampling).
+    Verified byte-for-byte — the oracle rebuilds the strided bytes and compares the hex bytes exactly."""
+    d = load_spread(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(
+        _resize_batches, schema="doc_id long, resized_len long, resized_hex string"
+    )
