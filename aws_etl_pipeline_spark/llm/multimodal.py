@@ -184,3 +184,56 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         _resize_batches, schema="doc_id long, resized_len long, resized_hex string"
     )
+
+
+CHUNK_BYTES = 256  # audio-frame analog: energy per 256-byte window
+
+
+def _energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio-analog feature: mean byte value ('energy') per fixed-size
+    chunk of the payload — the plumbing a real RMS-over-PCM extraction
+    uses, minus the codec."""
+    for pdf in batches:
+        ids, idxs, energies = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for i in range(0, len(payload), CHUNK_BYTES):
+                chunk = payload[i : i + CHUNK_BYTES]
+                ids.append(doc_id)
+                idxs.append(i // CHUNK_BYTES)
+                # integer-sum / small-int is exactly representable — no rounding
+                energies.append(sum(chunk) / len(chunk))
+        yield pd.DataFrame(
+            {"doc_id": ids, "chunk_idx": idxs, "energy": energies}
+        ).astype({"doc_id": "int64", "chunk_idx": "int64"})
+
+
+@query(
+    "multimodal_chunk_energy",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0, (n - 1) // {CHUNK_BYTES})) AS chunk_idx,
+         h, n
+  FROM b
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       list_sum(list_transform(
+               generate_series(1, least(n - chunk_idx * {CHUNK_BYTES}, {CHUNK_BYTES})),
+               i -> ('0x' || substr(h, (chunk_idx * {CHUNK_BYTES} + i - 1) * 2 + 1, 2))::INT))
+             / least(n - chunk_idx * {CHUNK_BYTES}, {CHUNK_BYTES})::DOUBLE AS energy
+FROM chunks
+""",
+)
+def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-analog chunked energy over binary payloads via mapInPandas
+    (mean byte value per 256-byte window); the oracle recomputes each
+    chunk's byte sum from hex."""
+    d = load_spread(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(
+        _energy_batches, schema="doc_id long, chunk_idx long, energy double"
+    )

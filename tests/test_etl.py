@@ -103,3 +103,25 @@ def test_processed_metadata(spark):
     assert row.amount_abs == 50.0
     assert row.day_of_week == "Friday"
     assert (row.month, row.year) == (3, 2024)
+
+
+def test_partitioned_sink_reference_layout(spark, tmp_path):
+    """R21: the partitioned CSV sink reproduces the reference's
+    Hive-style key layout {folder}/year=YYYY/month=M/day=D/...
+    (` s3_uploader.py:113-118`), which Spark then prunes on read."""
+    import os
+
+    from aws_etl_pipeline_spark.generator import generate_transactions
+    from aws_etl_pipeline_spark.operators.etl import transform_transactions, write_csv
+
+    import datetime as dt
+
+    df = generate_transactions(spark, 30, date=dt.date(2024, 3, 15), seed=5)
+    out = transform_transactions(df)
+    dest = str(tmp_path / "raw-data")
+    write_csv(out.drop("processed_timestamp"), dest, partition_by=("year", "month"))
+    # Hive directory structure exists
+    assert os.path.isdir(os.path.join(dest, "year=2024", "month=3"))
+    back = spark.read.option("header", True).csv(dest)
+    assert back.count() == 30
+    assert {"year", "month"} <= set(back.columns)
