@@ -152,3 +152,168 @@ def q16_supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-filtered priority counts (semi join on
+    the fact table feeding a small aggregate)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional-count aggregation over a fact-fact
+    join (the schema has no shipmode column; linestatus plays its role)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue_pct",
+    oracle="""
+SELECT round(
+         100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                     THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE), 8) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+""",
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share — conditional decimal
+    sums ratioed into one scalar."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 8
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150
+)
+SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN big      ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+""",
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered semi-aggregate feeding a join
+    (big-order keys found first, then detail re-joined)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))  # disambiguate self-join
+    )
+    return (
+        o.join(big, o.o_orderkey == F.col("big_orderkey"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"))
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions across both join sides —
+    the predicate-pushdown stress test (the equi key still carries the
+    join; the disjunction is a residual filter)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
