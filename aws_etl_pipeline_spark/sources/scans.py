@@ -82,3 +82,17 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("yr") == 1997)
         .select("o_orderkey", "o_totalprice", "yr")
     )
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (the third columnar format Spark ships natively;
+    DuckDB has no ORC reader, so the oracle is the source table and the
+    round trip must be lossless — same contract as the CSV/JSON scans)."""
+    out = _fixture_dir(sf_dir, "orc")
+    n = load_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").orc(out)
+    return spark.read.schema(TESTDATA["nation"]).orc(out)
