@@ -33,9 +33,13 @@ HEADLINE = [
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q7_nation_volume",
+    "q12_shipmode_priority",
     "q16_supplier_part_stats",
+    "q18_large_volume_customer",
+    "q19_disjunctive_predicates",
     "sql_cte_chain",
     "join_asof",
+    "join_skew_salted",
     "agg_rollup",
     "agg_distinct",
     "window_ranking",
@@ -52,6 +56,7 @@ HEADLINE = [
     "text_stats",
     "text_tfidf_topterms",
     "multimodal_features",
+    "multimodal_resize",
     "sample_stable_hash",
     "scd2_intervals",
 ]
