@@ -1,0 +1,434 @@
+"""Public operator API — the engine's reusable surface.
+
+The named queries in ``__spark_entry__.py`` pin these operators to
+fixed parameters for the DuckDB correctness gate; this module is what
+an application actually imports. Everything takes and returns plain
+DataFrames, composes lazily, and follows the conventions documented in
+SCALING.md (codegen-first, equi-join candidate generation, blocking
+keys for pairwise work).
+
+    from aws_etl_pipeline_spark import api
+
+    dups      = api.minhash_lsh_pairs(docs, "doc_id", "text")
+    keepers   = api.exact_dedup(docs, "doc_id", text_col="text")
+    neighbors = api.topk_cosine(corpus, queries, "vec_id", "embedding", k=5)
+    scored    = api.text_statistics(docs, "doc_id", "text")
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .operators.etl import (  # noqa: F401  (re-exported reference-parity ops)
+    amount_category_expr,
+    run_pipeline,
+    transform_transactions,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from .operators.upsert import merge_into_parquet, merge_upsert  # noqa: F401
+
+# 31-bit universal-hash modulus (fits BIGINT products on any engine).
+_P = 2_147_483_647
+
+
+def _perm_constants(n: int) -> list[tuple[int, int]]:
+    out = []
+    for k in range(n):
+        a = int(hashlib.md5(f"a{k}".encode()).hexdigest()[:8], 16) % (_P - 1) + 1
+        b = int(hashlib.md5(f"b{k}".encode()).hexdigest()[:8], 16) % _P
+        out.append((a, b))
+    return out
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), " ")
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str | None = None, keys: list[str] | None = None
+) -> DataFrame:
+    """Exact dedup groups: by normalized content hash (``text_col``) or
+    by explicit key columns. Returns (group key, keeper id = min id,
+    n_copies). Only hashes shuffle, never payloads."""
+    if text_col is not None:
+        keyed = df.select(
+            id_col, F.md5(F.lower(F.trim(F.col(text_col)))).alias("content_md5")
+        )
+        group = ["content_md5"]
+    else:
+        keyed = df.select(id_col, *(keys or []))
+        group = list(keys or [])
+    return keyed.groupBy(*group).agg(
+        F.min(id_col).alias(f"keeper_{id_col}"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows via posexplode + window lead — fully codegen,
+    clamped n-grams at the tail (see SCALING.md: interpreted array
+    lambdas are ~5x slower per core)."""
+    words = df.select(
+        id_col, F.posexplode(_words(text_col)).alias("pos", "w")
+    )
+    win = W.partitionBy(id_col).orderBy("pos")
+    parts = ["w"] + [F.lead("w", i).over(win) for i in range(1, n)]
+    return words.select(id_col, F.concat_ws(" ", *parts).alias("s"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle: int = 3
+) -> DataFrame:
+    """Per-document minhash signature columns mh0..mh{n-1}: one md5 per
+    shingle, then ``n_hashes`` universal-hash permutations folded as
+    codegen'd conditional mins in a single groupBy."""
+    perms = _perm_constants(n_hashes)
+    rows = shingle_rows(df, id_col, text_col, shingle)
+    h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long") % _P
+    return (
+        rows.select(id_col, h.alias("h"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{k}")
+                for k, (a, b) in enumerate(perms)
+            ]
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs with estimated Jaccard: banded
+    minhash signatures, candidates from an equi-join on (band index,
+    band hash) — never an OR-of-bands nested loop. Output columns:
+    ``{id}_a, {id}_b, est_jaccard``."""
+    assert n_hashes % n_bands == 0
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle)
+    banded = sig.select(
+        id_col,
+        F.array(*[F.col(f"mh{k}") for k in range(n_hashes)]).alias("sig"),
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{k}")
+                        for k in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ],
+    )
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    band_rows = banded.selectExpr(
+        id_col,
+        "sig",
+        f"stack({n_bands}, {stack_args}) AS (band_idx, band_hash)",
+    )
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    agreement = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"), F.col("b.sig"), lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col[:3]}_a" if id_col.endswith("_id") else "id_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col[:3]}_b" if id_col.endswith("_id") else "id_b"),
+            F.round(agreement / float(n_hashes), 6).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.05,
+    shingle: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs sharing ``block_col`` —
+    the recall oracle for LSH; the blocking key bounds the pair count."""
+    ws = _words(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(ws)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + off).cast("int")) for off in range(shingle)]
+        ),
+    )
+    t = df.select(id_col, block_col, F.array_distinct(shingles).alias("sh"))
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(jac >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col[:3]}_a" if id_col.endswith("_id") else "id_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col[:3]}_b" if id_col.endswith("_id") else "id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-document SimHash fingerprint (word-level md5 bit votes)."""
+    spark = df.sparkSession
+    words = df.select(id_col, F.explode(_words(text_col)).alias("w"))
+    hashed = words.select(
+        id_col, F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h")
+    )
+    bit_rows = (
+        hashed.crossJoin(spark.range(bits).select(F.col("id").alias("b")))
+        .groupBy(id_col, "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, cast(b as int)) % 2") == 1, 1).otherwise(-1)
+            ).alias("weight")
+        )
+    )
+    return bit_rows.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("weight") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(b as int))"),
+            ).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_to: int = 8,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector: broadcast the
+    query side, one scoring pass over the corpus, one top-k window.
+    Output: query_id, neighbor_id, cosine."""
+    as_double = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+
+    def normed(df: DataFrame, prefix: str) -> DataFrame:
+        v = as_double(vec_col)
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"), v.alias(f"{prefix}_v")
+        ).withColumn(f"{prefix}_nrm", _norm(F.col(f"{prefix}_v")))
+
+    q = normed(queries, "query")
+    c = normed(corpus, "neighbor")
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("query_v"), F.col("neighbor_v"))
+            / (F.col("query_nrm") * F.col("neighbor_nrm")),
+            round_to,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH bucket id (as a bit string) for a double-array
+    column against fixed hyperplanes."""
+    parts = []
+    for row in planes:
+        lit = F.array(*[F.lit(x) for x in row])
+        parts.append(F.when(_dot(vec_col, lit) > 0, "1").otherwise("0"))
+    return F.concat(*parts)
+
+
+def stable_sample(df: DataFrame, key_col: str, pct: int, salt: str = "salt42") -> DataFrame:
+    """Deterministic ~pct% sample via a salted md5 bucket of the key —
+    identical across runs, engines, and partitionings (df.sample is
+    not)."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col))), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    return df.filter(bucket < pct)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def text_statistics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token/char statistics per document (see llm/text.py text_stats
+    for the verified fixed-parameter form)."""
+    ws = _words(text_col)
+    return df.select(
+        id_col,
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct_words"),
+        F.round(
+            F.aggregate(
+                F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+            ).cast("double")
+            / F.size(ws),
+            6,
+        ).alias("avg_word_len"),
+        F.round(F.size(F.array_distinct(ws)).cast("double") / F.size(ws), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized-content md5 + 60-bit projection + shard bucket."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    h = F.md5(norm)
+    fp60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    return df.select(
+        id_col, h.alias("content_md5"), fp60.alias("fp60"), (fp60 % 1024).alias("fp_bucket")
+    )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Exact TF-IDF top-k terms per document (corpus size as a
+    broadcast scalar, no driver-side count)."""
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    words = df.select(id_col, F.explode(_words(text_col)).alias("term"))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 8
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tfidf")
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join
+# --------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: str,
+    value_cols: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """For each left row, the latest right row with right.ts < left.ts
+    (``strict``; <= otherwise) within the same ``by`` key — as one
+    window pass over the unioned stream: single shuffle on ``by``, no
+    per-key join, no candidate blow-up (SCALING.md Joins). Right value
+    columns come back as ``asof_<col>``.
+
+    Tie handling: at equal timestamps, ``strict`` orders left rows
+    before right rows (the equal-ts right row is NOT visible), non-
+    strict the reverse.
+    """
+    l_aligned = left.select(
+        by,
+        ts_col,
+        F.lit(1).alias("__side"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+        *[c for c in left.columns if c not in (by, ts_col)],
+    )
+    r_aligned = right.select(
+        by,
+        ts_col,
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in (by, ts_col)
+        ],
+    )
+    unioned = l_aligned.unionByName(r_aligned)
+    side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+    w = (
+        W.partitionBy(by)
+        .orderBy(F.col(ts_col).asc(), side_order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    out = unioned.select(
+        "*",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return out.filter(F.col("__side") == 1).drop(
+        "__side", *[f"__v_{c}" for c in value_cols]
+    )

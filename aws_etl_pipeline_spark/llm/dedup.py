@@ -80,15 +80,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. At scale: shuffle 16-byte keys, never the documents. (No
     pre-spread: the groupBy itself redistributes, and the map side is
     one cheap md5 per row.)"""
+    from ..api import exact_dedup
+
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"))
-        .groupBy("content_md5")
-        .agg(
-            F.min("doc_id").alias("keeper_doc_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-    )
+    return exact_dedup(d, "doc_id", text_col="text")
 
 
 @query(
@@ -114,28 +109,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-language pairs above 0.05. Blocking (here: lang) bounds the
     pair count; at 100 TB the block key becomes an LSH bucket (next
     query) so candidates stay ~linear."""
+    from ..api import jaccard_pairs
+
     d = load_spread(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", "lang", F.array_distinct(_shingles_spark(_words())).alias("sh")
-    )
-    a = t.alias("a")
-    b = t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = inter.cast("double") / union
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac >= 0.05)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-    )
+    return jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=0.05)
 
 
 # Universal-hash permutation constants: minhash_k = min((a_k*h + b_k) mod P)
@@ -219,81 +196,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost tracks the duplicate density, not n². Deterministic md5
     hashing replaces MLlib MinHashLSH's seeded perm for oracle parity.
     """
-    d = load_spread(spark, sf_dir, "documents")
-    # Shingles via posexplode + window lead: every step (explode,
-    # window, md5, permutation mins) stays inside whole-stage codegen —
-    # the array higher-order transform alternative is interpreted and
-    # ~5x slower per core at 100 TB scan rates. Minhash over the
-    # multiset equals minhash over the set, so no distinct is needed
-    # before the min.
-    from pyspark.sql import Window as W
+    from ..api import minhash_lsh_pairs
 
-    words = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("pos", "w"),
-    )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    shingle_rows = words.select(
-        "doc_id",
-        F.concat_ws(
-            " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
-        ).alias("s"),
-    )
-    h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long") % _P
-    sig = (
-        shingle_rows.select("doc_id", h.alias("h"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{k}")
-                for k, (a, b) in enumerate(_PERMS)
-            ]
-        )
-    )
-    banded = sig.select(
-        "doc_id",
-        F.array(*[F.col(f"mh{k}") for k in range(N_MINHASH)]).alias("sig"),
-        *[
-            F.md5(
-                F.concat_ws("_", *[F.col(f"mh{k}") for k in range(b * 4, b * 4 + 4)])
-            ).alias(f"band{b}")
-            for b in range(N_BANDS)
-        ],
-    )
-    # Unpivot bands to rows so candidate generation is a pure equi-join
-    # on (band_idx, band_hash): this is the step that keeps LSH linear —
-    # an OR-of-bands join condition would degenerate to a nested-loop
-    # cross product. The signature rides along so scoring needs no
-    # third join back to sig (which would recompute the hash pass).
-    band_rows = banded.selectExpr(
-        "doc_id",
-        "sig",
-        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_idx, band_hash)",
-    )
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
-    agreement = F.aggregate(
-        F.zip_with(
-            F.col("a.sig"),
-            F.col("b.sig"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(agreement / float(N_MINHASH), 6).alias("est_jaccard"),
-        )
-        .distinct()
+    d = load_spread(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=N_MINHASH, n_bands=N_BANDS, shingle=SHINGLE
     )
 
 
@@ -325,31 +232,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated per bit position. Near-dups then pair by small Hamming
     distance (tests/test_llm.py); the fingerprint itself is verified
     here bit-for-bit against the oracle."""
+    from ..api import simhash as simhash_op
+
     d = load_spread(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(_words()).alias("w"))
-    hashed = words.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h"),
-    )
-    bits = (
-        hashed.crossJoin(spark.range(16).select(F.col("id").alias("b")))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                # shiftright's Python API wants a literal count; the SQL
-                # form accepts a column shift amount.
-                F.when(F.expr("shiftright(h, cast(b as int)) % 2") == 1, 1).otherwise(-1)
-            ).alias("weight")
-        )
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("weight") > 0,
-                F.expr("shiftleft(cast(1 as bigint), cast(b as int))"),
-            ).otherwise(0)
-        ).alias("simhash")
-    )
+    return simhash_op(d, "doc_id", "text", bits=16)
 
 
 @query(

@@ -89,30 +89,15 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is broadcast, so the corpus streams through one scoring stage
     and a single top-k window — the shape that scales to a sharded
     corpus (score locally, take per-shard top-k, merge)."""
+    from ..api import topk_cosine
+
     e = load_spread(spark, sf_dir, "embeddings")
-    n = e.select(
-        "vec_id", _as_double("embedding").alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
-    q = n.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    c = n.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), "v", "nrm"
-    )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "neighbor_id",
-        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 8).alias(
-            "cosine"
-        ),
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine")
+    return topk_cosine(
+        corpus=e.filter(F.col("vec_id") >= N_QUERIES),
+        queries=e.filter(F.col("vec_id") < N_QUERIES),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=TOP_K,
     )
 
 

@@ -206,16 +206,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit integer projection and shard bucket — the primitive under
     exact dedup and stable sampling. md5 is computed identically by
     Spark and DuckDB, making the hash itself verifiable."""
+    from ..api import fingerprint
+
     d = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.col("text")))
-    h = F.md5(norm)
-    fp60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-    return d.select(
-        "doc_id",
-        h.alias("content_md5"),
-        fp60.alias("fp60"),
-        (fp60 % 1024).alias("fp_bucket"),
-    )
+    return fingerprint(d, "doc_id", "text")
 
 
 @query(
@@ -273,30 +267,10 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency join -> windowed top-k. The same plan shape as
     MLlib's HashingTF+IDF but with exact terms, so it is oracle-
     verifiable."""
+    from ..api import tfidf_top_terms
+
     d = load_table(spark, sf_dir, "documents")
-    # corpus size as a broadcast scalar inside the plan — no eager
-    # driver-side count() action, the whole query stays one lazy DAG
-    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    words = d.select("doc_id", F.explode(_words()).alias("term"))
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        tf.join(df_, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 8
-            ).alias("tfidf"),
-        )
-    )
-    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", "tfidf")
-    )
+    return tfidf_top_terms(d, "doc_id", "text", k=3)
 
 
 @query(

@@ -190,16 +190,10 @@ def sample_stable_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% sample keyed on a salted content hash — the
     reproducible-sampling primitive for training-data pipelines
     (unlike df.sample, identical across runs, engines, partitionings)."""
+    from ..api import stable_sample
+
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("salt42:"), F.col("doc_id"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    return d.filter(bucket < 10).select("doc_id", "text")
+    return stable_sample(d, "doc_id", pct=10).select("doc_id", "text")
 
 
 @query(
