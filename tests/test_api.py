@@ -114,3 +114,49 @@ def test_stable_sample_is_stable(spark):
     b = sorted(r.doc_id for r in api.stable_sample(df.repartition(7), "doc_id", 20).collect())
     assert a == b
     assert 100 < len(a) < 300  # ~20%
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=15),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.floats(0, 10, allow_nan=False)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join == per-row 'max right.ts < left.ts' reference, for any
+    keyed input (strict semantics; ts as integers for exact compare)."""
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, base + dt.timedelta(seconds=ts), k) for i, (k, ts) in enumerate(lefts)
+    ]
+    rrows = [
+        (base + dt.timedelta(seconds=ts), k, v) for (k, ts, v) in rights
+    ]
+    left = spark.createDataFrame(lrows, "event_id long, ts timestamp, user_id long")
+    right = spark.createDataFrame(rrows, "ts timestamp, user_id long, quote double")
+    got = {
+        r.event_id: r.asof_quote
+        for r in api.asof_join(left, right, "ts", "user_id", ["quote"]).collect()
+    }
+    for i, (k, lts) in enumerate(lefts):
+        candidates = [
+            (rts, v) for (rk, rts, v) in rights if rk == k and rts < lts
+        ]
+        # ties on right ts: our window keeps the LAST in (ts, side) order,
+        # i.e. any of the max-ts values; accept any max-ts candidate
+        if candidates:
+            max_ts = max(c[0] for c in candidates)
+            allowed = {v for (ts2, v) in candidates if ts2 == max_ts}
+            assert got[i] in allowed, (i, got[i], allowed)
+        else:
+            assert got[i] is None
