@@ -317,3 +317,200 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking of customers with returned
+    items — join, aggregate, deterministic top-20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "nation")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM per_cust GROUP BY c_count
+""",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: double aggregation — orders per customer
+    (left join keeps zero-order customers), then the distribution of
+    those counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue 'view' + max-selection (the scalar
+    subquery over the derived aggregate)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).cast("double").alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH avg_qty AS (
+  SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+         AS avg_yearly
+FROM lineitem l
+JOIN part p    ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#13'
+JOIN avg_qty a ON a.l_partkey = l.l_partkey
+WHERE l.l_quantity < a.half_avg
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated-average threshold (rows below half
+    their part's mean quantity) via a pre-aggregated join instead of a
+    per-row correlated subquery. avg() is float on both sides; the
+    comparison threshold is identical double arithmetic."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_qty, l.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+WITH eligible AS (
+  SELECT c_custkey, c_acctbal, (c_nationkey % 7) AS cntry
+  FROM customer
+  WHERE (c_nationkey % 7) IN (1, 2, 3)
+),
+threshold AS (
+  SELECT avg(c_acctbal) AS avg_bal FROM eligible WHERE c_acctbal > 0
+)
+SELECT e.cntry::BIGINT AS cntry, count(*)::BIGINT AS numcust,
+       CAST(sum(CAST(e.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM eligible e CROSS JOIN threshold t
+WHERE e.c_acctbal > t.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY e.cntry
+""",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders, grouped by country bucket (no phone column in this schema:
+    nationkey%7 plays the country-code IN filter; 'no orders at all'
+    is empty at sf0.01 — every customer has orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    eligible = c.select(
+        "c_custkey", "c_acctbal", (F.col("c_nationkey") % 7).alias("cntry")
+    ).filter(F.col("cntry").isin(1, 2, 3))
+    threshold = eligible.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        eligible.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, eligible.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("cntry").cast("long").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias(
+                "totacctbal"
+            ),
+        )
+    )
