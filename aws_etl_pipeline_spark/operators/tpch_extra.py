@@ -514,3 +514,98 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+WITH base AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  JOIN region r   ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT o_year::BIGINT AS o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 8) AS mkt_share
+FROM base GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of region revenue per
+    year — conditional share of a decimal-exact total."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    base = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_reg") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return base.groupBy(F.col("o_year").cast("long").alias("o_year")).agg(
+        F.round(
+            F.sum(nation_vol).cast("double") / F.sum("volume").cast("double"), 8
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+SELECT n.n_name AS nation, year(o.o_orderdate)::BIGINT AS o_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * l.l_quantity * p.p_retailprice AS DECIMAL(18,6)))
+            AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year (no partsupp
+    table in this schema: 60% of retail price stands in for supply
+    cost)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("l_quantity") * F.col("p_retailprice")
+    ).cast("decimal(18,6)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
