@@ -205,6 +205,53 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+) -> DataFrame:
+    """Connected components of an undirected edge list by iterative
+    min-label propagation: every node starts labeled with its own id;
+    each round a node adopts the smallest label among itself and its
+    neighbors. Returns ``(node, component_id)`` where ``component_id``
+    is the smallest node id in the component.
+
+    Converges in O(graph diameter) rounds; each round is one shuffle
+    join on the node id plus a map-side-combined min aggregation, and
+    ``localCheckpoint`` truncates lineage so the plan stays flat across
+    iterations. Convergence is detected by the (monotone decreasing)
+    sum of labels going flat — one cheap aggregation per round instead
+    of a change-count self-join. At 100 TB the same loop holds (the
+    label table is two longs per node, no payload columns move); for
+    high-diameter graphs switch the round body to large-star /
+    small-star, which squares the propagation distance per round.
+    """
+    sym = edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+    sym = sym.union(sym.select(F.col("m").alias("n"), F.col("n").alias("m")))
+    sym = sym.localCheckpoint()  # pair generation runs once, not per round
+    lbl = (
+        sym.select("n")
+        .distinct()
+        .select("n", F.col("n").alias("cid"))
+        .localCheckpoint()
+    )
+    prev_sum = object()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(lbl.select(F.col("n").alias("m"), "cid"), "m")
+            .groupBy("n")
+            .agg(F.min("cid").alias("nbr_cid"))
+        )
+        lbl = (
+            lbl.join(nbr, "n", "left")
+            .select("n", F.least("cid", F.coalesce("nbr_cid", "cid")).alias("cid"))
+            .localCheckpoint()
+        )
+        label_sum = lbl.agg(F.sum(F.col("cid").cast("decimal(30,0)"))).collect()[0][0]
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+    return lbl.select(F.col("n").alias("node"), F.col("cid").alias("component_id"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """Per-document SimHash fingerprint (word-level md5 bit votes)."""
     spark = df.sparkSession

@@ -318,3 +318,59 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("datasetB.doc_id").alias("doc_b"),
         F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang,
+         list_distinct({_SHINGLES_SQL.strip()}) AS sh
+  FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws
+        FROM documents)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+), comp AS (
+  SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+)
+SELECT doc_id::BIGINT AS doc_id, component_id::BIGINT AS component_id,
+       (count(*) OVER (PARTITION BY component_id))::BIGINT AS cluster_size
+FROM comp
+""",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: near-dup pairs (same-lang shingle
+    Jaccard >= 0.05) become an undirected graph; each doc gets the
+    smallest doc_id in its connected component as cluster id (the
+    canonical keeper), plus the cluster size. Singletons keep their own
+    id. Spark side is iterative min-label propagation
+    (api.connected_components); the oracle is a DuckDB recursive-CTE
+    transitive closure — the closure is O(component_size^2) rows so it
+    only works as a small-SF oracle, while the propagation loop is the
+    100 TB path."""
+    from ..api import connected_components, jaccard_pairs
+    from pyspark.sql import Window as W
+
+    d = load_spread(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=0.05)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.join(comp, docs.doc_id == comp.node, "left").select(
+        docs.doc_id, F.coalesce("component_id", docs.doc_id).alias("component_id")
+    )
+    return assigned.select(
+        "doc_id",
+        "component_id",
+        F.count("*").over(W.partitionBy("component_id")).cast("long").alias("cluster_size"),
+    )

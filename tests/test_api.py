@@ -160,3 +160,21 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
             assert got[i] in allowed, (i, got[i], allowed)
         else:
             assert got[i] is None
+
+
+def test_connected_components_chain_and_singleton(spark):
+    # chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    # disjoint pair 10-11; node 20 appears only as an isolated self-edge
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 20)], "src long, dst long"
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in api.connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)}
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert api.connected_components(edges, "src", "dst").count() == 0
