@@ -76,3 +76,41 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Spark-4 native stateful operator (transformWithStateInPandas):
+    the same per-user running totals as ``running_totals_stream`` but
+    through the typed-state handle API — ValueState instead of a raw
+    GroupState tuple. Requires the RocksDB state-store provider, which
+    is also the right store at scale: state lives off-heap/on-disk with
+    changelog checkpointing, so per-key state can exceed executor
+    memory (the HDFS-backed default cannot)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any) -> Iterator[pd.DataFrame]:
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -108,3 +108,33 @@ def test_partition_pruning_on_hive_layout(spark, tmp_path):
     plan = _plan(back)
     assert "PartitionFilters: [isnotnull(day" in plan
     assert back.count() > 0
+
+
+def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
+    """The 100 TB fact-fact path: when neither join side broadcasts,
+    Spark can inject a bloom filter built from the selective side into
+    the large side's scan (runtime row-group pruning). Thresholds are
+    lowered here to trigger the rewrite at test scale; at real scale
+    the defaults (10 MB creation side) fire on any selective dimension
+    filter."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        plan = _plan(li.join(o, li.l_orderkey == o.o_orderkey).select("l_quantity"))
+        assert "bloom" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -150,3 +150,60 @@ def test_stream_stream_interval_join(spark):
         rows = spark.table("t_ssj").collect()
     got = sorted((r.purchase_id, r.click_id) for r in rows)
     assert got == [(100, 1), (100, 2)]  # the 2-hours-old click is outside the interval
+
+
+def test_transform_with_state_running_totals(spark):
+    """transformWithStateInPandas (Spark 4 typed-state API) carries
+    ValueState across micro-batches under the RocksDB store."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas drives its Python worker over a "
+            "protobuf channel; google.protobuf is unusable in this container"
+        )
+    from aws_etl_pipeline_spark.streaming.stateful import running_totals_tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            _write_batch(
+                spark,
+                d,
+                [
+                    (1, base, 7, "click", 10.0, "{}"),
+                    (2, base, 7, "click", 5.0, "{}"),
+                    (3, base, 8, "view", 2.0, "{}"),
+                ],
+            )
+            stream = spark.readStream.schema(SCHEMA).parquet(d)
+            q = (
+                running_totals_tws(stream)
+                .writeStream.format("memory")
+                .queryName("t_tws")
+                .outputMode("update")
+                .start()
+            )
+            q.processAllAvailable()
+            _write_batch(spark, d, [(4, base, 7, "click", 1.0, "{}")])
+            q.processAllAvailable()
+            q.stop()
+            rows = spark.table("t_tws").collect()
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+    latest = {}
+    for r in rows:
+        latest[r.user_id] = (r.n_events, r.total_value)
+    assert latest[7] == (3, 16.0)
+    assert latest[8] == (1, 2.0)
