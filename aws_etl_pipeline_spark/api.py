@@ -143,6 +143,13 @@ def minhash_lsh_pairs(
         "sig",
         f"stack({n_bands}, {stack_args}) AS (band_idx, band_hash)",
     )
+    # Materialize the signature table once: Catalyst does not reuse the
+    # two identical self-join subtrees here (verified: 2 parquet scans,
+    # no ReusedExchange), so without this the shingle -> minhash
+    # pipeline — the expensive half of the operator on a real corpus —
+    # runs twice. persist() keeps lineage for executor-loss recovery,
+    # unlike localCheckpoint.
+    band_rows = band_rows.persist()
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     agreement = F.aggregate(
