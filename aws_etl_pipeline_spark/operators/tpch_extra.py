@@ -609,3 +609,147 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(profit).cast("double").alias("profit"))
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+WITH val AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_1'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(value AS DOUBLE) AS value
+FROM val
+WHERE value * 1000 > (SELECT sum(value) FROM val)
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose one-nation shipped value exceeds a
+    fraction of that nation's total — HAVING over a scalar subquery on
+    the same aggregate (no partsupp table: lineitem value for NATION_1
+    suppliers stands in for stock value). The threshold compare is
+    value*1000 > total, pure decimal arithmetic, so both engines agree
+    bit-exactly. The aggregate is computed once and persisted; the
+    scalar total broadcasts back over it."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    val = (
+        l.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+               l.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
+        .persist()
+    )
+    total = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 1000 > F.col("total"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+WITH shipped AS (
+  SELECT l.l_suppkey,
+         sum(CASE WHEN year(l.l_shipdate) = 1997
+                  THEN CAST(l.l_quantity AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty97,
+         sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty_all
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM shipped WHERE 5 * qty97 > qty_all)
+""",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subquery chain — suppliers in one
+    region who concentrated their 'gear' volume in the target year
+    (no partsupp availqty: >20% of lifetime volume shipped in 1997 —
+    the data spans 7 years, so flat shipping is ~14% — plays the
+    half-of-availqty threshold). Spark expresses both INs as semi
+    joins; part and the qualifying-supplier set broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey, "left_semi"
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    shipped = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.year("l_shipdate") == 1997, qty).otherwise(zero)).alias("qty97"),
+            F.sum(qty).alias("qty_all"),
+        )
+        .filter(5 * F.col("qty97") > F.col("qty_all"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(F.broadcast(shipped), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name")
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM lineitem l1
+JOIN orders o   ON l1.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+""",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier
+    orders (late = shipped >60 days after order date; no receipt/commit
+    dates in this schema). The classic EXISTS + NOT-EXISTS double
+    self-join is re-expressed as one aggregation per order — distinct
+    suppliers and distinct LATE suppliers — then a filter for
+    nsupp > 1 AND nlate == 1; one shuffle of lineitem instead of three
+    correlated scans, which is the plan that survives at 100 TB."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    li = l.join(
+        o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey")
+    ).withColumn(
+        "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("nlate"),
+    )
+    return (
+        li.filter("is_late")
+        .join(per_order, F.col("l_orderkey") == F.col("po_key"))
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
