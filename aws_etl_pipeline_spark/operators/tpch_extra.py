@@ -268,8 +268,11 @@ GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
 """,
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: HAVING-filtered semi-aggregate feeding a join
-    (big-order keys found first, then detail re-joined)."""
+    """TPC-H Q18 shape: HAVING-filtered aggregate feeding a join. The
+    textbook plan (and the oracle SQL) re-joins lineitem to recompute
+    sum(l_quantity) per surviving order, but that sum IS the HAVING
+    aggregate — so we reuse it and skip the second lineitem shuffle
+    entirely: one pass over the fact table instead of two."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -277,14 +280,16 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
         .filter(F.col("q") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))  # disambiguate self-join
     )
     return (
-        o.join(big, o.o_orderkey == F.col("big_orderkey"))
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy("c_name", "o_orderkey", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("q").cast("double").alias("total_qty"),
+        )
     )
 
 
