@@ -156,10 +156,15 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles once by bucket and each query probes one bucket instead
     of the full corpus."""
     e = load_spread(spark, sf_dir, "embeddings")
+    # The signature stage (8 interpreted-HOF dot products per row) feeds
+    # both join sides; Catalyst won't reuse the common subtree across a
+    # self-join, so persist it — compute signatures once, as a real
+    # index build would.
     n = (
         e.select("vec_id", _as_double("embedding").alias("v"))
         .withColumn("nrm", _norm(F.col("v")))
         .withColumn("bucket", _bucket_spark(F.col("v")))
+        .persist()
     )
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -311,8 +316,12 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("cell"), "cv")
     )
-    n = base.select("vec_id", "v").withColumn("nrm", _norm(F.col("v")))
-    cent_n = cent.withColumn("cnrm", _norm(F.col("cv")))
+    # n feeds four branches (corpus assignment, query probing, and both
+    # exact-rescore sides) and cent_n two; persist both so the
+    # norm/centroid pipelines run once — the quantizer and the vector
+    # index are build-once artifacts in a real IVF deployment.
+    n = base.select("vec_id", "v").withColumn("nrm", _norm(F.col("v"))).persist()
+    cent_n = cent.withColumn("cnrm", _norm(F.col("cv"))).persist()
 
     def ranked_cells(side: DataFrame) -> DataFrame:
         scored = side.crossJoin(F.broadcast(cent_n)).select(
