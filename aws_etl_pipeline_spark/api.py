@@ -192,7 +192,9 @@ def jaccard_pairs(
             " ", *[F.element_at(ws, (i + off).cast("int")) for off in range(shingle)]
         ),
     )
-    t = df.select(id_col, block_col, F.array_distinct(shingles).alias("sh"))
+    # persist: the shingle pipeline feeds both self-join sides (Catalyst
+    # does not reuse the common subtree).
+    t = df.select(id_col, block_col, F.array_distinct(shingles).alias("sh")).persist()
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
@@ -403,7 +405,9 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     """Exact TF-IDF top-k terms per document (corpus size as a
     broadcast scalar, no driver-side count)."""
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    words = df.select(id_col, F.explode(_words(text_col)).alias("term"))
+    # tokenize+explode feeds both the TF and the DF aggregates; persist
+    # so the expensive stage runs once instead of once per branch.
+    words = df.select(id_col, F.explode(_words(text_col)).alias("term")).persist()
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = words.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     scored = (

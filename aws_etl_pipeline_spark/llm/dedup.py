@@ -272,6 +272,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("nrm"),
     )
+    # persist: the cast+norm pipeline feeds both self-join sides.
+    n = n.persist()
     a = n.alias("a")
     b = n.alias("b")
     dot = F.aggregate(
