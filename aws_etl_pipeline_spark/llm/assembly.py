@@ -1,0 +1,216 @@
+"""Training-data assembly (north star, SURVEY §2B): the operations
+that turn a cleaned document corpus into model-ready training batches —
+token-budget packing, stratified class sampling, source/domain mixing,
+and context-window chunking.
+
+All four are pure Catalyst expressions (deterministic md5-derived
+hashes, window cumsums, sequence/explode) so they run inside
+whole-stage codegen next to the scan and are DuckDB-oracle-verifiable.
+At 100 TB each is one shuffle or none:
+
+  * packing     — one global order + running-sum window (in practice
+                  partitioned per shard; here one partition is the
+                  sf-sized shard);
+  * sampling    — a scan-side filter, no shuffle at all;
+  * mixing      — explode by a per-source weight, no shuffle;
+  * chunking    — explode of slice starts, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+#: context window (tokens) for packing/chunking demos — small so the
+#: sf0.01 corpus produces many bins/chunks worth checking.
+BUDGET = 2048
+CHUNK = 32
+STRIDE = 24
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.size(F.split(F.lower(F.trim(F.col(col))), " "))
+
+
+def _md5_bucket(col: F.Column, mod: int) -> F.Column:
+    """Deterministic [0, mod) bucket both engines compute identically:
+    first 8 md5 hex chars as an integer."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % mod
+
+
+@query(
+    "pack_token_budget",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(lower(trim(text)), ' ')) AS tokens,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 1000000 AS shuf
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, tokens,
+         sum(tokens) OVER (ORDER BY shuf, doc_id
+                           ROWS UNBOUNDED PRECEDING) - tokens AS start_off
+  FROM t
+)
+SELECT (start_off // {BUDGET})::BIGINT AS bin,
+       count(*)::BIGINT AS n_docs,
+       sum(tokens)::BIGINT AS tokens
+FROM placed GROUP BY 1
+""",
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: documents are laid end-to-end in a
+    deterministic shuffled order and assigned to {BUDGET}-token context
+    bins by their starting offset (concatenate-then-chunk packing, the
+    standard LM pretraining layout). Returns per-bin fill stats.
+
+    One running-sum window over a deterministic order — at 100 TB the
+    order key doubles as the shard key, so each shard packs its own
+    bins independently and the window never sees more than a shard."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        _tokens().alias("tokens"),
+        _md5_bucket(F.col("doc_id"), 1_000_000).alias("shuf"),
+    )
+    w = W.orderBy("shuf", "doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    placed = t.withColumn("start_off", F.sum("tokens").over(w) - F.col("tokens"))
+    return (
+        placed.groupBy(
+            F.floor(F.col("start_off") / BUDGET).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("long").alias("tokens"),
+        )
+    )
+
+
+#: per-language keep-rate (percent) for the stratified sampler: cap the
+#: majority classes, keep the tails whole.
+STRATA_PCT = {"en": 20, "es": 40, "de": 60, "fr": 80, "zh": 100}
+DEFAULT_PCT = 50
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+WITH kept AS (
+  SELECT lang
+  FROM documents
+  WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100
+        < CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 40 WHEN 'de' THEN 60
+                    WHEN 'fr' THEN 80 WHEN 'zh' THEN 100 ELSE 50 END
+)
+SELECT d.lang, count(*)::BIGINT AS total,
+       (SELECT count(*) FROM kept k WHERE k.lang = d.lang)::BIGINT AS kept
+FROM documents d GROUP BY d.lang
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling: a per-class keep-rate applied through a
+    deterministic doc-id hash — rebalances language skew without an RNG,
+    so the sample is reproducible row-for-row on any cluster layout.
+    Returns per-language total vs kept counts.
+
+    The filter is scan-side (no shuffle, no sampling pass): at 100 TB
+    the predicate rides the parquet scan and the sample never
+    materializes."""
+    d = load_table(spark, sf_dir, "documents")
+    pct = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in STRATA_PCT.items()],
+        F.lit(DEFAULT_PCT),
+    )
+    keep = _md5_bucket(F.col("doc_id"), 100) < pct
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("kept"),
+    )
+
+
+@query(
+    "mix_sources",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+         len(string_split(lower(trim(text)), ' ')) AS tokens,
+         1 + ('0x' || substring(md5(source), 1, 8))::UBIGINT % 3 AS weight
+  FROM documents
+),
+rep AS (
+  SELECT source, tokens, unnest(generate_series(1, weight::BIGINT)) AS epoch
+  FROM w
+)
+SELECT source, count(*)::BIGINT AS samples, sum(tokens)::BIGINT AS tokens
+FROM rep GROUP BY source
+""",
+)
+def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: each source gets a deterministic epoch weight
+    (1-3, hash-derived here; a mixing config in practice) and its
+    documents are replicated that many times — the up-sampling step of
+    a pretraining data mixture. Returns per-source sample/token counts.
+
+    explode(sequence(1, w)) replicates rows inside the scan stage; no
+    shuffle until the final small aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "source",
+        _tokens().alias("tokens"),
+        (1 + _md5_bucket(F.col("source"), 3)).alias("weight"),
+    )
+    rep = w.select(
+        "source", "tokens", F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("epoch")
+    )
+    return rep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("samples"),
+        F.sum("tokens").cast("long").alias("tokens"),
+    )
+
+
+@query(
+    "chunk_context_windows",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1, {STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id, (start / {STRIDE})::BIGINT AS chunk_idx,
+       least({CHUNK}, len(ws) - start)::BIGINT AS n_tokens,
+       ws[start + 1] AS head_token
+FROM starts
+""",
+)
+def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document splits into {CHUNK}-token
+    windows every {STRIDE} tokens ({CHUNK - STRIDE}-token overlap) —
+    the sliding-window tokenization layout for long-document training.
+    Returns one row per chunk with its length and first token.
+
+    The slice starts explode from a sequence inside the scan stage;
+    nothing shuffles. At 100 TB this is the map-side of the packing
+    job."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), " ")
+    t = d.select("doc_id", ws.alias("ws"))
+    starts = t.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), F.size("ws") - 1, F.lit(STRIDE))).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start") / STRIDE).cast("long").alias("chunk_idx"),
+        F.least(F.lit(CHUNK), F.size("ws") - F.col("start")).cast("long").alias("n_tokens"),
+        F.element_at("ws", F.col("start") + 1).alias("head_token"),
+    )

@@ -54,7 +54,7 @@ def all_queries() -> dict[str, Query]:
     from .functions import scalar, udfs  # noqa: F401
     from .sources import scans  # noqa: F401
     from .streaming import batch_windows, ingest  # noqa: F401
-    from .llm import dedup, similarity, text, multimodal  # noqa: F401
+    from .llm import assembly, dedup, similarity, text, multimodal  # noqa: F401
     from . import generator  # noqa: F401
 
     return dict(_REGISTRY)

@@ -71,3 +71,57 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
             assert abs(r.est_jaccard - exact[key]) < 0.4
             checked += 1
     # fine if disjoint (different thresholds); only bound when comparable
+
+
+def test_packing_places_every_doc_exactly_once(spark, sf_dir):
+    """Bin doc/token counts must add up to the corpus totals, and every
+    bin except possibly the last must fill past the budget boundary
+    (concatenate-then-chunk leaves no internal gaps)."""
+    from aws_etl_pipeline_spark.llm.assembly import BUDGET, pack_token_budget
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = d.count()
+    n_tokens = d.select(
+        F.sum(F.size(F.split(F.lower(F.trim(F.col("text"))), " ")))
+    ).collect()[0][0]
+    bins = pack_token_budget(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in bins) == n_docs
+    assert sum(r.tokens for r in bins) == n_tokens
+    assert sorted(r.bin for r in bins) == list(range(len(bins)))
+
+
+def test_stratified_sample_respects_keep_rates(spark, sf_dir):
+    """kept <= total everywhere, and the configured 100% stratum keeps
+    everything."""
+    from aws_etl_pipeline_spark.llm.assembly import STRATA_PCT, sample_stratified
+
+    rows = {r.lang: r for r in sample_stratified(spark, sf_dir).collect()}
+    for lang, r in rows.items():
+        assert 0 <= r.kept <= r.total
+    full = [lang for lang, pct in STRATA_PCT.items() if pct == 100]
+    for lang in full:
+        if lang in rows:
+            assert rows[lang].kept == rows[lang].total
+
+
+def test_chunking_covers_documents_with_stride_overlap(spark, sf_dir):
+    """Chunk counts per doc equal ceil(n_words / stride), every chunk is
+    at most CHUNK tokens, and chunk 0 starts at the first word."""
+    import math
+
+    from aws_etl_pipeline_spark.llm.assembly import CHUNK, STRIDE, chunk_context_windows
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = {
+        r.doc_id: r.nw
+        for r in d.select(
+            "doc_id", F.size(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("nw")
+        ).collect()
+    }
+    chunks = chunk_context_windows(spark, sf_dir).collect()
+    per_doc = {}
+    for r in chunks:
+        assert 1 <= r.n_tokens <= CHUNK
+        per_doc.setdefault(r.doc_id, []).append(r.chunk_idx)
+    for doc_id, idxs in per_doc.items():
+        assert sorted(idxs) == list(range(math.ceil(words[doc_id] / STRIDE)))
