@@ -96,3 +96,52 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     n.write.mode("overwrite").orc(out)
     return spark.read.schema(TESTDATA["nation"]).orc(out)
+
+
+@query(
+    "scan_bucketed_join",
+    oracle="""
+SELECT o.o_orderstatus,
+       count(*)::BIGINT AS n_lines,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed write + co-located join: orders and lineitem are both
+    written bucketed 8 ways on the order key, so the join consumes the
+    on-disk bucketing and needs NO exchange on either side (asserted in
+    tests/test_plans.py). This is the write-time layout that turns every
+    repeated orderkey join at 100 TB into a local zipper — pay one
+    shuffle at ingest, never again. Bucketed tables also demonstrate
+    the zstd parquet codec (smaller at rest, splittable, and cheap to
+    decode; snappy is the read-throughput alternative)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = {}
+    for tbl, bucket_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bkt_{tbl}_{key}"
+        names[tbl] = name
+        if not spark.catalog.tableExists(name):
+            path = _fixture_dir(sf_dir, f"bkt_{tbl}")
+            (
+                load_table(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .option("path", path)
+                .option("compression", "zstd")
+                .bucketBy(8, bucket_col)
+                .sortBy(bucket_col)
+                .saveAsTable(name)
+            )
+    o = spark.table(names["orders"])
+    l = spark.table(names["lineitem"])
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -138,3 +138,21 @@ def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir):
+    """Both sides are written bucketed 8 ways on the order key, so the
+    sort-merge join must consume the on-disk layout: zero shuffle
+    exchanges anywhere in the plan (broadcast disabled to force the
+    merge path the 100 TB fact-fact join would take)."""
+    from aws_etl_pipeline_spark.sources.scans import scan_bucketed_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = scan_bucketed_join(spark, sf_dir)
+        plan = _plan(df)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
