@@ -362,3 +362,97 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         bal.eqNullSafe(F.lit(None).cast("double")).alias("bal_is_null_safe"),
     )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+SELECT p_partkey,
+       regexp_matches(p_name, 'o')                               AS has_o,
+       regexp_extract_all(p_name, '[a-z]+', 0)                   AS words,
+       regexp_replace(p_name, '[aeiou]', '_', 'g')               AS devoweled,
+       regexp_split_to_array(p_name, ' ')                        AS tokens,
+       len(regexp_extract_all(p_name, '[aeiou]', 0))::BIGINT     AS n_vowels,
+       regexp_extract(p_name, '[a-z]+', 0)                       AS first_word
+FROM part
+""",
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp battery: rlike, extract_all, global replace, split,
+    match count, first match. All JVM-side codegen'd expressions — the
+    reference's only pattern machinery is pandas ``.str`` accessors
+    (`lambda_function.py:139-143`); this is the engine-wide surface a
+    100 TB text pipeline filters and tokenizes with."""
+    p = load_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        name.rlike("o").alias("has_o"),
+        F.regexp_extract_all(name, F.lit("[a-z]+"), 0).alias("words"),
+        F.regexp_replace(name, "[aeiou]", "_").alias("devoweled"),
+        F.split(name, " ").alias("tokens"),
+        F.regexp_count(name, F.lit("[aeiou]")).cast("long").alias("n_vowels"),
+        F.regexp_substr(name, F.lit("[a-z]+")).alias("first_word"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+SELECT c_custkey,
+       md5(c_name)                          AS name_md5,
+       sha256(c_name)                       AS name_sha256,
+       base64(c_name::BLOB)                 AS name_b64,
+       lower(hex(c_name))                   AS name_hex,
+       md5(concat(c_name, '|', c_mktsegment)) AS row_digest
+FROM customer
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest battery: md5 / sha256 / base64 / hex, plus a composite
+    row digest — the content-addressing primitives exact dedup and
+    change-data capture key on at scale (cheap, JVM-side, no shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.md5(name.cast("binary")).alias("name_md5"),
+        F.sha2(name.cast("binary"), 256).alias("name_sha256"),
+        F.base64(name.cast("binary")).alias("name_b64"),
+        F.lower(F.hex(name)).alias("name_hex"),
+        F.md5(F.concat_ws("|", name, F.col("c_mktsegment")).cast("binary")).alias(
+            "row_digest"
+        ),
+    )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       (o_orderkey & 255)::BIGINT        AS low_byte,
+       (o_orderkey | 15)::BIGINT         AS with_low,
+       xor(o_orderkey, 21845)::BIGINT    AS toggled,
+       (o_orderkey << 3)::BIGINT         AS shl3,
+       (o_orderkey >> 2)::BIGINT         AS shr2,
+       (~o_orderkey)::BIGINT             AS flipped,
+       bit_count(o_orderkey)::BIGINT     AS popcount
+FROM orders
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery: AND/OR/XOR/shifts/NOT/popcount — the integer
+    bit-twiddling layer that simhash, bloom filters, and LSH banding
+    are built from (see llm/dedup.py for the composed uses)."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).cast("long").alias("with_low"),
+        k.bitwiseXOR(F.lit(21845)).cast("long").alias("toggled"),
+        F.shiftleft(k, 3).cast("long").alias("shl3"),
+        F.shiftright(k, 2).cast("long").alias("shr2"),
+        F.bitwise_not(k).cast("long").alias("flipped"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )

@@ -176,3 +176,80 @@ def stream_rate_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("hour_start"), "n_events", "events_per_minute", "active_users")
     )
+
+
+@query(
+    "ts_resample_gapfill",
+    oracle="""
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start FROM b
+),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS bucket_start,
+         event_type,
+         count(*)::BIGINT AS n_raw,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_raw
+  FROM events GROUP BY 1, 2
+)
+SELECT g.bucket_start,
+       t.event_type,
+       coalesce(a.n_raw, 0)::BIGINT   AS n,
+       coalesce(a.total_raw, 0.0)     AS total,
+       last_value(a.total_raw IGNORE NULLS)
+         OVER (PARTITION BY t.event_type ORDER BY g.bucket_start) AS total_ffill
+FROM grid g
+CROSS JOIN types t
+LEFT JOIN agg a ON a.bucket_start = g.bucket_start AND a.event_type = t.event_type
+""",
+)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a dense hourly grid with gap fill:
+    hourly count/sum per event type, missing buckets materialized as
+    zero rows, plus a forward-filled last-observed sum (``last`` with
+    ignorenulls over an ordered per-type window).
+
+    The reference has no time-series surface at all; this is the
+    standard downsample/regularize step before charting or feature
+    windows. Scale shape: the raw aggregation is one map-side-combined
+    groupBy over the fact table; the dense grid is (hours x types) —
+    tiny and driver-free via ``sequence``+``explode``. The gap-fill
+    join broadcasts the aggregated side (also only hours x types rows;
+    a left join can only broadcast its non-preserved side), so the only
+    shuffle of fact-table size is the single hash aggregation. The ffill window partitions by event type, so
+    state per partition is one running value — bounded at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    agg = ev.groupBy(hr.alias("bucket_start"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        dsum("value").alias("total_raw"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("bucket_start")
+    ).crossJoin(ev.select("event_type").distinct())
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(F.broadcast(agg), ["bucket_start", "event_type"], "left")
+        .select(
+            "bucket_start",
+            "event_type",
+            F.coalesce("n_raw", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("total_raw", F.lit(0.0)).alias("total"),
+            F.last("total_raw", ignorenulls=True).over(w).alias("total_ffill"),
+        )
+    )
