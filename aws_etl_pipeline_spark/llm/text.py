@@ -309,3 +309,62 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("bigram", "n")
     )
+
+
+@query(
+    "text_redact_pii",
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id,
+         concat(substr(text, 1, 80),
+                ' contact user', doc_id, '@mail.example.com or +1-555-',
+                lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+                ' from 10.', (doc_id % 256)::VARCHAR, '.0.1') AS raw
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+         '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+         AS redacted
+FROM aug
+""",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: chained global regexp_replace for emails, phone
+    numbers, and IPv4 addresses — the scrub pass every training-data
+    pipeline runs before anything else sees the text.
+
+    The synthetic corpus contains no PII, so both engine and oracle
+    first append deterministic PII-shaped spans derived from doc_id;
+    the redaction then provably fires on every row (the oracle match
+    fails if any pattern, ordering, or global-flag detail drifts).
+    Patterns stay in the portable intersection of Java regex and RE2.
+    Scale shape: three stacked codegen'd expressions over the scan —
+    no shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                raw, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+            ),
+            r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}",
+            "<PHONE>",
+        ),
+        r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+        "<IP>",
+    )
+    return d.select("doc_id", redacted.alias("redacted"))

@@ -145,3 +145,51 @@ def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "scan_range_clustered",
+    oracle="""
+SELECT count(*)::BIGINT AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       min(l_shipdate) AS first_ship,
+       max(l_shipdate) AS last_ship
+FROM lineitem
+WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+""",
+)
+def scan_range_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered write + pruned scan: lineitem is rewritten with
+    ``repartitionByRange(8, l_shipdate)`` + ``sortWithinPartitions``,
+    giving files with disjoint l_shipdate spans and monotone row
+    groups — so a date-range scan prunes at BOTH the file level
+    (footer min/max) and the row-group level (pushed filter). This is
+    the sort-key clustering that makes time-range queries on a 100 TB
+    fact table touch ~1% of the bytes; the disjoint-span property is
+    asserted file-by-file in tests/test_plans.py. The oracle is the
+    same filter+aggregate on the unclustered source — layout must not
+    change results."""
+    out = _fixture_dir(sf_dir, "range_lineitem")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    lo, hi = "1994-01-01", "1994-12-31"
+    return (
+        spark.read.schema(TESTDATA["lineitem"])
+        .parquet(out)
+        .filter(F.col("l_shipdate").between(lo, hi))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+    )

@@ -156,3 +156,45 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_range_clustered_files_have_disjoint_spans(spark, sf_dir):
+    """repartitionByRange + sortWithinPartitions must yield files whose
+    l_shipdate ranges are pairwise non-overlapping — the property that
+    lets footer min/max skip whole files for a date-range scan."""
+    from aws_etl_pipeline_spark.sources.scans import scan_range_clustered, _fixture_dir
+    from aws_etl_pipeline_spark.schemas import TESTDATA
+
+    scan_range_clustered(spark, sf_dir)  # materializes the fixture
+    out = _fixture_dir(sf_dir, "range_lineitem")
+    spans = (
+        spark.read.schema(TESTDATA["lineitem"])
+        .parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(spans) > 1
+    for prev, cur in zip(spans, spans[1:]):
+        assert prev["hi"] <= cur["lo"], (prev, cur)
+
+
+def test_range_clustered_scan_pushes_date_filter(spark, sf_dir):
+    """The date predicate must reach the parquet scan (row-group
+    skipping), not sit in a post-scan Filter only."""
+    from aws_etl_pipeline_spark.sources.scans import scan_range_clustered
+
+    df = scan_range_clustered(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_gapfill_join_is_broadcast(spark, sf_dir):
+    """The dense-grid gap-fill join must broadcast the tiny aggregated
+    side — no shuffle of the grid or a sort-merge join."""
+    from aws_etl_pipeline_spark.streaming.batch_windows import ts_resample_gapfill
+
+    plan = _plan(ts_resample_gapfill(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
