@@ -490,3 +490,40 @@ def asof_join(
     return out.filter(F.col("__side") == 1).drop(
         "__side", *[f"__v_{c}" for c in value_cols]
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_mb`` each, optionally re-clustering on ``sort_col``.
+
+    The small-files problem is the classic failure mode of streaming /
+    per-event ingest (the reference writes ONE object per Lambda
+    invocation — `lambda_function.py:274-305` — which at 100 TB would
+    mean billions of KB-sized objects and a metadata-bound scan). The
+    file count is sized from the actual input bytes, so the operation
+    is idempotent and scale-free; with ``sort_col`` the rewrite is a
+    ``repartitionByRange`` (disjoint spans, footer-prunable), without
+    it a plain ``coalesce`` (no shuffle at all). Returns the number of
+    files written."""
+    fs_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(fs_path).getLength()
+    n_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
+    df = spark.read.parquet(src_path)
+    if sort_col is not None:
+        df = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+    else:
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(dst_path)
+    out = spark._jvm.org.apache.hadoop.fs.Path(dst_path)
+    return sum(
+        1
+        for s in fs.listStatus(out)
+        if s.getPath().getName().endswith(".parquet")
+    )

@@ -673,3 +673,48 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     )
     return big.join(dim, ["k", "salt"]).select("event_id", "k", "user_events")
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey
+""",
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): collect_list →
+    array_sort → array_join, which pins the concatenation order
+    deterministically — Spark 4's native ``listagg`` offers no
+    within-group ORDER BY from the DataFrame API, and an unordered
+    concat is nondeterministic under parallel merge."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+SELECT o_orderpriority,
+       count_if(o_totalprice > 100000)::BIGINT AS n_big,
+       bool_and(o_totalprice > 0)              AS all_positive,
+       bool_or(o_orderstatus = 'F')            AS any_finished,
+       min(o_orderdate)                        AS first_date
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: count_if, bool_and (EVERY),
+    bool_or (SOME), plus min-as-deterministic-any_value (the built-in
+    any_value is first-seen and therefore nondeterministic under
+    parallel scan — min is the reproducible choice)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).cast("long").alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.min("o_orderdate").alias("first_date"),
+    )

@@ -178,3 +178,50 @@ def test_connected_components_chain_and_singleton(spark):
 def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert api.connected_components(edges, "src", "dst").count() == 0
+
+
+def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
+    """200 tiny files in, a handful out; row count and content survive."""
+    from aws_etl_pipeline_spark.api import compact_files
+    from aws_etl_pipeline_spark.catalog import load_table
+
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(200).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 200
+    n_out = compact_files(spark, src, dst, target_file_mb=128)
+    assert n_out == len(glob.glob(dst + "/*.parquet"))
+    assert n_out <= 4
+    got = spark.read.parquet(dst)
+    assert got.count() == orders.count()
+    assert set(got.columns) == set(orders.columns)
+
+
+def test_compact_files_with_sort_col_clusters(spark, sf_dir, tmp_path):
+    """Compaction with a sort column re-clusters: per-file date spans
+    must be pairwise disjoint."""
+    from aws_etl_pipeline_spark.api import compact_files
+    from aws_etl_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "shattered2")
+    dst = str(tmp_path / "clustered")
+    li = load_table(spark, sf_dir, "lineitem")
+    fat = li
+    for _ in range(3):  # 8x the bytes so a 1 MB target yields several files
+        fat = fat.unionByName(fat)
+    fat.repartition(64).write.parquet(src)
+    compact_files(spark, src, dst, target_file_mb=1, sort_col="l_shipdate")
+    spans = (
+        spark.read.parquet(dst)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(spans) > 1
+    for prev, cur in zip(spans, spans[1:]):
+        assert prev["hi"] <= cur["lo"], (prev, cur)
