@@ -21,7 +21,7 @@ cross-engine verifiability at identical plan shape and cost.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_spread, load_table
@@ -375,4 +375,44 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "component_id",
         F.count("*").over(W.partitionBy("component_id")).cast("long").alias("cluster_size"),
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source, n_chars, md5(lower(trim(text))) AS content_md5
+  FROM documents
+)
+SELECT doc_id, source, n_chars, content_md5
+FROM fp
+QUALIFY row_number() OVER (
+  PARTITION BY content_md5
+  ORDER BY n_chars DESC, doc_id ASC
+) = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy dedup: among exact duplicates keep the BEST copy (longest
+    text, doc_id as the deterministic tie-break), not an arbitrary one
+    — the keep-rule real corpus dedup uses (prefer the canonical /
+    richest-metadata copy). One window over the hash-partitioned
+    fingerprints: the shuffle moves (16-byte hash, score) pairs, never
+    document bodies, and per-group state is a single running best —
+    identical shape at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("content_md5").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("content_md5"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
