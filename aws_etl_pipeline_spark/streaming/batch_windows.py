@@ -253,3 +253,50 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("total_raw", ignorenulls=True).over(w).alias("total_ffill"),
         )
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       p.ts       AS purchase_ts,
+       c.ts       AS click_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (attribution:
+    each purchase joins the same user's clicks in the preceding 30
+    minutes). The identical join condition runs under readStream with
+    watermarks on both sides — `test_stream_stream_interval_join`
+    drives that path; this bounded twin is what the oracle verifies.
+    Scale shape: equi-key on user_id carries the shuffle, the time
+    interval is a post-probe filter, and under streaming the watermark
+    bounds the buffered state to the interval width — the plan a
+    1000-executor attribution pipeline runs continuously."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.click_ts >= p.purchase_ts - F.expr("interval 30 minutes"))
+            & (c.click_ts < p.purchase_ts),
+        )
+        .select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    )
