@@ -132,3 +132,27 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderpriority"
     ).distinct()
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+SELECT doc_id, lang, NULL AS source, n_chars FROM documents
+UNION ALL BY NAME
+SELECT doc_id, source FROM documents
+""",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two corpus slices with DIFFERENT column
+    sets merge by NAME, missing columns null-filled
+    (``unionByName(allowMissingColumns=True)``) — how a multi-source
+    training corpus with drifting schemas concatenates without a
+    rewrite. Positional UNION would silently misalign columns; by-name
+    union is order-insensitive and total (null-complete), and costs no
+    shuffle — it is pure plan-level concatenation."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select("doc_id", "lang", "n_chars")
+    b = d.select("doc_id", "source")
+    return a.unionByName(b, allowMissingColumns=True).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

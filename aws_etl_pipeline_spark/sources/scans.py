@@ -193,3 +193,71 @@ def scan_range_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_shipdate").alias("last_ship"),
         )
     )
+
+
+def _permissive_customer_schema():
+    """customer schema + quarantine column, as a FRESH StructType —
+    StructType.add() mutates in place, so extending the shared TESTDATA
+    schema directly would pollute every later customer read."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        list(TESTDATA["customer"].fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+
+
+@query(
+    "scan_csv_permissive",
+    oracle="""
+SELECT count(*)::BIGINT                                    AS n_good,
+       sum(c_custkey)::BIGINT                               AS key_sum,
+       sum(c_nationkey)::BIGINT                             AS nk_sum,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+       min(c_name)                                          AS first_name,
+       count(DISTINCT c_mktsegment)::BIGINT                 AS n_segments
+FROM customer
+""",
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance (the reference's coerce-to-null /
+    dropna posture, `lambda_function.py:107-119`, done properly):
+    customer as CSV plus a file of garbage lines, read in PERMISSIVE
+    mode with a ``_corrupt_record`` quarantine column. Good rows must
+    aggregate to exactly the source table (the oracle); corrupt rows
+    are retained for inspection, not silently dropped — the
+    count-the-quarantine assertion lives in tests/test_etl.py. At
+    100 TB this is the difference between one bad object failing a
+    2-hour job (FAILFAST), silent data loss (DROPMALFORMED), and an
+    auditable quarantine (PERMISSIVE)."""
+    out = _fixture_dir(sf_dir, "csv_permissive")
+    marker = os.path.join(out, "bad.csv")
+    if not os.path.exists(marker):
+        c = load_table(spark, sf_dir, "customer")
+        c.write.mode("overwrite").option("header", True).csv(out)
+        with open(marker, "w") as f:
+            f.write("c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment\n")
+            f.write("notanint,Garbage Row,xx,notadouble,JUNK\n")
+            f.write("alsobad,Short Row\n")
+            f.write("NaN,Another,One,Bad,Row,With,Extra,Columns\n")
+    schema = _permissive_customer_schema()
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    # Aggregate over EVERY data column: CSV column pruning otherwise
+    # parses only the referenced fields, and a short row whose missing
+    # fields were pruned away would not be marked corrupt.
+    return df.filter(F.col("_corrupt_record").isNull()).agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.sum("c_nationkey").cast("long").alias("nk_sum"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bal_sum"),
+        F.min("c_name").alias("first_name"),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+    )

@@ -125,3 +125,37 @@ def test_partitioned_sink_reference_layout(spark, tmp_path):
     back = spark.read.option("header", True).csv(dest)
     assert back.count() == 30
     assert {"year", "month"} <= set(back.columns)
+
+
+def test_csv_permissive_quarantines_all_garbage(spark, sf_dir):
+    """All three injected malformed lines land in the corrupt-record
+    quarantine, none leak into the good set (cache() works around the
+    corrupt-column-only query restriction)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_spark.sources.scans import (
+        _fixture_dir,
+        _permissive_customer_schema,
+        scan_csv_permissive,
+    )
+
+    scan_csv_permissive(spark, sf_dir)  # materializes the fixture
+    out = _fixture_dir(sf_dir, "csv_permissive")
+    schema = _permissive_customer_schema()
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .cache()
+    )
+    try:
+        n_corrupt = df.filter(F.col("_corrupt_record").isNotNull()).count()
+        n_good = df.filter(F.col("_corrupt_record").isNull()).count()
+        from aws_etl_pipeline_spark.catalog import load_table
+
+        assert n_corrupt == 3
+        assert n_good == load_table(spark, sf_dir, "customer").count()
+    finally:
+        df.unpersist()
