@@ -225,3 +225,37 @@ def test_compact_files_with_sort_col_clusters(spark, sf_dir, tmp_path):
     assert len(spans) > 1
     for prev, cur in zip(spans, spans[1:]):
         assert prev["hi"] <= cur["lo"], (prev, cur)
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering on (custkey, orderdate): every output file
+    covers a bounded rectangle — per-file span well under the global
+    span on BOTH dims, which single-key sorting cannot do for the
+    second dimension."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_spark.api import zorder_by
+    from aws_etl_pipeline_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_days", F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+    )
+    out = str(tmp_path / "zordered")
+    zorder_by(o, "o_custkey", "o_days", 16).write.parquet(out)
+    rows = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("a_span"),
+            (F.max("o_days") - F.min("o_days")).alias("b_span"),
+        )
+        .collect()
+    )
+    glob_a = o.agg(F.max("o_custkey") - F.min("o_custkey")).first()[0]
+    glob_b = o.agg(F.max("o_days") - F.min("o_days")).first()[0]
+    assert len(rows) == 16
+    # 16 files on a Z-curve -> each covers ~1/4 of each axis; allow 0.6
+    med_a = sorted(r["a_span"] for r in rows)[len(rows) // 2]
+    med_b = sorted(r["b_span"] for r in rows)[len(rows) // 2]
+    assert med_a < 0.6 * glob_a, (med_a, glob_a)
+    assert med_b < 0.6 * glob_b, (med_b, glob_b)
