@@ -7,6 +7,8 @@ Maps 1:1 to how the reference is operated (SURVEY §3):
   backfill  — N days of history (R24)
   process   — run the flagship ETL over a directory once, batch mode
               (the lambda_handler body, entry point 1)
+  explain   — formatted physical plan of any named query (the
+              pushdown/broadcast/codegen evidence, engine-side)
   watch     — same pipeline as a streaming drain of the directory
               (the S3-trigger analog, R19; availableNow)
   list      — list landed files with sizes (R25)
@@ -57,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
     ls = sub.add_parser("list", help="list landed files (R25)")
     ls.add_argument("--dir", required=True)
 
+    ex = sub.add_parser(
+        "explain", help="formatted physical plan of a named query"
+    )
+    ex.add_argument("query", help="name from queries() (see COVERAGE.md)")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -103,6 +111,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         q.awaitTermination()
         print(f"drained pending files: {args.src} -> {args.out}")
+
+    elif args.cmd == "explain":
+        from .plans.explain import plan_string
+        from .registry import all_queries
+
+        queries = all_queries()
+        if args.query not in queries:
+            print(f"unknown query {args.query!r}; known: {', '.join(sorted(queries))}")
+            return 2
+        print(plan_string(queries[args.query].fn(spark, args.sf_dir)))
 
     elif args.cmd == "list":
         total = 0

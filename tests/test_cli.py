@@ -32,3 +32,15 @@ def test_list_files(spark, tmp_path, capsys):
     assert main(["list", "--dir", raw]) == 0
     out = capsys.readouterr().out
     assert "files" in out
+
+
+def test_explain_named_query(spark, sf_dir, capsys):
+    assert main(["explain", "q5_region_revenue", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "BroadcastHashJoin" in out
+
+
+def test_explain_unknown_query(spark, capsys):
+    assert main(["explain", "no_such_query"]) == 2
+    assert "unknown query" in capsys.readouterr().out
