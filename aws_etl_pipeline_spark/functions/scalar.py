@@ -68,19 +68,21 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_string_split",
     oracle="""
 SELECT p_partkey,
-       string_split(p_name, ' ')           AS words,
+       array_to_string(string_split(p_name, ' '), '|') AS words,
        len(string_split(p_name, ' '))::BIGINT AS n_words,
        string_split(p_name, ' ')[1]        AS first_word
 FROM part
 """,
 )
 def fn_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """split -> array, element access, cardinality."""
+    """split -> array, element access, cardinality. The array itself is
+    emitted '|'-joined: the driver's pandas value-hash cannot digest
+    array-typed cells (see agg_collect, round 1)."""
     p = load_table(spark, sf_dir, "part")
     words = F.split("p_name", " ")
     return p.select(
         "p_partkey",
-        words.alias("words"),
+        F.array_join(words, "|").alias("words"),
         F.size(words).cast("long").alias("n_words"),
         F.element_at(words, 1).alias("first_word"),
     )
@@ -212,32 +214,33 @@ def fn_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w AS (SELECT p_partkey, string_split(p_type, ' ') AS ws FROM part)
 SELECT p_partkey,
-       list_sort(ws)                          AS sorted_words,
-       list_sort(list_distinct(ws))           AS uniq_words,
+       array_to_string(list_sort(ws), '|')    AS sorted_words,
+       array_to_string(list_sort(list_distinct(ws)), '|') AS uniq_words,
        list_contains(ws, 'BRASS')             AS has_brass,
-       ws[2:3]                                AS mid_slice,
+       coalesce(array_to_string(ws[2:3], '|'), '') AS mid_slice,
        list_sum(list_transform(ws, w -> length(w)))::BIGINT AS total_chars,
-       list_sort(list_intersect(ws, ['SMALL', 'LARGE', 'BRASS'])) AS kw_hits,
+       coalesce(array_to_string(list_sort(list_intersect(ws, ['SMALL', 'LARGE', 'BRASS'])), '|'), '') AS kw_hits,
        array_to_string(ws, '_')               AS joined
 FROM w
 """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array battery: sort, distinct, contains, slice, higher-order
-    aggregate/transform, intersect, join-to-string."""
+    aggregate/transform, intersect, join-to-string. Array-typed results
+    are '|'-joined so the driver's pandas value-hash can digest them."""
     p = load_table(spark, sf_dir, "part")
     ws = F.split("p_type", " ")
     kw = F.array(F.lit("SMALL"), F.lit("LARGE"), F.lit("BRASS"))
     return p.select(
         "p_partkey",
-        F.array_sort(ws).alias("sorted_words"),
-        F.array_sort(F.array_distinct(ws)).alias("uniq_words"),
+        F.array_join(F.array_sort(ws), "|").alias("sorted_words"),
+        F.array_join(F.array_sort(F.array_distinct(ws)), "|").alias("uniq_words"),
         F.array_contains(ws, "BRASS").alias("has_brass"),
-        F.slice(ws, 2, 2).alias("mid_slice"),
+        F.array_join(F.slice(ws, 2, 2), "|").alias("mid_slice"),
         F.aggregate(
             F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
         ).cast("long").alias("total_chars"),
-        F.array_sort(F.array_intersect(ws, kw)).alias("kw_hits"),
+        F.array_join(F.array_sort(F.array_intersect(ws, kw)), "|").alias("kw_hits"),
         F.array_join(ws, "_").alias("joined"),
     )
 
@@ -269,7 +272,8 @@ SELECT o_orderkey,
                    'status')[1]                 AS status_val,
        len(map_keys(MAP {'status': o_orderstatus, 'prio': o_orderpriority}))::BIGINT
                                                 AS n_keys,
-       list_sort(map_keys(MAP {'status': o_orderstatus, 'prio': o_orderpriority}))
+       array_to_string(list_sort(map_keys(
+           MAP {'status': o_orderstatus, 'prio': o_orderpriority})), '|')
                                                 AS keys_sorted
 FROM orders
 """,
@@ -286,7 +290,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.element_at(m, "status").alias("status_val"),
         F.size(m).cast("long").alias("n_keys"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("keys_sorted"),
     )
 
 
@@ -369,9 +373,9 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey,
        regexp_matches(p_name, 'o')                               AS has_o,
-       regexp_extract_all(p_name, '[a-z]+', 0)                   AS words,
+       array_to_string(regexp_extract_all(p_name, '[a-z]+', 0), '|') AS words,
        regexp_replace(p_name, '[aeiou]', '_', 'g')               AS devoweled,
-       regexp_split_to_array(p_name, ' ')                        AS tokens,
+       array_to_string(regexp_split_to_array(p_name, ' '), '|')  AS tokens,
        len(regexp_extract_all(p_name, '[aeiou]', 0))::BIGINT     AS n_vowels,
        regexp_extract(p_name, '[a-z]+', 0)                       AS first_word
 FROM part
@@ -388,9 +392,11 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         name.rlike("o").alias("has_o"),
-        F.regexp_extract_all(name, F.lit("[a-z]+"), 0).alias("words"),
+        F.array_join(F.regexp_extract_all(name, F.lit("[a-z]+"), 0), "|").alias(
+            "words"
+        ),
         F.regexp_replace(name, "[aeiou]", "_").alias("devoweled"),
-        F.split(name, " ").alias("tokens"),
+        F.array_join(F.split(name, " "), "|").alias("tokens"),
         F.regexp_count(name, F.lit("[aeiou]")).cast("long").alias("n_vowels"),
         F.regexp_substr(name, F.lit("[a-z]+")).alias("first_word"),
     )

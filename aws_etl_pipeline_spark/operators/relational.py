@@ -539,18 +539,23 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect",
     oracle="""
-SELECT n_regionkey, list_sort(list(n_name)) AS nations,
-       list_sort(list(DISTINCT n_name[1:1])) AS initials
+SELECT n_regionkey,
+       array_to_string(list_sort(list(n_name)), '|') AS nations,
+       array_to_string(list_sort(list(DISTINCT n_name[1:1])), '|') AS initials
 FROM nation GROUP BY n_regionkey
 """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list / collect_set, canonicalized with array_sort so the
-    (unordered) collection compares deterministically."""
+    """collect_list / collect_set, canonicalized with array_sort and
+    joined to a delimited string: the driver's pandas value-hash cannot
+    digest array-typed cells (round-1 `TypeError: unhashable type`), so
+    collections are emitted as deterministic strings on both engines."""
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
-        F.array_sort(F.collect_set(F.substring("n_name", 1, 1))).alias("initials"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.substring("n_name", 1, 1))), "|"
+        ).alias("initials"),
     )
 
 
