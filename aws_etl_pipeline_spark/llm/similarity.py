@@ -373,8 +373,11 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH ANN (seeded) — the library twin
     of sim_lsh_ann (rows-only: JVM-seeded projections aren't SQL-
-    reproducible). approxNearestNeighbors per query on euclidean
-    distance; documents the drop-in MLlib path."""
+    reproducible). Fully distributed: one ``approxSimilarityJoin``
+    between the query set and the corpus (bucket-colocated candidate
+    pairs, no driver-side loop — same shape as dedup_minhash_mllib),
+    then a per-query top-3 window on euclidean distance. Scales with
+    candidate-pair density, not n_queries x corpus."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.linalg import Vectors, VectorUDT
 
@@ -383,21 +386,23 @@ def sim_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_vec(_as_double("embedding")).alias("features")
     )
     corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    queries_ = e.filter(F.col("vec_id") < N_QUERIES)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
     )
     model = lsh.fit(corpus)
-    hashed = model.transform(corpus)
-    queries_ = e.filter(F.col("vec_id") < N_QUERIES).collect()
-    frames = []
-    for row in queries_:
-        nn = model.approxNearestNeighbors(hashed, row.features, 3).select(
-            F.lit(row.vec_id).alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.round("distCol", 6).alias("euclidean_dist"),
-        )
-        frames.append(nn)
-    out = frames[0]
-    for fdf in frames[1:]:
-        out = out.unionByName(fdf)
-    return out
+    pairs = model.approxSimilarityJoin(
+        queries_, corpus, threshold=float("inf"), distCol="distCol"
+    ).select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.round("distCol", 6).alias("euclidean_dist"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("euclidean_dist"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "euclidean_dist")
+    )
