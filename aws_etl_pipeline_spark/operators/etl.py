@@ -14,6 +14,8 @@ so partial schemas degrade gracefully exactly like the reference.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -89,33 +91,83 @@ def transform_transactions(
 # --- Sinks (R16, R21, R22) --------------------------------------------------
 
 
-def write_json(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+def _write_manifest(
+    path: str,
+    record_count: int,
+    source_file: str | None,
+    stage: str,
+) -> None:
+    """R16 object-metadata sidecar: the reference attaches
+    ``{original_file, processed_timestamp, record_count,
+    processing_stage}`` to every S3 put (`lambda_function.py:293-298`,
+    ` s3_uploader.py:132-136`). Object metadata has no HDFS/posix
+    analog, so SURVEY R16 maps it to a ``_manifest.json`` file inside
+    the output directory — same fields, readable by any downstream
+    consumer next to Spark's own ``_SUCCESS`` marker."""
+    import datetime
+    import json
+
+    manifest = {
+        "original_file": source_file,
+        "processed_timestamp": datetime.datetime.now(datetime.timezone.utc)
+        .isoformat(),
+        "record_count": int(record_count),
+        "processing_stage": stage,
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    source_file: str | None = None,
+    stage: str = "transformed",
+) -> None:
     """R16/R22 JSON sink. Spark writes JSON-lines shards; the reference's
     records-orient single file (`lambda_function.py:285`) is the
-    concatenation — acceptable per SURVEY §2A."""
+    concatenation — acceptable per SURVEY §2A. A ``_manifest.json``
+    sidecar carries the reference's object metadata."""
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(path)
+    _write_manifest(path, df.count(), source_file, stage)
 
 
-def write_csv(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+def write_csv(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    source_file: str | None = None,
+    stage: str = "transformed",
+) -> None:
     """R21 partitioned CSV sink (` s3_uploader.py:97-143` key layout ->
     native Hive partitioning, which — unlike the reference — Spark also
-    prunes on read)."""
+    prunes on read). Writes the R16 ``_manifest.json`` sidecar."""
     w = df.write.mode("overwrite").option("header", True)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.csv(path)
+    _write_manifest(path, df.count(), source_file, stage)
 
 
-def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    source_file: str | None = None,
+    stage: str = "transformed",
+) -> None:
     """Parquet sink (README.md:310 lists parquet as the intended
-    extension; it is the engine default for analytic storage)."""
+    extension; it is the engine default for analytic storage). Writes
+    the R16 ``_manifest.json`` sidecar."""
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+    _write_manifest(path, df.count(), source_file, stage)
 
 
 def run_pipeline(

@@ -1,0 +1,304 @@
+"""Family digest suites — one driver-checkable row per SURVEY §2 family.
+
+The correctness driver verifies queries in registry order under a fixed
+budget (round 1 stopped after the first 50 of 136), so whole families —
+windows, scalar functions, scans, streaming, the LLM suite — got no
+hard driver verdict. Each ``suite_*`` query here compresses an entire
+family into a handful of rows the driver *can* afford to check: for
+every member query it computes, on BOTH engines,
+
+    (branch, n_rows, digest)
+
+where ``digest`` is an order-insensitive md5 over the member's full
+result set: every output column is canonicalized to a string by type
+("kind"), rows are joined with a control-char separator and md5-hashed,
+the per-row hashes are sorted lexicographically (hex is ASCII-safe, so
+Spark's ``array_sort`` and DuckDB's ``ORDER BY`` agree) and the
+concatenation is hashed again. Any value difference in any member query
+flips the digest, so one green suite row is a hard correctness verdict
+for the whole family. The granular member queries stay registered
+(after the priority block) as the fine-grained diagnostic.
+
+Canonicalization kinds (must byte-match across engines):
+  * str/int/bool/date — plain CAST AS STRING ("5", "true",
+    "2024-01-01" are identical in Spark and DuckDB).
+  * float — doubles round-trip differently through each engine's
+    to-string (Java prints 1.0E7, DuckDB 10000000.0), so floats are
+    mapped to BIGINT micros: CAST(round(x * 1e6) AS BIGINT). Member
+    queries already round their float outputs so the underlying doubles
+    are bit-identical (round 1: 130/136 hash-exact) and this mapping is
+    exact. NaN is emitted as the literal 'NaN' (DuckDB refuses to cast
+    NaN to BIGINT).
+  * ts — epoch microseconds (Spark ``unix_micros`` / DuckDB
+    ``epoch_us``); string forms differ in fractional-second padding.
+
+NULLs are coalesced to a chr(1) sentinel *before* concat_ws (both
+engines silently drop NULL arguments of concat_ws, which would alias
+(NULL,'x') with ('x',NULL)).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import Query, _REGISTRY, query
+from ._digest_spec import COLSPEC
+
+_SEP = "\x1f"
+_NULL = "\x01NULL"
+
+
+# ---------------------------------------------------------------- Spark side
+def _canon_spark(col_name: str, kind: str):
+    c = F.col(col_name)
+    if kind == "float":
+        d = c.cast("double")
+        v = F.when(F.isnan(d), F.lit("NaN")).otherwise(
+            F.round(d * 1000000, 0).cast("bigint").cast("string")
+        )
+    elif kind == "ts":
+        # cast handles TIMESTAMP_NTZ (session TZ is pinned UTC, so the
+        # instant is unchanged); unix_micros only accepts TIMESTAMP.
+        v = F.unix_micros(c.cast("timestamp")).cast("string")
+    else:  # str / int / bool / date: engine-identical CAST AS STRING
+        v = c.cast("string")
+    return F.coalesce(v, F.lit(_NULL))
+
+
+def _digest_spark(df: DataFrame, branch: str, cols: list[tuple[str, str]]) -> DataFrame:
+    got = df.columns
+    want = [c for c, _ in cols]
+    if got != want:
+        raise AssertionError(
+            f"digest spec stale for {branch}: query emits {got}, spec has {want} "
+            "— rerun tools/gen_digest_spec.py"
+        )
+    rh = F.md5(F.concat_ws(_SEP, *[_canon_spark(c, k) for c, k in cols]))
+    return df.select(rh.alias("rh")).agg(
+        F.lit(branch).alias("branch"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("rh")))).alias("digest"),
+    )
+
+
+# --------------------------------------------------------------- DuckDB side
+def _canon_sql(col_name: str, kind: str) -> str:
+    c = f'"{col_name}"'
+    if kind == "float":
+        v = (
+            f"CASE WHEN isnan(CAST({c} AS DOUBLE)) THEN 'NaN' "
+            f"ELSE CAST(CAST(round(CAST({c} AS DOUBLE) * 1000000, 0) AS BIGINT) AS VARCHAR) END"
+        )
+    elif kind == "ts":
+        v = f"CAST(epoch_us({c}) AS VARCHAR)"
+    else:
+        v = f"CAST({c} AS VARCHAR)"
+    return f"coalesce({v}, chr(1) || 'NULL')"
+
+
+def _digest_sql(oracle: str, branch: str, cols: list[tuple[str, str]]) -> str:
+    canon = ", ".join(_canon_sql(c, k) for c, k in cols)
+    return (
+        f"SELECT '{branch}' AS branch, count(*)::BIGINT AS n_rows,\n"
+        f"       md5(coalesce(string_agg(rh, '' ORDER BY rh), '')) AS digest\n"
+        f"FROM (SELECT md5(concat_ws(chr(31), {canon})) AS rh\n"
+        f"      FROM (\n{oracle}\n) _q) _h"
+    )
+
+
+# ------------------------------------------------------------- registration
+#: family -> member queries. Every member must already be registered
+#: (suites are imported last by registry.all_queries) and, for the
+#: digest to be oracle-checked, carry a DuckDB oracle; members without
+#: one would make the whole suite rows-only, so they are not included.
+SUITES: dict[str, list[str]] = {
+    "suite_join_outer": ["join_left_outer", "join_right_outer", "join_full_outer"],
+    "suite_join_misc": [
+        "join_left_semi",
+        "join_left_anti",
+        "join_cross",
+        "join_theta_nonequi",
+        "join_range_interval",
+        "join_skew_salted",
+    ],
+    "suite_agg": [
+        "agg_rollup",
+        "agg_cube",
+        "agg_grouping_sets",
+        "agg_filtered",
+        "agg_stats",
+        "agg_pivot",
+        "agg_string_concat",
+        "agg_boolean",
+    ],
+    "suite_setops": [
+        "set_union_all",
+        "set_union_distinct",
+        "set_union_by_name",
+        "set_intersect",
+        "set_except",
+        "set_intersect_all",
+        "set_except_all",
+        "distinct_rows",
+    ],
+    "suite_sql_surface": [
+        "sql_scalar_subquery",
+        "sql_correlated_exists",
+        "sql_in_subquery",
+        "sql_cte_chain",
+        "fn_unpivot",
+    ],
+    "suite_window": [
+        "window_ranking",
+        "window_lag_lead",
+        "window_running",
+        "window_range_frame",
+        "window_cume_pct",
+        "topk_per_group",
+    ],
+    "suite_fn_scalar": [
+        "fn_string",
+        "fn_string_split",
+        "fn_date",
+        "fn_math",
+        "fn_predicates",
+        "fn_conditional",
+        "fn_regexp",
+        "fn_hash",
+        "fn_bitwise",
+    ],
+    "suite_fn_semistructured": [
+        "fn_array",
+        "fn_explode",
+        "fn_map",
+        "fn_json",
+        "fn_json_roundtrip",
+    ],
+    "suite_udf": ["udf_pandas_scalar", "udf_grouped_zscore", "udf_python_rowwise"],
+    "suite_scans": [
+        "scan_csv_roundtrip",
+        "scan_json_roundtrip",
+        "scan_orc_roundtrip",
+        "scan_csv_permissive",
+        "scan_partition_pruned",
+        "scan_range_clustered",
+        "scan_bucketed_join",
+    ],
+    "suite_streaming": [
+        "stream_tumbling_window",
+        "stream_sliding_window",
+        "stream_session_window",
+        "stream_dedup_first",
+        "stream_rate_per_minute",
+        "ts_resample_gapfill",
+        "stream_interval_join",
+    ],
+    "suite_dedup": [
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "dedup_keep_best",
+        "dedup_connected_components",
+    ],
+    "suite_sim": [
+        "sim_bruteforce_topk",
+        "sim_lsh_ann",
+        "sim_ivf_ann",
+        "sim_label_centroid",
+    ],
+    "suite_text": [
+        "text_stats",
+        "text_langid",
+        "text_quality",
+        "text_fingerprint",
+        "text_token_count",
+        "text_tfidf_topterms",
+        "text_bigrams",
+        "text_redact_pii",
+    ],
+    "suite_multimodal": [
+        "multimodal_features",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "multimodal_chunk_energy",
+    ],
+    "suite_assembly": [
+        "pack_token_budget",
+        "sample_stratified",
+        "mix_sources",
+        "chunk_context_windows",
+    ],
+    "suite_tpch": [
+        "q2_min_cost_supplier",
+        "q3_shipping_priority",
+        "q4_order_priority",
+        "q5_region_revenue",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q11_important_stock",
+        "q12_shipmode_priority",
+        "q13_order_count_distribution",
+        "q14_promo_revenue_pct",
+        "q15_top_supplier",
+        "q16_supplier_part_stats",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customer",
+        "q19_disjunctive_predicates",
+        "q20_potential_promotion",
+        "q21_suppliers_kept_waiting",
+        "q22_global_sales_opportunity",
+    ],
+    "suite_etl_misc": [
+        "upsert_merge",
+        "upsert_reference_policy",
+        "scd2_current_snapshot",
+        "scd2_intervals",
+        "sample_stable_hash",
+    ],
+}
+
+
+def _make_suite(suite_name: str, members: list[str]):
+    branches: list[Query] = []
+    for m in members:
+        q = _REGISTRY.get(m)
+        if q is None:
+            raise KeyError(f"{suite_name}: member {m!r} not registered")
+        if q.oracle is None:
+            raise ValueError(f"{suite_name}: member {m!r} has no oracle")
+        if m not in COLSPEC:
+            if os.environ.get("SPARK_GRAFT_SPECGEN"):
+                return  # spec generator bootstrapping a new member
+            raise KeyError(f"{suite_name}: member {m!r} missing from digest spec")
+        branches.append(q)
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        parts = [
+            _digest_spark(q.fn(spark, sf_dir), q.name, COLSPEC[q.name])
+            for q in branches
+        ]
+        return reduce(DataFrame.unionByName, parts)
+
+    fn.__name__ = suite_name
+    fn.__doc__ = (
+        f"Family digest over {len(members)} member queries "
+        f"({', '.join(members)}): per-member order-insensitive md5 of the "
+        "full result set, computed identically on Spark and DuckDB. One "
+        "green driver row == every member's values match the oracle."
+    )
+    oracle = "\nUNION ALL\n".join(
+        _digest_sql(q.oracle, q.name, COLSPEC[q.name]) for q in branches
+    )
+    query(suite_name, oracle=oracle, doc=fn.__doc__)(fn)
+
+
+for _name, _members in SUITES.items():
+    _make_suite(_name, _members)

@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..registry import query
@@ -35,26 +36,58 @@ def merge_upsert(
     source: DataFrame,
     key: str,
     update_cols: tuple[str, ...] | None = None,
+    best_effort: bool = False,
 ) -> DataFrame:
     """MERGE semantics of R17: matched rows take ``update_cols`` from the
     source (all source columns by default), unmatched source rows are
-    inserted, unmatched target rows are kept.
+    inserted whole, unmatched target rows are kept.
 
     One full-outer shuffle join on the key — the plan a MERGE INTO
     compiles to. The key must be unique per side (it is the PK,
     `lambda_function.py:199`).
+
+    Match is decided on key presence, not value presence: a matched
+    source row carrying an explicit NULL in an update column *does*
+    overwrite the target value with NULL, exactly like ``ON CONFLICT DO
+    UPDATE SET c = EXCLUDED.c`` (a plain per-column coalesce would
+    silently keep the stale target value).
+
+    ``best_effort`` mirrors the reference's per-row insert tolerance
+    (`lambda_function.py:258-260`: a failing row is logged and skipped,
+    the batch continues): source rows that could not be inserted — NULL
+    primary key, or a duplicate key within the batch (the PK constraint
+    would reject the second insert) — are dropped instead of failing
+    the whole merge; last-writer-wins within the batch matches the
+    reference's sequential loop, made deterministic by ordering on the
+    row's own content.
     """
     cols = target.columns
     update_cols = update_cols or tuple(c for c in source.columns if c != key)
+    if best_effort:
+        source = source.filter(F.col(key).isNotNull())
+        order_cols = [F.col(c).desc_nulls_last() for c in source.columns if c != key]
+        w = Window.partitionBy(key).orderBy(*order_cols)
+        source = (
+            source.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     t = target.alias("t")
     s = source.alias("s")
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    inserted = F.col(f"t.{key}").isNull()
+    matched = F.col(f"s.{key}").isNotNull() & F.col(f"t.{key}").isNotNull()
     out_cols = []
     for c in cols:
         if c == key:
             out_cols.append(F.coalesce(F.col(f"t.{key}"), F.col(f"s.{key}")).alias(key))
-        elif c in update_cols and c in source.columns:
-            out_cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+        elif c in source.columns:
+            sc, tc = F.col(f"s.{c}"), F.col(f"t.{c}")
+            if c in update_cols:
+                expr = F.when(inserted | matched, sc).otherwise(tc)
+            else:
+                expr = F.when(inserted, sc).otherwise(tc)
+            out_cols.append(expr.alias(c))
         else:
             out_cols.append(F.col(f"t.{c}").alias(c))
     return joined.select(*out_cols)
@@ -84,8 +117,9 @@ delta AS (
   SELECT event_id, value * 2 AS value, event_type FROM events WHERE event_id % 3 = 0
 )
 SELECT coalesce(t.event_id, s.event_id) AS event_id,
-       coalesce(s.value, t.value)       AS value,
-       coalesce(s.event_type, t.event_type) AS event_type
+       CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END AS value,
+       CASE WHEN s.event_id IS NOT NULL THEN s.event_type ELSE t.event_type END
+         AS event_type
 FROM base t FULL OUTER JOIN delta s ON t.event_id = s.event_id
 """,
 )
@@ -99,3 +133,114 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.col("value") * 2
     )
     return merge_upsert(base, delta, key="event_id")
+
+
+@query(
+    "upsert_reference_policy",
+    oracle="""
+WITH base AS (
+  SELECT event_id, value,
+         event_type,
+         TIMESTAMP '2024-01-01 00:00:00' AS processed_ts
+  FROM events WHERE event_id % 2 = 0
+),
+delta AS (
+  SELECT event_id, value * 2 AS value,
+         'UPDATED' AS event_type,
+         TIMESTAMP '2024-06-01 12:00:00' AS processed_ts
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT coalesce(t.event_id, s.event_id) AS event_id,
+       CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END AS value,
+       CASE WHEN t.event_id IS NULL THEN s.event_type ELSE t.event_type END
+         AS event_type,
+       CASE WHEN s.event_id IS NOT NULL THEN s.processed_ts ELSE t.processed_ts END
+         AS processed_ts
+FROM base t FULL OUTER JOIN delta s ON t.event_id = s.event_id
+""",
+)
+def upsert_reference_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R17 with the reference's exact conflict policy pinned: ``ON
+    CONFLICT (pk) DO UPDATE SET amount = EXCLUDED.amount,
+    processed_timestamp = EXCLUDED.processed_timestamp``
+    (`lambda_function.py:226-235`) — on a match ONLY the amount-like
+    and processed-timestamp columns are refreshed; every other column
+    keeps the target's value (here: delta rows carry event_type
+    'UPDATED', which must NOT appear on matched keys). Unmatched delta
+    rows are inserted whole; ``best_effort`` drops NULL-key rows like
+    the reference's per-row tolerance loop."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    base = ev.filter(F.col("event_id") % 2 == 0).withColumn(
+        "processed_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    delta = (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("event_type", F.lit("UPDATED"))
+        .withColumn("processed_ts", F.to_timestamp(F.lit("2024-06-01 12:00:00")))
+    )
+    return merge_upsert(
+        base,
+        delta,
+        key="event_id",
+        update_cols=("value", "processed_ts"),
+        best_effort=True,
+    )
+
+
+# ----------------------------------------------------------- JDBC warehouse
+def staging_merge_sql(table: str, staging: str, key: str, cols: list[str],
+                      update_cols: tuple[str, ...] | None = None) -> str:
+    """SQL executed against the warehouse after the staging load: a
+    single set-based MERGE from the staging table — the scalable
+    re-expression of the reference's row-at-a-time ``INSERT ... ON
+    CONFLICT DO UPDATE`` loop (`lambda_function.py:224-260`; at 100 TB
+    the per-row round-trip is the bottleneck, one MERGE is not)."""
+    update_cols = update_cols or tuple(c for c in cols if c != key)
+    sets = ", ".join(f"{c} = s.{c}" for c in update_cols)
+    collist = ", ".join(cols)
+    vals = ", ".join(f"s.{c}" for c in cols)
+    return (
+        f"MERGE INTO {table} t USING {staging} s ON t.{key} = s.{key} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})"
+    )
+
+
+def merge_into_jdbc(
+    source: DataFrame,
+    url: str,
+    table: str,
+    key: str,
+    properties: dict[str, str] | None = None,
+    update_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Warehouse execution path for R17 (`lambda_function.py:176-271`):
+    bulk-load the batch into a staging table with the parallel JDBC
+    writer, then run ONE set-based MERGE on the warehouse side.
+
+    Guarded like the Delta path: this container ships no JDBC driver,
+    so the function raises a clear RuntimeError when the driver or the
+    java.sql connection is unavailable; the SQL-building half
+    (staging_merge_sql) is pure and unit-tested."""
+    staging = f"{table}_staging"
+    props = dict(properties or {})
+    try:
+        source.write.jdbc(url=url, table=staging, mode="overwrite", properties=props)
+        jvm = source.sparkSession._jvm  # noqa: SLF001
+        jprops = jvm.java.util.Properties()
+        for k, v in props.items():
+            jprops.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+        try:
+            stmt = conn.createStatement()
+            stmt.execute(
+                staging_merge_sql(table, staging, key, source.columns, update_cols)
+            )
+            stmt.close()
+        finally:
+            conn.close()
+    except Exception as e:  # pragma: no cover - no JDBC driver in image
+        raise RuntimeError(
+            f"JDBC merge into {table} at {url} failed (driver present?): {e}"
+        ) from e

@@ -159,3 +159,24 @@ def test_csv_permissive_quarantines_all_garbage(spark, sf_dir):
         assert n_good == load_table(spark, sf_dir, "customer").count()
     finally:
         df.unpersist()
+
+
+def test_manifest_sidecar(spark, tmp_path):
+    # R16: the reference attaches object metadata on every S3 put
+    # (`lambda_function.py:293-298`); the engine writes the same fields
+    # as a _manifest.json sidecar in the sink directory.
+    import json
+
+    from aws_etl_pipeline_spark.operators.etl import write_json
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    path = str(tmp_path / "out")
+    write_json(df, path, source_file="raw-data/batch1.csv")
+    with open(path + "/_manifest.json") as fh:
+        m = json.load(fh)
+    assert m["record_count"] == 2
+    assert m["original_file"] == "raw-data/batch1.csv"
+    assert m["processing_stage"] == "transformed"
+    assert "processed_timestamp" in m
+    # the data itself round-trips
+    assert spark.read.json(path).count() == 2
