@@ -568,9 +568,12 @@ def zorder_by(
     with_b = df.join(F.broadcast(bounds))
 
     def norm(c: str, lo: str, hi: str) -> Column:
-        span = F.col(hi) - F.col(lo)
+        # double arithmetic before the multiply: (col - lo) * 65535 in
+        # 32-bit ints overflows silently (ANSI off) once the column span
+        # exceeds ~32k, garbling the Morton keys at real scale.
+        span = (F.col(hi) - F.col(lo)).cast("double")
         return F.when(span == 0, F.lit(0)).otherwise(
-            ((F.col(c) - F.col(lo)) * 65535 / span).cast("int")
+            ((F.col(c) - F.col(lo)).cast("double") * 65535 / span).cast("int")
         )
 
     keyed = with_b.withColumn(

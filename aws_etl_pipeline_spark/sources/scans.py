@@ -26,9 +26,31 @@ from ..registry import query
 from ..schemas import TESTDATA
 
 
+#: bump to invalidate every cached fixture when the fixture-building
+#: code changes shape (part of the cache key below).
+_FIXTURE_VERSION = "v2"
+
+
+def _sf_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the source testdata: path + (name, size,
+    mtime) of every parquet file. Regenerated testdata at the same path
+    therefore gets fresh fixtures instead of silently reusing stale
+    /tmp or metastore copies."""
+    parts = [sf_dir, _FIXTURE_VERSION]
+    try:
+        for fname in sorted(os.listdir(sf_dir)):
+            if fname.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, fname))
+                parts.append(f"{fname}:{st.st_size}:{int(st.st_mtime)}")
+    except OSError:
+        pass
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def _fixture_dir(sf_dir: str, tag: str) -> str:
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{key}")
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{tag}_{_sf_fingerprint(sf_dir)}"
+    )
 
 
 @query(
@@ -117,7 +139,7 @@ def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle at ingest, never again. Bucketed tables also demonstrate
     the zstd parquet codec (smaller at rest, splittable, and cheap to
     decode; snappy is the read-throughput alternative)."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = _sf_fingerprint(sf_dir)
     names = {}
     for tbl, bucket_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"bkt_{tbl}_{key}"
