@@ -46,6 +46,7 @@ def transform_transactions(
     *,
     required: tuple[str, ...] = ("transaction_id", "amount"),
     stamp_processing_time: bool = True,
+    pandas_nan_compat: bool = False,
 ) -> DataFrame:
     """The flagship transform chain, R3-R14 (`lambda_function.py:96-151`).
 
@@ -55,7 +56,8 @@ def transform_transactions(
     ``errors='coerce'`` (R4-R6). Divergence from the reference, by
     design: pandas ``astype(str)`` turns NaN into the literal ``'Nan'``
     after title-casing (`lambda_function.py:139-143`); we keep null
-    (SURVEY §2A R14 note).
+    (SURVEY §2A R14 note). ``pandas_nan_compat=True`` opts into the
+    reference's bug-for-bug behavior for byte-identical migrations.
     """
     cols = set(df.columns)
 
@@ -84,7 +86,11 @@ def transform_transactions(
 
     for c in TEXT_COLUMNS:  # R14 trim + title-case
         if c in cols:
-            df = df.withColumn(c, F.initcap(F.trim(F.col(c))))
+            cleaned = F.initcap(F.trim(F.col(c)))
+            if pandas_nan_compat:
+                # pandas astype(str).str.title() renders NaN as 'Nan'
+                cleaned = F.coalesce(cleaned, F.lit("Nan"))
+            df = df.withColumn(c, cleaned)
     return df
 
 

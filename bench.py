@@ -96,6 +96,10 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = None  # non-standard dir name (e.g. a scale replica)
     print(
         json.dumps(
             {
@@ -103,7 +107,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else None,
+                "sf": sf,
             }
         )
     )

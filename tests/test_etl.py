@@ -180,3 +180,30 @@ def test_manifest_sidecar(spark, tmp_path):
     assert "processed_timestamp" in m
     # the data itself round-trips
     assert spark.read.json(path).count() == 2
+
+
+def test_pandas_nan_compat_flag(spark):
+    # R14 bug-compat: the reference's astype(str).str.title() renders a
+    # missing text field as the literal 'Nan' (`lambda_function.py:139-143`).
+    # Default keeps NULL (sane); the flag reproduces the reference byte
+    # for byte for migration diffing.
+    from aws_etl_pipeline_spark.operators.etl import transform_transactions
+
+    df = spark.createDataFrame(
+        [("T1", 5.0, None), ("T2", 6.0, "  shop a  ")],
+        "transaction_id string, amount double, description string",
+    )
+    default = {
+        r.transaction_id: r.description
+        for r in transform_transactions(df, stamp_processing_time=False).collect()
+    }
+    assert default["T1"] is None
+    assert default["T2"] == "Shop A"
+    compat = {
+        r.transaction_id: r.description
+        for r in transform_transactions(
+            df, stamp_processing_time=False, pandas_nan_compat=True
+        ).collect()
+    }
+    assert compat["T1"] == "Nan"
+    assert compat["T2"] == "Shop A"
