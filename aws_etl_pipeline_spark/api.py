@@ -403,15 +403,22 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Exact TF-IDF top-k terms per document (corpus size as a
-    broadcast scalar, no driver-side count)."""
+    broadcast scalar, no driver-side count).
+
+    Shuffle-minimal shape: the exploded word stream is reduced ONCE to
+    the (doc, term, tf) relation (map-side partial agg), and document
+    frequency is then a window count over tf partitioned by term — tf
+    is already distinct per (doc, term), so ``count(*) over term`` ==
+    ``count(DISTINCT doc)`` — replacing a second full pass + shuffle
+    over the raw words and a countDistinct expand with one pass over
+    the much smaller tf relation. Word-level data crosses the wire
+    once; everything after is tf-sized."""
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    # tokenize+explode feeds both the TF and the DF aggregates; persist
-    # so the expensive stage runs once instead of once per branch.
-    words = df.select(id_col, F.explode(_words(text_col)).alias("term")).persist()
+    words = df.select(id_col, F.explode(_words(text_col)).alias("term"))
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = words.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    df_w = W.partitionBy("term")
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(df_w))
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
