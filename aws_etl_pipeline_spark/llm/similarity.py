@@ -406,3 +406,118 @@ def sim_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "euclidean_dist")
     )
+
+
+RANGE_TAU = 0.15  # synthetic embeddings are near-orthogonal (same-bucket max ~0.25);
+# tau chosen so the sf0.01 gate verifies a non-trivial result set
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         {_bucket_sql('v')} AS bucket
+  FROM e
+),
+q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+c AS (SELECT * FROM n WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 8) AS cosine
+  FROM q JOIN c ON q.bucket = c.bucket
+)
+SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= {RANGE_TAU}
+""",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold (range) similarity search — the retrieval twin of the
+    top-k path: every same-LSH-bucket candidate with cosine >= tau,
+    however many there are. This is the shape dedup-by-similarity and
+    recall-oriented retrieval use at 100 TB (top-k caps recall; range
+    search caps *distance*): corpus shuffles once by bucket, the tau
+    filter runs inside the scoring stage, output size tracks true
+    neighborhood density, not k x n_queries."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    n = (
+        e.select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn("bucket", _bucket_spark(F.col("v")))
+        .persist()
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        "bucket",
+    )
+    c = n.filter(F.col("vec_id") >= N_QUERIES)
+    return (
+        q.join(c, "bucket")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 8
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= RANGE_TAU)
+    )
+
+
+@query(
+    "embed_normalize_quantize",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x)))      AS nrm,
+         list_max(list_transform(v, x -> abs(x)))           AS mx
+  FROM e
+)
+SELECT vec_id,
+       round(nrm, 6) AS l2_norm,
+       array_to_string(
+         list_transform(v, x -> CAST(round(x * 127 / nullif(mx, 0)) AS BIGINT)),
+         '|') AS int8_vec,
+       round(mx / 127, 8) AS scale
+FROM m
+""",
+)
+def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression for vector-store loading: per-vector L2
+    norm plus symmetric int8 quantization (q_i = round(x_i * 127 /
+    max|x|), dequantize with the emitted scale). At 100 TB this is the
+    4x storage/bandwidth reduction step before ANN index build; all
+    expression-level (HOF fold + transform), no Python. The quantized
+    vector is emitted '|'-joined (driver hash cannot digest arrays);
+    the oracle recomputes identical integers from the same doubles."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    v = _as_double("embedding")
+    m = e.select(
+        "vec_id",
+        v.alias("v"),
+        _norm(v).alias("nrm"),
+        F.array_max(F.transform(v, F.abs)).alias("mx"),
+    )
+    return m.select(
+        "vec_id",
+        F.round("nrm", 6).alias("l2_norm"),
+        F.array_join(
+            F.transform(
+                F.col("v"),
+                lambda x: F.round(x * 127 / F.nullif(F.col("mx"), F.lit(0.0)))
+                .cast("bigint")
+                .cast("string"),
+            ),
+            "|",
+        ).alias("int8_vec"),
+        F.round(F.col("mx") / 127, 8).alias("scale"),
+    )

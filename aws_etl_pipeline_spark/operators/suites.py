@@ -211,6 +211,8 @@ SUITES: dict[str, list[str]] = {
         "sim_lsh_ann",
         "sim_ivf_ann",
         "sim_label_centroid",
+        "sim_range_search",
+        "embed_normalize_quantize",
     ],
     "suite_text": [
         "text_stats",

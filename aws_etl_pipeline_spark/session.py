@@ -46,6 +46,18 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable in this deployment; proceed with defaults
+    try:
+        # A session we didn't build (the verify driver's bare
+        # SparkSession) keeps the 200-partition shuffle default; size it
+        # to the actual parallelism instead — AQE still coalesces below
+        # this, it is only the upper bound / initial task count.
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
     return spark
 
 
