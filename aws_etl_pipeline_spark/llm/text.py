@@ -368,3 +368,100 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<IP>",
     )
     return d.select("doc_id", redacted.alias("redacted"))
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS ws,
+         md5(lower(trim(text))) AS fp
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, fp,
+         len(ws)::BIGINT AS n_words,
+         round(
+           0.25 * CASE WHEN len(ws) BETWEEN 20 AND 400 THEN 1.0 ELSE 0.0 END
+         + 0.25 * CASE WHEN list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                            / len(ws) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END
+         + 0.25 * least(len(list_filter(ws,
+                     w -> list_contains(['the','a','of','and','to'], w)))::DOUBLE
+                     / len(ws) * 10, 1.0)
+         + 0.25 * len(list_distinct(ws))::DOUBLE / len(ws), 6) AS q
+  FROM t
+),
+r AS (
+  SELECT *, (q >= 0.6) AS kept,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY (q >= 0.6) DESC, doc_id) AS rn
+  FROM m
+)
+SELECT source,
+       count(*)::BIGINT                                   AS docs_in,
+       count(*) FILTER (kept)::BIGINT                     AS docs_quality_kept,
+       count(*) FILTER (kept AND rn = 1)::BIGINT          AS docs_final,
+       (count(*) FILTER (kept)
+        - count(*) FILTER (kept AND rn = 1))::BIGINT      AS dups_removed,
+       coalesce(sum(n_words) FILTER (kept AND rn = 1), 0)::BIGINT AS tokens_final,
+       round(avg(q), 6)                                   AS avg_quality
+FROM r GROUP BY source
+""",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining-corpus curation pass, as ONE lazy
+    plan: per-document quality scoring (text_quality's formula) ->
+    quality gate (score >= 0.6) -> exact dedup among survivors (md5
+    fingerprint, keep lowest doc_id) -> per-source yield report
+    (docs in / quality-kept / final, duplicates removed, token budget,
+    mean quality).
+
+    Composition note: every stage is the expression form of an
+    already-verified operator (text_quality, dedup_exact,
+    text_token_count), fused so the corpus is read ONCE and shuffled
+    twice (fingerprint window + final groupBy) — the whole-pipeline
+    shape a 100 TB curation run wants, instead of materializing
+    between stages. Keeper choice uses one window ordered
+    (kept DESC, doc_id) so a duplicate group keeps its first
+    quality-passing member."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    stop_arr = F.array(*[F.lit(s) for s in LANG_PROFILES["en"]])
+    n_words = F.size(ws)
+    awl = (
+        F.aggregate(F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x)
+        .cast("double")
+        / n_words
+    )
+    stop_ratio = (
+        F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))).cast("double")
+        / n_words
+    )
+    ttr = F.size(F.array_distinct(ws)).cast("double") / n_words
+    q = F.round(
+        0.25 * F.when(n_words.between(20, 400), 1.0).otherwise(0.0)
+        + 0.25 * F.when(awl.between(3.0, 8.0), 1.0).otherwise(0.0)
+        + 0.25 * F.least(stop_ratio * 10, F.lit(1.0))
+        + 0.25 * ttr,
+        6,
+    )
+    m = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        n_words.cast("long").alias("n_words"),
+        q.alias("q"),
+    ).withColumn("kept", F.col("q") >= 0.6)
+    w = W.partitionBy("fp").orderBy(F.desc("kept"), F.asc("doc_id"))
+    r = m.withColumn("rn", F.row_number().over(w))
+    final = F.col("kept") & (F.col("rn") == 1)
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.count_if(F.col("kept")).alias("docs_quality_kept"),
+        F.count_if(final).alias("docs_final"),
+        (F.count_if(F.col("kept")) - F.count_if(final)).alias("dups_removed"),
+        F.coalesce(F.sum(F.when(final, F.col("n_words"))), F.lit(0)).alias(
+            "tokens_final"
+        ),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )

@@ -223,6 +223,7 @@ SUITES: dict[str, list[str]] = {
         "text_tfidf_topterms",
         "text_bigrams",
         "text_redact_pii",
+        "corpus_curation_pipeline",
     ],
     "suite_multimodal": [
         "multimodal_features",

@@ -88,6 +88,7 @@ PRIORITY: tuple[str, ...] = (
     "sim_bruteforce_topk",
     "sim_lsh_ann",
     "text_stats",
+    "corpus_curation_pipeline",
     "multimodal_features",
     "sample_stable_hash",
     # family digests — one green row == whole family verified

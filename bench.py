@@ -54,6 +54,7 @@ HEADLINE = [
     "sim_lsh_ann",
     "sim_ivf_ann",
     "text_stats",
+    "corpus_curation_pipeline",
     "text_tfidf_topterms",
     "multimodal_features",
     "multimodal_resize",
