@@ -198,3 +198,41 @@ def test_gapfill_join_is_broadcast(spark, sf_dir):
 
     plan = _plan(ts_resample_gapfill(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count physical-plan nodes of a given name in 'formatted' output
+    (the tree AND the detail section both mention each node; the detail
+    lines '(N) <Name>' are the unambiguous count)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.M))
+
+
+def test_curation_pipeline_single_scan_two_exchanges(spark, sf_dir):
+    # corpus_curation_pipeline claims fusion: the corpus read ONCE, no
+    # Python, and exactly two data shuffles (fingerprint window + final
+    # groupBy with map-side partial) — the whole-pipeline shape a
+    # 100 TB curation run needs.
+    from aws_etl_pipeline_spark.llm.text import corpus_curation_pipeline
+
+    df = corpus_curation_pipeline(spark, sf_dir)
+    plan = _plan(df)
+    assert _nodes(plan, "Scan parquet") == 1, "documents scanned more than once"
+    assert not python_eval_nodes(df), "Python in the curation hot path"
+    assert _nodes(plan, "Exchange") == 2, f"expected 2 shuffles:\n{plan}"
+
+
+def test_tfidf_single_word_shuffle(spark, sf_dir):
+    # tfidf_top_terms claims the exploded word stream is materialized
+    # and shuffled ONCE (df derives from the tf aggregate, not a second
+    # explode). A second metadata-only scan computes the corpus-size
+    # scalar — parquet answers count(*) from footers, so that scan is
+    # free at any SF.
+    from aws_etl_pipeline_spark.api import tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    df = tfidf_top_terms(d, "doc_id", "text", k=3)
+    plan = _plan(df)
+    assert _nodes(plan, "Generate") == 1, f"word stream exploded more than once:\n{plan}"
+    assert _nodes(plan, "Scan parquet") <= 2, plan

@@ -85,3 +85,44 @@ def test_bucketize_total(spark, amounts):
     assert len(rows) == len(amounts)
     assert set(rows) <= {"unknown", "small", "medium", "large", "very_large"}
     assert rows.count("unknown") == sum(1 for a in amounts if a is None)
+
+
+MERGE_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),  # key (small domain -> collisions)
+        st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+    ),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda r: r[0],  # key unique per side (R17 PK contract)
+)
+
+
+@settings(**COMMON)
+@given(target=MERGE_ROWS, source=MERGE_ROWS, restrict=st.booleans())
+def test_merge_upsert_matches_python_model(spark, target, source, restrict):
+    """merge_upsert == the dict-model of MERGE INTO: matched keys take
+    update_cols from source (explicit NULLs overwrite), unmatched
+    source rows insert whole, unmatched target rows persist."""
+    from aws_etl_pipeline_spark.operators.upsert import merge_upsert
+
+    schema = "k int, amount int, note string"
+    t = spark.createDataFrame(target, schema) if target else spark.createDataFrame([], schema)
+    s = spark.createDataFrame(source, schema) if source else spark.createDataFrame([], schema)
+    update_cols = ("amount",) if restrict else None
+    got = {
+        r.k: (r.amount, r.note)
+        for r in merge_upsert(t, s, "k", update_cols=update_cols).collect()
+    }
+
+    model = {k: (a, n) for k, a, n in target}
+    for k, a, n in source:
+        if k in model:
+            if restrict:
+                model[k] = (a, model[k][1])  # only amount updates
+            else:
+                model[k] = (a, n)
+        else:
+            model[k] = (a, n)  # insert takes the whole source row
+    assert got == model
