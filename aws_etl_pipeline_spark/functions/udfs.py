@@ -113,3 +113,46 @@ def udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the CASE-expression oracle."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select("event_id", _categorize_amount_py("value").alias("category"))
+
+
+@query(
+    "udtf_sentence_split",
+    oracle="""
+SELECT doc_id,
+       (u.i - 1)::BIGINT AS sentence_idx,
+       trim(u.s) AS sentence,
+       length(trim(u.s))::BIGINT AS sent_chars
+FROM (
+  SELECT doc_id,
+         unnest(string_split(text, '.')) AS s,
+         unnest(generate_series(1, len(string_split(text, '.')))) AS i
+  FROM documents
+) u(doc_id, s, i)
+WHERE length(trim(u.s)) > 0
+""",
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function API, SURVEY §2B UDF row,
+    fourth tier): one input row -> many output rows, here a sentence
+    splitter emitting (idx, sentence, n_chars) per '.'-terminated
+    span. The UDTF mechanism (arbitrary Python generators in the
+    FROM clause via lateral join) is what's verified — the split
+    itself is expression-expressible (the oracle proves it), which is
+    exactly how a tokenizer/paragraph-chunker UDTF slots into a real
+    corpus pipeline where the logic is NOT expressible."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx: long, sentence: string, sent_chars: long")
+    class SentenceSplit:
+        def eval(self, text: str):  # noqa: D401
+            if text is None:
+                return
+            for i, span in enumerate(text.split(".")):
+                s = span.strip()
+                if s:
+                    yield i, s, len(s)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.lateralJoin(
+        SentenceSplit(F.col("text").outer())
+    ).select("doc_id", "sentence_idx", "sentence", "sent_chars")

@@ -178,7 +178,12 @@ SUITES: dict[str, list[str]] = {
         "fn_json",
         "fn_json_roundtrip",
     ],
-    "suite_udf": ["udf_pandas_scalar", "udf_grouped_zscore", "udf_python_rowwise"],
+    "suite_udf": [
+        "udf_pandas_scalar",
+        "udf_grouped_zscore",
+        "udf_python_rowwise",
+        "udtf_sentence_split",
+    ],
     "suite_scans": [
         "scan_csv_roundtrip",
         "scan_json_roundtrip",
