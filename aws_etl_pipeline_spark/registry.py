@@ -90,7 +90,9 @@ PRIORITY: tuple[str, ...] = (
     "text_stats",
     "corpus_curation_pipeline",
     "multimodal_features",
-    "sample_stable_hash",
+    # (sample_stable_hash is digest-covered by suite_etl_misc; keeping
+    # the granular row out of the priority block pulls every suite
+    # within the driver's round-1 budget of 50 with margin)
     # family digests — one green row == whole family verified
     "suite_join_outer",
     "suite_join_misc",
