@@ -201,6 +201,7 @@ SUITES: dict[str, list[str]] = {
         "stream_rate_per_minute",
         "ts_resample_gapfill",
         "stream_interval_join",
+        "stream_exec_tumbling",
     ],
     "suite_dedup": [
         "dedup_exact",

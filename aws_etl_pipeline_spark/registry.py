@@ -80,7 +80,9 @@ PRIORITY: tuple[str, ...] = (
     "sql_cte_chain",
     "fn_predicates",
     "scan_partition_pruned",
-    "stream_tumbling_window",
+    # real incremental streaming execution (stream_tumbling_window, its
+    # batch twin, is digest-covered by suite_streaming)
+    "stream_exec_tumbling",
     # LLM-pipeline flagships
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -112,3 +112,74 @@ def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "stream_exec_tumbling",
+    oracle="""
+SELECT time_bucket(INTERVAL '10 minutes', ts)                    AS window_start,
+       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+       event_type,
+       count(*)::BIGINT                                          AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)         AS total
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution, oracle-verified (upgrade
+    over the batch twins, whose streaming paths are pytest-driven):
+    the events table is staged as four parquet files, consumed by a
+    streaming file source one file per micro-batch (four genuine
+    micro-batches accumulating window state), aggregated with the same
+    tumbling 10-minute window as stream_tumbling_window, and drained
+    with availableNow into a complete-mode memory sink. Complete mode
+    makes the final state independent of the micro-batch split, so the
+    streaming result must hash-equal the batch oracle — verifying the
+    incremental-state path itself, not just the plan's batch twin."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators.relational import dsum
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_streamexec_{key}")
+    marker = os.path.join(stage_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+    schema = spark.read.parquet(stage_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    qname = f"streamexec_{key}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
