@@ -521,3 +521,119 @@ def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("int8_vec"),
         F.round(F.col("mx") / 127, 8).alias("scale"),
     )
+
+
+K_CELLS = 8
+KMEANS_ITERS = 2
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd's iterations as DuckDB CTEs (the oracle for the
+    iterative Spark loop — same seed, same tie-break, same
+    decimal-exact means)."""
+    sq = "list_sum(list_transform(list_zip(n.v, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    blocks = [
+        """
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v FROM e),
+cent0 AS (
+  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < %d
+)""" % k
+    ]
+    for i in range(iters):
+        blocks.append(f"""
+assign{i} AS (
+  SELECT vec_id, cell, v FROM (
+    SELECT n.vec_id, c.cell, n.v,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {sq} ASC, c.cell ASC) AS rn
+    FROM n CROSS JOIN cent{i} c
+  ) WHERE rn = 1
+),
+cent{i + 1} AS (
+  SELECT cell, list(c ORDER BY d) AS cv
+  FROM (SELECT cell, u.d, CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE)
+                            / count(*) AS c
+        FROM assign{i},
+             LATERAL (SELECT unnest(generate_series(1, len(v))) AS d,
+                             unnest(v) AS x) u
+        GROUP BY cell, u.d)
+  GROUP BY cell
+)""")
+    last = iters - 1
+    return (
+        "WITH " + ",".join(blocks) + f"""
+SELECT a.cell,
+       count(*)::BIGINT AS n_members,
+       round(list_sum(list_transform(any_value(c.cv), x -> x * x)), 6)
+         AS centroid_sqnorm
+FROM assign{last} a JOIN cent{last + 1} c USING (cell)
+GROUP BY a.cell
+"""
+    )
+
+
+@query("kmeans_train", oracle=_kmeans_oracle(K_CELLS, KMEANS_ITERS))
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means (k=8, 2 iterations) in pure DataFrame
+    ops — the trained coarse quantizer behind IVF indexes, and the
+    engine's demonstration that ITERATIVE ML training fits the
+    declarative model: per iteration, assignment is a broadcast
+    cross-join + per-vector argmin window (centroids are tiny; the
+    corpus never shuffles for assignment), and the update is one
+    explode->decimal-exact-mean->rebuild aggregation. Deterministic by
+    construction (seed = the first k vectors, ties broken on cell id,
+    means summed through DECIMAL), so the DuckDB oracle replays the
+    identical unrolled iterations. At 100 TB: per iteration one
+    broadcast + one shuffle of (cell, dim) partial sums — the same
+    cost model as MLlib's KMeans, with auditable arithmetic."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", _as_double("embedding").alias("v"))
+    cent = base.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+        assign = (
+            base.crossJoin(F.broadcast(cent))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "v")
+        )
+        dims = assign.select("cell", F.posexplode("v").alias("d0", "x"))
+        cent = (
+            dims.groupBy("cell", "d0")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d0", "c"))),
+                    lambda s: s.getField("c"),
+                ).alias("cv")
+            )
+        )
+    sqnorm = F.aggregate(
+        F.transform(F.col("cv"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        assign.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(cent, "cell")
+        .select("cell", "n_members", F.round(sqnorm, 6).alias("centroid_sqnorm"))
+    )

@@ -219,6 +219,7 @@ SUITES: dict[str, list[str]] = {
         "sim_label_centroid",
         "sim_range_search",
         "embed_normalize_quantize",
+        "kmeans_train",
     ],
     "suite_text": [
         "text_stats",
