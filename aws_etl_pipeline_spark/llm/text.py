@@ -465,3 +465,59 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("q"), 6).alias("avg_quality"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term, count(*)::DOUBLE AS cnt FROM words GROUP BY term
+),
+total AS (SELECT sum(cnt) AS n FROM vocab),
+scored AS (
+  SELECT w.doc_id,
+         ln(v.cnt / t.n) AS lp
+  FROM words w JOIN vocab v USING (term) CROSS JOIN total t
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+         AS avg_logprob,
+       round(exp(-(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / count(*))), 4)
+         AS unigram_ppl
+FROM scored GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language model scored back over each
+    document: per-token log P(w) from the corpus's own term
+    frequencies, averaged per doc, plus the perplexity transform —
+    the classic cheap LM-quality signal for pretraining curation
+    (gibberish and boilerplate sit in the distribution tails).
+
+    Plan shape: words shuffle once into the vocabulary counts, the
+    corpus-total is a broadcast scalar, and the score join is
+    vocab-sized on the build side — the same cost model as TF-IDF.
+    Log-probs are summed through DECIMAL so the per-doc mean is
+    order-independent and bit-equal to the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_words()).alias("term"))
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    scored = (
+        words.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("cnt") / F.col("n")).alias("lp"))
+    )
+    mean_lp = F.sum(F.col("lp").cast("decimal(28,12)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(mean_lp, 6).alias("avg_logprob"),
+        F.round(F.exp(-mean_lp), 4).alias("unigram_ppl"),
+    )

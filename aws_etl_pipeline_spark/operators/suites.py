@@ -231,6 +231,7 @@ SUITES: dict[str, list[str]] = {
         "text_bigrams",
         "text_redact_pii",
         "corpus_curation_pipeline",
+        "text_unigram_logprob",
     ],
     "suite_multimodal": [
         "multimodal_features",
