@@ -269,6 +269,8 @@ SUITES: dict[str, list[str]] = {
     ],
     "suite_etl_misc": [
         "upsert_merge",
+        "cdc_apply_changes",
+        "snapshot_diff",
         "upsert_reference_policy",
         "scd2_current_snapshot",
         "scd2_intervals",

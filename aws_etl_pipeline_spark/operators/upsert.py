@@ -244,3 +244,132 @@ def merge_into_jdbc(
         raise RuntimeError(
             f"JDBC merge into {table} at {url} failed (driver present?): {e}"
         ) from e
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+WITH base AS (
+  SELECT event_id, value, event_type FROM events WHERE event_id % 2 = 0
+),
+feed AS (
+  SELECT event_id,
+         value * 2 AS value,
+         event_type,
+         CASE WHEN event_id % 9 = 0 THEN 'D'
+              WHEN event_id % 2 = 0 THEN 'U' ELSE 'I' END AS op
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT coalesce(t.event_id, s.event_id) AS event_id,
+       CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END AS value,
+       CASE WHEN s.event_id IS NOT NULL THEN s.event_type ELSE t.event_type END
+         AS event_type
+FROM base t FULL OUTER JOIN feed s ON t.event_id = s.event_id
+WHERE coalesce(s.op, '') <> 'D'
+""",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — the upsert sink extended to a full change feed with
+    explicit ops: I(nsert) rows append, U(pdate) rows overwrite the
+    matched key, D(elete) rows remove it (MERGE ... WHEN MATCHED AND
+    op='D' THEN DELETE). One full-outer shuffle on the key, same plan
+    family as merge_upsert; this is the shape a warehouse's continuous
+    replication (Debezium/DMS-style feeds) compiles to. The feed here
+    is derived deterministically from events (every 3rd event; of
+    those, multiples of 9 delete, even ones update, odd ones
+    insert)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    feed = (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn(
+            "op",
+            F.when(F.col("event_id") % 9 == 0, "D")
+            .when(F.col("event_id") % 2 == 0, "U")
+            .otherwise("I"),
+        )
+    )
+    t = base.alias("t")
+    s = feed.alias("s")
+    joined = t.join(s, F.col("t.event_id") == F.col("s.event_id"), "full_outer")
+    in_feed = F.col("s.event_id").isNotNull()
+    return (
+        joined.filter(F.coalesce(F.col("s.op"), F.lit("")) != "D")
+        .select(
+            F.coalesce(F.col("t.event_id"), F.col("s.event_id")).alias("event_id"),
+            F.when(in_feed, F.col("s.value")).otherwise(F.col("t.value")).alias(
+                "value"
+            ),
+            F.when(in_feed, F.col("s.event_type"))
+            .otherwise(F.col("t.event_type"))
+            .alias("event_type"),
+        )
+    )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+WITH a AS (
+  SELECT event_id, value FROM events WHERE event_id % 2 = 0
+),
+b AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0 THEN value + 1 ELSE value END AS value
+  FROM events WHERE event_id % 2 = 0 AND event_id % 7 <> 0
+  UNION ALL
+  SELECT event_id, value FROM events WHERE event_id % 2 = 1 AND event_id % 11 = 0
+)
+SELECT CASE WHEN a.event_id IS NULL THEN 'added'
+            WHEN b.event_id IS NULL THEN 'removed'
+            WHEN a.value <> b.value THEN 'changed'
+            ELSE 'unchanged' END AS diff_kind,
+       count(*)::BIGINT AS n,
+       min(coalesce(a.event_id, b.event_id))::BIGINT AS min_key,
+       max(coalesce(a.event_id, b.event_id))::BIGINT AS max_key
+FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+GROUP BY diff_kind
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table diff between two snapshots — the reconciliation /
+    regression-audit primitive (did the backfill change what it
+    shouldn't?): full-outer join on the key classifies every row as
+    added / removed / changed / unchanged, reduced to per-class counts
+    and key ranges. One shuffle; at 100 TB both sides pre-bucket on
+    the key and the join is zero-exchange (scan_bucketed_join's
+    layout). Snapshot B is derived deterministically from A: every
+    7th key dropped, every 10th value bumped, some odd keys added."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    a = ev.filter(F.col("event_id") % 2 == 0).alias("a")
+    b = (
+        ev.filter((F.col("event_id") % 2 == 0) & (F.col("event_id") % 7 != 0))
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 10 == 0, F.col("value") + 1).otherwise(
+                F.col("value")
+            ),
+        )
+        .unionByName(
+            ev.filter((F.col("event_id") % 2 == 1) & (F.col("event_id") % 11 == 0))
+        )
+        .alias("b")
+    )
+    joined = a.join(b, F.col("a.event_id") == F.col("b.event_id"), "full_outer")
+    kind = (
+        F.when(F.col("a.event_id").isNull(), "added")
+        .when(F.col("b.event_id").isNull(), "removed")
+        .when(F.col("a.value") != F.col("b.value"), "changed")
+        .otherwise("unchanged")
+    )
+    key = F.coalesce(F.col("a.event_id"), F.col("b.event_id"))
+    return (
+        joined.select(kind.alias("diff_kind"), key.alias("k"))
+        .groupBy("diff_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").cast("long").alias("min_key"),
+            F.max("k").cast("long").alias("max_key"),
+        )
+    )
