@@ -521,3 +521,63 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_lp, 6).alias("avg_logprob"),
         F.round(F.exp(-mean_lp), 4).alias("unigram_ppl"),
     )
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+),
+ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
+  FROM tf
+)
+SELECT f.term,
+       f.doc_freq,
+       f.total_tf,
+       t.top_docs
+FROM (SELECT term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_tf
+      FROM tf GROUP BY term) f
+JOIN (SELECT term, string_agg(doc_id::VARCHAR, '|' ORDER BY rk) AS top_docs
+      FROM ranked WHERE rk <= 3 GROUP BY term) t USING (term)
+""",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> document frequency, corpus term
+    frequency, and the head of the posting list (top-3 docs by tf).
+
+    The classic IR/index-build workload: one shuffle of (term, doc)
+    pairs into per-doc term frequencies, then the SAME hash
+    partitioning feeds both the per-term stats agg and the
+    posting-rank window — Spark reuses the exchange, so the whole
+    index is two stages. Posting heads are canonicalized to a
+    '|'-joined string (driver's comparator can't hash arrays); the
+    3-element sort is an interpreted HOF over a vocabulary-sized
+    relation, not the corpus — negligible at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words()).alias("term"))
+    tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    win = W.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id"))
+    heads = (
+        tf.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+        .groupBy("term")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(rk, doc_id))),"
+                " x -> cast(x.doc_id as string)), '|')"
+            ).alias("top_docs")
+        )
+    )
+    return stats.join(heads, "term")

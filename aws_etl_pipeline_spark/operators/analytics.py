@@ -1,0 +1,281 @@
+"""Product/warehouse analytics operators (SURVEY §2B depth): funnel
+conversion, retention cohorts, one-pass table profiling, and
+incremental materialized-view refresh.
+
+These are the standard "analytics engine" workloads a user of the
+reference's warehouse tier (Redshift load, `lambda_function.py:176`)
+would run downstream — re-expressed as single-scan, partial-agg-
+friendly Spark plans so they hold at 100 TB:
+
+* funnel / cohorts: one shuffle on ``user_id`` (hash agg or window),
+  then a tiny second agg — no self-joins over the event log;
+* profiling: ONE scan of the table with every per-column statistic
+  computed in the same Aggregate (the multi-``count(distinct)``
+  Expand is the documented cost; at 100 TB swap in
+  ``approx_count_distinct`` — same plan, no Expand);
+* MV refresh: merges pre-aggregated partials (count/sum are
+  mergeable, avg is derived) so a daily delta never rescans the base
+  — the point of incremental view maintenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+__all__ = [
+    "events_funnel",
+    "events_retention_cohort",
+    "profile_table",
+    "mv_incremental_refresh",
+]
+
+
+@query(
+    "events_funnel",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT count(*)::BIGINT                                          AS n_users,
+         count(t_view)::BIGINT                                     AS n_view,
+         count_if(t_click > t_view)::BIGINT                        AS n_click,
+         count_if(t_purchase > t_click AND t_click > t_view)::BIGINT
+                                                                   AS n_purchase
+  FROM per_user
+)
+SELECT 1::BIGINT AS stage_idx, 'view' AS stage, n_view AS n_users,
+       round(n_view::DOUBLE / n_users, 6) AS pct_of_prev FROM tot
+UNION ALL
+SELECT 2, 'click', n_click, round(n_click::DOUBLE / n_view, 6) FROM tot
+UNION ALL
+SELECT 3, 'purchase', n_purchase, round(n_purchase::DOUBLE / n_click, 6) FROM tot
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase).
+
+    Loose-funnel semantics: a user converts a stage when their first
+    occurrence of the stage's event strictly follows their first
+    occurrence of the previous stage. One conditional-min hash agg per
+    user (single shuffle on ``user_id``, partial aggs map-side), then
+    a scalar agg — the event log is scanned exactly once, no
+    per-stage self-joins (the naive funnel query is k-1 joins over the
+    full log and falls over at 100 TB).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t_view").cast("long").alias("n_view"),
+        F.count_if(F.col("t_click") > F.col("t_view")).cast("long").alias("n_click"),
+        F.count_if(
+            (F.col("t_purchase") > F.col("t_click"))
+            & (F.col("t_click") > F.col("t_view"))
+        )
+        .cast("long")
+        .alias("n_purchase"),
+    )
+    return tot.select(
+        F.expr(
+            """
+            stack(3,
+              1L, 'view',     n_view,     round(n_view     / cast(n_users as double), 6),
+              2L, 'click',    n_click,    round(n_click    / cast(n_view  as double), 6),
+              3L, 'purchase', n_purchase, round(n_purchase / cast(n_click as double), 6)
+            ) AS (stage_idx, stage, n_users, pct_of_prev)
+            """
+        )
+    )
+
+
+@query(
+    "events_retention_cohort",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts,
+         min(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+)
+SELECT date_trunc('week', first_ts)::DATE AS cohort_week,
+       (date_diff('day', date_trunc('week', first_ts),
+                  date_trunc('week', ts)) // 7)::BIGINT AS week_offset,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM u
+GROUP BY 1, 2
+""",
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted in every subsequent week they return.
+
+    The first-seen timestamp is a ``min`` window over the ``user_id``
+    partition — one shuffle, and the same exchange then feeds the
+    cohort agg. Week arithmetic stays on day-diffs (``datediff/7``)
+    so Spark's Monday-truncated weeks and the oracle agree exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_ts = F.min("ts").over(W.partitionBy("user_id"))
+    cohort = F.to_date(F.date_trunc("week", first_ts))
+    event_week = F.to_date(F.date_trunc("week", F.col("ts")))
+    return (
+        ev.select(
+            "user_id",
+            cohort.alias("cohort_week"),
+            (F.datediff(event_week, cohort) / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+#: column kinds for the profiler: numeric columns report min/max as
+#: DOUBLE, everything else as a canonically-formatted string.
+_PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"min({c})::DOUBLE", f"max({c})::DOUBLE"
+            mns = mxs = "NULL::VARCHAR"
+        elif kind == "ts":
+            mn = mx = "NULL::DOUBLE"
+            mns = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+            mxs = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn = mx = "NULL::DOUBLE"
+            mns, mxs = f"min({c})", f"max({c})"
+        parts.append(
+            f"""
+SELECT '{c}' AS col_name,
+       count(*)::BIGINT - count({c})::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT           AS n_distinct,
+       {mn} AS min_num,
+       {mx} AS max_num,
+       {mns} AS min_str,
+       {mxs} AS max_str
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("profile_table", oracle=_profile_oracle())
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling of ``orders``: per column null count,
+    exact distinct count, min/max.
+
+    ALL statistics for ALL columns live in a single Aggregate node —
+    one scan of the table, then a ``stack`` pivots the scalar row into
+    one row per column. The multi-``count(distinct)`` Expand (one
+    duplicated input row per distinct-agg) is the deliberate cost of
+    exactness; the 100 TB variant swaps ``approx_count_distinct`` into
+    the same plan and the Expand disappears.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs, stack_args = [], []
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"),
+        ]
+        if kind == "num":
+            aggs += [
+                F.min(c).cast("double").alias(f"mn_{c}"),
+                F.max(c).cast("double").alias(f"mx_{c}"),
+            ]
+            lo, hi, los, his = f"mn_{c}", f"mx_{c}", "null", "null"
+        elif kind == "ts":
+            aggs += [
+                F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"mns_{c}"),
+                F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"mxs_{c}"),
+            ]
+            lo, hi, los, his = "cast(null as double)", "cast(null as double)", f"mns_{c}", f"mxs_{c}"
+        else:
+            aggs += [F.min(c).alias(f"mns_{c}"), F.max(c).alias(f"mxs_{c}")]
+            lo, hi, los, his = "cast(null as double)", "cast(null as double)", f"mns_{c}", f"mxs_{c}"
+        stack_args.append(f"'{c}', nn_{c}, nd_{c}, {lo}, {hi}, {los}, {his}")
+    scalar = o.agg(*aggs)
+    return scalar.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) "
+            "AS (col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+        )
+    )
+
+
+#: refresh cutover: rows before this date are the "materialized base",
+#: rows on/after are the incoming delta.
+_MV_CUTOVER = "1996-07-01"
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle="""
+SELECT date_trunc('month', o_orderdate)::DATE AS month,
+       count(*)::BIGINT                       AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6)                   AS avg_price
+FROM orders
+GROUP BY 1
+""",
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: monthly order
+    rollup = merge(base partial aggs, delta partial aggs).
+
+    The base (rows before the cutover) and the delta (rows after) are
+    aggregated SEPARATELY to mergeable partials — count and
+    DECIMAL-sum combine by addition, avg is derived at the end — then
+    merged by key. At 100 TB the base partial is a stored table the
+    size of the key space; a daily refresh aggregates only the delta
+    and merges, never rescanning the base. The oracle is the full
+    recompute the merge must equal.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        F.col("o_orderdate"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cut = F.lit(_MV_CUTOVER).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("price").alias("tot")
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cut))
+    delta = partial(o.filter(F.col("o_orderdate") >= cut))
+    merged = base.unionByName(delta).groupBy("month").agg(
+        F.sum("cnt").cast("long").alias("n_orders"),
+        F.sum("tot").alias("tot"),
+    )
+    return merged.select(
+        "month",
+        "n_orders",
+        F.col("tot").cast("double").alias("total_price"),
+        F.round(F.col("tot").cast("double") / F.col("n_orders"), 6).alias("avg_price"),
+    )

@@ -232,6 +232,8 @@ SUITES: dict[str, list[str]] = {
         "text_redact_pii",
         "corpus_curation_pipeline",
         "text_unigram_logprob",
+        "text_inverted_index",
+        "decontaminate_ngram",
     ],
     "suite_multimodal": [
         "multimodal_features",
@@ -275,6 +277,12 @@ SUITES: dict[str, list[str]] = {
         "scd2_current_snapshot",
         "scd2_intervals",
         "sample_stable_hash",
+    ],
+    "suite_analytics": [
+        "events_funnel",
+        "events_retention_cohort",
+        "profile_table",
+        "mv_incremental_refresh",
     ],
 }
 

@@ -114,6 +114,7 @@ PRIORITY: tuple[str, ...] = (
     "suite_assembly",
     "suite_tpch",
     "suite_etl_misc",
+    "suite_analytics",
     # depth within remaining budget
     "q7_nation_volume",
     "q18_large_volume_customer",
@@ -123,11 +124,11 @@ PRIORITY: tuple[str, ...] = (
 def all_queries() -> dict[str, Query]:
     """Import all operator modules (populating the registry) and return
     it, priority queries first (see :data:`PRIORITY`)."""
-    from .operators import etl, relational, setops, sql_surface, tpch_extra, windows, upsert  # noqa: F401
+    from .operators import etl, relational, setops, sql_surface, tpch_extra, windows, upsert, analytics  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
     from .sources import scans  # noqa: F401
     from .streaming import batch_windows, ingest  # noqa: F401
-    from .llm import assembly, dedup, similarity, text, multimodal  # noqa: F401
+    from .llm import assembly, dedup, similarity, text, multimodal, decontaminate  # noqa: F401
     from . import generator  # noqa: F401
     from .operators import suites  # noqa: F401  (last: wraps registered members)
 

@@ -1,0 +1,99 @@
+"""Semantic + plan-shape tests for the analytics operators
+(operators/analytics.py) and the LLM decontamination pass
+(llm/decontaminate.py). Value-level parity with DuckDB is covered by
+the oracle gate; these tests pin the invariants the oracle can't see."""
+
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_spark.operators.analytics import (
+    events_funnel,
+    events_retention_cohort,
+    mv_incremental_refresh,
+    profile_table,
+)
+from aws_etl_pipeline_spark.llm.decontaminate import decontaminate_ngram
+from aws_etl_pipeline_spark.plans.explain import plan_string as _plan
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count '(N) <Name>' detail lines — each physical node appears in
+    both the tree and the detail section of 'formatted' output; the
+    numbered detail lines are the unambiguous count."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.M))
+
+
+def test_funnel_is_monotone_and_single_scan(spark, sf_dir):
+    df = events_funnel(spark, sf_dir)
+    rows = {r["stage"]: r for r in df.collect()}
+    assert set(rows) == {"view", "click", "purchase"}
+    # each stage can only lose users
+    assert rows["view"]["n_users"] >= rows["click"]["n_users"] >= rows["purchase"]["n_users"]
+    for r in rows.values():
+        assert r["pct_of_prev"] is None or 0.0 <= r["pct_of_prev"] <= 1.0
+    # one scan of the event log: no self-joins in the funnel plan
+    assert _nodes(_plan(df), "Scan parquet") == 1
+
+
+def test_retention_cohort_offsets_start_at_zero(spark, sf_dir):
+    df = events_retention_cohort(spark, sf_dir)
+    rows = df.collect()
+    assert all(r["week_offset"] >= 0 for r in rows)
+    # every cohort must have an offset-0 row (the week the users arrived)
+    cohorts = {r["cohort_week"] for r in rows}
+    zero = {r["cohort_week"] for r in rows if r["week_offset"] == 0}
+    assert cohorts == zero
+
+
+def test_profile_single_scan_and_null_math(spark, sf_dir):
+    df = profile_table(spark, sf_dir)
+    assert _nodes(_plan(df), "Scan parquet") == 1, "profiler must be one pass"
+    rows = {r["col_name"]: r for r in df.collect()}
+    n_rows = rows["o_orderkey"]["n_distinct"]  # pk: distinct == rows
+    for r in rows.values():
+        assert r["n_nulls"] >= 0 and r["n_distinct"] <= n_rows + r["n_nulls"]
+    assert rows["o_totalprice"]["min_num"] <= rows["o_totalprice"]["max_num"]
+    assert rows["o_orderstatus"]["min_num"] is None
+    assert rows["o_orderstatus"]["min_str"] is not None
+
+
+def test_mv_refresh_merge_equals_full_recompute(spark, sf_dir):
+    """The merged partials must be indistinguishable from a full
+    recompute — the defining property of incremental maintenance."""
+    from aws_etl_pipeline_spark.catalog import load_table
+
+    merged = mv_incremental_refresh(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    full = (
+        o.groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tot"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            F.col("tot").cast("double").alias("total_price"),
+            F.round(F.col("tot").cast("double") / F.col("n_orders"), 6).alias(
+                "avg_price"
+            ),
+        )
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_decontaminate_broadcasts_benchmark_and_counts_add_up(spark, sf_dir):
+    df = decontaminate_ngram(spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(df), "benchmark n-gram set must broadcast"
+    rows = df.collect()
+    assert rows, "expected at least one training source"
+    for r in rows:
+        assert r["n_contaminated"] + r["n_clean"] == r["n_train"]
+    # benchmark docs (doc_id % 37 == 0) are excluded from every count
+    from aws_etl_pipeline_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n_train_total = d.filter(F.col("doc_id") % 37 != 0).count()
+    assert sum(r["n_train"] for r in rows) == n_train_total
