@@ -279,3 +279,109 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot").cast("double").alias("total_price"),
         F.round(F.col("tot").cast("double") / F.col("n_orders"), 6).alias("avg_price"),
     )
+
+
+#: inactivity gap that closes a session.
+_SESSION_GAP_MIN = 30
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '{_SESSION_GAP_MIN} minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id,
+       session_idx::BIGINT                       AS session_idx,
+       min(ts)                                   AS session_start,
+       max(ts)                                   AS session_end,
+       count(*)::BIGINT                          AS n_events,
+       (date_diff('microsecond', min(ts), max(ts)) // 1000000)::BIGINT
+                                                 AS duration_sec,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sess
+GROUP BY user_id, session_idx
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after 30 minutes
+    of inactivity; events roll up to (user, session) rows.
+
+    The lag-mark and the running-sum session counter share ONE window
+    spec (same partition, same order), so Catalyst plans a single
+    shuffle+sort on ``user_id`` and both window functions run in the
+    same Window node; the rollup agg then reuses the hash partitioning.
+    This is the batch twin of `stream_session_window` — same sessions,
+    but with explicit per-session IDs a downstream join can use.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap in exact microseconds: TIMESTAMP_NTZ has no epoch cast, and
+    # second-granularity diffs truncate differently across engines.
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) over "
+        "(partition by user_id order by ts, event_id), ts)"
+    )
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            gap_us.isNull() | (gap_us > _SESSION_GAP_MIN * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts)) div 1000000")
+        .cast("long")
+        .alias("duration_sec"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6)  AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 6)  AS p90_price,
+       round(quantile_cont(o_totalprice, 0.99), 6) AS p99_price,
+       count(*)::BIGINT                            AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics) per
+    group — Spark's ``percentile`` aggregate, which buffers and sorts
+    each group's values exactly.
+
+    Scale note: exact percentiles hold the group's values in memory —
+    correct for bounded groups (here: 5 priorities × row share); for
+    100 TB-wide groups the engine's `agg_approx_quantile`
+    (KLL-sketch-style, mergeable, bounded memory) is the drop-in with
+    the same plan shape. Shipping both, oracle-checked, is the point.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 6).alias("p99_price"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

@@ -1,0 +1,117 @@
+"""Iterative graph analytics on DataFrames: PageRank over the
+customer–supplier bipartite graph induced by orders × lineitem.
+
+Alongside `dedup_connected_components` (api.py) and `kmeans_train`
+(llm side), this pins the third classic iterative-algorithm shape: a
+fixed number of join → re-aggregate rounds where each round's state is
+a (node, rank) table two columns wide.
+
+100 TB design: the per-iteration state is node-count-sized, never
+edge-count-sized; the contribution join shuffles edges by source node
+once per round (at scale, pre-partition `edges` by `src` and the
+shuffle amortizes to zero across rounds — the degree table rides the
+same partitioning). Ranks sum through DECIMAL so the result is
+bit-equal to the oracle regardless of partition-merge order.
+
+Oracle: the same three rounds UNROLLED as chained CTEs — an exact
+fixed-iteration twin, no recursion needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+__all__ = ["graph_pagerank"]
+
+_DAMP = 0.85
+_ITERS = 3
+#: exact-sum carrier for double contributions.
+_DEC = "decimal(30,18)"
+
+
+def _oracle() -> str:
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM edges GROUP BY a),
+tot AS (SELECT count(*)::DOUBLE AS n FROM deg),
+r0 AS (SELECT node, deg, CAST(1.0 AS DOUBLE) / (SELECT n FROM tot) AS rank
+       FROM deg)"""
+    steps = []
+    for k in range(1, _ITERS + 1):
+        steps.append(
+            f"""
+r{k} AS (
+  SELECT d.node, d.deg,
+         round(CAST(0.15 AS DOUBLE) / (SELECT n FROM tot)
+               + CAST(0.85 AS DOUBLE)
+                 * CAST(sum(CAST(r.rank / r.deg AS DECIMAL(30,18))) AS DOUBLE),
+               12) AS rank
+  FROM edges e
+  JOIN r{k - 1} r ON e.a = r.node
+  JOIN deg d ON d.node = e.b
+  GROUP BY d.node, d.deg
+)"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"\nSELECT node, deg, rank FROM r{_ITERS}"
+    )
+
+
+@query("graph_pagerank", oracle=_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, 3 rounds) on the undirected
+    customer–supplier graph; ranks rounded to 12 decimals per round so
+    every engine's partial-sum order yields the identical fixpoint
+    trajectory."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), "o_custkey").alias("a"),
+            F.concat(F.lit("s:"), "l_suppkey").alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    # node count as a broadcast scalar — no driver-side collect
+    tot = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(tot)).select(
+        "node", "deg", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(_ITERS):
+        contrib = edges.join(
+            ranks.withColumnRenamed("node", "a"), "a"
+        ).select(
+            F.col("b").alias("node"),
+            (F.col("rank") / F.col("deg")).cast(_DEC).alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            summed.join(deg, "node")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                "deg",
+                F.round(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.col("s").cast("double"),
+                    12,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "deg", "rank")

@@ -134,6 +134,7 @@ SUITES: dict[str, list[str]] = {
         "agg_pivot",
         "agg_string_concat",
         "agg_boolean",
+        "agg_percentile_exact",
     ],
     "suite_setops": [
         "set_union_all",
@@ -281,8 +282,10 @@ SUITES: dict[str, list[str]] = {
     "suite_analytics": [
         "events_funnel",
         "events_retention_cohort",
+        "events_sessionize",
         "profile_table",
         "mv_incremental_refresh",
+        "graph_pagerank",
     ],
 }
 

@@ -97,3 +97,33 @@ def test_decontaminate_broadcasts_benchmark_and_counts_add_up(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     n_train_total = d.filter(F.col("doc_id") % 37 != 0).count()
     assert sum(r["n_train"] for r in rows) == n_train_total
+
+
+def test_sessionize_single_window_shuffle(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import events_sessionize
+
+    df = events_sessionize(spark, sf_dir)
+    plan = _plan(df)
+    # lag-mark + running sum must share one sort+shuffle, not two
+    assert _nodes(plan, "Window") <= 2
+    assert _nodes(plan, "Sort") <= 2
+    rows = df.limit(2000).collect()
+    assert all(r["duration_sec"] >= 0 and r["n_events"] >= 1 for r in rows)
+    # session ids are dense per user starting at 1
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r["session_idx"])
+    for idxs in per_user.values():
+        assert min(idxs) >= 1
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.graph import graph_pagerank
+
+    rows = graph_pagerank(spark, sf_dir).collect()
+    total = sum(r["rank"] for r in rows)
+    # damped PageRank over a dangling-free graph preserves unit mass
+    assert abs(total - 1.0) < 1e-6, total
+    assert all(r["rank"] > 0 for r in rows)
