@@ -385,3 +385,147 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 6).alias("p99_price"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+#: minimum co-occurrence count for a pair to surface.
+_BASKET_MIN_SUPPORT = 3
+
+
+@query(
+    "basket_copurchase",
+    oracle=f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM basket),
+part_cnt AS (
+  SELECT l_partkey, count(*)::BIGINT AS n_part FROM basket GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*)::BIGINT AS n_co
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p1, p2, n_co,
+       round(n_co * (SELECT n_orders FROM n)
+             / (CAST(ca.n_part AS DOUBLE) * cb.n_part), 6) AS lift
+FROM pairs
+JOIN part_cnt ca ON ca.l_partkey = p1
+JOIN part_cnt cb ON cb.l_partkey = p2
+WHERE n_co >= {_BASKET_MIN_SUPPORT}
+""",
+)
+def basket_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase mining: part pairs appearing in the
+    same order at least {min_support} times, with lift.
+
+    The pair join is an EQUI-join on the basket key (order), so the
+    quadratic blowup is bounded by basket size (~7 lines/order),
+    never corpus size — per-key quadratic with small keys is the one
+    shape where pair enumeration survives 100 TB. Part-frequency
+    tables join back for lift; at scale those are broadcast-sized
+    relative to the pair relation.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.count_distinct("l_orderkey").cast("long").alias("n_orders"))
+    part_cnt = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_part")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= _BASKET_MIN_SUPPORT)
+    )
+    ca = part_cnt.select(F.col("l_partkey").alias("p1"), F.col("n_part").alias("na"))
+    cb = part_cnt.select(F.col("l_partkey").alias("p2"), F.col("n_part").alias("nb"))
+    return (
+        pairs.join(ca, "p1")
+        .join(cb, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "n_co",
+            F.round(
+                F.col("n_co") * F.col("n_orders")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "events_anomaly_days",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         count(*)::BIGINT  AS n_days,
+         sum(n)::BIGINT    AS sum_n,
+         sum(n * n)::BIGINT AS sum_n2
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n,
+       round((d.n - CAST(s.sum_n AS DOUBLE) / s.n_days)
+             / sqrt((CAST(s.sum_n2 AS DOUBLE)
+                     - CAST(s.sum_n AS DOUBLE) * s.sum_n / s.n_days)
+                    / (s.n_days - 1)), 6) AS zscore,
+       abs(round((d.n - CAST(s.sum_n AS DOUBLE) / s.n_days)
+             / sqrt((CAST(s.sum_n2 AS DOUBLE)
+                     - CAST(s.sum_n AS DOUBLE) * s.sum_n / s.n_days)
+                    / (s.n_days - 1)), 6)) > 2.0 AS is_anomaly
+FROM daily d JOIN stats s USING (event_type)
+""",
+)
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume anomaly detection per event type: z-score of each
+    day's count against the type's mean/std, |z| > 2 flagged.
+
+    Variance is derived from INTEGER sums (count, sum, sum-of-squares
+    are exact BIGINTs), so mean/std/z are identical doubles on every
+    engine and partition order — no stddev_samp whose merge order
+    could wiggle the last bits. One shuffle to daily counts; the
+    5-row stats table broadcasts back. The flag compares the ROUNDED
+    z-score so the boolean can never disagree with the reported value.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_n2"),
+    )
+    mean = F.col("sum_n").cast("double") / F.col("n_days")
+    var = (
+        F.col("sum_n2").cast("double")
+        - F.col("sum_n").cast("double") * F.col("sum_n") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    z = F.round((F.col("n") - mean) / F.sqrt(var), 6)
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        z.alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )

@@ -203,6 +203,7 @@ SUITES: dict[str, list[str]] = {
         "ts_resample_gapfill",
         "stream_interval_join",
         "stream_exec_tumbling",
+        "stream_exec_session",
     ],
     "suite_dedup": [
         "dedup_exact",
@@ -286,6 +287,8 @@ SUITES: dict[str, list[str]] = {
         "profile_table",
         "mv_incremental_refresh",
         "graph_pagerank",
+        "basket_copurchase",
+        "events_anomaly_days",
     ],
 }
 

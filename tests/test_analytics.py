@@ -127,3 +127,34 @@ def test_pagerank_mass_conserved(spark, sf_dir):
     # damped PageRank over a dangling-free graph preserves unit mass
     assert abs(total - 1.0) < 1e-6, total
     assert all(r["rank"] > 0 for r in rows)
+
+
+def test_basket_pair_join_is_per_order(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import basket_copurchase
+
+    df = basket_copurchase(spark, sf_dir)
+    plan = _plan(df)
+    # the pair enumeration must be an equi-join on the basket key —
+    # never a cartesian over parts. (The one BroadcastNestedLoopJoin
+    # allowed is the 1-row n_orders scalar crossJoin.)
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert (
+        _nodes(plan, "SortMergeJoin") + _nodes(plan, "ShuffledHashJoin")
+        + _nodes(plan, "BroadcastHashJoin") >= 3
+    ), "pair join + two lift joins must be hash/merge equi-joins"
+    rows = df.limit(500).collect()
+    for r in rows:
+        assert r["p1"] < r["p2"] and r["n_co"] >= 3 and r["lift"] > 0
+
+
+def test_anomaly_zscores_center(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import events_anomaly_days
+
+    rows = events_anomaly_days(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["zscore"])
+        assert r["is_anomaly"] == (abs(r["zscore"]) > 2.0)
+    for zs in by_type.values():
+        assert abs(sum(zs)) < 1e-3 * len(zs)  # z-scores sum to ~0
