@@ -529,3 +529,110 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+WITH m AS (
+  SELECT *, CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events
+),
+matched AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(click_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+  FROM m
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN ts - prev_click_ts <= INTERVAL '30 minutes'
+            THEN prev_click_ts END AS prev_click_ts,
+       (prev_click_ts IS NOT NULL
+        AND ts - prev_click_ts <= INTERVAL '30 minutes') AS attributed
+FROM matched
+WHERE event_type = 'purchase'
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas ``merge_asof``
+    ``tolerance=`` semantics): each purchase matches the latest
+    strictly-earlier click by the same user ONLY if it happened within
+    30 minutes — stale matches null out, and `attributed` carries the
+    attribution verdict.
+
+    Same single-pass conditional last_value window as `join_asof`
+    (one shuffle on user_id, no build side); the tolerance is a
+    post-window expression, so the plan cost is identical to the
+    unbounded variant. Gap compared in exact microseconds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "click_ts", F.when(F.col("event_type") == "click", F.col("ts"))
+    )
+    asof = marked.withColumn(
+        "prev_raw", F.last("click_ts", ignorenulls=True).over(w)
+    ).filter(F.col("event_type") == "purchase")
+    within = F.expr(
+        "timestampdiff(MICROSECOND, prev_raw, ts) <= 30 * 60 * 1000000"
+    )
+    return asof.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("prev_raw")).alias("prev_click_ts"),
+        (F.col("prev_raw").isNotNull() & within).alias("attributed"),
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+cnt AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+         AS p_transition
+FROM cnt
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and row-normalized transition probabilities.
+
+    One lead window per user (single shuffle), a 25-key count agg,
+    and a per-from normalization window over the TINY transition
+    relation (k² rows) — sequence mining whose heavy pass touches the
+    log exactly once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    norm = W.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm).cast("double"), 6).alias(
+            "p_transition"
+        ),
+    )

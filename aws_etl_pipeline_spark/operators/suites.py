@@ -204,6 +204,7 @@ SUITES: dict[str, list[str]] = {
         "stream_interval_join",
         "stream_exec_tumbling",
         "stream_exec_session",
+        "stream_exec_sliding",
     ],
     "suite_dedup": [
         "dedup_exact",
@@ -289,6 +290,8 @@ SUITES: dict[str, list[str]] = {
         "graph_pagerank",
         "basket_copurchase",
         "events_anomaly_days",
+        "events_transition_matrix",
+        "join_asof_tolerance",
     ],
 }
 

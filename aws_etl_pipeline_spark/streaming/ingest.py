@@ -266,3 +266,74 @@ def stream_exec_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(qname)
+
+
+@query(
+    "stream_exec_sliding",
+    oracle="""
+WITH slid AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - (k.k * INTERVAL '5 minutes')
+           AS window_start,
+         value
+  FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+)
+SELECT window_start,
+       window_start + INTERVAL '10 minutes'               AS window_end,
+       count(*)::BIGINT                                   AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)  AS total
+FROM slid
+GROUP BY 1, 2
+""",
+)
+def stream_exec_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming SLIDING-window execution (10-minute
+    windows every 5 minutes): each event lands in two overlapping
+    window states that accumulate across the four replayed
+    micro-batches. Completes the real-execution trio with
+    `stream_exec_tumbling` and `stream_exec_session`; complete-mode
+    drain must hash-equal the batch self-join oracle."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators.relational import dsum
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_streamexec_{key}")
+    marker = os.path.join(stage_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+    schema = spark.read.parquet(stage_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            "total",
+        )
+    )
+    qname = f"streamexec_slide_{key}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)

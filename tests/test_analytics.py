@@ -158,3 +158,30 @@ def test_anomaly_zscores_center(spark, sf_dir):
         assert r["is_anomaly"] == (abs(r["zscore"]) > 2.0)
     for zs in by_type.values():
         assert abs(sum(zs)) < 1e-3 * len(zs)  # z-scores sum to ~0
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import join_asof_tolerance
+
+    rows = join_asof_tolerance(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["prev_click_ts"] is not None:
+            gap = (r["ts"] - r["prev_click_ts"]).total_seconds()
+            assert 0 <= gap <= 1800
+            assert r["attributed"] is True
+        else:
+            assert r["attributed"] is False
+
+
+def test_transition_probabilities_sum_to_one(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import events_transition_matrix
+
+    rows = events_transition_matrix(spark, sf_dir).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], 0.0)
+        by_from[r["from_type"]] += r["p_transition"]
+        assert r["n"] >= 1
+    for s in by_from.values():
+        assert abs(s - 1.0) < 1e-4, s
