@@ -205,6 +205,7 @@ SUITES: dict[str, list[str]] = {
         "stream_exec_tumbling",
         "stream_exec_session",
         "stream_exec_sliding",
+        "stream_exec_upsert",
     ],
     "suite_dedup": [
         "dedup_exact",

@@ -337,3 +337,114 @@ def stream_exec_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(qname)
+
+
+@query(
+    "stream_exec_upsert",
+    oracle="""
+SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+""",
+)
+def stream_exec_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming-CDC materialization: the replayed event stream
+    drives ``foreachBatch``, and every micro-batch MERGEs its per-key
+    latest rows into a parquet target table (reduce batch -> full-outer
+    merge with the running target -> atomic swap) — the
+    readStream → foreachBatch → upsert-sink pipeline the reference's
+    Redshift loader approximates (`lambda_function.py:176-271`),
+    executed incrementally.
+
+    The final target is the per-user LATEST event (ties by event_id),
+    which is batching-invariant — merging per-batch winners is
+    associative — so the materialized table must hash-equal the batch
+    QUALIFY oracle no matter how the four micro-batches split the log.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_streamexec_{key}")
+    marker = os.path.join(stage_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+    schema = spark.read.parquet(stage_dir).schema
+
+    target_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_streamupsert_{key}"
+    )
+    shutil.rmtree(target_dir, ignore_errors=True)
+
+    def latest_per_user(df):
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_type"),
+                F.col("value").alias("last_value"),
+                "event_id",
+            )
+        )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        incoming = latest_per_user(batch_df)
+        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+            tgt = s.read.parquet(target_dir)
+            # keep the later of (existing, incoming) per key: union the
+            # two winner sets and re-reduce — associative, so the final
+            # state is independent of the batch split.
+            merged = (
+                tgt.unionByName(incoming)
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        W.partitionBy("user_id").orderBy(
+                            F.col("last_ts").desc(), F.col("event_id").desc()
+                        )
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = incoming
+        tmp = target_dir + f".next{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target_dir + f".old{batch_id}"
+        if os.path.exists(target_dir):
+            os.rename(target_dir, old)
+        os.rename(tmp, target_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target_dir).select(
+        "user_id", "last_ts", "last_type", "last_value"
+    )
