@@ -297,29 +297,68 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_mllib")
+MLLIB_DUP_TAU = 0.2  # exact target set: same-lang pairs with jaccard >= 0.2
+MLLIB_RECALL_TOL = 0.8  # measured MinHashLSH recall at tau=0.2: 1.0 (sf0.01 and sf0.1)
+
+
+@query(
+    "dedup_minhash_mllib",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct({_SHINGLES_SQL.strip()}) AS sh
+  FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws
+        FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         AS jaccard,
+       true AS recall_ok
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {MLLIB_DUP_TAU}
+""",
+)
 def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib's MinHashLSH over HashingTF shingle vectors (seeded) —
-    the library twin of dedup_minhash_lsh (rows-only: MLlib's hash
-    family is JVM-seeded, not SQL-reproducible; the md5 variant is the
-    oracle-verified one). Kept to document the drop-in MLlib path:
-    approxSimilarityJoin(threshold) ~ the banded candidate join."""
+    """MLlib's MinHashLSH over HashingTF shingle vectors with a
+    recall-tolerance verdict (MLlib's hash family is JVM-seeded, not
+    SQL-reproducible; the md5 variant is the hash-exact one): the
+    query emits the EXACT near-dup pairs (same-lang shingle Jaccard
+    >= 0.2 — strong pairs, where 4-table OR-amplification recall is
+    1-(1-s)^4 >= 0.59 theoretically, 1.0 measured) plus a boolean
+    ``recall_ok`` = fraction of exact pairs surfaced by MLlib
+    ``approxSimilarityJoin`` >= 0.8. The oracle returns the same
+    exact pairs and literal true, so a candidate-generation
+    regression in the MLlib path flips the hash."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    from ..api import jaccard_pairs
+
     d = load_spread(spark, sf_dir, "documents")
+    exact = jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=MLLIB_DUP_TAU)
+
     t = d.select("doc_id", _shingles_spark(_words()).alias("sh"))
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(t).filter(F.expr("size(sh) > 0"))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.95, distCol="jaccard_dist")
-    return pairs.filter(
-        F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
-    ).select(
-        F.col("datasetA.doc_id").alias("doc_a"),
-        F.col("datasetB.doc_id").alias("doc_b"),
-        F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+    found = (
+        model.approxSimilarityJoin(feats, feats, 0.95, distCol="jaccard_dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.lit(1).alias("hit"),
+        )
     )
+    recall = exact.join(found, ["doc_a", "doc_b"], "left").agg(
+        (
+            F.coalesce(F.sum("hit").cast("double") / F.count(F.lit(1)), F.lit(1.0))
+            >= MLLIB_RECALL_TOL
+        ).alias("recall_ok")
+    )
+    return exact.crossJoin(F.broadcast(recall))
 
 
 @query(

@@ -369,43 +369,115 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_brp_lsh_mllib")
-def sim_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib BucketedRandomProjectionLSH ANN (seeded) — the library twin
-    of sim_lsh_ann (rows-only: JVM-seeded projections aren't SQL-
-    reproducible). Fully distributed: one ``approxSimilarityJoin``
-    between the query set and the corpus (bucket-colocated candidate
-    pairs, no driver-side loop — same shape as dedup_minhash_mllib),
-    then a per-query top-3 window on euclidean distance. Scales with
-    candidate-pair density, not n_queries x corpus."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.linalg import Vectors, VectorUDT
+BRP_RECALL_TOL = 0.8  # measured overall recall@3: 0.933 (sf0.01), 0.967 (sf0.1)
 
-    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
-    e = load_spread(spark, sf_dir, "embeddings").select(
-        "vec_id", to_vec(_as_double("embedding")).alias("features")
+
+@query(
+    "sim_brp_lsh_mllib",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e
+),
+q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+c AS (SELECT * FROM n WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(sqrt(q.sq + c.sq - 2 * list_dot_product(q.v, c.v)), 6)
+           AS euclidean_dist
+  FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, euclidean_dist, true AS recall_ok FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY euclidean_dist, neighbor_id) <= 3
+""",
+)
+def sim_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH ANN with a recall-tolerance
+    verdict (the pattern that made the approx aggregates driver-
+    verifiable): the JVM-seeded projections aren't SQL-reproducible,
+    so the query emits the EXACT euclidean top-3 per query (engine-
+    reproducible: same sumsq/dot fold on both sides) plus a boolean
+    ``recall_ok`` = MLlib ANN overall recall@3 >= 0.8 (measured
+    0.93-0.97). The oracle returns the same exact top-3 and literal
+    true — an MLlib recall regression flips the hash.
+
+    Fully distributed: one ``approxSimilarityJoin`` between the query
+    set and the corpus (bucket-colocated candidate pairs, no
+    driver-side loop), per-query top-3 window, then a broadcast join
+    of the exact top-3 against the ANN hits for the recall scalar.
+    Scales with candidate-pair density, not n_queries x corpus."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    base = load_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
     )
-    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
-    queries_ = e.filter(F.col("vec_id") < N_QUERIES)
+    sumsq = F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    n = base.select("vec_id", "v", sumsq.alias("sq"))
+    q_ = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("sq").alias("qsq"),
+    )
+    c_ = n.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("sq").alias("csq"),
+    )
+    dist = F.round(
+        F.sqrt(
+            F.col("qsq") + F.col("csq") - F.lit(2.0) * _dot(F.col("qv"), F.col("cv"))
+        ),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("euclidean_dist"), F.asc("neighbor_id"))
+    exact = (
+        F.broadcast(q_)
+        .crossJoin(c_)
+        .select("query_id", "neighbor_id", dist.alias("euclidean_dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+    vec = base.select("vec_id", array_to_vector("v").alias("features"))
+    corpus = vec.filter(F.col("vec_id") >= N_QUERIES)
+    queries_ = vec.filter(F.col("vec_id") < N_QUERIES)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
     )
     model = lsh.fit(corpus)
-    pairs = model.approxSimilarityJoin(
+    ann = model.approxSimilarityJoin(
         queries_, corpus, threshold=float("inf"), distCol="distCol"
     ).select(
         F.col("datasetA.vec_id").alias("query_id"),
         F.col("datasetB.vec_id").alias("neighbor_id"),
-        F.round("distCol", 6).alias("euclidean_dist"),
+        F.col("distCol").alias("d"),
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.asc("euclidean_dist"), F.asc("neighbor_id")
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
+    wa = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    ann3 = (
+        ann.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id", "euclidean_dist")
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     )
+    recall = (
+        exact.join(ann3, ["query_id", "neighbor_id"], "left")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum("hit").cast("double") / F.count(F.lit(1)), F.lit(1.0)
+                )
+                >= BRP_RECALL_TOL
+            ).alias("recall_ok")
+        )
+    )
+    return exact.crossJoin(F.broadcast(recall))
 
 
 RANGE_TAU = 0.15  # synthetic embeddings are near-orthogonal (same-bucket max ~0.25);

@@ -486,13 +486,13 @@ stats AS (
 )
 SELECT d.event_type, d.day, d.n,
        round((d.n - CAST(s.sum_n AS DOUBLE) / s.n_days)
-             / sqrt((CAST(s.sum_n2 AS DOUBLE)
+             / nullif(sqrt((CAST(s.sum_n2 AS DOUBLE)
                      - CAST(s.sum_n AS DOUBLE) * s.sum_n / s.n_days)
-                    / (s.n_days - 1)), 6) AS zscore,
+                    / nullif(s.n_days - 1, 0)), 0), 6) AS zscore,
        abs(round((d.n - CAST(s.sum_n AS DOUBLE) / s.n_days)
-             / sqrt((CAST(s.sum_n2 AS DOUBLE)
+             / nullif(sqrt((CAST(s.sum_n2 AS DOUBLE)
                      - CAST(s.sum_n AS DOUBLE) * s.sum_n / s.n_days)
-                    / (s.n_days - 1)), 6)) > 2.0 AS is_anomaly
+                    / nullif(s.n_days - 1, 0)), 0), 6)) > 2.0 AS is_anomaly
 FROM daily d JOIN stats s USING (event_type)
 """,
 )
@@ -517,11 +517,14 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_n2"),
     )
     mean = F.col("sum_n").cast("double") / F.col("n_days")
+    # nullif guards: a type seen on one day (n_days-1 == 0) or with
+    # zero variance must yield NULL z on BOTH engines — unguarded,
+    # Spark's double division and DuckDB's IEEE ops disagree here.
     var = (
         F.col("sum_n2").cast("double")
         - F.col("sum_n").cast("double") * F.col("sum_n") / F.col("n_days")
-    ) / (F.col("n_days") - 1)
-    z = F.round((F.col("n") - mean) / F.sqrt(var), 6)
+    ) / F.nullif((F.col("n_days") - 1).cast("double"), F.lit(0.0))
+    z = F.round((F.col("n") - mean) / F.nullif(F.sqrt(var), F.lit(0.0)), 6)
     return daily.join(F.broadcast(stats), "event_type").select(
         "event_type",
         "day",

@@ -76,19 +76,22 @@ PRIORITY: tuple[str, ...] = (
     "agg_approx_quantile",
     "sort_multi_nulls",
     "limit_topk",
-    "window_ranking",
     "sql_cte_chain",
-    "fn_predicates",
     "scan_partition_pruned",
+    # (window_ranking / fn_predicates are digest-covered by
+    # suite_window / suite_fn_scalar; their slots went to the two
+    # MLlib recall-tolerance rows below, the round-2 rows-only gap)
     # real incremental streaming execution (stream_tumbling_window, its
     # batch twin, is digest-covered by suite_streaming)
     "stream_exec_tumbling",
     # LLM-pipeline flagships
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_mllib",
     "dedup_connected_components",
     "sim_bruteforce_topk",
     "sim_lsh_ann",
+    "sim_brp_lsh_mllib",
     "text_stats",
     "corpus_curation_pipeline",
     "multimodal_features",
@@ -115,9 +118,9 @@ PRIORITY: tuple[str, ...] = (
     "suite_tpch",
     "suite_etl_misc",
     "suite_analytics",
-    # depth within remaining budget
-    "q7_nation_volume",
-    "q18_large_volume_customer",
+    # (q7/q18 deliberately NOT in the priority block: suite_tpch
+    # digest-covers all 20 extra TPC-H shapes; tests pin len <= 50
+    # so nothing silently falls off the driver's budget again)
 )
 
 

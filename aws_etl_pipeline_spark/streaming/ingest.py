@@ -68,6 +68,40 @@ def run_pipeline_available_now(
 from ..registry import query
 
 
+def _stage_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage the events table as four parquet files for one-file-per-
+    micro-batch replay. Keyed on the testdata CONTENT fingerprint
+    (``_sf_fingerprint``: path + per-file size/mtime), not just the
+    path, so regenerated testdata at the same path gets a fresh stage
+    instead of silently replaying stale files against a fresh oracle —
+    same staleness guard the batch scan fixtures use."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+    from ..sources.scans import _sf_fingerprint
+
+    key = _sf_fingerprint(sf_dir)
+    stage_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_streamexec_{key}")
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+    return stage_dir, key
+
+
+def _drain(q: StreamingQuery, timeout_s: int = 300) -> None:
+    """Block until the availableNow drain finishes; a hung stream must
+    FAIL loudly, not fall through to reading a partial sink."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish within {timeout_s}s"
+        )
+
+
 @query("stream_file_ingest")
 def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R19 end-to-end as a named query (rows-only: Structured Streaming
@@ -92,7 +126,7 @@ def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).option("header", True).csv(in_dir)
     qname = f"ingest_{key}"
     q = run_pipeline_available_now(spark, in_dir, query_name=qname)
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(qname)
 
 
@@ -137,24 +171,11 @@ def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the final state independent of the micro-batch split, so the
     streaming result must hash-equal the batch oracle — verifying the
     incremental-state path itself, not just the plan's batch twin."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    from ..catalog import load_table
     from ..operators.relational import dsum
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stage_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_streamexec_{key}")
-    marker = os.path.join(stage_dir, "_SUCCESS")
-    if not os.path.exists(marker):
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(stage_dir)
+    stage_dir, key = _stage_events(spark, sf_dir)
     schema = spark.read.parquet(stage_dir).schema
 
     stream = (
@@ -181,7 +202,7 @@ def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(qname)
 
 
@@ -189,7 +210,7 @@ def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_exec_session",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL '30 minutes'
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -198,7 +219,7 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
@@ -220,24 +241,11 @@ def stream_exec_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the batch islands oracle. Complete-mode memory sink makes
     the final state split-independent, exactly like
     `stream_exec_tumbling`."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    from ..catalog import load_table
     from ..operators.relational import dsum
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stage_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_streamexec_{key}")
-    marker = os.path.join(stage_dir, "_SUCCESS")
-    if not os.path.exists(marker):
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(stage_dir)
+    stage_dir, key = _stage_events(spark, sf_dir)
     schema = spark.read.parquet(stage_dir).schema
 
     stream = (
@@ -264,7 +272,7 @@ def stream_exec_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(qname)
 
 
@@ -292,24 +300,11 @@ def stream_exec_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches. Completes the real-execution trio with
     `stream_exec_tumbling` and `stream_exec_session`; complete-mode
     drain must hash-equal the batch self-join oracle."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    from ..catalog import load_table
     from ..operators.relational import dsum
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stage_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_streamexec_{key}")
-    marker = os.path.join(stage_dir, "_SUCCESS")
-    if not os.path.exists(marker):
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(stage_dir)
+    stage_dir, key = _stage_events(spark, sf_dir)
     schema = spark.read.parquet(stage_dir).schema
 
     stream = (
@@ -335,7 +330,7 @@ def stream_exec_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(qname)
 
 
@@ -362,7 +357,6 @@ def stream_exec_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative — so the materialized table must hash-equal the batch
     QUALIFY oracle no matter how the four micro-batches split the log.
     """
-    import hashlib
     import os
     import shutil
     import tempfile
@@ -370,16 +364,7 @@ def stream_exec_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    from ..catalog import load_table
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stage_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_streamexec_{key}")
-    marker = os.path.join(stage_dir, "_SUCCESS")
-    if not os.path.exists(marker):
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(stage_dir)
+    stage_dir, key = _stage_events(spark, sf_dir)
     schema = spark.read.parquet(stage_dir).schema
 
     target_dir = os.path.join(
@@ -444,7 +429,7 @@ def stream_exec_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(target_dir).select(
         "user_id", "last_ts", "last_type", "last_value"
     )
