@@ -3,10 +3,14 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once after a warm-up action on the session; the
-timed region covers plan + execution to a count() sink (results are
-not collected to the driver — we measure engine throughput, not
-driver serialization).
+Protocol (round 3, variance-aware — round 2's best-of-2 let run-order
+noise masquerade as >2x regressions): fixed query order (HEADLINE),
+one recorded warm-up pass, then REPS (default 5) timed passes per
+query; the reported number is the MEDIAN, with the per-query spread
+(min..max) on stderr and in the JSON under "spread" so a noisy
+measurement is visibly noisy. The timed region covers plan + execution
+to a count() sink (results are not collected to the driver — we
+measure engine throughput, not driver serialization).
 """
 
 from __future__ import annotations
@@ -66,34 +70,45 @@ HEADLINE = [
 WARMUP_SF = "/root/testdata/sf0.001"
 
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+
+
 def main() -> None:
     sf_dir = SF_DIR
     queries = all_queries()
     spark = get_spark("bench")
     # warm-up: JVM, parquet footers, shuffle machinery, and each plan's
     # whole-stage-codegen compilation (run once at the smallest SF so
-    # the timed sf run measures engine throughput, not JIT latency)
+    # the timed sf run measures engine throughput, not JIT latency).
+    # The warm-up wall clock is RECORDED in the output so a run whose
+    # JIT/page-cache state differed is distinguishable after the fact.
+    t_w = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for name in HEADLINE:
         try:
             queries[name].fn(spark, WARMUP_SF).count()
         except Exception as e:  # warmup is best-effort
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
+    warmup_sec = round(time.time() - t_w, 3)
 
-    # best-of-2 per query: a second pass costs ~25 s total and removes
-    # most of the run-to-run noise (GC pauses, page-cache state) that
-    # otherwise swamps real regressions in the recorded number
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         q = queries[name]
-        best, n = float("inf"), 0
-        for _ in range(2):
+        samples, n = [], 0
+        for _ in range(REPS):
             t0 = time.time()
             df = q.fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
+        print(
+            f"# {name}: median {timings[name]}s "
+            f"[{spread[name][0]}..{spread[name][1]}] ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -109,6 +124,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": REPS,
+                "stat": "median",
+                "warmup_sec": warmup_sec,
+                "spread": spread,
             }
         )
     )
