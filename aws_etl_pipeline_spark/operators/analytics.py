@@ -427,10 +427,15 @@ def basket_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables join back for lift; at scale those are broadcast-sized
     relative to the pair relation.
     """
+    # persist: the distinct basket relation feeds FOUR consumers (order
+    # count, part frequencies, both self-join sides); without it Spark
+    # recomputes the 2-column distinct shuffle per consumer — invisible
+    # at sf0.1, the dominant cost at the 100x replica (SCALING.md).
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .persist()
     )
     n = li.agg(F.count_distinct("l_orderkey").cast("long").alias("n_orders"))
     part_cnt = li.groupBy("l_partkey").agg(

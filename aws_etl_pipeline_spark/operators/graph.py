@@ -84,10 +84,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # persist both relations every round reuses: without it each of the
+    # 3 iterations (plus deg/tot) re-runs the lineitem⋈orders build —
+    # a ~7x hidden recompute that turned the 100x replica run from
+    # ~linear into a stall (SCALING.md). Iterative DataFrame loops must
+    # pin their invariant inputs; rank state itself stays unpersisted
+    # (each round's plan is shallow once edges/deg are materialized).
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
     deg = edges.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
-    )
+    ).persist()
     # node count as a broadcast scalar — no driver-side collect
     tot = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = deg.crossJoin(F.broadcast(tot)).select(
