@@ -219,10 +219,11 @@ def merge_into_jdbc(
     bulk-load the batch into a staging table with the parallel JDBC
     writer, then run ONE set-based MERGE on the warehouse side.
 
-    Guarded like the Delta path: this container ships no JDBC driver,
-    so the function raises a clear RuntimeError when the driver or the
-    java.sql connection is unavailable; the SQL-building half
-    (staging_merge_sql) is pure and unit-tested."""
+    Executed end-to-end in tests/test_jdbc_merge.py against the
+    Derby database bundled in Spark's jars (embedded, ACID, MERGE INTO
+    since 10.11): staging load, MERGE, idempotent replay, and the
+    reference's partial-update-cols conflict policy. Raises a clear
+    RuntimeError if no JDBC driver can serve the URL."""
     staging = f"{table}_staging"
     props = dict(properties or {})
     try:
