@@ -406,6 +406,66 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+WITH dirty AS (
+  SELECT p_partkey AS dirty_id, replace(p_name, 'a', '@') AS dirty_name
+  FROM part WHERE p_partkey % 7 = 0
+),
+cand AS (
+  SELECT d.dirty_id, p.p_partkey,
+         levenshtein(d.dirty_name, p.p_name)::BIGINT AS lev
+  FROM dirty d JOIN part p
+    ON length(d.dirty_name) = length(p.p_name)
+   AND replace(substr(d.dirty_name, 1, 8), '@', 'a')
+       = replace(substr(p.p_name, 1, 8), '@', 'a')
+  WHERE levenshtein(d.dirty_name, p.p_name) <= 10
+)
+SELECT dirty_id, p_partkey AS matched_partkey, lev
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY dirty_id ORDER BY lev, p_partkey) = 1
+""",
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (entity-resolution) join: a deterministically
+    perturbed copy of ``part`` ('a' -> '@', the classic dirty-feed
+    typo) is matched back to the clean table by edit distance.
+
+    The scale shape matters more than the metric: candidate pairs come
+    from an EQUI-join on cheap blocking keys — exact length plus an
+    accent/typo-folded 8-char prefix — so Spark hash-joins on the
+    block key and `levenshtein` runs only inside blocks. All-pairs
+    n² comparison never happens; at 100 TB the cost tracks block
+    sizes (bounded by name-length cardinality), the same
+    candidate-generation discipline as the MinHash/LSH dedup tier
+    (`llm/dedup.py`). Best match per dirty row via (lev, key)
+    ranking; both engines implement identical blocking, so the oracle
+    is exact."""
+    p = load_table(spark, sf_dir, "part")
+    fold = lambda c: F.translate(F.substring(c, 1, 8), "@", "a")  # noqa: E731
+    dirty = p.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.translate("p_name", "a", "@").alias("dirty_name"),
+    )
+    clean = p.select("p_partkey", "p_name")
+    cand = (
+        dirty.join(
+            clean,
+            (F.length("dirty_name") == F.length("p_name"))
+            & (fold(F.col("dirty_name")) == fold(F.col("p_name"))),
+        )
+        .withColumn("lev", F.levenshtein("dirty_name", "p_name").cast("long"))
+        .filter(F.col("lev") <= 10)
+    )
+    w = W.partitionBy("dirty_id").orderBy("lev", "p_partkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("dirty_id", F.col("p_partkey").alias("matched_partkey"), "lev")
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregation variants
 # --------------------------------------------------------------------------
