@@ -124,6 +124,7 @@ SUITES: dict[str, list[str]] = {
         "join_theta_nonequi",
         "join_range_interval",
         "join_skew_salted",
+        "join_fuzzy_blocked",
     ],
     "suite_agg": [
         "agg_rollup",

@@ -236,3 +236,40 @@ def test_tfidf_single_word_shuffle(spark, sf_dir):
     plan = _plan(df)
     assert _nodes(plan, "Generate") == 1, f"word stream exploded more than once:\n{plan}"
     assert _nodes(plan, "Scan parquet") <= 2, plan
+
+
+def test_fuzzy_join_is_blocked_hash_join(spark, sf_dir):
+    # join_fuzzy_blocked's 100 TB contract: candidate pairs come from a
+    # HASH equi-join on cheap blocking keys (length + typo-folded
+    # prefix); levenshtein runs only inside blocks. An all-pairs
+    # nested-loop would be quadratic in the corpus and is forbidden.
+    from aws_etl_pipeline_spark.operators.relational import join_fuzzy_blocked
+
+    df = join_fuzzy_blocked(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert not python_eval_nodes(df), "levenshtein must stay JVM-side"
+
+    rows = df.collect()
+    assert rows, "perturbed copies must find matches"
+    by_id = {r.dirty_id: r for r in rows}
+    assert len(by_id) == len(rows), "one best match per dirty row"
+    for r in rows:
+        assert r.dirty_id % 7 == 0
+        assert 0 <= r.lev <= 10
+        # the dirty row's own clean twin is always a candidate (same
+        # length, same folded prefix), so the winner can never be
+        # farther than the self-edit distance (= count of 'a's).
+    names = {
+        p.p_partkey: p.p_name
+        for p in load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 7 == 0)
+        .select("p_partkey", "p_name")
+        .collect()
+    }
+    for r in rows:
+        self_dist = names[r.dirty_id].count("a")
+        if self_dist <= 10:
+            assert r.lev <= self_dist, (r, names[r.dirty_id])

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 181  # COVERAGE.md "181 named queries total"
-DOCUMENTED_GRANULAR = 162
+DOCUMENTED_TOTAL = 182  # COVERAGE.md "182 named queries total"
+DOCUMENTED_GRANULAR = 163
 DOCUMENTED_SUITES = 19
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -51,11 +51,12 @@ def test_documented_counts_match_registry():
 
 def test_priority_fits_driver_budget():
     """The correctness driver verifies ~50 rows; every PRIORITY entry
-    must get a verdict, so the block may never exceed 50. Slot layout:
-    7 §2A flagships, 13 §2B granular flagships, 1 real-streaming row,
-    10 LLM flagships (incl. both MLlib recall-tolerance rows), then
-    all 19 family digests — granular rows whose family digest already
-    covers them (window_ranking, fn_predicates, q7, q18) stay out."""
+    must get a verdict, so the block may never exceed 50. Slot layout
+    (round-4 rotation): 6 §2A flagships, 14 §2B granular flagships,
+    1 real-streaming row, 10 LLM flagships (incl. both MLlib
+    recall-tolerance rows), then all 19 family digests. Granular slots
+    rotate per round (see registry.PRIORITY's rotation policy); a slot
+    may only be vacated by a query whose family digest hash-covers it."""
     from aws_etl_pipeline_spark.registry import PRIORITY, all_queries
 
     qs = all_queries()
@@ -67,3 +68,43 @@ def test_priority_fits_driver_budget():
     # the round-2 zero-signal queries must now hold driver slots
     assert "dedup_minhash_mllib" in PRIORITY
     assert "sim_brp_lsh_mllib" in PRIORITY
+
+
+def test_every_query_is_driver_visible():
+    """The end-of-round pre-commit gate (round-3 verdict ask #2): a
+    registered query with neither a PRIORITY slot nor membership in a
+    family digest ships with zero driver evidence — exactly how
+    join_fuzzy_blocked went driver-invisible in round 3. Any such
+    query is a test failure, not a judge finding."""
+    from aws_etl_pipeline_spark.operators.suites import SUITES
+    from aws_etl_pipeline_spark.registry import PRIORITY, all_queries
+
+    digest_covered = {m for members in SUITES.values() for m in members}
+    invisible = [
+        n
+        for n in all_queries()
+        if not n.startswith("suite_")
+        and n not in PRIORITY
+        and n not in digest_covered
+    ]
+    assert invisible == [], (
+        f"driver-invisible queries (no PRIORITY slot, no digest): {invisible}"
+    )
+
+
+def test_rotated_out_slots_stay_digest_covered():
+    """A granular query may leave the PRIORITY block only if a suite
+    digest still hash-verifies it; rows-only queries (no oracle) can
+    never be digest members, so they must always hold direct slots."""
+    from aws_etl_pipeline_spark.operators.suites import SUITES
+    from aws_etl_pipeline_spark.registry import PRIORITY, all_queries
+
+    digest_covered = {m for members in SUITES.values() for m in members}
+    for name, q in all_queries().items():
+        if q.oracle is None and not name.startswith("suite_"):
+            assert name in PRIORITY, f"rows-only {name} must hold a direct slot"
+    # the round-4 rotation specifically
+    for rotated_out in ("sql_cte_chain", "scan_partition_pruned", "upsert_reference_policy"):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in ("q5_region_revenue", "window_ranking", "join_fuzzy_blocked"):
+        assert rotated_in in PRIORITY, rotated_in
