@@ -14,6 +14,7 @@ of the same batch is idempotent — verified in tests/test_upsert.py.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -107,6 +108,42 @@ def merge_into_parquet(source: DataFrame, path: str, key: str) -> None:
     merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
 
 
+def merge_into_delta(
+    source: DataFrame,
+    path: str,
+    key: str,
+    update_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Lakehouse execution path for R17: a real transactional
+    ``MERGE INTO`` against a Delta table (`lambda_function.py:224-260`
+    re-expressed as one set-based ACID merge instead of a per-row
+    ON CONFLICT loop). Mirrors `merge_into_jdbc`'s column policy:
+    matched rows take ``update_cols`` (all non-key source columns by
+    default), unmatched source rows are inserted whole.
+
+    Requires delta-spark (not in this container — the gated
+    tests/test_delta_merge.py executes this end-to-end, idempotent
+    replay included, wherever the package exists; here it skips)."""
+    if not _DELTA_AVAILABLE:
+        raise RuntimeError(
+            "delta-spark is not importable; merge_into_delta needs the "
+            "Delta Lake runtime (pip package delta-spark + its jars)"
+        )
+    spark = source.sparkSession
+    if not DeltaTable.isDeltaTable(spark, path):
+        source.write.format("delta").save(path)
+        return
+    update_cols = update_cols or tuple(c for c in source.columns if c != key)
+    tgt = DeltaTable.forPath(spark, path)
+    (
+        tgt.alias("t")
+        .merge(source.alias("s"), f"t.{key} = s.{key}")
+        .whenMatchedUpdate(set={c: f"s.{c}" for c in update_cols})
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
 @query(
     "upsert_merge",
     oracle="""
@@ -189,19 +226,34 @@ def upsert_reference_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------- JDBC warehouse
+def _qident(name: str) -> str:
+    """ANSI-quote an identifier (doubling embedded quotes)."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 def staging_merge_sql(table: str, staging: str, key: str, cols: list[str],
                       update_cols: tuple[str, ...] | None = None) -> str:
     """SQL executed against the warehouse after the staging load: a
     single set-based MERGE from the staging table — the scalable
     re-expression of the reference's row-at-a-time ``INSERT ... ON
     CONFLICT DO UPDATE`` loop (`lambda_function.py:224-260`; at 100 TB
-    the per-row round-trip is the bottleneck, one MERGE is not)."""
+    the per-row round-trip is the bottleneck, one MERGE is not).
+
+    Identifier case: Spark's JDBC writer QUOTES column names when it
+    creates the staging table, so staging columns keep the DataFrame's
+    exact case — on engines that fold unquoted identifiers to
+    uppercase (Derby, Oracle, DB2) an unquoted ``s.value`` would
+    resolve to ``S.VALUE`` and miss a quoted lowercase staging column.
+    Staging-side references are therefore quoted with the DataFrame's
+    case, while target-side references stay unquoted so they fold the
+    same way as a target created with unquoted DDL. ``key`` and
+    ``update_cols`` must use the DataFrame's column case."""
     update_cols = update_cols or tuple(c for c in cols if c != key)
-    sets = ", ".join(f"{c} = s.{c}" for c in update_cols)
+    sets = ", ".join(f"{c} = s.{_qident(c)}" for c in update_cols)
     collist = ", ".join(cols)
-    vals = ", ".join(f"s.{c}" for c in cols)
+    vals = ", ".join(f"s.{_qident(c)}" for c in cols)
     return (
-        f"MERGE INTO {table} t USING {staging} s ON t.{key} = s.{key} "
+        f"MERGE INTO {table} t USING {staging} s ON t.{key} = s.{_qident(key)} "
         f"WHEN MATCHED THEN UPDATE SET {sets} "
         f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})"
     )
@@ -221,30 +273,48 @@ def merge_into_jdbc(
 
     Executed end-to-end in tests/test_jdbc_merge.py against the
     Derby database bundled in Spark's jars (embedded, ACID, MERGE INTO
-    since 10.11): staging load, MERGE, idempotent replay, and the
-    reference's partial-update-cols conflict policy. Raises a clear
-    RuntimeError if no JDBC driver can serve the URL."""
-    staging = f"{table}_staging"
+    since 10.11): staging load, MERGE, idempotent replay, the
+    reference's partial-update-cols conflict policy, and lowercase
+    DataFrame columns against a case-folding target.
+
+    The staging table gets a per-call random suffix (no clobbering of
+    pre-existing tables, safe under concurrent batches) and is dropped
+    best-effort after the MERGE, success or failure. Failures are
+    phase-distinct: a staging-load error points at the driver/URL, a
+    MERGE error carries the warehouse's own SQL error."""
+    staging = f"{table}_staging_{uuid.uuid4().hex[:8]}"
     props = dict(properties or {})
     try:
-        source.write.jdbc(url=url, table=staging, mode="overwrite", properties=props)
-        jvm = source.sparkSession._jvm  # noqa: SLF001
-        jprops = jvm.java.util.Properties()
-        for k, v in props.items():
-            jprops.setProperty(k, v)
-        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
-        try:
-            stmt = conn.createStatement()
-            stmt.execute(
-                staging_merge_sql(table, staging, key, source.columns, update_cols)
-            )
-            stmt.close()
-        finally:
-            conn.close()
-    except Exception as e:  # pragma: no cover - no JDBC driver in image
+        source.write.jdbc(url=url, table=staging, mode="errorifexists", properties=props)
+    except Exception as e:
         raise RuntimeError(
-            f"JDBC merge into {table} at {url} failed (driver present?): {e}"
+            f"JDBC staging load into {staging} at {url} failed — is a JDBC "
+            f"driver for this URL on the classpath and the warehouse reachable? {e}"
         ) from e
+    jvm = source.sparkSession._jvm  # noqa: SLF001
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        jprops.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    try:
+        stmt = conn.createStatement()
+        try:
+            try:
+                stmt.execute(
+                    staging_merge_sql(table, staging, key, source.columns, update_cols)
+                )
+            except Exception as e:
+                raise RuntimeError(
+                    f"warehouse MERGE from {staging} into {table} failed: {e}"
+                ) from e
+        finally:
+            try:
+                stmt.execute(f"DROP TABLE {staging}")
+            except Exception:  # noqa: BLE001 — cleanup must not mask the MERGE error
+                pass
+            stmt.close()
+    finally:
+        conn.close()
 
 
 @query(

@@ -114,3 +114,53 @@ def test_merge_into_jdbc_partial_update_cols(spark, derby_url):
     rows = [tuple(r) for r in _read_table(spark, derby_url, "TXN2").collect()]
     # Matched row: AMOUNT refreshed, NOTE kept; new row inserted whole.
     assert rows == [(1, 9.0, "orig"), (2, 2.0, "inserted")]
+
+
+def _staging_tables(spark, url: str) -> list[str]:
+    return [
+        r.TABLENAME
+        for r in spark.read.jdbc(
+            url=url,
+            table="(SELECT TABLENAME FROM SYS.SYSTABLES "
+            "WHERE TABLENAME LIKE '%STAGING%') q",
+        ).collect()
+    ]
+
+
+def test_merge_into_jdbc_lowercase_columns(spark, derby_url):
+    # Derby folds unquoted identifiers to uppercase, but Spark's JDBC
+    # writer QUOTES column names when creating the staging table — so a
+    # lowercase DataFrame produces quoted-lowercase staging columns.
+    # staging_merge_sql must quote staging-side references (s."id") and
+    # leave target-side references unquoted so both resolve.
+    _exec(
+        spark,
+        derby_url,
+        "CREATE TABLE TXN3 (ID INT PRIMARY KEY, AMOUNT DOUBLE, "
+        "NOTE VARCHAR(32))",
+    )
+    _exec(spark, derby_url, "INSERT INTO TXN3 VALUES (1, 1.0, 'orig')")
+
+    source = spark.createDataFrame(
+        [(1, 11.0, "updated"), (2, 2.0, "inserted")],
+        "id INT, amount DOUBLE, note STRING",
+    )
+    merge_into_jdbc(source, derby_url, "TXN3", key="id")
+
+    rows = [tuple(r) for r in _read_table(spark, derby_url, "TXN3").collect()]
+    assert rows == [(1, 11.0, "updated"), (2, 2.0, "inserted")]
+
+
+def test_merge_into_jdbc_drops_staging(spark, derby_url):
+    # The staging table is transient: random-suffixed (no clobbering of
+    # user tables, concurrency-safe) and dropped after the MERGE.
+    _exec(spark, derby_url, "CREATE TABLE TXN4 (ID INT PRIMARY KEY, V DOUBLE)")
+    source = spark.createDataFrame([(1, 1.5)], "ID INT, V DOUBLE")
+    merge_into_jdbc(source, derby_url, "TXN4", key="ID")
+    assert _staging_tables(spark, derby_url) == []
+
+    # ...and dropped on MERGE failure too (bad key column -> the MERGE
+    # itself errors after a successful staging load).
+    with pytest.raises(RuntimeError, match="MERGE"):
+        merge_into_jdbc(source, derby_url, "TXN4", key="NO_SUCH_COL")
+    assert _staging_tables(spark, derby_url) == []

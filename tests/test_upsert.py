@@ -102,8 +102,10 @@ def test_staging_merge_sql_reference_policy():
         update_cols=("amount", "processed_timestamp"),
     )
     assert "MERGE INTO portfolio_transactions t" in sql
-    assert "amount = s.amount" in sql
-    assert "processed_timestamp = s.processed_timestamp" in sql
+    # staging-side references are quoted (Spark's JDBC writer quotes
+    # the staging columns it creates); target-side stay unquoted.
+    assert 'amount = s."amount"' in sql
+    assert 'processed_timestamp = s."processed_timestamp"' in sql
     update_clause = sql.split("UPDATE SET")[1].split("WHEN NOT MATCHED")[0]
     assert "transaction_id" not in update_clause  # key never updated
     assert "WHEN NOT MATCHED THEN INSERT" in sql
