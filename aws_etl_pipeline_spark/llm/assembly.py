@@ -214,3 +214,80 @@ def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(CHUNK), F.size("ws") - F.col("start")).cast("long").alias("n_tokens"),
         F.element_at("ws", F.col("start") + 1).alias("head_token"),
     )
+
+
+@query(
+    "mix_temperature",
+    oracle="""
+WITH s AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(string_split(lower(trim(text)), ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT source, n_docs, n_tokens,
+         n_docs / CAST(sum(n_docs) OVER () AS DOUBLE) AS p_raw,
+         sum(n_docs) OVER () AS total
+  FROM s
+),
+w AS (
+  SELECT *, sqrt(p_raw) AS wgt,
+         CAST(sum(CAST(sqrt(p_raw) AS DECIMAL(30, 18))) OVER () AS DOUBLE)
+           AS wgt_sum
+  FROM t
+)
+SELECT source, n_docs, n_tokens,
+       round(p_raw, 6) AS p_raw,
+       round(wgt / wgt_sum, 6) AS p_temp,
+       CAST(round(wgt / wgt_sum * total, 0) AS BIGINT) AS expected_docs
+FROM w
+""",
+)
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-LM sampling
+    scheme of mBERT/XLM-R/mT5: q_i = p_i^alpha / sum p_j^alpha with
+    alpha = 0.5): flattens the raw source distribution so low-resource
+    sources are up-sampled without letting any source dominate.
+    Returns, per source, the raw share, the temperature share, and the
+    expected document count an epoch at the mixed rate would draw.
+
+    One tiny aggregation: per-source counts (a broadcast-sized
+    relation at any corpus size — cardinality is the number of
+    SOURCES), then two window scalars over that relation. sqrt (not
+    pow(x, 0.5)) on both engines — Math.sqrt and C sqrt are both
+    IEEE correctly-rounded so the doubles match bit-for-bit; the
+    weight sum goes through DECIMAL so summation order cannot move
+    the last ulp."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(_tokens()).cast("long").alias("n_tokens"),
+    )
+    tot = W.partitionBy()
+    t = s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs") / F.sum("n_docs").over(tot).cast("double")).alias(
+            "p_raw"
+        ),
+        F.sum("n_docs").over(tot).alias("total"),
+    )
+    w = t.select(
+        "*",
+        F.sqrt("p_raw").alias("wgt"),
+        F.sum(F.sqrt("p_raw").cast("decimal(30,18)"))
+        .over(tot)
+        .cast("double")
+        .alias("wgt_sum"),
+    )
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round(F.col("wgt") / F.col("wgt_sum"), 6).alias("p_temp"),
+        F.round(F.col("wgt") / F.col("wgt_sum") * F.col("total"), 0)
+        .cast("long")
+        .alias("expected_docs"),
+    )

@@ -581,3 +581,91 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.join(heads, "term")
+
+
+@query(
+    "text_repetition",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+           FROM documents),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS bg
+  FROM t WHERE len(ws) >= 2
+),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+topc AS (SELECT doc_id, max(c)::BIGINT AS top_c FROM cnt GROUP BY 1),
+m AS (
+  SELECT t.doc_id,
+         len(ws)::BIGINT AS n_words,
+         round(1 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6)
+           AS dup_word_frac,
+         round(coalesce(top_c, 0)
+               / CAST(greatest(len(ws) - 1, 1) AS DOUBLE), 6)
+           AS top_bigram_frac
+  FROM t LEFT JOIN topc ON t.doc_id = topc.doc_id
+)
+SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
+       (dup_word_frac > 0.6 OR top_bigram_frac > 0.08) AS is_repetitive
+FROM m
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/MassiveText rep
+    signals, `arXiv:2112.11446` §A.1.1, adapted to word streams):
+    duplicate-word fraction (1 - distinct/total) and top-bigram
+    fraction (occurrences of the most frequent bigram over all
+    bigrams). Highly repetitive documents are boilerplate/spam and get
+    flagged for removal before pretraining.
+
+    Scale shape = text_tfidf's: the only shuffle is the exploded
+    (doc, bigram) stream hash-aggregated per doc — token-stream sized,
+    linear in corpus. Per-doc scalars (word counts, distinct counts)
+    stay expression-level inside the scan stage; the max-per-doc
+    reduction reuses the (doc_id, bigram) partitioning so AQE folds it
+    into a doc_id-local agg. Thresholds (0.6 dup-word, 0.08
+    top-bigram) are config in practice; fixed here so the flag is
+    oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("ws")
+    )
+    bg = (
+        base.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(ws[i - 1], ' ', ws[i]))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_c"))
+    )
+    m = (
+        base.join(bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            F.round(
+                F.lit(1)
+                - F.size(F.array_distinct("ws"))
+                / F.size("ws").cast("double"),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(F.col("top_c"), F.lit(0))
+                / F.greatest(F.size("ws") - 1, F.lit(1)).cast("double"),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return m.withColumn(
+        "is_repetitive",
+        (F.col("dup_word_frac") > 0.6) | (F.col("top_bigram_frac") > 0.08),
+    )

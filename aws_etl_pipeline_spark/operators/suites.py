@@ -239,6 +239,7 @@ SUITES: dict[str, list[str]] = {
         "text_unigram_logprob",
         "text_inverted_index",
         "decontaminate_ngram",
+        "text_repetition",
     ],
     "suite_multimodal": [
         "multimodal_features",
@@ -250,6 +251,7 @@ SUITES: dict[str, list[str]] = {
         "pack_token_budget",
         "sample_stratified",
         "mix_sources",
+        "mix_temperature",
         "chunk_context_windows",
     ],
     "suite_tpch": [
