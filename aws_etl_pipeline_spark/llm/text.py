@@ -619,51 +619,64 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams). Highly repetitive documents are boilerplate/spam and get
     flagged for removal before pretraining.
 
-    Scale shape = text_tfidf's: the only shuffle is the exploded
-    (doc, bigram) stream hash-aggregated per doc — token-stream sized,
-    linear in corpus. Per-doc scalars (word counts, distinct counts)
-    stay expression-level inside the scan stage; the max-per-doc
-    reduction reuses the (doc_id, bigram) partitioning so AQE folds it
-    into a doc_id-local agg. Thresholds (0.6 dup-word, 0.08
-    top-bigram) are config in practice; fixed here so the flag is
-    oracle-checkable."""
+    ZERO-shuffle scale shape: every signal is a per-row expression, so
+    the whole operator is a map over the scan — no exchange at any
+    corpus size (plan-asserted in test_plans.py). The top-bigram count
+    is computed inside the row as a sorted-run-length fold:
+    array_sort the bigram array, then one linear `aggregate` pass
+    tracking the longest run of equal neighbors — the per-document
+    equivalent of GROUP BY bigram ORDER BY count DESC LIMIT 1 without
+    materializing the (doc, bigram) stream or shuffling it twice
+    (hash(doc_id, bigram) partitioning cannot be reused by a
+    per-doc_id max, so the explode spelling costs two exchanges). The
+    fold is an interpreted HOF, but it runs over one document's
+    bigrams (10²-10⁴ elements), not a corpus-sized stream — the case
+    SCALING.md's HOF guidance explicitly allows. Thresholds (0.6
+    dup-word, 0.08 top-bigram) are config in practice; fixed here so
+    the flag is oracle-checkable."""
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("ws")
     )
-    bg = (
-        base.filter(F.size("ws") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
+    # sorted bigrams -> longest equal-neighbor run == max bigram count.
+    # sequence(1, n) with n < 1 counts DOWN in Spark, so both the
+    # bigram build and the fold are guarded for 0/1-word documents.
+    top_c = F.when(
+        F.size("ws") < 2, F.lit(0)
+    ).otherwise(
+        F.expr(
+            "aggregate("
+            "  sequence(1, size(sorted_bg) - 1),"
+            "  named_struct('run', 1L, 'best', 1L),"
+            "  (acc, i) -> named_struct("
+            "    'run', IF(sorted_bg[i] = sorted_bg[i - 1], acc.run + 1L, 1L),"
+            "    'best', greatest(acc.best,"
+            "      IF(sorted_bg[i] = sorted_bg[i - 1], acc.run + 1L, 1L))),"
+            "  acc -> acc.best)"
+        )
+    )
+    m = base.withColumn(
+        "sorted_bg",
+        F.when(F.size("ws") < 2, F.array().cast("array<string>")).otherwise(
+            F.array_sort(
                 F.expr(
                     "transform(sequence(1, size(ws) - 1),"
                     " i -> concat(ws[i - 1], ' ', ws[i]))"
                 )
-            ).alias("bg"),
-        )
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").cast("long").alias("top_c"))
-    )
-    m = (
-        base.join(bg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("ws").cast("long").alias("n_words"),
-            F.round(
-                F.lit(1)
-                - F.size(F.array_distinct("ws"))
-                / F.size("ws").cast("double"),
-                6,
-            ).alias("dup_word_frac"),
-            F.round(
-                F.coalesce(F.col("top_c"), F.lit(0))
-                / F.greatest(F.size("ws") - 1, F.lit(1)).cast("double"),
-                6,
-            ).alias("top_bigram_frac"),
-        )
+            )
+        ),
+    ).select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.round(
+            F.lit(1) - F.size(F.array_distinct("ws")) / F.size("ws").cast("double"),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            top_c.cast("long")
+            / F.greatest(F.size("ws") - 1, F.lit(1)).cast("double"),
+            6,
+        ).alias("top_bigram_frac"),
     )
     return m.withColumn(
         "is_repetitive",

@@ -273,3 +273,17 @@ def test_fuzzy_join_is_blocked_hash_join(spark, sf_dir):
         self_dist = names[r.dirty_id].count("a")
         if self_dist <= 10:
             assert r.lev <= self_dist, (r, names[r.dirty_id])
+
+
+def test_text_repetition_zero_shuffle(spark, sf_dir):
+    # text_repetition claims every repetition signal is a per-row
+    # expression (sorted-run-length fold for the top bigram) — the
+    # whole operator must be a map over the scan: no Exchange, no
+    # join, no Python.
+    from aws_etl_pipeline_spark.llm.text import text_repetition
+
+    df = text_repetition(spark, sf_dir)
+    plan = _plan(df)
+    assert _nodes(plan, "Exchange") == 0, f"expected zero shuffles:\n{plan}"
+    assert "Join" not in plan, plan
+    assert not python_eval_nodes(df)
