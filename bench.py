@@ -72,6 +72,8 @@ WARMUP_SF = "/root/testdata/sf0.001"
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
+LOADAVG_START = [round(x, 2) for x in os.getloadavg()]
+
 
 def main() -> None:
     sf_dir = SF_DIR
@@ -127,6 +129,12 @@ def main() -> None:
                 "reps": REPS,
                 "stat": "median",
                 "warmup_sec": warmup_sec,
+                # 1/5/15-min load BEFORE this process's own load is the
+                # box-sharing context a total is meaningless without
+                # (round-4 lesson: a concurrent session turned a 286 s
+                # measurement into 538 s with identical plans).
+                "loadavg_start": LOADAVG_START,
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "spread": spread,
             }
         )

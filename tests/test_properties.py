@@ -126,3 +126,84 @@ def test_merge_upsert_matches_python_model(spark, target, source, restrict):
         else:
             model[k] = (a, n)  # insert takes the whole source row
     assert got == model
+
+
+WORD_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "ab", "x"]),  # tiny alphabet -> many repeats
+        min_size=0,
+        max_size=25,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**COMMON)
+@given(docs=WORD_DOCS)
+def test_repetition_fold_matches_python_model(spark, docs):
+    """text_repetition's per-row sorted-run-length fold must equal the
+    obvious Counter-based top-bigram count for any word stream,
+    including 0/1-word documents (the sequence(1, n<1) descending
+    trap) and all-identical streams."""
+    from collections import Counter
+
+    rows = [(i, " ".join(ws) if ws else "") for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the operator fn reads a parquet dir; exercise the identical fold
+    # expression over a temp view of the same (doc_id, text) shape.
+    df.createOrReplaceTempView("_prop_docs")
+    got = spark.sql(
+        """
+        SELECT doc_id,
+          CASE WHEN size(ws) < 2 THEN 0L ELSE
+            aggregate(
+              sequence(1, size(sorted_bg) - 1),
+              named_struct('run', 1L, 'best', 1L),
+              (acc, i) -> named_struct(
+                'run', IF(sorted_bg[i] = sorted_bg[i - 1], acc.run + 1L, 1L),
+                'best', greatest(acc.best,
+                  IF(sorted_bg[i] = sorted_bg[i - 1], acc.run + 1L, 1L))),
+              acc -> acc.best)
+          END AS top_c
+        FROM (
+          SELECT doc_id, ws,
+                 CASE WHEN size(ws) < 2 THEN array()
+                      ELSE array_sort(transform(sequence(1, size(ws) - 1),
+                                      i -> concat(ws[i - 1], ' ', ws[i])))
+                 END AS sorted_bg
+          FROM (SELECT doc_id, split(lower(trim(text)), ' ') AS ws
+                FROM _prop_docs)
+        )
+        """
+    ).collect()
+    out = {r.doc_id: r.top_c for r in got}
+
+    for i, ws in enumerate(docs):
+        # split('') yields [''] — mirror the operator's word stream
+        eff = " ".join(ws).lower().strip().split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(eff, eff[1:])]
+        want = max(Counter(bgs).values()) if bgs else 0
+        assert out[i] == want, (i, ws, out[i], want)
+
+
+def test_mix_temperature_invariants(spark, sf_dir):
+    """Temperature mixing: shares sum to 1, every below-average source
+    gains share vs raw and every above-average source loses (alpha<1
+    flattens), expected_docs totals within rounding of the corpus."""
+    from aws_etl_pipeline_spark.llm.assembly import mix_temperature
+
+    rows = mix_temperature(spark, sf_dir).collect()
+    assert rows
+    p_raw_sum = sum(r.p_raw for r in rows)
+    p_temp_sum = sum(r.p_temp for r in rows)
+    assert abs(p_raw_sum - 1.0) < 1e-4
+    assert abs(p_temp_sum - 1.0) < 1e-4
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if r.p_raw < mean_share - 1e-9:
+            assert r.p_temp > r.p_raw, r
+        if r.p_raw > mean_share + 1e-9:
+            assert r.p_temp < r.p_raw, r
+    n_total = sum(r.n_docs for r in rows)
+    assert abs(sum(r.expected_docs for r in rows) - n_total) <= len(rows)
