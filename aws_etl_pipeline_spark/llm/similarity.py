@@ -709,3 +709,74 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cent, "cell")
         .select("cell", "n_members", F.round(sqnorm, 6).alias("centroid_sqnorm"))
     )
+
+
+@query(
+    "embed_gram_matrix",
+    oracle=f"""
+WITH e AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+ij AS (
+  SELECT i, j
+  FROM generate_series(0, {DIM - 1}) s(i), generate_series(0, {DIM - 1}) t(j)
+  WHERE j >= i
+)
+SELECT i::BIGINT AS i, j::BIGINT AS j,
+       round(CAST(sum(CAST(v[i + 1] * v[j + 1] AS DECIMAL(30, 18)))
+                  AS DOUBLE), 6) AS gram,
+       count(*)::BIGINT AS n_vecs
+FROM e CROSS JOIN ij
+GROUP BY i, j
+""",
+)
+def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix (X^T X upper triangle) over the
+    embedding corpus — the linear-algebra primitive under PCA
+    whitening / low-rank projection of an embedding space (subtract
+    the mean column first and it is the covariance matrix; MLlib's
+    RowMatrix.computeGramianMatrix is the same reduction).
+
+    100 TB shape: each row expands to dim*(dim+1)/2 = 2080 products
+    INSIDE whole-stage codegen (two nested Generates), and map-side
+    partial aggregation collapses them to at most 2080 rows per
+    partition before anything touches the wire — the one Exchange
+    carries O(dim^2 x partitions), never O(dim^2 x rows), and the
+    final state is dim^2/2 regardless of corpus size (plan-asserted).
+    Products go through DECIMAL(30,18) so the sum is order-independent
+    and bit-equal to the DuckDB twin under any partitioning. On a real
+    cluster the per-batch product loop would drop to a numpy/BLAS
+    partial Gram via mapInPandas with the SAME tiny-shuffle merge; the
+    expression spelling keeps this oracle-exact and JVM-side."""
+    e = load_spread(spark, sf_dir, "embeddings").select(
+        _as_double("embedding").alias("v")
+    )
+    rows = (
+        e.select("v", F.explode(F.sequence(F.lit(0), F.lit(DIM - 1))).alias("i"))
+        .select(
+            "v", "i", F.explode(F.sequence(F.col("i"), F.lit(DIM - 1))).alias("j")
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.element_at("v", F.col("i") + 1)
+                * F.element_at("v", F.col("j") + 1)
+            )
+            .cast("decimal(30,18)")
+            .alias("p"),
+        )
+    )
+    return (
+        rows.groupBy("i", "j")
+        .agg(
+            F.round(F.sum("p").cast("double"), 6).alias("gram"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        )
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "gram",
+            "n_vecs",
+        )
+    )

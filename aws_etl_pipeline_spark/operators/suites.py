@@ -224,6 +224,7 @@ SUITES: dict[str, list[str]] = {
         "sim_label_centroid",
         "sim_range_search",
         "embed_normalize_quantize",
+        "embed_gram_matrix",
         "kmeans_train",
     ],
     "suite_text": [

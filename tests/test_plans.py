@@ -287,3 +287,29 @@ def test_text_repetition_zero_shuffle(spark, sf_dir):
     assert _nodes(plan, "Exchange") == 0, f"expected zero shuffles:\n{plan}"
     assert "Join" not in plan, plan
     assert not python_eval_nodes(df)
+
+
+def test_gram_matrix_single_tiny_exchange(spark, sf_dir):
+    # embed_gram_matrix claims the 2080x in-row pair expansion never
+    # hits the wire: partial (map-side) aggregation must sit BELOW the
+    # single Exchange, so the shuffle carries O(dim^2 x partitions).
+    from aws_etl_pipeline_spark.llm.similarity import embed_gram_matrix
+
+    df = embed_gram_matrix(spark, sf_dir)
+    plan = _plan(df)
+    # exactly two exchanges: load_spread's round-robin repartition of
+    # the small-file input (parallelism, carries RAW vectors — gone at
+    # production file counts) and the (i, j) agg shuffle. The pair
+    # expansion itself must never shuffle.
+    assert _nodes(plan, "Exchange") == 2, f"unexpected shuffle count:\n{plan}"
+    assert _nodes(plan, "Generate") == 2, plan
+    # partial (map-side) aggregation below the agg shuffle: tree order
+    # is final HashAggregate -> Exchange -> partial HashAggregate ->
+    # Generate, so two HashAggregates must exist and one must sit
+    # between the agg Exchange and the Generates.
+    assert _nodes(plan, "HashAggregate") == 2, plan
+    tree = plan.split("\n\n")[0]
+    assert tree.index("HashAggregate") < tree.index("Exchange"), tree
+    between = tree[tree.index("Exchange"): tree.index("Generate")]
+    assert "HashAggregate" in between, tree
+    assert not python_eval_nodes(df)
