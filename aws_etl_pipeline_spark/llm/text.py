@@ -635,14 +635,15 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup-word, 0.08 top-bigram) are config in practice; fixed here so
     the flag is oracle-checkable."""
     d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("ws")
-    )
+    base = d.select("doc_id", _words().alias("ws"))
     # sorted bigrams -> longest equal-neighbor run == max bigram count.
-    # sequence(1, n) with n < 1 counts DOWN in Spark, so both the
-    # bigram build and the fold are guarded for 0/1-word documents.
+    # sequence(1, n) with n < 1 counts DOWN in Spark (sequence(1, 0) is
+    # [1, 0], whose indices are out of bounds), so the fold is guarded
+    # on the BIGRAM count: < 2 bigrams (0-2-word docs) short-circuits
+    # to size(sorted_bg) — 0 or 1 — without evaluating any index. The
+    # guard must not rely on non-ANSI NULL-on-invalid-index semantics.
     top_c = F.when(
-        F.size("ws") < 2, F.lit(0)
+        F.size("sorted_bg") < 2, F.size("sorted_bg").cast("long")
     ).otherwise(
         F.expr(
             "aggregate("

@@ -284,37 +284,59 @@ def merge_into_jdbc(
     MERGE error carries the warehouse's own SQL error."""
     staging = f"{table}_staging_{uuid.uuid4().hex[:8]}"
     props = dict(properties or {})
-    try:
-        source.write.jdbc(url=url, table=staging, mode="errorifexists", properties=props)
-    except Exception as e:
-        raise RuntimeError(
-            f"JDBC staging load into {staging} at {url} failed — is a JDBC "
-            f"driver for this URL on the classpath and the warehouse reachable? {e}"
-        ) from e
     jvm = source.sparkSession._jvm  # noqa: SLF001
     jprops = jvm.java.util.Properties()
     for k, v in props.items():
         jprops.setProperty(k, v)
-    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
-    try:
-        stmt = conn.createStatement()
+
+    def _drop_staging() -> None:
+        # best-effort: a half-created staging table (load failed
+        # mid-insert, or the merge connection never came up) must not
+        # accumulate in the warehouse across retries — each call uses a
+        # fresh random suffix, so leaks would be permanent.
         try:
+            c = jvm.java.sql.DriverManager.getConnection(url, jprops)
             try:
-                stmt.execute(
-                    staging_merge_sql(table, staging, key, source.columns, update_cols)
-                )
-            except Exception as e:
-                raise RuntimeError(
-                    f"warehouse MERGE from {staging} into {table} failed: {e}"
-                ) from e
+                st = c.createStatement()
+                st.execute(f"DROP TABLE {staging}")
+                st.close()
+            finally:
+                c.close()
+        except Exception:  # noqa: BLE001 — cleanup must not mask the real error
+            pass
+
+    try:
+        source.write.jdbc(url=url, table=staging, mode="errorifexists", properties=props)
+    except Exception as e:
+        _drop_staging()
+        raise RuntimeError(
+            f"JDBC staging load into {staging} at {url} failed — is a JDBC "
+            f"driver for this URL on the classpath and the warehouse reachable? {e}"
+        ) from e
+    try:
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+        try:
+            stmt = conn.createStatement()
+            try:
+                try:
+                    stmt.execute(
+                        staging_merge_sql(table, staging, key, source.columns, update_cols)
+                    )
+                except Exception as e:
+                    raise RuntimeError(
+                        f"warehouse MERGE from {staging} into {table} failed: {e}"
+                    ) from e
+            finally:
+                try:
+                    stmt.execute(f"DROP TABLE {staging}")
+                except Exception:  # noqa: BLE001
+                    pass
+                stmt.close()
         finally:
-            try:
-                stmt.execute(f"DROP TABLE {staging}")
-            except Exception:  # noqa: BLE001 — cleanup must not mask the MERGE error
-                pass
-            stmt.close()
-    finally:
-        conn.close()
+            conn.close()
+    except Exception:
+        _drop_staging()  # no-op when the inner finally already dropped it
+        raise
 
 
 @query(

@@ -156,7 +156,7 @@ def test_repetition_fold_matches_python_model(spark, docs):
     got = spark.sql(
         """
         SELECT doc_id,
-          CASE WHEN size(ws) < 2 THEN 0L ELSE
+          CASE WHEN size(sorted_bg) < 2 THEN CAST(size(sorted_bg) AS LONG) ELSE
             aggregate(
               sequence(1, size(sorted_bg) - 1),
               named_struct('run', 1L, 'best', 1L),
@@ -187,23 +187,59 @@ def test_repetition_fold_matches_python_model(spark, docs):
         assert out[i] == want, (i, ws, out[i], want)
 
 
-def test_mix_temperature_invariants(spark, sf_dir):
-    """Temperature mixing: shares sum to 1, every below-average source
-    gains share vs raw and every above-average source loses (alpha<1
-    flattens), expected_docs totals within rounding of the corpus."""
+def test_mix_temperature_uniform_is_fixpoint(spark, sf_dir):
+    """The driver fixture's source distribution is exactly uniform, and
+    uniform is a fixpoint of temperature scaling at any alpha — so on
+    this input p_temp must equal p_raw share-for-share (the gain/lose
+    behavior is exercised on a non-uniform corpus below; a mean-based
+    per-source assertion would be vacuous here AND unsound in general:
+    the alpha=0.5 gain/lose crossover is 1/S^2 with S = sum sqrt(p_i),
+    not the mean share)."""
     from aws_etl_pipeline_spark.llm.assembly import mix_temperature
 
     rows = mix_temperature(spark, sf_dir).collect()
     assert rows
-    p_raw_sum = sum(r.p_raw for r in rows)
-    p_temp_sum = sum(r.p_temp for r in rows)
-    assert abs(p_raw_sum - 1.0) < 1e-4
-    assert abs(p_temp_sum - 1.0) < 1e-4
-    mean_share = 1.0 / len(rows)
+    assert abs(sum(r.p_raw for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.p_temp for r in rows) - 1.0) < 1e-4
     for r in rows:
-        if r.p_raw < mean_share - 1e-9:
-            assert r.p_temp > r.p_raw, r
-        if r.p_raw > mean_share + 1e-9:
-            assert r.p_temp < r.p_raw, r
+        assert abs(r.p_temp - r.p_raw) < 1e-6, r
     n_total = sum(r.n_docs for r in rows)
     assert abs(sum(r.expected_docs for r in rows) - n_total) <= len(rows)
+
+
+def test_mix_temperature_flattens_skewed_corpus(spark, tmp_path):
+    """On a genuinely skewed corpus, alpha<1 temperature scaling must
+    (a) preserve the source ordering, (b) strictly shrink the max/min
+    share ratio to its square root, and (c) make the SMALLEST source
+    strictly gain share and the LARGEST strictly lose — the two
+    guarantees that hold for every non-uniform distribution (p_min is
+    always below the 1/S^2 crossover and p_max always above; sources
+    in between may legitimately go either way)."""
+    import math
+
+    from aws_etl_pipeline_spark.llm.assembly import mix_temperature
+
+    counts = {"big": 50, "mid": 34, "small": 16}
+    rows = [
+        (i, "alpha beta gamma", "en", src, 16)
+        for i, src in enumerate(
+            s for s, n in counts.items() for _ in range(n)
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.source: r for r in mix_temperature(spark, str(tmp_path)).collect()}
+    assert set(out) == set(counts)
+    assert abs(sum(r.p_temp for r in out.values()) - 1.0) < 1e-4
+    # (a) order preserved
+    assert out["big"].p_temp > out["mid"].p_temp > out["small"].p_temp
+    # (b) ratio flattens to its square root (rounding tolerance)
+    raw_ratio = out["big"].p_raw / out["small"].p_raw
+    temp_ratio = out["big"].p_temp / out["small"].p_temp
+    assert abs(temp_ratio - math.sqrt(raw_ratio)) < 1e-3
+    # (c) extremes move toward the middle
+    assert out["small"].p_temp > out["small"].p_raw
+    assert out["big"].p_temp < out["big"].p_raw
