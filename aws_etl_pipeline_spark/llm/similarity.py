@@ -780,3 +780,103 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
         )
     )
+
+
+_PCA_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+ij AS (
+  SELECT i, j
+  FROM generate_series(0, {DIM - 1}) s(i), generate_series(0, {DIM - 1}) t(j)
+  WHERE j >= i
+),
+tri AS (
+  SELECT i, j,
+         round(CAST(sum(CAST(v[i + 1] * v[j + 1] AS DECIMAL(30, 18)))
+                    AS DOUBLE), 6) AS g
+  FROM e CROSS JOIN ij GROUP BY i, j
+),
+full_g AS (
+  SELECT i, j, g FROM tri
+  UNION ALL
+  SELECT j AS i, i AS j, g FROM tri WHERE i <> j
+),
+v0 AS (SELECT i AS d, 0.125::DOUBLE AS v FROM generate_series(0, {DIM - 1}) s(i)),
+u1 AS (
+  SELECT f.i AS d, CAST(sum(CAST(f.g * v0.v AS DECIMAL(30, 18))) AS DOUBLE) AS u
+  FROM full_g f JOIN v0 ON f.j = v0.d GROUP BY f.i
+),
+n1 AS (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(30, 18))) AS DOUBLE)) AS nrm FROM u1),
+v1 AS (SELECT d, round(u / (SELECT nrm FROM n1), 12) AS v FROM u1),
+u2 AS (
+  SELECT f.i AS d, CAST(sum(CAST(f.g * v1.v AS DECIMAL(30, 18))) AS DOUBLE) AS u
+  FROM full_g f JOIN v1 ON f.j = v1.d GROUP BY f.i
+),
+n2 AS (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(30, 18))) AS DOUBLE)) AS nrm FROM u2),
+v2 AS (SELECT d, round(u / (SELECT nrm FROM n2), 12) AS v FROM u2),
+pc AS (SELECT list(v ORDER BY d) AS p FROM v2)
+SELECT vec_id, round(list_dot_product(e.v, (SELECT p FROM pc)), 8) AS pc1
+FROM e
+"""
+
+
+@query("embed_pca_project", oracle=_PCA_ORACLE)
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection of the embedding corpus:
+    power iteration (2 unrolled rounds, the kmeans_train /
+    graph_pagerank iterative-algorithm pattern) on the Gram matrix,
+    then every vector scored against the resulting component — the
+    dimensionality-reduction / whitening step of an embedding
+    pipeline, expressed entirely as DataFrame ops.
+
+    100 TB shape: the corpus is touched exactly TWICE (once to build
+    the dim^2-sized Gram — see embed_gram_matrix — once for the final
+    projection map); the iteration itself runs on the 2080-row gram
+    relation joined against a 64-row vector relation, so its cost is
+    independent of corpus size and there is NO driver-side collect —
+    the component reaches the projection as a broadcast one-row array.
+    Every mat-vec product and norm goes through DECIMAL(30,18) and
+    each round's vector is rounded to 12 decimals, so both engines
+    walk the identical trajectory (sign and all) and the oracle is
+    exact to the final rounding."""
+    tri = embed_gram_matrix(spark, sf_dir).select("i", "j", "gram")
+    full = tri.union(
+        tri.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "gram"
+        )
+    )
+    dec = "decimal(30,18)"
+    v = spark.range(DIM).select(
+        F.col("id").alias("d"), F.lit(0.125).cast("double").alias("v")
+    )
+    for _ in range(2):
+        u = (
+            full.join(v, full.j == v.d)
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("gram") * F.col("v")).cast(dec))
+                .cast("double")
+                .alias("u")
+            )
+        )
+        norm = u.agg(
+            F.sqrt(F.sum((F.col("u") * F.col("u")).cast(dec)).cast("double")).alias(
+                "nrm"
+            )
+        )
+        v = u.crossJoin(F.broadcast(norm)).select(
+            F.col("i").alias("d"),
+            F.round(F.col("u") / F.col("nrm"), 12).alias("v"),
+        )
+    pc = v.agg(
+        F.expr("transform(array_sort(collect_list(struct(d, v))), x -> x.v)").alias(
+            "pc"
+        )
+    )
+    e = load_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    return e.crossJoin(F.broadcast(pc)).select(
+        "vec_id", F.round(_dot(F.col("emb"), F.col("pc")), 8).alias("pc1")
+    )

@@ -225,6 +225,7 @@ SUITES: dict[str, list[str]] = {
         "sim_range_search",
         "embed_normalize_quantize",
         "embed_gram_matrix",
+        "embed_pca_project",
         "kmeans_train",
     ],
     "suite_text": [
