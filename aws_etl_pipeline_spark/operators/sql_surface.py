@@ -249,3 +249,39 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         nxt.isNull().alias("is_current"),
     )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE chain(seed_id, cur, depth) AS (
+  SELECT p_partkey AS seed_id, p_partkey AS cur, 0 AS depth
+  FROM part WHERE p_partkey % 40 = 0
+  UNION ALL
+  SELECT seed_id, cur - 157, depth + 1
+  FROM chain WHERE cur - 157 >= 1 AND depth < 5
+)
+SELECT seed_id, max(depth)::BIGINT AS depth, min(cur) AS ancestor
+FROM chain GROUP BY seed_id
+"""
+
+
+@query(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_SQL,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4.0): a depth-bounded
+    hierarchy walk — every 40th part climbs a synthesized parent edge
+    (parent = key - 157) up to 5 levels, the BOM-traversal / org-chart
+    shape SQL engines answer with iterative union execution.
+
+    Spark executes the recursion as an iterated plan whose working set
+    is the FRONTIER (rows added last round), the same per-round
+    frontier-sized state discipline as dedup_connected_components —
+    each of the <= 5 rounds is one filter+projection over the frontier,
+    so at 100 TB cost is rounds x frontier, never rounds x corpus. The
+    depth guard is mandatory: an unguarded recursion over a synthetic
+    key-arithmetic edge would iterate key-range-many times. DuckDB runs
+    the identical statement (both engines are ANSI here), making the
+    oracle the same text modulo the ::BIGINT cast spelling."""
+    _views(spark, sf_dir, "part")
+    return spark.sql(_RECURSIVE_SQL.replace("::BIGINT", ""))

@@ -152,6 +152,7 @@ SUITES: dict[str, list[str]] = {
         "sql_correlated_exists",
         "sql_in_subquery",
         "sql_cte_chain",
+        "sql_recursive_cte",
         "fn_unpivot",
     ],
     "suite_window": [

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 186  # COVERAGE.md "186 named queries total"
-DOCUMENTED_GRANULAR = 167
+DOCUMENTED_TOTAL = 187  # COVERAGE.md "187 named queries total"
+DOCUMENTED_GRANULAR = 168
 DOCUMENTED_SUITES = 19
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
