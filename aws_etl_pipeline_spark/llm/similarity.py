@@ -839,7 +839,16 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every mat-vec product and norm goes through DECIMAL(30,18) and
     each round's vector is rounded to 12 decimals, so both engines
     walk the identical trajectory (sign and all) and the oracle is
-    exact to the final rounding."""
+    exact to the final rounding.
+
+    Oracle fragility note: the per-round round(x, 12) happens on a
+    DOUBLE in both engines, so exactness additionally depends on
+    Spark's HALF_UP agreeing with DuckDB's rounding at every
+    intermediate — true on this dataset (verified green), but a
+    last-ulp tie on other data could flip one trajectory step and fail
+    the digest despite a correct implementation. If that ever bites,
+    move the rounding itself into DECIMAL on both engines (cast before
+    round) so the algorithm is identical by construction."""
     tri = embed_gram_matrix(spark, sf_dir).select("i", "j", "gram")
     full = tri.union(
         tri.filter(F.col("i") != F.col("j")).select(

@@ -94,6 +94,23 @@ def merge_upsert(
     return joined.select(*out_cols)
 
 
+def _dedup_last_writer(source: DataFrame, key: str) -> DataFrame:
+    """Collapse duplicate-key rows within a batch to one row per key
+    (deterministic last-writer-wins, ordered on the row's own content —
+    the same policy ``merge_upsert(best_effort=True)`` applies). Delta's
+    MERGE rejects batches where multiple source rows match one target
+    row, and the reference's sequential ON CONFLICT loop silently
+    last-writes instead; pre-collapsing reproduces the tolerant
+    behavior set-based."""
+    order_cols = [F.col(c).desc_nulls_last() for c in source.columns if c != key]
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    return (
+        source.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def merge_into_parquet(source: DataFrame, path: str, key: str) -> None:
     """Best-effort MERGE sink over a parquet directory: read existing
     target if present, merge, rewrite atomically-ish (tmp + rename at
@@ -121,6 +138,13 @@ def merge_into_delta(
     matched rows take ``update_cols`` (all non-key source columns by
     default), unmatched source rows are inserted whole.
 
+    Duplicate source keys within one batch are collapsed first
+    (deterministic last-writer-wins): Delta MERGE would otherwise raise
+    "multiple source rows matched", and the initial-load branch would
+    write the duplicates verbatim, making a replay of the same batch
+    fail. The reference's per-row ON CONFLICT loop tolerates duplicates
+    by last-write; the collapse reproduces that set-based.
+
     Requires delta-spark (not in this container — the gated
     tests/test_delta_merge.py executes this end-to-end, idempotent
     replay included, wherever the package exists; here it skips)."""
@@ -130,6 +154,7 @@ def merge_into_delta(
             "Delta Lake runtime (pip package delta-spark + its jars)"
         )
     spark = source.sparkSession
+    source = _dedup_last_writer(source.filter(F.col(key).isNotNull()), key)
     if not DeltaTable.isDeltaTable(spark, path):
         source.write.format("delta").save(path)
         return
@@ -232,7 +257,8 @@ def _qident(name: str) -> str:
 
 
 def staging_merge_sql(table: str, staging: str, key: str, cols: list[str],
-                      update_cols: tuple[str, ...] | None = None) -> str:
+                      update_cols: tuple[str, ...] | None = None,
+                      quote_target: bool = False) -> str:
     """SQL executed against the warehouse after the staging load: a
     single set-based MERGE from the staging table — the scalable
     re-expression of the reference's row-at-a-time ``INSERT ... ON
@@ -245,15 +271,23 @@ def staging_merge_sql(table: str, staging: str, key: str, cols: list[str],
     uppercase (Derby, Oracle, DB2) an unquoted ``s.value`` would
     resolve to ``S.VALUE`` and miss a quoted lowercase staging column.
     Staging-side references are therefore quoted with the DataFrame's
-    case, while target-side references stay unquoted so they fold the
-    same way as a target created with unquoted DDL. ``key`` and
-    ``update_cols`` must use the DataFrame's column case."""
+    case; target-side references default to UNQUOTED, which is correct
+    iff the target table was created with unquoted DDL (identifiers
+    fold to the engine's canonical case on both sides of the
+    comparison). PRECONDITION: with the default ``quote_target=False``
+    the target must have been created with unquoted DDL — a target
+    created by Spark's own JDBC writer (which quotes, preserving
+    lowercase) on a case-folding engine needs ``quote_target=True`` so
+    ``t.key`` / UPDATE SET / INSERT column refs resolve to the quoted
+    lowercase names instead of folding to uppercase and missing.
+    ``key`` and ``update_cols`` must use the DataFrame's column case."""
+    tq = _qident if quote_target else (lambda c: c)
     update_cols = update_cols or tuple(c for c in cols if c != key)
-    sets = ", ".join(f"{c} = s.{_qident(c)}" for c in update_cols)
-    collist = ", ".join(cols)
+    sets = ", ".join(f"{tq(c)} = s.{_qident(c)}" for c in update_cols)
+    collist = ", ".join(tq(c) for c in cols)
     vals = ", ".join(f"s.{_qident(c)}" for c in cols)
     return (
-        f"MERGE INTO {table} t USING {staging} s ON t.{key} = s.{_qident(key)} "
+        f"MERGE INTO {table} t USING {staging} s ON t.{tq(key)} = s.{_qident(key)} "
         f"WHEN MATCHED THEN UPDATE SET {sets} "
         f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})"
     )
@@ -266,6 +300,7 @@ def merge_into_jdbc(
     key: str,
     properties: dict[str, str] | None = None,
     update_cols: tuple[str, ...] | None = None,
+    quote_target: bool = False,
 ) -> None:
     """Warehouse execution path for R17 (`lambda_function.py:176-271`):
     bulk-load the batch into a staging table with the parallel JDBC
@@ -281,8 +316,16 @@ def merge_into_jdbc(
     pre-existing tables, safe under concurrent batches) and is dropped
     best-effort after the MERGE, success or failure. Failures are
     phase-distinct: a staging-load error points at the driver/URL, a
-    MERGE error carries the warehouse's own SQL error."""
-    staging = f"{table}_staging_{uuid.uuid4().hex[:8]}"
+    MERGE error carries the warehouse's own SQL error.
+
+    ``quote_target=True`` is required when the TARGET table was itself
+    created by Spark's JDBC writer (quoted, case-preserving DDL) on a
+    case-folding engine — see staging_merge_sql's precondition."""
+    # Quotes in a quoted target name must not leak into the staging
+    # identifier (`"txn5"_staging_x` is not a valid name); the staging
+    # table is always an unquoted identifier, consistently case-folded
+    # in both its CREATE (Spark JDBC writer) and the MERGE's USING ref.
+    staging = f"{table.replace(chr(34), '')}_staging_{uuid.uuid4().hex[:8]}"
     props = dict(properties or {})
     jvm = source.sparkSession._jvm  # noqa: SLF001
     jprops = jvm.java.util.Properties()
@@ -320,7 +363,10 @@ def merge_into_jdbc(
             try:
                 try:
                     stmt.execute(
-                        staging_merge_sql(table, staging, key, source.columns, update_cols)
+                        staging_merge_sql(
+                            table, staging, key, source.columns, update_cols,
+                            quote_target=quote_target,
+                        )
                     )
                 except Exception as e:
                     raise RuntimeError(

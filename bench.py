@@ -1,7 +1,9 @@
 """Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+a compact JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} first (sized to survive the driver's
+bounded stdout capture), then a second, full JSON line with spreads,
+loadavg, and warm-up diagnostics.
 
 Protocol (round 3, variance-aware — round 2's best-of-2 let run-order
 noise masquerade as >2x regressions): fixed query order (HEADLINE),
@@ -118,6 +120,24 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         sf = None  # non-standard dir name (e.g. a scale replica)
+    # Compact medians-only line FIRST: the driver's stdout capture has a
+    # bounded buffer and rounds 3/4 landed with the (single, large) JSON
+    # line head-truncated and unparseable. This line stays well under any
+    # plausible buffer; the full diagnostics blob (spreads, loadavg,
+    # warmup) follows for humans and post-hoc analysis.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
     print(
         json.dumps(
             {

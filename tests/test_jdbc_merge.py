@@ -151,6 +151,28 @@ def test_merge_into_jdbc_lowercase_columns(spark, derby_url):
     assert rows == [(1, 11.0, "updated"), (2, 2.0, "inserted")]
 
 
+def test_merge_into_jdbc_quoted_target(spark, derby_url):
+    # A target created by Spark's OWN JDBC writer has quoted lowercase
+    # columns on a case-folding engine; the default unquoted target-side
+    # refs would fold to uppercase and miss. quote_target=True quotes
+    # target-side identifiers with the DataFrame's case so both sides
+    # resolve (round-4 advice, operators/upsert.py staging_merge_sql).
+    seed = spark.createDataFrame([(1, 1.0, "orig")], "id INT, amount DOUBLE, note STRING")
+    seed.write.jdbc(url=derby_url, table='"txn5"', mode="errorifexists")
+
+    source = spark.createDataFrame(
+        [(1, 11.0, "updated"), (2, 2.0, "inserted")],
+        "id INT, amount DOUBLE, note STRING",
+    )
+    merge_into_jdbc(source, derby_url, '"txn5"', key="id", quote_target=True)
+
+    got = spark.read.jdbc(url=derby_url, table='"txn5"').orderBy("id")
+    assert [tuple(r) for r in got.collect()] == [
+        (1, 11.0, "updated"),
+        (2, 2.0, "inserted"),
+    ]
+
+
 def test_merge_into_jdbc_drops_staging(spark, derby_url):
     # The staging table is transient: random-suffixed (no clobbering of
     # user tables, concurrency-safe) and dropped after the MERGE.

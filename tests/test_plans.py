@@ -289,7 +289,7 @@ def test_text_repetition_zero_shuffle(spark, sf_dir):
     assert not python_eval_nodes(df)
 
 
-def test_gram_matrix_single_tiny_exchange(spark, sf_dir):
+def test_gram_matrix_pair_expansion_never_shuffles(spark, sf_dir):
     # embed_gram_matrix claims the 2080x in-row pair expansion never
     # hits the wire: partial (map-side) aggregation must sit BELOW the
     # single Exchange, so the shuffle carries O(dim^2 x partitions).
