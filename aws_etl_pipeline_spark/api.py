@@ -85,6 +85,58 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     return words.select(id_col, F.concat_ws(" ", *parts).alias("s"))
 
 
+def passage_rows(
+    df: DataFrame, id_col: str, text_col: str, window: int = 12, stride: int = 6
+) -> DataFrame:
+    """(id, start_pos, passage) rows: FULL sliding word-windows of
+    ``window`` words every ``stride`` positions (1-based starts 1,
+    1+stride, ...; tail windows shorter than ``window`` are dropped,
+    unlike shingle_rows' clamping — a repeated PASSAGE must be
+    whole-width to count). Same codegen posexplode + window-lead
+    spelling as shingle_rows; the per-doc window shuffle carries
+    (id, pos, word) rows, never full documents."""
+    words = df.select(id_col, F.posexplode(_words(text_col)).alias("pos", "w"))
+    win = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, window)]
+    return (
+        words.select(
+            id_col,
+            (F.col("pos") + 1).alias("start_pos"),
+            F.concat_ws(" ", *parts).alias("passage"),
+            # full-width iff the last word of the window exists
+            F.lead("w", window - 1).over(win).isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full") & ((F.col("start_pos") - 1) % stride == 0))
+        .drop("_full")
+    )
+
+
+def passage_dedup(
+    df: DataFrame, id_col: str, text_col: str, window: int = 12, stride: int = 6
+) -> DataFrame:
+    """Cross-document repeated-passage detection (the distributable
+    form of exact-substring dedup a suffix array computes single-node:
+    Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): hash every full ``window``-word passage at
+    ``stride`` offsets, group by the 16-byte hash, and report every
+    passage seen more than once with its occurrence/document counts
+    and the keeper (lowest id). Like exact_dedup, only hashes shuffle
+    in the groupBy — never passages or documents — so at 100 TB the
+    reduce state is one (hash, counts) row per *distinct repeated*
+    passage, which tracks duplication density, not corpus size."""
+    p = passage_rows(df, id_col, text_col, window, stride)
+    return (
+        p.select(id_col, F.md5(F.col("passage").cast("binary")).alias("passage_md5"))
+        .groupBy("passage_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias(f"keeper_{id_col}"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle: int = 3
 ) -> DataFrame:

@@ -86,6 +86,49 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d, "doc_id", text_col="text")
 
 
+PASSAGE_W = 12  # words per passage window
+PASSAGE_STRIDE = 6  # window start offset
+
+
+@query(
+    "dedup_substring",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+),
+p AS (
+  SELECT doc_id,
+         md5(array_to_string(ws[i:i+{PASSAGE_W - 1}], ' ')) AS passage_md5
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, len(ws) - {PASSAGE_W - 1}, {PASSAGE_STRIDE})) AS i
+  ) u
+  WHERE len(ws) >= {PASSAGE_W}
+)
+SELECT passage_md5,
+       count(*)::BIGINT            AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT         AS keeper_doc_id
+FROM p GROUP BY passage_md5 HAVING count(*) > 1
+""",
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (passage-level) dedup: repeated {PASSAGE_W}-word
+    passages ACROSS documents — the cross-document boilerplate /
+    repeated-template detector document-level dedup can't see (a doc
+    is unique overall yet shares a header or license block with
+    thousands of others). Suffix-array exact-substring dedup is
+    single-node; the distributable form hashes full sliding windows
+    (stride {PASSAGE_STRIDE}) and groups on the 16-byte hash, exactly
+    dedup_exact's bucketed shuffle discipline — hashes move, text
+    doesn't, reduce state is one row per distinct repeated passage."""
+    from ..api import passage_dedup
+
+    d = load_spread(spark, sf_dir, "documents")
+    return passage_dedup(
+        d, "doc_id", "text", window=PASSAGE_W, stride=PASSAGE_STRIDE
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""

@@ -211,6 +211,7 @@ SUITES: dict[str, list[str]] = {
     ],
     "suite_dedup": [
         "dedup_exact",
+        "dedup_substring",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",

@@ -67,6 +67,14 @@ def query(name: str, oracle: Optional[str] = None, doc: str = ""):
 #: history); q5_region_revenue, window_ranking, join_fuzzy_blocked IN
 #: (the heaviest TPC-H join tree, the windowing flagship, and the new
 #: r3 entity-resolution join that shipped driver-invisible).
+#: Round-5 rotation: q5_region_revenue, window_ranking,
+#: join_fuzzy_blocked OUT (each now with direct green r4 history;
+#: digest-covered by suite_tpch / suite_window / suite_join_misc);
+#: dedup_substring IN (new r5 passage-level dedup),
+#: q18_large_volume_customer IN (group-by-every-customer, the
+#: heaviest agg in the headline set), scd2_intervals IN (the r4
+#: bench-regression watch item — a direct driver row gives it
+#: per-round correctness history while the plan is under observation).
 PRIORITY: tuple[str, ...] = (
     # reference-parity flagships (§2A)
     "etl_flagship",
@@ -80,10 +88,13 @@ PRIORITY: tuple[str, ...] = (
     # engine flagships (§2B) — one strong granular row per area
     "q1_pricing_summary",
     "q6_forecast_revenue",
-    "q5_region_revenue",  # rotated in r4: heaviest TPC-H join tree
+    "q18_large_volume_customer",  # rotated in r5: heaviest headline agg
+    # (q5_region_revenue rotated out r5 — suite_tpch digest; direct
+    # green r4. join_fuzzy_blocked rotated out r5 — suite_join_misc
+    # digest; direct green r4.)
     "join_inner_broadcast",
     "join_asof",
-    "join_fuzzy_blocked",  # rotated in r4: r3's driver-invisible query
+    "scd2_intervals",  # rotated in r5: r4 bench-regression watch item
     "agg_basic",
     "agg_distinct",
     "agg_collect",
@@ -91,7 +102,8 @@ PRIORITY: tuple[str, ...] = (
     "agg_approx_quantile",
     "sort_multi_nulls",
     "limit_topk",
-    "window_ranking",  # rotated in r4: windowing flagship
+    # (window_ranking rotated out r5 — suite_window digest; direct
+    # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —
     # digest-covered by suite_sql_surface / suite_scans; direct green
     # history r1–r3. fn_predicates stays digest-covered by
@@ -101,6 +113,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_exec_tumbling",
     # LLM-pipeline flagships
     "dedup_exact",
+    "dedup_substring",  # rotated in r5: new passage-level dedup
     "dedup_minhash_lsh",
     "dedup_minhash_mllib",
     "dedup_connected_components",

@@ -125,3 +125,43 @@ def test_chunking_covers_documents_with_stride_overlap(spark, sf_dir):
         per_doc.setdefault(r.doc_id, []).append(r.chunk_idx)
     for doc_id, idxs in per_doc.items():
         assert sorted(idxs) == list(range(math.ceil(words[doc_id] / STRIDE)))
+
+
+def test_passage_rows_full_windows_at_stride(spark):
+    # 15 words, window 12, stride 6 -> only start 1 fits whole
+    # (start 7 would need words 7..18); 18 words -> starts 1 and 7.
+    from aws_etl_pipeline_spark.api import passage_rows
+
+    w15 = " ".join(f"w{i}" for i in range(1, 16))
+    w18 = " ".join(f"w{i}" for i in range(1, 19))
+    df = spark.createDataFrame([(1, w15), (2, w18)], "doc_id LONG, text STRING")
+    got = {
+        (r.doc_id, r.start_pos, r.passage)
+        for r in passage_rows(df, "doc_id", "text", window=12, stride=6).collect()
+    }
+    assert got == {
+        (1, 1, " ".join(f"w{i}" for i in range(1, 13))),
+        (2, 1, " ".join(f"w{i}" for i in range(1, 13))),
+        (2, 7, " ".join(f"w{i}" for i in range(7, 19))),
+    }
+
+
+def test_passage_dedup_flags_cross_document_boilerplate(spark):
+    # Docs 1 and 2 are globally distinct but share a 12-word license
+    # header; doc 3 shares nothing. Exactly the shared header's hash
+    # comes back, with both docs counted and doc 1 as keeper.
+    from aws_etl_pipeline_spark.api import passage_dedup
+
+    header = " ".join(f"h{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, header + " alpha beta gamma delta epsilon zeta"),
+            (2, header + " one two three four five six"),
+            (3, " ".join(f"u{i}" for i in range(18))),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = passage_dedup(df, "doc_id", "text", window=12, stride=6).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_occurrences, r.n_docs, r.keeper_doc_id) == (2, 2, 1)

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 187  # COVERAGE.md "187 named queries total"
-DOCUMENTED_GRANULAR = 168
+DOCUMENTED_TOTAL = 188  # COVERAGE.md "188 named queries total"
+DOCUMENTED_GRANULAR = 169
 DOCUMENTED_SUITES = 19
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -52,8 +52,8 @@ def test_documented_counts_match_registry():
 def test_priority_fits_driver_budget():
     """The correctness driver verifies ~50 rows; every PRIORITY entry
     must get a verdict, so the block may never exceed 50. Slot layout
-    (round-4 rotation): 6 §2A flagships, 14 §2B granular flagships,
-    1 real-streaming row, 10 LLM flagships (incl. both MLlib
+    (round-5 rotation): 6 §2A flagships, 13 §2B granular flagships,
+    1 real-streaming row, 11 LLM flagships (incl. both MLlib
     recall-tolerance rows), then all 19 family digests. Granular slots
     rotate per round (see registry.PRIORITY's rotation policy); a slot
     may only be vacated by a query whose family digest hash-covers it."""
@@ -106,5 +106,9 @@ def test_rotated_out_slots_stay_digest_covered():
     # the round-4 rotation specifically
     for rotated_out in ("sql_cte_chain", "scan_partition_pruned", "upsert_reference_policy"):
         assert rotated_out in digest_covered, rotated_out
-    for rotated_in in ("q5_region_revenue", "window_ranking", "join_fuzzy_blocked"):
+    # the round-5 rotation: r4's slots leave with direct green history
+    # but must stay digest-covered; the r5 slots must hold direct rows
+    for rotated_out in ("q5_region_revenue", "window_ranking", "join_fuzzy_blocked"):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in ("dedup_substring", "q18_large_volume_customer", "scd2_intervals"):
         assert rotated_in in PRIORITY, rotated_in
