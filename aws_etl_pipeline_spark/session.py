@@ -61,6 +61,112 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# ------------------------------------------------------------- s3a readiness
+#: The reference reads raw batches from and writes processed output to
+#: S3 (`lambda_function.py:80,288`, ` s3_uploader.py:127`). The Spark
+#: equivalent is the same scan/sink code with an ``s3a://`` path — the
+#: only cluster-side work is configuration, which this block owns so an
+#: EMR/Glue/k8s deployment is a one-call setup. Nothing here is
+#: exercisable in this sandbox (no object store, no hadoop-cloud jars
+#: beyond what pyspark bundles); the unit test asserts the WIRING — the
+#: confs land on the builder/session — not S3 round-trips.
+
+#: Job-commit safety on a store with no atomic rename: the cloud
+#: committer binding (spark-hadoop-cloud) turns task commits into S3
+#: multipart uploads completed at job commit. Without it, the default
+#: FileOutputCommitter v1/v2 rename phase is O(data) on S3 and can
+#: surface partial output on failure.
+S3A_COMMITTER_CONFS = {
+    "spark.sql.sources.commitProtocolClass": (
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+    ),
+    "spark.sql.parquet.output.committer.class": (
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+    ),
+    "spark.hadoop.fs.s3a.committer.name": "magic",
+    "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+}
+
+#: Throughput knobs sized for many-core executors scanning large
+#: parquet: parallel connections/threads above the tiny Hadoop
+#: defaults, multipart+readahead at parquet-row-group granularity.
+S3A_TUNING_CONFS = {
+    "spark.hadoop.fs.s3a.connection.maximum": "96",
+    "spark.hadoop.fs.s3a.threads.max": "64",
+    "spark.hadoop.fs.s3a.fast.upload": "true",
+    "spark.hadoop.fs.s3a.multipart.size": "134217728",
+    "spark.hadoop.fs.s3a.readahead.range": "1048576",
+    # Keeping directory markers avoids a LIST+DELETE per directory on
+    # write-heavy jobs (safe on Hadoop 3.1+ readers).
+    "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
+}
+
+
+def s3a_confs(
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    session_token: str | None = None,
+    endpoint: str | None = None,
+    region: str | None = None,
+    committer: bool = True,
+    extra: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Spark conf dict making ``s3a://bucket/...`` paths work in every
+    scan/sink of this engine (`sources/scans.py`, `operators/etl.py` —
+    the path is the only thing that changes vs local parquet).
+
+    Credentials: explicit keys pin the simple/temporary provider;
+    with no keys the conf stays silent so s3a's DEFAULT provider chain
+    runs (env vars -> instance/role credentials — the right setup on
+    EMR/Glue, where the instance role carries the permissions).
+    ``extra`` passes any further ``fs.s3a.*`` knob through verbatim
+    under the ``spark.hadoop.`` prefix Spark requires for Hadoop confs
+    set at session level."""
+    out: dict[str, str] = dict(S3A_TUNING_CONFS)
+    if committer:
+        out.update(S3A_COMMITTER_CONFS)
+    if access_key and secret_key:
+        out["spark.hadoop.fs.s3a.access.key"] = access_key
+        out["spark.hadoop.fs.s3a.secret.key"] = secret_key
+        if session_token:
+            out["spark.hadoop.fs.s3a.session.token"] = session_token
+            out["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+                "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+            )
+        else:
+            out["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+                "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+            )
+    if endpoint:
+        out["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        # Non-AWS endpoints (MinIO, localstack) are path-style.
+        out["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    if region:
+        out["spark.hadoop.fs.s3a.endpoint.region"] = region
+    for k, v in (extra or {}).items():
+        out[k if k.startswith("spark.") else f"spark.hadoop.{k}"] = v
+    return out
+
+
+def s3a_confs_from_env() -> dict[str, str] | None:
+    """The zero-code path: when AWS credentials are present in the
+    environment (AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY, the same
+    variables boto3 and the reference's Lambda runtime read), return
+    the matching conf dict; otherwise None (no credentials is NOT an
+    error — an instance role may still carry access, callers opt in
+    via s3a_confs())."""
+    ak = os.environ.get("AWS_ACCESS_KEY_ID")
+    sk = os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if not (ak and sk):
+        return None
+    return s3a_confs(
+        access_key=ak,
+        secret_key=sk,
+        session_token=os.environ.get("AWS_SESSION_TOKEN"),
+        region=os.environ.get("AWS_DEFAULT_REGION") or os.environ.get("AWS_REGION"),
+    )
+
+
 def get_spark(
     app_name: str = ENGINE_NAME,
     cpus: int | None = None,
@@ -84,6 +190,13 @@ def get_spark(
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # s3a auto-wire: env credentials present -> the session can read
+    # s3a:// paths with no further setup (mirrors the reference's
+    # boto3-from-env behavior). extra_conf still overrides.
+    env_s3a = s3a_confs_from_env()
+    if env_s3a:
+        for k, v in env_s3a.items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
