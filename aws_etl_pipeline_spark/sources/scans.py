@@ -229,6 +229,32 @@ def _permissive_customer_schema():
     )
 
 
+def ensure_output_root(spark: SparkSession, path: str) -> bool:
+    """Reference R23 (` s3_uploader.py:191-202`
+    ``create_bucket_if_not_exists``): make sure a sink root exists
+    before a job writes under it. The Spark-native analog is the
+    Hadoop FileSystem contract, which resolves the scheme from the
+    path — ``file:/`` and ``hdfs:/`` get a real mkdir, ``s3a://`` a
+    zero-byte directory marker (creating the BUCKET itself is an
+    account-control-plane operation S3 policy usually denies to data
+    jobs; on a missing bucket this surfaces the store's own error
+    rather than guessing). Returns True when the path already existed,
+    False when it was created — the reference's two log branches.
+
+    Spark writers create directories implicitly, so calling this is
+    only *required* for sinks outside Spark (the JDBC staging CSV
+    drop-zone, foreachBatch side outputs); it exists to make the
+    pre-flight explicit and testable."""
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    jsc = spark.sparkContext._jsc  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        return True
+    fs.mkdirs(hpath)
+    return False
+
+
 @query(
     "scan_csv_permissive",
     oracle="""

@@ -259,3 +259,16 @@ def test_zorder_bounds_both_dimensions(spark, sf_dir, tmp_path):
     med_b = sorted(r["b_span"] for r in rows)[len(rows) // 2]
     assert med_a < 0.6 * glob_a, (med_a, glob_a)
     assert med_b < 0.6 * glob_b, (med_b, glob_b)
+
+
+def test_ensure_output_root_creates_and_detects(spark, tmp_path):
+    # R23 (create_bucket_if_not_exists): False = created, True = existed;
+    # the same Hadoop FileSystem call resolves s3a:// on a cluster.
+    from aws_etl_pipeline_spark.sources.scans import ensure_output_root
+
+    target = str(tmp_path / "sink" / "nested")
+    assert ensure_output_root(spark, target) is False
+    assert ensure_output_root(spark, target) is True
+    # usable as a real sink root immediately
+    spark.range(3).write.mode("overwrite").parquet(target + "/t")
+    assert spark.read.parquet(target + "/t").count() == 3

@@ -289,6 +289,21 @@ def test_text_repetition_zero_shuffle(spark, sf_dir):
     assert not python_eval_nodes(df)
 
 
+def test_simhash_single_agg_shuffle(spark, sf_dir):
+    # simhash sums all 16 bit-votes as conditional aggregates in ONE
+    # doc-keyed groupBy: exactly two Exchanges total (load_spread's
+    # explicit round-robin + the agg shuffle) and no crossJoin-with-
+    # range(bits) row expansion (round-4 advice: the old spelling's
+    # first shuffle was 16x the word stream, plus a third Exchange).
+    from aws_etl_pipeline_spark.llm.dedup import dedup_simhash
+
+    df = dedup_simhash(spark, sf_dir)
+    plan = _plan(df)
+    assert _nodes(plan, "Exchange") == 2, f"unexpected shuffle count:\n{plan}"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert not python_eval_nodes(df)
+
+
 def test_gram_matrix_pair_expansion_never_shuffles(spark, sf_dir):
     # embed_gram_matrix claims the 2080x in-row pair expansion never
     # hits the wire: partial (map-side) aggregation must sit BELOW the
