@@ -291,3 +291,85 @@ def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("expected_docs"),
     )
+
+
+N_SHARDS = 16  # output shards for the manifest demo
+PER_SOURCE_N = 10  # balanced-sample size per source
+
+
+@query(
+    "shard_manifest",
+    oracle=f"""
+SELECT (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % {N_SHARDS})::BIGINT
+         AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(len(string_split(lower(trim(text)), ' ')))::BIGINT AS n_tokens,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       min(doc_id)::BIGINT AS min_doc_id,
+       max(doc_id)::BIGINT AS max_doc_id
+FROM documents GROUP BY 1
+""",
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: every document lands in one of
+    {N_SHARDS} shards by a stable content-independent hash of its id,
+    and the manifest row per shard carries the counts a dataloader
+    needs (docs, tokens, source spread, id range) and a resume/audit
+    needs (did shard 7 really get written whole?).
+
+    At 100 TB this is THE fan-out step before the sharded write: the
+    same hash feeds ``df.repartition(N, shard).write`` so each shard
+    is one writer task's output, and this manifest aggregation is a
+    single shuffle of {N_SHARDS} x partitions tiny partial rows — the
+    documents themselves never move for the manifest."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = _md5_bucket(F.col("doc_id"), N_SHARDS).alias("shard")
+    return (
+        d.select(
+            shard,
+            _tokens().alias("tokens"),
+            "doc_id",
+            "source",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("long").alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@query(
+    "sample_balanced_sources",
+    oracle=f"""
+SELECT source, doc_id,
+       len(string_split(lower(trim(text)), ' '))::BIGINT AS tokens
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT, doc_id
+) <= {PER_SOURCE_N}
+""",
+)
+def sample_balanced_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source balanced sample: the {PER_SOURCE_N} documents with
+    the smallest stable hash per source — a deterministic reservoir
+    that gives every source equal representation regardless of its
+    raw volume (the eval-slice / ablation-set builder; df.sample can't
+    do per-group exact-N and isn't reproducible across partitionings).
+
+    One window shuffle keyed by source; per-group state is a running
+    top-N. A 100 TB corpus with a skewed source distribution keeps
+    the same shape — the rank is over the hash, so no source's data
+    volume changes what any other source contributes."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(_md5_bucket(F.col("doc_id"), 1 << 32), "doc_id")
+    return (
+        d.select("source", "doc_id", _tokens().cast("long").alias("tokens"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PER_SOURCE_N)
+        .drop("rn")
+    )

@@ -125,6 +125,64 @@ def _bucket_spark(v: F.Column) -> F.Column:
     return F.concat(*parts)
 
 
+#: ANN bucket width: 4 planes = 16 buckets. The width RULE (measured,
+#: SCALING.md "ANN recall at 10x"): bits ~ log2(corpus / target
+#: bucket size). Round 4 ran 8 bits (256 buckets) over a 2k-vector
+#: corpus — ~8 vectors per bucket and a measured recall@3 of 0.03;
+#: right-sizing to 16 buckets (~125 vectors each) plus Hamming-1
+#: multi-probe lifts measured recall@3 to 0.57 at sf0.1 while still
+#: rescoring <4% of the corpus per query (the remaining gap is the
+#: synthetic embeddings' weak neighbor structure — true top-3 cosines
+#: are low, where sign-LSH carries little signal; the exact
+#: brute-force twin stays the recall oracle).
+ANN_PLANES = 4
+
+
+def _ann_bit_sql(vexpr: str, row: list[float], invert: bool) -> str:
+    lit = "[" + ", ".join(f"{x:.3f}" for x in row) + "]"
+    one, zero = ("'0'", "'1'") if invert else ("'1'", "'0'")
+    return f"CASE WHEN list_dot_product({vexpr}, {lit}) > 0 THEN {one} ELSE {zero} END"
+
+
+def _ann_probe_sql(vexpr: str, flip: int | None) -> str:
+    """4-bit bucket string with (optionally) one plane's bit flipped —
+    the Hamming-1 probe set spelled identically on both engines."""
+    rows = plane_weights(ANN_PLANES)
+    return " || ".join(
+        _ann_bit_sql(vexpr, row, invert=(j == flip)) for j, row in enumerate(rows)
+    )
+
+
+def _ann_bit_spark(v: F.Column, row: list[float]) -> F.Column:
+    lit = F.array(*[F.lit(x) for x in row])
+    return F.when(_dot(v, lit) > 0, "1").otherwise("0")
+
+
+def _ann_probes_from_bits(bits: list[F.Column]) -> F.Column:
+    """Array of the bucket plus its ANN_PLANES Hamming-1 flips
+    (multi-probe: a near neighbor on the wrong side of ONE hyperplane
+    is still found), built from ALREADY-COMPUTED sign-bit columns.
+    Recomputing the hyperplane dot inside every probe variant made the
+    expression tree 5x larger and pushed plan+codegen compile time to
+    ~2 s per run — the flip is a 1-char CASE on the stored bit, so the
+    dot products appear exactly once in the plan."""
+    def flipped(b: F.Column) -> F.Column:
+        return F.when(b == "1", "0").otherwise("1")
+
+    probes = [F.concat(*bits)]
+    for i in range(len(bits)):
+        probes.append(
+            F.concat(*[flipped(b) if j == i else b for j, b in enumerate(bits)])
+        )
+    return F.array(*probes)
+
+
+_ANN_PROBE_UNION = "\n  UNION ALL ".join(
+    f"SELECT vec_id, v, nrm, {_ann_probe_sql('v', flip)} AS bucket FROM q"
+    for flip in [None, *range(ANN_PLANES)]
+)
+
+
 @query(
     "sim_lsh_ann",
     oracle=f"""
@@ -134,15 +192,18 @@ WITH e AS (
 ),
 n AS (
   SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-         {_bucket_sql('v')} AS bucket
+         {_ann_probe_sql('v', None)} AS bucket
   FROM e
 ),
 q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
 c AS (SELECT * FROM n WHERE vec_id >= {N_QUERIES}),
+probes AS (
+  {_ANN_PROBE_UNION}
+),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 8) AS cosine
-  FROM q JOIN c ON q.bucket = c.bucket
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 8) AS cosine
+  FROM probes p JOIN c ON p.bucket = c.bucket
 )
 SELECT query_id, neighbor_id, cosine FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id
@@ -150,30 +211,42 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 """,
 )
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors: 8-bit random-hyperplane LSH
-    bucket join + exact rescoring of the candidates, top-3 per query.
-    The equi-join on bucket is the whole trick — at 100 TB the corpus
-    shuffles once by bucket and each query probes one bucket instead
-    of the full corpus."""
+    """Approximate nearest neighbors: 4-bit random-hyperplane LSH with
+    Hamming-1 multi-probe (each query probes its own bucket plus the 4
+    one-bit-flip buckets) + exact rescoring of the candidates, top-3
+    per query. The equi-join on bucket is the whole trick — at 100 TB
+    the corpus shuffles once by bucket and each query probes 5 of the
+    16 cells instead of scanning the full corpus; bucket width follows
+    bits ~ log2(corpus/bucket-size) (see ANN_PLANES for the measured
+    recall cliff the round-4 8-bit width sat on)."""
     e = load_spread(spark, sf_dir, "embeddings")
-    # The signature stage (8 interpreted-HOF dot products per row) feeds
+    # The signature stage (interpreted-HOF dot products per row) feeds
     # both join sides; Catalyst won't reuse the common subtree across a
     # self-join, so persist it — compute signatures once, as a real
-    # index build would.
+    # index build would. Each sign bit is materialized as its own
+    # column so the probe variants reference it instead of re-deriving
+    # the hyperplane dot (see _ann_probes_from_bits).
+    rows = plane_weights(ANN_PLANES)
     n = (
         e.select("vec_id", _as_double("embedding").alias("v"))
         .withColumn("nrm", _norm(F.col("v")))
-        .withColumn("bucket", _bucket_spark(F.col("v")))
+        .select(
+            "*", *[_ann_bit_spark(F.col("v"), r).alias(f"b{k}") for k, r in enumerate(rows)]
+        )
         .persist()
     )
+    bits = [F.col(f"b{k}") for k in range(ANN_PLANES)]
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
-        "bucket",
+        F.explode(_ann_probes_from_bits(bits)).alias("bucket"),
     )
     c = n.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), "v", "nrm", "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        "v",
+        "nrm",
+        F.concat(*bits).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",

@@ -254,9 +254,11 @@ SUITES: dict[str, list[str]] = {
     "suite_assembly": [
         "pack_token_budget",
         "sample_stratified",
+        "sample_balanced_sources",
         "mix_sources",
         "mix_temperature",
         "chunk_context_windows",
+        "shard_manifest",
     ],
     "suite_tpch": [
         "q2_min_cost_supplier",
