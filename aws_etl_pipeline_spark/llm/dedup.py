@@ -498,3 +498,58 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct({_SHINGLES_SQL.strip()}) AS sh
+  FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws
+        FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             least(len(a.sh), len(b.sh)), 6) AS containment
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      least(len(a.sh), len(b.sh)) >= 0.2
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) near-dup: |A∩B| / min(|A|,|B|)
+    over shingle sets for same-language pairs — catches a short
+    document QUOTED INSIDE a longer one, which Jaccard structurally
+    misses (the union denominator dilutes subset overlap toward 0 as
+    the length ratio grows; containment stays 1.0). The curation
+    companion to dedup_substring: that flags the shared passage
+    itself, this flags the document pair.
+
+    Same blocked pairwise shape as dedup_ngram_jaccard (the lang block
+    bounds candidates; at 100 TB the block key becomes an LSH bucket),
+    so it shares the recall-oracle role for the LSH paths."""
+    ws = _words()
+    t = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.array_distinct(_shingles_spark(ws)).alias("sh"))
+        .persist()
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    cont = inter.cast("double") / F.least(
+        F.size(F.col("a.sh")), F.size(F.col("b.sh"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(cont >= 0.2)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )

@@ -644,3 +644,52 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+@query(
+    "events_rolling_active_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+contrib AS (
+  SELECT user_id, day + g.i::INTEGER AS rday
+  FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) g
+),
+wau AS (
+  SELECT c.rday AS day, count(DISTINCT c.user_id)::BIGINT AS wau7
+  FROM contrib c JOIN days d ON c.rday = d.day GROUP BY 1
+),
+dau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS dau FROM du GROUP BY 1)
+SELECT d.day, dau.dau, wau.wau7
+FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+""",
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: per calendar day, distinct users active that
+    day (DAU) and in the trailing 7 days (WAU) — the dashboard metric
+    every event pipeline serves.
+
+    A RANGE-interval window cannot do COUNT(DISTINCT), so the scalable
+    spelling dedups to (user, day) pairs FIRST (one shuffle on pairs —
+    at 100 TB this collapses billions of raw events to |users| x
+    |days| rows), then each pair contributes to the <= 7 report days it
+    covers via a bounded sequence-explode, and the per-day distinct
+    count reuses the pair relation. Expansion is x7 of the DEDUPED
+    pairs, never of raw events; report days are restricted to days
+    that actually occur."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct().persist()
+    days = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("rday"),
+    )
+    wau = (
+        contrib.join(days, contrib.rday == days.day)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau7"))
+    )
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return days.join(dau, "day").join(wau, "day").select("day", "dau", "wau7")

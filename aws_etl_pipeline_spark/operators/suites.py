@@ -218,6 +218,7 @@ SUITES: dict[str, list[str]] = {
         "dedup_embedding_cosine",
         "dedup_keep_best",
         "dedup_connected_components",
+        "dedup_containment",
     ],
     "suite_sim": [
         "sim_bruteforce_topk",
@@ -302,6 +303,7 @@ SUITES: dict[str, list[str]] = {
         "events_anomaly_days",
         "events_transition_matrix",
         "join_asof_tolerance",
+        "events_rolling_active_users",
     ],
 }
 

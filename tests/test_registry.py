@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 190  # COVERAGE.md "190 named queries total"
-DOCUMENTED_GRANULAR = 171
+DOCUMENTED_TOTAL = 192  # COVERAGE.md "192 named queries total"
+DOCUMENTED_GRANULAR = 173
 DOCUMENTED_SUITES = 19
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
