@@ -289,6 +289,35 @@ def test_text_repetition_zero_shuffle(spark, sf_dir):
     assert not python_eval_nodes(df)
 
 
+def test_dedup_substring_shuffles_hashes_not_text(spark, sf_dir):
+    # The passage-dedup reduce must group on the 16-byte passage hash
+    # with map-side combine (partial HashAggregate below the agg
+    # Exchange), and the full document text must never appear in any
+    # post-scan schema wider than the word explode.
+    from aws_etl_pipeline_spark.llm.dedup import dedup_substring
+
+    df = dedup_substring(spark, sf_dir)
+    plan = _plan(df)
+    assert _nodes(plan, "HashAggregate") >= 2, plan  # partial + final
+    assert "CartesianProduct" not in plan
+    assert not python_eval_nodes(df)
+
+
+def test_rolling_active_users_explodes_pairs_not_events(spark, sf_dir):
+    # The 7x Generate must sit ABOVE the (user, day) dedup aggregate,
+    # so the explosion applies to deduped pairs, never raw events.
+    from aws_etl_pipeline_spark.operators.analytics import (
+        events_rolling_active_users,
+    )
+
+    df = events_rolling_active_users(spark, sf_dir)
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    gen = tree.index("Generate")
+    assert "HashAggregate" in tree[gen:] or "Aggregate" in tree[gen:], tree
+    assert not python_eval_nodes(df)
+
+
 def test_simhash_single_agg_shuffle(spark, sf_dir):
     # simhash sums all 16 bit-votes as conditional aggregates in ONE
     # doc-keyed groupBy: exactly two Exchanges total (load_spread's
