@@ -433,3 +433,67 @@ def stream_exec_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target_dir).select(
         "user_id", "last_ts", "last_type", "last_value"
     )
+
+
+@query(
+    "stream_exec_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+""",
+)
+def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming exact-dedup execution, completing the
+    real-incremental matrix (tumbling / sliding / session / upsert /
+    dedup): the staged event files are re-staged with every third
+    event DUPLICATED VERBATIM into a separate later file, replayed one
+    file per micro-batch, and ``dropDuplicates(event_id)`` must
+    suppress the copies using state carried ACROSS micro-batches (the
+    copy always arrives in a later batch than its original). Because
+    the duplicate rows are byte-identical, keep-first is
+    value-independent, so the appended sink must hash-equal the plain
+    batch projection of the events table — no tolerance needed.
+
+    At 100 TB the state store holds one 16-byte-keyed entry per live
+    key; the production variant bounds it with
+    ``dropDuplicatesWithinWatermark`` (pytest-verified in
+    tests/test_streaming.py), which this availableNow replay of
+    bounded files does not need."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..sources.scans import _sf_fingerprint
+
+    key = _sf_fingerprint(sf_dir)
+    stage_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_streamdedup_{key}")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").select(*cols)
+        # originals first (files part-0000x sort before the append's),
+        # copies appended as their own file -> a later micro-batch.
+        ev.repartition(3).write.mode("overwrite").parquet(stage_dir)
+        ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage_dir)
+    schema = spark.read.parquet(stage_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    deduped = stream.dropDuplicates(["event_id"])
+    qname = f"streamexec_dedup_{key}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.table(qname).select(*cols)
