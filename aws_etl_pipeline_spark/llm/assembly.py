@@ -373,3 +373,49 @@ def sample_balanced_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PER_SOURCE_N)
         .drop("rn")
     )
+
+
+RESERVOIR_K = 50  # global weighted-sample size
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         round(ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT + 0.5)
+                  / 4294967296.0) / n_chars, 12) AS es_key
+  FROM documents
+)
+SELECT doc_id, source, n_chars, es_key
+FROM keyed
+QUALIFY row_number() OVER (ORDER BY es_key DESC, doc_id) <= {RESERVOIR_K}
+""",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (Efraimidis-Spirakis A-ES): each doc
+    gets key ln(u)/w with u a deterministic (0,1) hash and w its
+    length; the global top-{RESERVOIR_K} by key IS an exact weighted
+    sample without replacement — longer documents proportionally more
+    likely, reproducible on any cluster layout because u is a stable
+    hash, not an RNG draw.
+
+    The 100 TB shape is the whole point: a distributed weighted sample
+    reduces to a global top-k, which Spark executes as
+    TakeOrderedAndProject (per-partition heap + driver merge of
+    {RESERVOIR_K} rows) — no shuffle, no sort of the corpus, state is
+    k rows per partition. The ES key is rounded to 12 decimals on both
+    engines so a last-ulp libm difference in ln() can never flip the
+    selection boundary (doc_id breaks exact ties)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    es_key = F.round(F.log(u) / F.col("n_chars"), 12)
+    return (
+        d.select("doc_id", "source", "n_chars", es_key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(RESERVOIR_K)
+    )

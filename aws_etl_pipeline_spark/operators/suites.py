@@ -261,6 +261,7 @@ SUITES: dict[str, list[str]] = {
         "mix_temperature",
         "chunk_context_windows",
         "shard_manifest",
+        "sample_weighted_reservoir",
     ],
     "suite_tpch": [
         "q2_min_cost_supplier",

@@ -289,6 +289,18 @@ def test_text_repetition_zero_shuffle(spark, sf_dir):
     assert not python_eval_nodes(df)
 
 
+def test_weighted_reservoir_is_take_ordered(spark, sf_dir):
+    # The A-ES weighted sample must execute as a global top-k
+    # (per-partition heap + driver merge), never a full sort/shuffle.
+    from aws_etl_pipeline_spark.llm.assembly import sample_weighted_reservoir
+
+    df = sample_weighted_reservoir(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _nodes(plan, "Exchange") == 0, plan
+    assert not python_eval_nodes(df)
+
+
 def test_dedup_substring_shuffles_hashes_not_text(spark, sf_dir):
     # The passage-dedup reduce must group on the 16-byte passage hash
     # with map-side combine (partial HashAggregate below the agg
