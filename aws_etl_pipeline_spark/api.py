@@ -234,9 +234,15 @@ def jaccard_pairs(
     block_col: str,
     threshold: float = 0.05,
     shingle: int = 3,
+    measure: str = "jaccard",
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for pairs sharing ``block_col`` —
-    the recall oracle for LSH; the blocking key bounds the pair count."""
+    """Exact shingle-set similarity for pairs sharing ``block_col`` —
+    the recall oracle for LSH; the blocking key bounds the pair count.
+    ``measure``: 'jaccard' (intersection over union) or 'containment'
+    (overlap coefficient, intersection over the SMALLER set — catches
+    a short document quoted inside a longer one, where the union
+    denominator dilutes toward 0). The score column is named after the
+    measure."""
     ws = _words(text_col)
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(ws)),
@@ -249,19 +255,24 @@ def jaccard_pairs(
     t = df.select(id_col, block_col, F.array_distinct(shingles).alias("sh")).persist()
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = inter.cast("double") / union
+    if measure == "jaccard":
+        denom = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    elif measure == "containment":
+        denom = F.least(F.size(F.col("a.sh")), F.size(F.col("b.sh")))
+    else:
+        raise ValueError(f"unknown measure: {measure!r}")
+    score = inter.cast("double") / denom
     return (
         a.join(
             b,
             (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .filter(jac >= threshold)
+        .filter(score >= threshold)
         .select(
             F.col(f"a.{id_col}").alias(f"{id_col[:3]}_a" if id_col.endswith("_id") else "id_a"),
             F.col(f"b.{id_col}").alias(f"{id_col[:3]}_b" if id_col.endswith("_id") else "id_b"),
-            F.round(jac, 6).alias("jaccard"),
+            F.round(score, 6).alias(measure),
         )
     )
 

@@ -528,28 +528,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same blocked pairwise shape as dedup_ngram_jaccard (the lang block
     bounds candidates; at 100 TB the block key becomes an LSH bucket),
-    so it shares the recall-oracle role for the LSH paths."""
-    ws = _words()
-    t = (
-        load_spread(spark, sf_dir, "documents")
-        .select("doc_id", "lang", F.array_distinct(_shingles_spark(ws)).alias("sh"))
-        .persist()
-    )
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    cont = inter.cast("double") / F.least(
-        F.size(F.col("a.sh")), F.size(F.col("b.sh"))
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(cont >= 0.2)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(cont, 6).alias("containment"),
-        )
+    so it shares the recall-oracle role for the LSH paths — and shares
+    the implementation: api.jaccard_pairs with the containment
+    denominator."""
+    from ..api import jaccard_pairs
+
+    d = load_spread(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        d, "doc_id", "text", block_col="lang", threshold=0.2, measure="containment"
     )

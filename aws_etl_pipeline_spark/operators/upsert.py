@@ -65,14 +65,7 @@ def merge_upsert(
     cols = target.columns
     update_cols = update_cols or tuple(c for c in source.columns if c != key)
     if best_effort:
-        source = source.filter(F.col(key).isNotNull())
-        order_cols = [F.col(c).desc_nulls_last() for c in source.columns if c != key]
-        w = Window.partitionBy(key).orderBy(*order_cols)
-        source = (
-            source.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        source = _dedup_last_writer(source.filter(F.col(key).isNotNull()), key)
     t = target.alias("t")
     s = source.alias("s")
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")

@@ -154,7 +154,19 @@ def s3a_confs_from_env() -> dict[str, str] | None:
     variables boto3 and the reference's Lambda runtime read), return
     the matching conf dict; otherwise None (no credentials is NOT an
     error — an instance role may still carry access, callers opt in
-    via s3a_confs())."""
+    via s3a_confs()).
+
+    Credentials and tuning ONLY — the committer binding is deliberately
+    NOT auto-wired: ``spark.sql.sources.commitProtocolClass`` applies
+    to every file write regardless of scheme, and the cloud-committer
+    classes live in spark-hadoop-cloud, which plain pyspark does not
+    bundle — auto-binding would make a purely LOCAL job on any machine
+    with ambient AWS env credentials fail its first write with
+    ClassNotFoundException. Deployments that write to s3a opt in via
+    ``s3a_confs()`` (committer=True is its default), which is the
+    moment the spark-hadoop-cloud jars are on the classpath anyway.
+    Region precedence follows boto3: AWS_REGION wins over
+    AWS_DEFAULT_REGION."""
     ak = os.environ.get("AWS_ACCESS_KEY_ID")
     sk = os.environ.get("AWS_SECRET_ACCESS_KEY")
     if not (ak and sk):
@@ -163,7 +175,8 @@ def s3a_confs_from_env() -> dict[str, str] | None:
         access_key=ak,
         secret_key=sk,
         session_token=os.environ.get("AWS_SESSION_TOKEN"),
-        region=os.environ.get("AWS_DEFAULT_REGION") or os.environ.get("AWS_REGION"),
+        region=os.environ.get("AWS_REGION") or os.environ.get("AWS_DEFAULT_REGION"),
+        committer=False,
     )
 
 

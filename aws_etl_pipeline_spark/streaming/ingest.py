@@ -470,7 +470,13 @@ def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _sf_fingerprint(sf_dir)
     stage_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_streamdedup_{key}")
     cols = ["event_id", "user_id", "event_type", "value"]
-    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+    # Guard on our OWN marker written after BOTH writes — Spark drops
+    # _SUCCESS after the first (overwrite) write, so guarding on it
+    # would let a crash between the two writes leave a permanently
+    # duplicate-free stage: the stream would trivially match the
+    # oracle while the cross-batch dedup path went unexercised.
+    staged_marker = os.path.join(stage_dir, "_STAGED_WITH_DUPES")
+    if not os.path.exists(staged_marker):
         shutil.rmtree(stage_dir, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events").select(*cols)
         # originals first (files part-0000x sort before the append's),
@@ -479,6 +485,8 @@ def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
             "append"
         ).parquet(stage_dir)
+        with open(staged_marker, "w") as fh:
+            fh.write("ok")
     schema = spark.read.parquet(stage_dir).schema
 
     stream = (

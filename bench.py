@@ -120,24 +120,27 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         sf = None  # non-standard dir name (e.g. a scale replica)
-    # Compact medians-only line FIRST: the driver's stdout capture has a
-    # bounded buffer and rounds 3/4 landed with the (single, large) JSON
-    # line head-truncated and unparseable. This line stays well under any
-    # plausible buffer; the full diagnostics blob (spreads, loadavg,
-    # warmup) follows for humans and post-hoc analysis.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        ),
-        flush=True,
+    # Compact medians-only line, printed FIRST and again LAST: the
+    # driver's stdout capture has a bounded buffer and rounds 3/4
+    # landed with the (single, large) JSON line head-truncated and
+    # unparseable. The observed truncation pattern is tail-retention
+    # (the line's HEAD was cut), so a head-retaining parser needs the
+    # compact line first while a tail-retaining one needs it last —
+    # emit both (identical content) so one intact parseable line
+    # survives either policy. The full diagnostics blob (spreads,
+    # loadavg, warmup) sits between them for humans and post-hoc
+    # analysis.
+    compact = json.dumps(
+        {
+            "metric": "headline_query_set_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    print(compact, flush=True)
     print(
         json.dumps(
             {
@@ -159,6 +162,7 @@ def main() -> None:
             }
         )
     )
+    print(compact, flush=True)  # tail-retention copy (see above)
     spark.stop()
 
 

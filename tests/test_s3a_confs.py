@@ -63,6 +63,29 @@ def test_env_autowire_only_when_both_keys_present():
         c = s3a_confs_from_env()
         assert c["spark.hadoop.fs.s3a.access.key"] == "AK"
         assert c["spark.hadoop.fs.s3a.endpoint.region"] == "eu-west-1"
+        # The committer binding must NOT auto-wire from env: the commit
+        # protocol class applies to every file write (local parquet
+        # included) and plain pyspark ships no spark-hadoop-cloud jars,
+        # so auto-binding would break purely local jobs on any machine
+        # with ambient AWS credentials.
+        for k in S3A_COMMITTER_CONFS:
+            assert k not in c, k
+
+
+def test_env_region_precedence_matches_boto3():
+    # boto3 resolves AWS_REGION before AWS_DEFAULT_REGION; the docstring
+    # claims parity, so the code must too.
+    with mock.patch.dict(
+        os.environ,
+        {
+            "AWS_ACCESS_KEY_ID": "AK",
+            "AWS_SECRET_ACCESS_KEY": "SK",
+            "AWS_REGION": "eu-west-1",
+            "AWS_DEFAULT_REGION": "us-east-1",
+        },
+    ):
+        c = s3a_confs_from_env()
+        assert c["spark.hadoop.fs.s3a.endpoint.region"] == "eu-west-1"
 
 
 def test_spark_hadoop_prefix_reaches_hadoop_configuration(spark):
