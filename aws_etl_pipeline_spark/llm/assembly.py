@@ -406,7 +406,11 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     {RESERVOIR_K} rows) — no shuffle, no sort of the corpus, state is
     k rows per partition. The ES key is rounded to 12 decimals on both
     engines so a last-ulp libm difference in ln() can never flip the
-    selection boundary (doc_id breaks exact ties)."""
+    selection boundary (doc_id breaks exact ties); the residual
+    fragility is HALF_UP-on-DOUBLE agreement between engines at the
+    rounding step itself — should a last-ulp tie on other data ever
+    flip the boundary, route ln/divide through DECIMAL before rounding
+    on both sides, as embed_pca_project's note prescribes."""
     d = load_table(spark, sf_dir, "documents")
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)

@@ -14,6 +14,7 @@ of the same batch is idempotent — verified in tests/test_upsert.py.
 from __future__ import annotations
 
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -286,6 +287,21 @@ def staging_merge_sql(table: str, staging: str, key: str, cols: list[str],
     )
 
 
+def _staging_name(table: str) -> str:
+    """Derive a valid UNQUOTED staging identifier from any target name.
+
+    Quotes in a quoted target must not leak into the staging identifier
+    (`"txn5"_staging_x` is not a valid name) — and neither must the
+    characters those quotes were protecting: a schema-qualified
+    `"my schema"."txn"` seeds from its LAST segment only, and spaces /
+    dashes / anything non-identifier folds to '_', so the staging
+    CREATE (Spark JDBC writer) and the MERGE's USING ref always see a
+    plain identifier that case-folds consistently on both."""
+    last_segment = table.replace(chr(34), "").split(".")[-1]
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", last_segment) or "t"
+    return f"{safe}_staging_{uuid.uuid4().hex[:8]}"
+
+
 def merge_into_jdbc(
     source: DataFrame,
     url: str,
@@ -314,11 +330,7 @@ def merge_into_jdbc(
     ``quote_target=True`` is required when the TARGET table was itself
     created by Spark's JDBC writer (quoted, case-preserving DDL) on a
     case-folding engine — see staging_merge_sql's precondition."""
-    # Quotes in a quoted target name must not leak into the staging
-    # identifier (`"txn5"_staging_x` is not a valid name); the staging
-    # table is always an unquoted identifier, consistently case-folded
-    # in both its CREATE (Spark JDBC writer) and the MERGE's USING ref.
-    staging = f"{table.replace(chr(34), '')}_staging_{uuid.uuid4().hex[:8]}"
+    staging = _staging_name(table)
     props = dict(properties or {})
     jvm = source.sparkSession._jvm  # noqa: SLF001
     jprops = jvm.java.util.Properties()

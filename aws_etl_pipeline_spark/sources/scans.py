@@ -250,6 +250,14 @@ def ensure_output_root(spark: SparkSession, path: str) -> bool:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
     if fs.exists(hpath):
+        # A pre-existing regular FILE at the root is NOT a usable sink:
+        # report it now with a clear message instead of deferring to the
+        # first write's opaque failure (the pre-flight-check intent).
+        if not fs.getFileStatus(hpath).isDirectory():
+            raise ValueError(
+                f"output root {path!r} exists but is a file, not a "
+                "directory — refusing to use it as a sink root"
+            )
         return True
     fs.mkdirs(hpath)
     return False

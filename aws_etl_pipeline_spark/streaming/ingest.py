@@ -477,16 +477,34 @@ def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle while the cross-batch dedup path went unexercised.
     staged_marker = os.path.join(stage_dir, "_STAGED_WITH_DUPES")
     if not os.path.exists(staged_marker):
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        # Stage into a UNIQUE temp dir, then atomically rename into
+        # place (the tmp+rename discipline merge_into_parquet uses):
+        # two sessions hitting the same sf_dir concurrently each build
+        # a complete private stage, and whichever rename wins leaves a
+        # fully-staged directory — never an interleaved rmtree/write
+        # corrupting a stage the other session is mid-way through.
+        import uuid as _uuid
+
+        tmp_dir = f"{stage_dir}.tmp.{_uuid.uuid4().hex[:8]}"
         ev = load_table(spark, sf_dir, "events").select(*cols)
         # originals first (files part-0000x sort before the append's),
         # copies appended as their own file -> a later micro-batch.
-        ev.repartition(3).write.mode("overwrite").parquet(stage_dir)
+        ev.repartition(3).write.mode("overwrite").parquet(tmp_dir)
         ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
             "append"
-        ).parquet(stage_dir)
-        with open(staged_marker, "w") as fh:
+        ).parquet(tmp_dir)
+        with open(os.path.join(tmp_dir, "_STAGED_WITH_DUPES"), "w") as fh:
             fh.write("ok")
+        # Clear any marker-less (partial, pre-fix) stage, then claim.
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        try:
+            os.rename(tmp_dir, stage_dir)
+        except OSError:
+            # Another session's complete stage won the rename race —
+            # use theirs, discard ours.
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            if not os.path.exists(staged_marker):
+                raise
     schema = spark.read.parquet(stage_dir).schema
 
     stream = (

@@ -272,3 +272,17 @@ def test_ensure_output_root_creates_and_detects(spark, tmp_path):
     # usable as a real sink root immediately
     spark.range(3).write.mode("overwrite").parquet(target + "/t")
     assert spark.read.parquet(target + "/t").count() == 3
+
+
+def test_ensure_output_root_rejects_file(spark, tmp_path):
+    # A regular FILE at the root is not a usable sink: the pre-flight
+    # must say so clearly now, not defer to the first write's opaque
+    # failure (fs.exists() alone is true for files too).
+    import pytest
+
+    from aws_etl_pipeline_spark.sources.scans import ensure_output_root
+
+    f = tmp_path / "not_a_dir"
+    f.write_text("occupied")
+    with pytest.raises(ValueError, match="is a file"):
+        ensure_output_root(spark, str(f))

@@ -186,3 +186,38 @@ def test_merge_into_jdbc_drops_staging(spark, derby_url):
     with pytest.raises(RuntimeError, match="MERGE"):
         merge_into_jdbc(source, derby_url, "TXN4", key="NO_SUCH_COL")
     assert _staging_tables(spark, derby_url) == []
+
+
+def test_staging_name_sanitized():
+    # ADVICE r5: a quoted/schema-qualified/space-bearing target must
+    # still yield a valid plain staging identifier — seeded from the
+    # LAST segment, non-identifier chars folded to '_'.
+    from aws_etl_pipeline_spark.operators.upsert import _staging_name
+
+    import re as _re
+
+    for target, seed in [
+        ('"my schema"."txn"', "txn"),
+        ('"my-table"', "my_table"),
+        ("SCHEMA.TXN", "TXN"),
+        ('"weird name!"', "weird_name_"),
+        ("plain", "plain"),
+    ]:
+        got = _staging_name(target)
+        assert got.startswith(f"{seed}_staging_"), (target, got)
+        assert _re.fullmatch(r"[A-Za-z0-9_]+", got), got
+
+
+def test_merge_into_jdbc_quoted_spaced_target(spark, derby_url):
+    # End-to-end: a target whose name NEEDS quoting (embedded space) —
+    # the staging identifier must not inherit the space (r5 advice) and
+    # the MERGE must land. Target created via Spark's quoting writer.
+    seed = spark.createDataFrame([(1, 1.0)], "id INT, v DOUBLE")
+    seed.write.jdbc(url=derby_url, table='"txn space"', mode="errorifexists")
+
+    source = spark.createDataFrame([(1, 9.0), (2, 2.0)], "id INT, v DOUBLE")
+    merge_into_jdbc(source, derby_url, '"txn space"', key="id", quote_target=True)
+
+    got = spark.read.jdbc(url=derby_url, table='"txn space"').orderBy("id")
+    assert [tuple(r) for r in got.collect()] == [(1, 9.0), (2, 2.0)]
+    assert _staging_tables(spark, derby_url) == []
