@@ -537,3 +537,110 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(
         d, "doc_id", "text", block_col="lang", threshold=0.2, measure="containment"
     )
+
+
+SEMDEDUP_TAU = 0.35  # within-cell cosine above which the lower-priority copy is pruned
+
+
+def _semdedup_oracle() -> str:
+    from .similarity import K_CELLS, KMEANS_ITERS, _kmeans_blocks
+
+    blocks = _kmeans_blocks(K_CELLS, KMEANS_ITERS)
+    last = KMEANS_ITERS - 1
+    return (
+        "WITH " + ",".join(blocks) + f""",
+mem AS (
+  SELECT a.vec_id, a.cell, a.v,
+         sqrt(list_sum(list_transform(a.v, x -> x * x))) AS nrm,
+         round(list_dot_product(a.v, c.cv)
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) AS ccos
+  FROM assign{last} a JOIN cent{last + 1} c USING (cell)
+),
+pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM mem a JOIN mem b
+    ON a.cell = b.cell
+   AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {SEMDEDUP_TAU}
+)
+SELECT m.vec_id, m.cell, m.ccos AS centroid_cos,
+       (p.vec_id IS NULL) AS kept
+FROM mem m LEFT JOIN pruned p ON m.vec_id = p.vec_id
+"""
+    )
+
+
+@query("dedup_semantic", oracle=_semdedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): cluster the embedding corpus with the deterministic
+    Lloyd's k-means (similarity.lloyd_assign — seed = first k vectors,
+    DECIMAL-exact means, so the DuckDB oracle replays the identical
+    iterations), then WITHIN each cluster prune any vector whose
+    cosine to a higher-priority member is >= {tau}. Priority follows
+    the paper's keep-rule: LOW similarity to the cluster centroid wins
+    (keep the atypical representative, prune the redundant core),
+    vec_id breaking 6-decimal ties. Emits one row per vector —
+    (vec_id, cell, centroid_cos, kept) — so the oracle hash pins the
+    cluster assignment, the priority score, and the prune verdict.
+
+    100 TB shape: candidate pairs exist only WITHIN a cell — never
+    across — so the pair space is sum(|cell|^2), not n^2; in
+    production k scales with the corpus (SemDeDup uses ~100k clusters
+    for 100M embeddings) to hold cells at ~1k members, and each cell's
+    pairwise block runs after ONE shuffle by cell id. Assignment never
+    shuffles the corpus (broadcast centroids), the priority score is
+    one broadcast join, and the final verdict is a left anti-shaped
+    join on vec_id. Zero Python in the hot path — all fold/zip_with
+    expression arithmetic."""
+    from .similarity import (
+        K_CELLS,
+        KMEANS_ITERS,
+        _as_double,
+        _dot,
+        _norm,
+        lloyd_assign,
+    )
+
+    e = load_spread(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", _as_double("embedding").alias("v"))
+    assign, cent = lloyd_assign(base, K_CELLS, KMEANS_ITERS)
+    centn = cent.select("cell", "cv", _norm(F.col("cv")).alias("cnrm"))
+    mem = (
+        assign.join(F.broadcast(centn), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            "v",
+            _norm(F.col("v")).alias("nrm"),
+            F.round(
+                _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * F.col("cnrm")),
+                6,
+            ).alias("ccos"),
+        )
+        .persist()  # feeds both sides of the within-cell pair join
+    )
+    a, b = mem.alias("a"), mem.alias("b")
+    pair_cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    higher_priority = (F.col("a.ccos") < F.col("b.ccos")) | (
+        (F.col("a.ccos") == F.col("b.ccos")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    pruned = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & higher_priority)
+        .filter(pair_cos >= SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(True))
+    )
+    return (
+        mem.join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("ccos").alias("centroid_cos"),
+            F.col("is_pruned").isNull().alias("kept"),
+        )
+    )

@@ -672,10 +672,13 @@ K_CELLS = 8
 KMEANS_ITERS = 2
 
 
-def _kmeans_oracle(k: int, iters: int) -> str:
-    """Unrolled Lloyd's iterations as DuckDB CTEs (the oracle for the
-    iterative Spark loop — same seed, same tie-break, same
-    decimal-exact means)."""
+def _kmeans_blocks(k: int, iters: int) -> list[str]:
+    """The unrolled Lloyd's-iteration CTE blocks shared by every oracle
+    that replays the deterministic k-means (kmeans_train itself and
+    dedup_semantic's cluster step): same seed (first k vectors), same
+    tie-break (cell asc), same decimal-exact means. Joining the blocks
+    with ',' after 'WITH ' yields assign{iters-1} (final membership)
+    and cent{iters} (final centroids)."""
     sq = "list_sum(list_transform(list_zip(n.v, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2])))"
     blocks = [
         """
@@ -709,6 +712,14 @@ cent{i + 1} AS (
         GROUP BY cell, u.d)
   GROUP BY cell
 )""")
+    return blocks
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd's iterations as DuckDB CTEs (the oracle for the
+    iterative Spark loop — same seed, same tie-break, same
+    decimal-exact means)."""
+    blocks = _kmeans_blocks(k, iters)
     last = iters - 1
     return (
         "WITH " + ",".join(blocks) + f"""
@@ -722,27 +733,22 @@ GROUP BY a.cell
     )
 
 
-@query("kmeans_train", oracle=_kmeans_oracle(K_CELLS, KMEANS_ITERS))
-def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative Lloyd's k-means (k=8, 2 iterations) in pure DataFrame
-    ops — the trained coarse quantizer behind IVF indexes, and the
-    engine's demonstration that ITERATIVE ML training fits the
-    declarative model: per iteration, assignment is a broadcast
-    cross-join + per-vector argmin window (centroids are tiny; the
-    corpus never shuffles for assignment), and the update is one
-    explode->decimal-exact-mean->rebuild aggregation. Deterministic by
-    construction (seed = the first k vectors, ties broken on cell id,
-    means summed through DECIMAL), so the DuckDB oracle replays the
-    identical unrolled iterations. At 100 TB: per iteration one
-    broadcast + one shuffle of (cell, dim) partial sums — the same
-    cost model as MLlib's KMeans, with auditable arithmetic."""
-    e = load_spread(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", _as_double("embedding").alias("v"))
-    cent = base.filter(F.col("vec_id") < K_CELLS).select(
+def lloyd_assign(base: DataFrame, k: int, iters: int):
+    """Deterministic Lloyd's k-means over ``base`` (vec_id, v) — the
+    shared cluster core under kmeans_train and dedup_semantic. Seed =
+    the first k vectors; per iteration, assignment is a broadcast
+    cross-join + per-vector argmin window (ties on cell asc) and the
+    update is one explode -> DECIMAL-exact-mean -> rebuild aggregation,
+    so the DuckDB blocks from :func:`_kmeans_blocks` replay it exactly.
+    Returns ``(assign, cent)``: final membership (vec_id, cell, v) and
+    final centroids (cell, cv). At 100 TB: per iteration one broadcast
+    of k centroids + one shuffle of (cell, dim) partial sums — the
+    corpus itself never shuffles for assignment."""
+    cent = base.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
     assign = None
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         d2 = F.aggregate(
             F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -773,6 +779,26 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cv")
             )
         )
+    return assign, cent
+
+
+@query("kmeans_train", oracle=_kmeans_oracle(K_CELLS, KMEANS_ITERS))
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means (k=8, 2 iterations) in pure DataFrame
+    ops — the trained coarse quantizer behind IVF indexes, and the
+    engine's demonstration that ITERATIVE ML training fits the
+    declarative model: per iteration, assignment is a broadcast
+    cross-join + per-vector argmin window (centroids are tiny; the
+    corpus never shuffles for assignment), and the update is one
+    explode->decimal-exact-mean->rebuild aggregation. Deterministic by
+    construction (seed = the first k vectors, ties broken on cell id,
+    means summed through DECIMAL), so the DuckDB oracle replays the
+    identical unrolled iterations. At 100 TB: per iteration one
+    broadcast + one shuffle of (cell, dim) partial sums — the same
+    cost model as MLlib's KMeans, with auditable arithmetic."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", _as_double("embedding").alias("v"))
+    assign, cent = lloyd_assign(base, K_CELLS, KMEANS_ITERS)
     sqnorm = F.aggregate(
         F.transform(F.col("cv"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
     )

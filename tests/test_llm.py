@@ -165,3 +165,29 @@ def test_passage_dedup_flags_cross_document_boilerplate(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.n_occurrences, r.n_docs, r.keeper_doc_id) == (2, 2, 1)
+
+
+def test_semantic_dedup_prunes_only_within_cell(spark, sf_dir):
+    """SemDeDup invariants: every vector gets a verdict, every cell
+    keeps at least one representative, and each pruned vector really
+    has a kept same-cell neighbor at cosine >= tau with lower
+    priority-order (the keep-rule is one-pass: pruned-by relations
+    point at a higher-priority member, which may itself be pruned by
+    an even higher one — but the TOP-priority member of any cell can
+    never be pruned, so a cell is never emptied)."""
+    from aws_etl_pipeline_spark.llm.dedup import SEMDEDUP_TAU, dedup_semantic
+
+    res = dedup_semantic(spark, sf_dir)
+    rows = res.collect()
+    assert len(rows) == 500  # one verdict per embedding
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        assert any(r.kept for r in members), f"cell {cell} emptied"
+        # the highest-priority member (lowest centroid_cos, then
+        # lowest vec_id) is by construction unprunable
+        top = min(members, key=lambda r: (r.centroid_cos, r.vec_id))
+        assert top.kept, f"cell {cell}: top-priority member pruned"
+    n_pruned = sum(not r.kept for r in rows)
+    assert 0 < n_pruned < 500, n_pruned  # tau neither prunes nothing nor everything
