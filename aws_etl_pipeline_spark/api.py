@@ -158,24 +158,33 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def _lsh_band_rows(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n_hashes: int = 16,
-    n_bands: int = 4,
-    shingle: int = 3,
+    n_hashes: int,
+    n_bands: int,
+    shingle: int,
+    include_sig: bool,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs with estimated Jaccard: banded
-    minhash signatures, candidates from an equi-join on (band index,
-    band hash) — never an OR-of-bands nested loop. Output columns:
-    ``{id}_a, {id}_b, est_jaccard``."""
+    """(id[, sig], band_idx, band_hash) rows — the banded-minhash
+    bucket table under every LSH candidate join. Persisted: Catalyst
+    does not reuse the two identical self-join subtrees (verified: 2
+    parquet scans, no ReusedExchange), so without this the shingle ->
+    minhash pipeline — the expensive half on a real corpus — runs
+    twice. persist() keeps lineage for executor-loss recovery, unlike
+    localCheckpoint."""
     assert n_hashes % n_bands == 0
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle)
+    sig_cols = (
+        [F.array(*[F.col(f"mh{k}") for k in range(n_hashes)]).alias("sig")]
+        if include_sig
+        else []
+    )
     banded = sig.select(
         id_col,
-        F.array(*[F.col(f"mh{k}") for k in range(n_hashes)]).alias("sig"),
+        *sig_cols,
         *[
             F.md5(
                 F.concat_ws(
@@ -192,16 +201,27 @@ def minhash_lsh_pairs(
     stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
     band_rows = banded.selectExpr(
         id_col,
-        "sig",
+        *(["sig"] if include_sig else []),
         f"stack({n_bands}, {stack_args}) AS (band_idx, band_hash)",
     )
-    # Materialize the signature table once: Catalyst does not reuse the
-    # two identical self-join subtrees here (verified: 2 parquet scans,
-    # no ReusedExchange), so without this the shingle -> minhash
-    # pipeline — the expensive half of the operator on a real corpus —
-    # runs twice. persist() keeps lineage for executor-loss recovery,
-    # unlike localCheckpoint.
-    band_rows = band_rows.persist()
+    return band_rows.persist()
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs with estimated Jaccard: banded
+    minhash signatures, candidates from an equi-join on (band index,
+    band hash) — never an OR-of-bands nested loop. Output columns:
+    ``{id}_a, {id}_b, est_jaccard``."""
+    band_rows = _lsh_band_rows(
+        df, id_col, text_col, n_hashes, n_bands, shingle, include_sig=True
+    )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     agreement = F.aggregate(
@@ -274,6 +294,68 @@ def jaccard_pairs(
             F.col(f"b.{id_col}").alias(f"{id_col[:3]}_b" if id_col.endswith("_id") else "id_b"),
             F.round(score, 6).alias(measure),
         )
+    )
+
+
+def containment_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Containment (overlap-coefficient) pairs with LSH-bucket
+    candidate generation — the 100 TB spelling of ``jaccard_pairs(
+    measure='containment')``: candidates come from the banded-minhash
+    bucket equi-join (same-bucket docs only, cost tracks duplicate
+    density, not n²), and ONLY those pairs get the exact
+    shingle-set containment score ``|A∩B| / min(|A|,|B|)``.
+
+    Recall caveat, stated honestly: the buckets are minhash-JACCARD
+    buckets, so a containment pair whose Jaccard is tiny (a short doc
+    quoted inside a vastly longer one) may never share a bucket. The
+    length-blocked exact ``jaccard_pairs`` remains the recall oracle;
+    a production subset-robust candidate step signs the SHORTER side's
+    passages instead (dedup_substring's windows) so the quoted block
+    itself collides."""
+    band_rows = _lsh_band_rows(
+        df, id_col, text_col, n_hashes, n_bands, shingle, include_sig=False
+    )
+    ia, ib = (
+        (f"{id_col[:3]}_a", f"{id_col[:3]}_b")
+        if id_col.endswith("_id")
+        else ("id_a", "id_b")
+    )
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias(ia), F.col(f"b.{id_col}").alias(ib))
+        .distinct()
+    )
+    ws = _words(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(ws)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + off).cast("int")) for off in range(shingle)]
+        ),
+    )
+    sh = df.select(id_col, F.array_distinct(shingles).alias("sh")).persist()
+    ta = sh.select(F.col(id_col).alias(ia), F.col("sh").alias("sh_a"))
+    tb = sh.select(F.col(id_col).alias(ib), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    score = inter.cast("double") / F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        cand.join(ta, ia)
+        .join(tb, ib)
+        .filter(score >= threshold)
+        .select(ia, ib, F.round(score, 6).alias("containment"))
     )
 
 

@@ -527,10 +527,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself, this flags the document pair.
 
     Same blocked pairwise shape as dedup_ngram_jaccard (the lang block
-    bounds candidates; at 100 TB the block key becomes an LSH bucket),
-    so it shares the recall-oracle role for the LSH paths — and shares
-    the implementation: api.jaccard_pairs with the containment
-    denominator."""
+    bounds candidates; the 100 TB LSH-bucket-blocked spelling SHIPS as
+    dedup_containment_lsh below), so it shares the recall-oracle role
+    for the LSH paths — and shares the implementation:
+    api.jaccard_pairs with the containment denominator."""
     from ..api import jaccard_pairs
 
     d = load_spread(spark, sf_dir, "documents")
@@ -643,4 +643,72 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ccos").alias("centroid_cos"),
             F.col("is_pruned").isNull().alias("kept"),
         )
+    )
+
+
+_BAND_ROWS_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM banded"
+    for b in range(N_BANDS)
+)
+
+
+@query(
+    "dedup_containment_lsh",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL.strip()}) AS sh
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents)
+),
+hashed AS (
+  SELECT doc_id, {_BASEHASH_SQL} AS hs FROM t
+),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_COLS_SQL}
+  FROM hashed
+),
+banded AS (
+  SELECT doc_id,
+       {_BAND_SQL}
+  FROM sig
+),
+band_rows AS (
+  {_BAND_ROWS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_rows a JOIN band_rows b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(ta.sh, tb.sh))::DOUBLE /
+             least(len(ta.sh), len(tb.sh)), 6) AS containment
+FROM cand c
+JOIN t ta ON ta.doc_id = c.doc_a
+JOIN t tb ON tb.doc_id = c.doc_b
+WHERE len(list_intersect(ta.sh, tb.sh))::DOUBLE /
+      least(len(ta.sh), len(tb.sh)) >= 0.2
+""",
+)
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup with LSH-bucket blocking — the promised
+    100 TB spelling of dedup_containment: candidates come from the
+    banded-minhash bucket equi-join (the same buckets dedup_minhash_lsh
+    uses — only same-bucket docs ever meet, so cost tracks duplicate
+    density, not n²), and only those candidates get the exact
+    shingle-set overlap-coefficient score |A∩B| / min(|A|,|B|).
+
+    Honest recall note (also on api.containment_lsh_pairs): minhash
+    buckets collide on JACCARD, so a containment pair at an extreme
+    length ratio (tiny Jaccard) can be missed; dedup_containment's
+    length-blocked exact scan remains the recall oracle, and the
+    subset-robust production candidate step is to sign the shorter
+    side's passages (dedup_substring's windows) instead."""
+    from ..api import containment_lsh_pairs
+
+    d = load_spread(spark, sf_dir, "documents")
+    return containment_lsh_pairs(
+        d, "doc_id", "text", n_hashes=N_MINHASH, n_bands=N_BANDS,
+        shingle=SHINGLE, threshold=0.2,
     )

@@ -220,6 +220,7 @@ SUITES: dict[str, list[str]] = {
         "dedup_keep_best",
         "dedup_connected_components",
         "dedup_containment",
+        "dedup_containment_lsh",
         "dedup_semantic",
     ],
     "suite_sim": [

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 195  # COVERAGE.md "195 named queries total"
-DOCUMENTED_GRANULAR = 176
+DOCUMENTED_TOTAL = 196  # COVERAGE.md "196 named queries total"
+DOCUMENTED_GRANULAR = 177
 DOCUMENTED_SUITES = 19
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
