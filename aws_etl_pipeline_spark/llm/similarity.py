@@ -302,6 +302,58 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 2  # centroid cells probed per query
 
 
+def _ivf_parts(spark: SparkSession, sf_dir: str):
+    """Shared IVF front-end for sim_ivf_ann and sim_ivf_pq: per-label
+    coarse centroids (explode -> per-dim DECIMAL-exact mean ->
+    rebuild), the persisted norm table, the corpus-to-cell assignment,
+    and each query's {N_PROBE} probe cells. Returns ``(n, assign,
+    probes)``. n feeds four branches (corpus assignment, query
+    probing, and both rescore sides) and cent_n two; both persist so
+    the norm/centroid pipelines run once — the quantizer and the
+    vector index are build-once artifacts in a real IVF deployment."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "label", _as_double("embedding").alias("v"))
+    dims = base.select(
+        "label", F.posexplode("v").alias("d0", "x")
+    ).select("label", (F.col("d0") + 1).alias("d"), "x")
+    cent = (
+        dims.groupBy("label", "d")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cell"), "cv")
+    )
+    n = base.select("vec_id", "v").withColumn("nrm", _norm(F.col("v"))).persist()
+    cent_n = cent.withColumn("cnrm", _norm(F.col("cv"))).persist()
+
+    def ranked_cells(side: DataFrame) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cent_n)).select(
+            "vec_id",
+            "cell",
+            (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("sim"),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+        return scored.withColumn("rn", F.row_number().over(w))
+
+    assign = (
+        ranked_cells(n.filter(F.col("vec_id") >= N_QUERIES))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    probes = (
+        ranked_cells(n.filter(F.col("vec_id") < N_QUERIES))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    return n, assign, probes
+
+
 @query(
     "sim_ivf_ann",
     oracle=f"""
@@ -370,51 +422,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled ONCE by cell id (a write-time layout in practice —
     partitionBy(cell)); each query touches n_probe/n_cells of the
     data. sim_bruteforce_topk is the recall oracle."""
-    e = load_spread(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", "label", _as_double("embedding").alias("v"))
-    # centroid build (explode -> per-dim decimal-exact mean -> rebuild)
-    dims = base.select(
-        "label", F.posexplode("v").alias("d0", "x")
-    ).select("label", (F.col("d0") + 1).alias("d"), "x")
-    cent = (
-        dims.groupBy("label", "d")
-        .agg(
-            (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("c")
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
-            ).alias("cv")
-        )
-        .select(F.col("label").alias("cell"), "cv")
-    )
-    # n feeds four branches (corpus assignment, query probing, and both
-    # exact-rescore sides) and cent_n two; persist both so the
-    # norm/centroid pipelines run once — the quantizer and the vector
-    # index are build-once artifacts in a real IVF deployment.
-    n = base.select("vec_id", "v").withColumn("nrm", _norm(F.col("v"))).persist()
-    cent_n = cent.withColumn("cnrm", _norm(F.col("cv"))).persist()
-
-    def ranked_cells(side: DataFrame) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(cent_n)).select(
-            "vec_id",
-            "cell",
-            (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("sim"),
-        )
-        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-        return scored.withColumn("rn", F.row_number().over(w))
-
-    assign = (
-        ranked_cells(n.filter(F.col("vec_id") >= N_QUERIES))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
-    )
-    probes = (
-        ranked_cells(n.filter(F.col("vec_id") < N_QUERIES))
-        .filter(F.col("rn") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell")
-    )
+    n, assign, probes = _ivf_parts(spark, sf_dir)
     qn = n.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
@@ -439,6 +447,140 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+@query(
+    "sim_ivf_pq",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT label, u.d, u.x
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS d,
+                          unnest(v) AS x) u
+),
+cent AS (
+  SELECT label AS cell, list(c ORDER BY d) AS cv
+  FROM (SELECT label, d,
+               CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+        FROM dims GROUP BY label, d)
+  GROUP BY label
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, cent.cv)
+                      / (n.nrm * sqrt(list_sum(list_transform(cent.cv, x -> x*x))))
+                      DESC, cent.cell) AS rn
+    FROM n CROSS JOIN cent
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, cent.cv)
+                      / (n.nrm * sqrt(list_sum(list_transform(cent.cv, x -> x*x))))
+                      DESC, cent.cell) AS rn
+    FROM n CROSS JOIN cent WHERE n.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+quant AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(round(x * 127 / nullif(mx, 0)) AS TINYINT))
+           AS qi,
+         mx / 127 AS scale
+  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+        FROM e WHERE vec_id >= {N_QUERIES})
+)
+SELECT query_id, neighbor_id, approx_cosine FROM (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(qz.scale *
+               list_sum(list_transform(list_zip(qn.v, qz.qi), t -> t[1] * t[2]))
+               / (qn.nrm * cn_.nrm), 8) AS approx_cosine,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY round(qz.scale *
+                    list_sum(list_transform(list_zip(qn.v, qz.qi), t -> t[1] * t[2]))
+                    / (qn.nrm * cn_.nrm), 8) DESC,
+                    a.vec_id) AS rn
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id >= {N_QUERIES}
+  JOIN n qn  ON qn.vec_id = p.vec_id
+  JOIN n cn_ ON cn_.vec_id = a.vec_id
+  JOIN quant qz ON qz.vec_id = a.vec_id
+) WHERE rn <= 3
+""",
+)
+def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + int8 asymmetric-distance rescoring — the memory-side
+    companion to sim_ivf_ann: identical coarse quantizer, assignment
+    and probing (shared ``_ivf_parts``), but the probed cells are
+    rescored against the INT8-QUANTIZED corpus vectors (symmetric
+    per-vector quantization, q_i = round(x_i * 127 / max|x|), the same
+    scheme embed_normalize_quantize emits) while the query stays
+    full-precision — the standard ADC arrangement that cuts index
+    memory/bandwidth 4x at 100 TB. Exact per-vector L2 norms are kept
+    alongside the int8 codes (8 bytes against a 4x-reduced vector —
+    standard practice), so the only approximation is the quantized
+    dot product; measured recall@3 vs the exact top-3 is recorded in
+    SCALING.md via tools/measure_ann_recall.py.
+
+    Cross-engine determinism: quantized codes are integers (exactly
+    reproduced by both engines' HALF_UP round — the green
+    embed_normalize_quantize precedent), the dot is a sequential
+    double fold on both sides, and ranking rounds to 8 decimals with
+    vec_id tie-break."""
+    n, assign, probes = _ivf_parts(spark, sf_dir)
+    qn = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    corp = n.filter(F.col("vec_id") >= N_QUERIES)
+    mx = F.array_max(F.transform("v", F.abs))
+    quant = corp.withColumn("mx", mx).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform(
+            "v",
+            lambda x: F.round(x * 127 / F.nullif(F.col("mx"), F.lit(0.0))).cast(
+                "tinyint"
+            ),
+        ).alias("qi"),
+        (F.col("mx") / 127).alias("scale"),
+        "nrm",
+    )
+    approx = F.round(
+        F.col("scale")
+        * F.aggregate(
+            F.zip_with(F.col("qv"), F.col("qi"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("qnrm") * F.col("nrm")),
+        8,
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .join(F.broadcast(qn), "query_id")
+        .join(quant, "neighbor_id")
+        .select("query_id", "neighbor_id", approx.alias("approx_cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "approx_cosine")
     )
 
 

@@ -227,6 +227,7 @@ SUITES: dict[str, list[str]] = {
         "sim_bruteforce_topk",
         "sim_lsh_ann",
         "sim_ivf_ann",
+        "sim_ivf_pq",
         "sim_label_centroid",
         "sim_range_search",
         "embed_normalize_quantize",

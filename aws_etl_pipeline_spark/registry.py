@@ -75,6 +75,13 @@ def query(name: str, oracle: Optional[str] = None, doc: str = ""):
 #: heaviest agg in the headline set), scd2_intervals IN (the r4
 #: bench-regression watch item — a direct driver row gives it
 #: per-round correctness history while the plan is under observation).
+#: Round-6 rotation: dedup_substring, q18_large_volume_customer,
+#: scd2_intervals OUT (each with direct green r5 history;
+#: digest-covered by suite_dedup / suite_tpch / suite_etl_misc —
+#: scd2's r4 regression verified fixed at 1.05x r1 in the r5 bench);
+#: the three round-6 operators IN: dedup_semantic (SemDeDup k-means +
+#: within-cell cosine prune), dedup_containment_lsh (bucket-blocked
+#: containment), sim_ivf_pq (int8 asymmetric-distance IVF rescore).
 PRIORITY: tuple[str, ...] = (
     # reference-parity flagships (§2A)
     "etl_flagship",
@@ -88,13 +95,15 @@ PRIORITY: tuple[str, ...] = (
     # engine flagships (§2B) — one strong granular row per area
     "q1_pricing_summary",
     "q6_forecast_revenue",
-    "q18_large_volume_customer",  # rotated in r5: heaviest headline agg
+    # (q18_large_volume_customer rotated out r6 — suite_tpch digest;
+    # direct green r5.)
     # (q5_region_revenue rotated out r5 — suite_tpch digest; direct
     # green r4. join_fuzzy_blocked rotated out r5 — suite_join_misc
     # digest; direct green r4.)
     "join_inner_broadcast",
     "join_asof",
-    "scd2_intervals",  # rotated in r5: r4 bench-regression watch item
+    # (scd2_intervals rotated out r6 — suite_etl_misc digest; direct
+    # green r5, r4 bench regression verified fixed at 1.05x r1.)
     "agg_basic",
     "agg_distinct",
     "agg_collect",
@@ -113,12 +122,16 @@ PRIORITY: tuple[str, ...] = (
     "stream_exec_tumbling",
     # LLM-pipeline flagships
     "dedup_exact",
-    "dedup_substring",  # rotated in r5: new passage-level dedup
+    # (dedup_substring rotated out r6 — suite_dedup digest; direct
+    # green r5.)
     "dedup_minhash_lsh",
     "dedup_minhash_mllib",
     "dedup_connected_components",
+    "dedup_semantic",  # rotated in r6: new SemDeDup-style dedup
+    "dedup_containment_lsh",  # rotated in r6: new bucket-blocked containment
     "sim_bruteforce_topk",
     "sim_lsh_ann",
+    "sim_ivf_pq",  # rotated in r6: new int8 asymmetric-distance IVF
     "sim_brp_lsh_mllib",
     "text_stats",
     "corpus_curation_pipeline",

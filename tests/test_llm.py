@@ -191,3 +191,18 @@ def test_semantic_dedup_prunes_only_within_cell(spark, sf_dir):
         assert top.kept, f"cell {cell}: top-priority member pruned"
     n_pruned = sum(not r.kept for r in rows)
     assert 0 < n_pruned < 500, n_pruned  # tau neither prunes nothing nor everything
+
+
+def test_ivf_pq_preserves_ivf_ranking(spark, sf_dir):
+    """int8 asymmetric rescoring must not wreck the IVF ranking: the
+    candidate cells are IDENTICAL by construction (shared _ivf_parts),
+    so any divergence is pure quantization noise — measured zero at
+    sf0.01/sf0.1 (SCALING.md); this guards a looser 0.8 overlap so a
+    quantization bug (wrong scale, clipped codes) fails loudly while
+    legitimate last-rank flips on other data don't."""
+    from aws_etl_pipeline_spark.llm.similarity import sim_ivf_ann, sim_ivf_pq
+
+    ivf = {(r.query_id, r.neighbor_id) for r in sim_ivf_ann(spark, sf_dir).collect()}
+    pq = {(r.query_id, r.neighbor_id) for r in sim_ivf_pq(spark, sf_dir).collect()}
+    assert len(pq) == len(ivf)
+    assert len(pq & ivf) / len(ivf) >= 0.8, (len(pq & ivf), len(ivf))

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 196  # COVERAGE.md "196 named queries total"
-DOCUMENTED_GRANULAR = 177
+DOCUMENTED_TOTAL = 197  # COVERAGE.md "197 named queries total"
+DOCUMENTED_GRANULAR = 178
 DOCUMENTED_SUITES = 19
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -107,8 +107,13 @@ def test_rotated_out_slots_stay_digest_covered():
     for rotated_out in ("sql_cte_chain", "scan_partition_pruned", "upsert_reference_policy"):
         assert rotated_out in digest_covered, rotated_out
     # the round-5 rotation: r4's slots leave with direct green history
-    # but must stay digest-covered; the r5 slots must hold direct rows
+    # but must stay digest-covered
     for rotated_out in ("q5_region_revenue", "window_ranking", "join_fuzzy_blocked"):
         assert rotated_out in digest_covered, rotated_out
-    for rotated_in in ("dedup_substring", "q18_large_volume_customer", "scd2_intervals"):
+    # the round-6 rotation: r5's slots leave with direct green r5
+    # history but must stay digest-covered; the r6 additions hold
+    # direct rows
+    for rotated_out in ("dedup_substring", "q18_large_volume_customer", "scd2_intervals"):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in ("dedup_semantic", "dedup_containment_lsh", "sim_ivf_pq"):
         assert rotated_in in PRIORITY, rotated_in
