@@ -208,6 +208,7 @@ SUITES: dict[str, list[str]] = {
         "stream_exec_session",
         "stream_exec_sliding",
         "stream_exec_upsert",
+        "stream_exec_upsert_json",
         "stream_exec_dedup",
     ],
     "suite_dedup": [

@@ -334,6 +334,74 @@ def stream_exec_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def _latest_per_user(df):
+    """Per-user latest event (ties by event_id) — the batch reduce
+    under the streaming upsert sinks."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            "event_id",
+        )
+    )
+
+
+def _latest_merge_batch_fn(target_dir: str):
+    """foreachBatch body: MERGE a micro-batch's per-key latest rows
+    into the parquet target (reduce batch -> full-outer merge with the
+    running target -> atomic swap). Keeping the later of (existing,
+    incoming) per key is associative AND idempotent: the final state is
+    independent of the batch split, and re-delivering the same batch
+    (Structured Streaming's at-least-once foreachBatch contract) merges
+    identical winners to an identical target. Shared by
+    stream_exec_upsert and stream_exec_upsert_json."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        incoming = _latest_per_user(batch_df)
+        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+            tgt = s.read.parquet(target_dir)
+            # union the two winner sets and re-reduce — associative, so
+            # the final state is independent of the batch split.
+            merged = (
+                tgt.unionByName(incoming)
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        W.partitionBy("user_id").orderBy(
+                            F.col("last_ts").desc(), F.col("event_id").desc()
+                        )
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = incoming
+        tmp = target_dir + f".next{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target_dir + f".old{batch_id}"
+        if os.path.exists(target_dir):
+            os.rename(target_dir, old)
+        os.rename(tmp, target_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return merge_batch
+
+
 @query(
     "stream_exec_upsert",
     oracle="""
@@ -361,9 +429,6 @@ def stream_exec_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
     stage_dir, key = _stage_events(spark, sf_dir)
     schema = spark.read.parquet(stage_dir).schema
 
@@ -371,53 +436,7 @@ def stream_exec_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"spark_graft_streamupsert_{key}"
     )
     shutil.rmtree(target_dir, ignore_errors=True)
-
-    def latest_per_user(df):
-        w = W.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(
-                "user_id",
-                F.col("ts").alias("last_ts"),
-                F.col("event_type").alias("last_type"),
-                F.col("value").alias("last_value"),
-                "event_id",
-            )
-        )
-
-    def merge_batch(batch_df, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        incoming = latest_per_user(batch_df)
-        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
-            tgt = s.read.parquet(target_dir)
-            # keep the later of (existing, incoming) per key: union the
-            # two winner sets and re-reduce — associative, so the final
-            # state is independent of the batch split.
-            merged = (
-                tgt.unionByName(incoming)
-                .withColumn(
-                    "_rn",
-                    F.row_number().over(
-                        W.partitionBy("user_id").orderBy(
-                            F.col("last_ts").desc(), F.col("event_id").desc()
-                        )
-                    ),
-                )
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-        else:
-            merged = incoming
-        tmp = target_dir + f".next{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = target_dir + f".old{batch_id}"
-        if os.path.exists(target_dir):
-            os.rename(target_dir, old)
-        os.rename(tmp, target_dir)
-        shutil.rmtree(old, ignore_errors=True)
+    merge_batch = _latest_merge_batch_fn(target_dir)
 
     stream = (
         spark.readStream.schema(schema)
@@ -523,3 +542,89 @@ def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain(q)
     return spark.table(qname).select(*cols)
+
+
+def _dual_sink_batch_fn(json_dir: str, target_dir: str):
+    """foreachBatch body for the reference's FULL event path
+    (`lambda_function.py:40-50`: transform -> JSON archive + warehouse
+    upsert) as ONE streaming query: each micro-batch is transformed
+    once, appended to a JSON archive, and MERGEd into the upsert
+    target. Idempotent under foreachBatch's at-least-once re-delivery:
+    the JSON side writes a PER-BATCH directory (``batch=<id>``) in
+    overwrite mode, so a replayed batch replaces its own output instead
+    of appending duplicates, and the merge side's keep-latest union is
+    idempotent by construction (see _latest_merge_batch_fn).
+    Module-level so tests can re-deliver a batch directly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    merge_batch = _latest_merge_batch_fn(target_dir)
+
+    def dual_sink(batch_df, batch_id: int) -> None:
+        out = batch_df.withColumn("value_abs", F.abs(F.col("value")))
+        out.persist()  # one compute, two sinks
+        out.write.mode("overwrite").json(os.path.join(json_dir, f"batch={batch_id}"))
+        merge_batch(out.drop("value_abs"), batch_id)
+        out.unpersist()
+
+    return dual_sink
+
+
+@query(
+    "stream_exec_upsert_json",
+    oracle="""
+SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value,
+       (SELECT count(*) FROM events)::BIGINT AS json_rows
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+""",
+)
+def stream_exec_upsert_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full streaming path as a single query:
+    event stream -> transform -> BOTH sinks (JSON archive + upsert
+    target) from one ``foreachBatch`` — `lambda_function.py:40-50`
+    writes each processed batch to S3 as JSON AND upserts it into
+    Redshift; this is that fan-out executed incrementally over four
+    micro-batches. The result reads BOTH sinks back: the upsert
+    target's per-user latest rows (hash-checked against the batch
+    QUALIFY oracle) carrying the JSON archive's total row count
+    (hash-checked against count(*) of events — a dropped or duplicated
+    batch in either sink flips the hash). Idempotent-replay semantics
+    are pytest-verified by re-delivering a batch through the same
+    foreachBatch body (tests/test_streaming.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    stage_dir, key = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(stage_dir).schema
+
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_streamdual_{key}")
+    json_dir = os.path.join(base, "json")
+    target_dir = os.path.join(base, "upsert")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(json_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_dual_sink_batch_fn(json_dir, target_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    n_json = spark.read.json(json_dir).count()
+    return spark.read.parquet(target_dir).select(
+        "user_id",
+        "last_ts",
+        "last_type",
+        "last_value",
+        F.lit(n_json).cast("long").alias("json_rows"),
+    )

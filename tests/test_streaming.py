@@ -91,3 +91,40 @@ def test_watermark_drops_late_rows(spark):
     starts = {r.window_start for r in out}
     assert dt.datetime(2024, 1, 1, 10, 0) not in starts
     assert dt.datetime(2024, 1, 1, 12, 0) in starts
+
+
+def test_dual_sink_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the SAME micro-batch
+    through the dual-sink body must leave both sinks byte-identical —
+    the JSON side because each batch overwrites its own batch=<id>
+    directory, the upsert side because keep-latest merging of identical
+    winners is idempotent."""
+    from aws_etl_pipeline_spark.catalog import load_table
+    from aws_etl_pipeline_spark.streaming.ingest import _dual_sink_batch_fn
+
+    json_dir = str(tmp_path / "json")
+    target_dir = str(tmp_path / "upsert")
+    fn = _dual_sink_batch_fn(json_dir, target_dir)
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    batch = ev.select("event_id", "user_id", "ts", "event_type", "value")
+
+    fn(batch, 0)
+    json_once = spark.read.json(json_dir).count()
+    upsert_once = sorted(
+        tuple(r) for r in spark.read.parquet(target_dir).collect()
+    )
+    assert json_once == 200
+
+    fn(batch, 0)  # re-delivery of the same epoch
+    assert spark.read.json(json_dir).count() == json_once
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(target_dir).collect())
+        == upsert_once
+    )
+
+    # a LATER batch with overlapping keys still advances the target
+    fn(batch.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")), 1)
+    assert spark.read.json(json_dir).count() == 400
+    advanced = spark.read.parquet(target_dir)
+    assert advanced.count() == len(upsert_once)
