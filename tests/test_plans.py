@@ -369,3 +369,44 @@ def test_gram_matrix_pair_expansion_never_shuffles(spark, sf_dir):
     between = tree[tree.index("Exchange"): tree.index("Generate")]
     assert "HashAggregate" in between, tree
     assert not python_eval_nodes(df)
+
+
+def test_semantic_dedup_broadcasts_centroids_no_pair_cartesian(spark, sf_dir):
+    # dedup_semantic's only cross-join is the broadcast of k centroids
+    # for assignment/priority (BroadcastNestedLoopJoin over 8 rows);
+    # the within-cell pair stage must be an EQUI-join on cell, never a
+    # CartesianProduct, and nothing in the plan evaluates Python.
+    from aws_etl_pipeline_spark.llm.dedup import dedup_semantic
+
+    df = dedup_semantic(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan  # k-row centroid broadcast
+    assert not python_eval_nodes(df)
+
+
+def test_containment_lsh_candidates_are_equi_join(spark, sf_dir):
+    # The candidate stage must join on (band_idx, band_hash) as an
+    # equi-join — same-bucket docs only, no all-pairs nested loop — and
+    # the exact scoring must touch only the candidate join output.
+    from aws_etl_pipeline_spark.llm.dedup import dedup_containment_lsh
+
+    df = dedup_containment_lsh(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert not python_eval_nodes(df)
+
+
+def test_ivf_pq_broadcasts_queries_no_cartesian_rescore(spark, sf_dir):
+    # sim_ivf_pq's rescore joins candidates to the broadcast query set
+    # and the quantized corpus by key; the only nested-loop joins are
+    # the tiny centroid broadcasts in assignment/probing (shared with
+    # sim_ivf_ann), never a corpus-sized cartesian.
+    from aws_etl_pipeline_spark.llm.similarity import sim_ivf_pq
+
+    df = sim_ivf_pq(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan  # query-set broadcast in rescore
+    assert not python_eval_nodes(df)
