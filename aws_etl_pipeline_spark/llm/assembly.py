@@ -423,3 +423,118 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(RESERVOIR_K)
     )
+
+
+DSIR_BUCKETS = 64  # hashed-unigram feature buckets
+DSIR_K = 50  # resampled set size
+DSIR_TARGET_LANG = "en"  # the "target domain" the importance weights aim at
+
+
+@query(
+    "sample_importance_resampling",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(u.term), 1, 8))::UBIGINT::BIGINT % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws
+        FROM documents) d,
+       LATERAL (SELECT unnest(ws) AS term) u
+),
+raw AS (SELECT b, count(*)::DOUBLE AS cr FROM w GROUP BY b),
+tgt AS (SELECT b, count(*)::DOUBLE AS ct FROM w
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+tot AS (SELECT (SELECT sum(cr) FROM raw)               AS nr,
+               (SELECT coalesce(sum(ct), 0) FROM tgt)  AS nt),
+lr AS (
+  SELECT r.b,
+         round(ln((coalesce(t.ct, 0) + 1) / (tot.nt + {DSIR_BUCKETS}))
+               - ln((r.cr + 1) / (tot.nr + {DSIR_BUCKETS})), 12) AS lr
+  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+),
+scored AS (
+  SELECT w.doc_id,
+         round(CAST(sum(CAST(lr.lr AS DECIMAL(28,12))) AS DOUBLE), 6) AS log_w
+  FROM w JOIN lr USING (b) GROUP BY w.doc_id
+)
+SELECT s.doc_id, d2.lang, d2.source, s.log_w,
+       round(s.log_w
+             - ln(-ln((('0x' || substr(md5(s.doc_id::VARCHAR), 1, 8))::UBIGINT
+                       + 0.5) / 4294967296.0)), 6) AS sel_key
+FROM scored s JOIN documents d2 USING (doc_id)
+QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id) <= {DSIR_K}
+""",
+)
+def sample_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv 2302.03169):
+    estimate per-document importance weights log w(x) = log
+    p_target(x) - log p_raw(x) under two hashed-unigram bag-of-words
+    models ({DSIR_BUCKETS} md5 buckets, add-1 smoothing; target = the
+    '{DSIR_TARGET_LANG}'-language slice standing in for the
+    high-quality domain), then resample the top-{DSIR_K} by Gumbel
+    perturbation (key = log_w - ln(-ln u), u a deterministic md5 hash
+    — the Gumbel-top-k trick IS sampling-without-replacement
+    proportional to w).
+
+    100 TB shape: the two feature models are {DSIR_BUCKETS}-row
+    relations (one word shuffle into bucket counts, broadcast back),
+    the per-doc score is one doc-keyed sum of per-word log-ratios
+    (map-side combined; summed through DECIMAL so the result is
+    order-independent and bit-equal to the oracle), and the selection
+    is a global top-k = TakeOrderedAndProject — per-partition heaps,
+    no corpus sort or shuffle. Everything md5-derived and replayed
+    exactly by the DuckDB oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+    )
+    wb = words.select(
+        "doc_id", "lang", _md5_bucket(F.col("term"), DSIR_BUCKETS).alias("b")
+    )
+    raw = wb.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cr"))
+    tgt = (
+        wb.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    tot = raw.agg(F.sum("cr").alias("nr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0.0)).alias("nt"))
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0.0)) + 1)
+                    / (F.col("nt") + DSIR_BUCKETS)
+                )
+                - F.log((F.col("cr") + 1) / (F.col("nr") + DSIR_BUCKETS)),
+                12,
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        wb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("lr").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("log_w")
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    sel_key = F.round(F.col("log_w") - F.log(-F.log(u)), 6)
+    return (
+        scored.join(d.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "log_w", sel_key.alias("sel_key"))
+        .orderBy(F.desc("sel_key"), F.asc("doc_id"))
+        .limit(DSIR_K)
+    )

@@ -266,6 +266,7 @@ SUITES: dict[str, list[str]] = {
         "chunk_context_windows",
         "shard_manifest",
         "sample_weighted_reservoir",
+        "sample_importance_resampling",
     ],
     "suite_tpch": [
         "q2_min_cost_supplier",
