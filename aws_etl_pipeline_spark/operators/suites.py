@@ -229,6 +229,7 @@ SUITES: dict[str, list[str]] = {
         "sim_lsh_ann",
         "sim_ivf_ann",
         "sim_ivf_pq",
+        "sim_ivf_pq_rerank",
         "sim_label_centroid",
         "sim_range_search",
         "embed_normalize_quantize",

@@ -206,3 +206,22 @@ def test_ivf_pq_preserves_ivf_ranking(spark, sf_dir):
     pq = {(r.query_id, r.neighbor_id) for r in sim_ivf_pq(spark, sf_dir).collect()}
     assert len(pq) == len(ivf)
     assert len(pq & ivf) / len(ivf) >= 0.8, (len(pq & ivf), len(ivf))
+
+
+def test_ivf_pq_rerank_reproduces_full_precision(spark, sf_dir):
+    """The two-stage path (int8 shortlist -> fp re-rank) must converge
+    to sim_ivf_ann: measured EXACT result-set equality at sf0.001,
+    sf0.01 and sf0.1 — pinned here at the fixture SF so an int8
+    ordering bug that pushes a true top-3 neighbor out of the
+    shortlist fails loudly."""
+    from aws_etl_pipeline_spark.llm.similarity import (
+        sim_ivf_ann,
+        sim_ivf_pq_rerank,
+    )
+
+    ivf = {(r.query_id, r.neighbor_id) for r in sim_ivf_ann(spark, sf_dir).collect()}
+    rr = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ivf_pq_rerank(spark, sf_dir).collect()
+    }
+    assert rr == ivf

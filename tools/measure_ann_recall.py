@@ -26,7 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from aws_etl_pipeline_spark.registry import all_queries  # noqa: E402
 from aws_etl_pipeline_spark.session import get_spark  # noqa: E402
 
-ANN_QUERIES = ("sim_lsh_ann", "sim_ivf_ann", "sim_ivf_pq", "sim_brp_lsh_mllib")
+ANN_QUERIES = (
+    "sim_lsh_ann",
+    "sim_ivf_ann",
+    "sim_ivf_pq",
+    "sim_ivf_pq_rerank",
+    "sim_brp_lsh_mllib",
+)
 
 
 def exact_top3(spark, qs, sf_dir: str) -> set[tuple[int, int]]:
