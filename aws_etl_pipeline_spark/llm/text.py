@@ -683,3 +683,68 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_repetitive",
         (F.col("dup_word_frac") > 0.6) | (F.col("top_bigram_frac") > 0.08),
     )
+
+
+@query(
+    "corpus_ppl_buckets",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term, count(*)::DOUBLE AS cnt FROM words GROUP BY term
+),
+total AS (SELECT sum(cnt) AS n FROM vocab),
+scored AS (
+  SELECT w.doc_id, ln(v.cnt / t.n) AS lp
+  FROM words w JOIN vocab v USING (term) CROSS JOIN total t
+),
+ppl AS (
+  SELECT doc_id,
+         round(exp(-(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE)
+                     / count(*))), 4) AS unigram_ppl
+  FROM scored GROUP BY doc_id
+)
+SELECT p.doc_id, d.lang, p.unigram_ppl,
+       CASE ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY p.unigram_ppl, p.doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM ppl p JOIN documents d USING (doc_id)
+""",
+)
+def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document with the corpus-trained unigram LM
+    (text_unigram_logprob — CCNet uses a KenLM 5-gram; the unigram
+    stand-in has the same plan shape), then split EACH LANGUAGE into
+    head / middle / tail perplexity terciles. CCNet keeps head+middle
+    and drops tail; emitting the per-document bucket keeps the verdict
+    hash-checkable and leaves the keep-policy to the caller.
+
+    Plan shape on top of the LM score: one lang-keyed ntile window
+    (per-group state is a row counter — ntile needs the partition
+    size, i.e. one pass per lang partition), joined back to the
+    lang column by doc_id. Deterministic across engines because the
+    tercile order is (rounded ppl, doc_id) and both engines implement
+    SQL-standard ntile remainder distribution."""
+    from pyspark.sql import Window as W
+
+    ppl = text_unigram_logprob(spark, sf_dir).select("doc_id", "unigram_ppl")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy(F.asc("unigram_ppl"), F.asc("doc_id"))
+    tercile = F.ntile(3).over(w)
+    return (
+        ppl.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "unigram_ppl",
+            F.when(tercile == 1, "head")
+            .when(tercile == 2, "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )

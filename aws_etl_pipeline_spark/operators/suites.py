@@ -251,6 +251,7 @@ SUITES: dict[str, list[str]] = {
         "text_inverted_index",
         "decontaminate_ngram",
         "text_repetition",
+        "corpus_ppl_buckets",
     ],
     "suite_multimodal": [
         "multimodal_features",
