@@ -748,3 +748,177 @@ def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ppl_bucket"),
         )
     )
+
+
+LOGREG_B = 16  # hashed feature buckets
+LOGREG_ITERS = 2  # unrolled gradient steps
+LOGREG_LR = 1.0
+
+
+def _logreg_oracle(nb: int, iters: int) -> str:
+    """Unrolled batch-gradient-descent CTEs (DuckDB) replaying the
+    Spark loop exactly: identically-rounded per-term products, DECIMAL
+    sums (order-independent), identical sigmoid rounding."""
+    blocks = [
+        f"""
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(term), 1, 8))::UBIGINT::BIGINT % {nb} AS b,
+         count(*)::DOUBLE AS cnt
+  FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents)
+  GROUP BY 1, 2
+),
+x AS (
+  SELECT f.doc_id, f.b, f.cnt / t.n AS x
+  FROM feats f JOIN (SELECT doc_id, sum(cnt) AS n FROM feats GROUP BY doc_id) t
+  USING (doc_id)
+),
+lab AS (
+  SELECT doc_id, (lang = 'en')::INT::DOUBLE AS y FROM documents
+),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+w0 AS (
+  SELECT unnest(generate_series(0, {nb - 1}))::BIGINT AS b, 0.0::DOUBLE AS wt
+)"""
+    ]
+    for i in range(iters):
+        blocks.append(f"""
+z{i} AS (
+  SELECT x.doc_id,
+         CAST(sum(CAST(round(x.x * w.wt, 12) AS DECIMAL(28,12))) AS DOUBLE) AS z
+  FROM x JOIN w{i} w USING (b) GROUP BY x.doc_id
+),
+p{i} AS (
+  SELECT z.doc_id, round(1.0 / (1.0 + exp(-z.z)), 12) AS p FROM z{i} z
+),
+g{i} AS (
+  SELECT x.b,
+         CAST(sum(CAST(round(x.x * (l.y - p.p), 12) AS DECIMAL(28,12)))
+              AS DOUBLE) AS g
+  FROM x JOIN p{i} p USING (doc_id) JOIN lab l USING (doc_id)
+  GROUP BY x.b
+),
+w{i + 1} AS (
+  SELECT w.b, round(w.wt + {LOGREG_LR} * coalesce(g.g, 0) / nd.n_docs, 12) AS wt
+  FROM w{i} w LEFT JOIN g{i} g USING (b) CROSS JOIN nd
+)""")
+    last = iters
+    return (
+        "WITH " + ",".join(blocks) + f""",
+zf AS (
+  SELECT x.doc_id,
+         CAST(sum(CAST(round(x.x * w.wt, 12) AS DECIMAL(28,12))) AS DOUBLE) AS z
+  FROM x JOIN w{last} w USING (b) GROUP BY x.doc_id
+),
+acc AS (
+  SELECT count(*) FILTER (
+           WHERE (round(1.0 / (1.0 + exp(-z.z)), 12) >= 0.5) = (l.y = 1.0)
+         )::BIGINT AS n_correct
+  FROM zf z JOIN lab l USING (doc_id)
+)
+SELECT w.b, round(w.wt, 8) AS weight, acc.n_correct
+FROM w{last} w CROSS JOIN acc
+"""
+    )
+
+
+@query("classifier_train_logreg", oracle=_logreg_oracle(LOGREG_B, LOGREG_ITERS))
+def classifier_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING in pure DataFrame ops —
+    the learned-quality-classifier step of web-corpus curation (CCNet /
+    GPT-3 train a linear fastText-style model to score pages; this is
+    that model's training loop, batch gradient descent, run where the
+    data lives instead of sampling to a driver). Features are
+    {LOGREG_B} hashed-unigram buckets, doc-normalized; the label is
+    lang='en' (a stand-in separable target the oracle can replay).
+
+    Per unrolled iteration: z = one broadcast join of the {LOGREG_B}-row
+    weight relation + one doc-keyed DECIMAL-exact sum; the gradient is
+    one bucket-keyed DECIMAL-exact sum ({LOGREG_B} rows out); the
+    update is arithmetic on the weight relation. The corpus is touched
+    twice per iteration and NEVER shuffled on a wide key — the same
+    cost model as kmeans_train, for supervised learning. Weights and
+    final training accuracy are emitted; the DuckDB oracle replays the
+    identical iterations (identically-rounded products, DECIMAL sums,
+    rounded sigmoid — the exp() last-ulp caveat documented for
+    sample_weighted_reservoir applies to the sigmoid here too).
+
+    Honest fit caveat (like kmeans_train, the TRAJECTORY is the
+    contract, not the fit): the driver's synthetic corpus draws every
+    document's text from one shared vocabulary regardless of the lang
+    label — measured directly, per-language stopword fractions are
+    identical across labels (es/de/fr/zh stopwords appear in ZERO
+    documents) — so no text-derived classifier can beat the majority
+    rate on it, and the emitted n_correct EQUALS that majority rate
+    (the Bayes rate for this corpus). What the oracle hash pins is the
+    thing a 1000-executor training job actually needs verified: the
+    exact per-iteration gradient arithmetic, bit-equal across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_words()).alias("term"))
+    b = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % LOGREG_B
+    feats = words.groupBy("doc_id", b.alias("b")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    n_per_doc = feats.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    x = (
+        feats.join(n_per_doc, "doc_id")
+        .select("doc_id", "b", (F.col("cnt") / F.col("n")).alias("x"))
+        .persist()  # reused twice per iteration + final accuracy pass
+    )
+    lab = d.select("doc_id", (F.col("lang") == "en").cast("int").cast("double").alias("y"))
+    n_docs = float(d.count())
+    w = spark.range(LOGREG_B).select(
+        F.col("id").alias("b"), F.lit(0.0).alias("wt")
+    )
+
+    def z_of(wdf):
+        return (
+            x.join(F.broadcast(wdf), "b")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.round(F.col("x") * F.col("wt"), 12).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("z")
+            )
+        )
+
+    for _ in range(LOGREG_ITERS):
+        p = z_of(w).select(
+            "doc_id", F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 12).alias("p")
+        )
+        g = (
+            x.join(p, "doc_id")
+            .join(lab, "doc_id")
+            .groupBy("b")
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * (F.col("y") - F.col("p")), 12).cast(
+                        "decimal(28,12)"
+                    )
+                )
+                .cast("double")
+                .alias("g")
+            )
+        )
+        w = w.join(g, "b", "left").select(
+            "b",
+            F.round(
+                F.col("wt") + LOGREG_LR * F.coalesce(F.col("g"), F.lit(0.0)) / n_docs,
+                12,
+            ).alias("wt"),
+        )
+    pred_ok = (
+        z_of(w)
+        .join(lab, "doc_id")
+        .select(
+            (
+                (F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 12) >= 0.5)
+                == (F.col("y") == 1.0)
+            ).alias("ok")
+        )
+        .agg(F.count_if(F.col("ok")).alias("n_correct"))
+    )
+    return w.crossJoin(F.broadcast(pred_ok)).select(
+        "b", F.round("wt", 8).alias("weight"), "n_correct"
+    )

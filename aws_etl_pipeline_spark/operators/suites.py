@@ -252,6 +252,7 @@ SUITES: dict[str, list[str]] = {
         "decontaminate_ngram",
         "text_repetition",
         "corpus_ppl_buckets",
+        "classifier_train_logreg",
     ],
     "suite_multimodal": [
         "multimodal_features",
