@@ -693,3 +693,52 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
     return days.join(dau, "day").join(wau, "day").select("day", "dau", "wau7")
+
+
+K_ANON = 5  # minimum group size for a quasi-identifier combination
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         (floor(c_acctbal / 1000) * 1000)::BIGINT AS bal_band,
+         count(*)::BIGINT AS n
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT c_nationkey,
+       count(*)::BIGINT AS groups_total,
+       (count(*) FILTER (WHERE n < {K_ANON}))::BIGINT AS groups_suppressed,
+       coalesce(sum(n) FILTER (WHERE n < {K_ANON}), 0)::BIGINT AS rows_suppressed,
+       coalesce(sum(n) FILTER (WHERE n >= {K_ANON}), 0)::BIGINT AS rows_kept
+FROM qi GROUP BY 1
+""",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit + suppression accounting over a
+    quasi-identifier tuple — the privacy gate a training-data release
+    runs before shipping user-adjacent records: any (nationkey,
+    market segment, $1000 balance band) combination identifying fewer
+    than {K_ANON} customers is suppressed, and the per-nation summary
+    reports how much data that policy costs (groups/rows suppressed
+    vs kept). Generalization (the coarse balance band) happens BEFORE
+    counting, as the standard Samarati/Sweeney workflow prescribes.
+
+    Plan: one QI-keyed count (map-side combined — QI cardinality is
+    bounded by the generalization lattice, not row count) and one
+    nation-keyed rollup of the group table. At 100 TB the shuffle
+    carries one row per occupied QI cell."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    small = F.col("n") < K_ANON
+    return qi.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("groups_total"),
+        F.count_if(small).alias("groups_suppressed"),
+        F.coalesce(F.sum(F.when(small, F.col("n"))), F.lit(0)).alias("rows_suppressed"),
+        F.coalesce(F.sum(F.when(~small, F.col("n"))), F.lit(0)).alias("rows_kept"),
+    )

@@ -195,6 +195,7 @@ SUITES: dict[str, list[str]] = {
         "scan_partition_pruned",
         "scan_range_clustered",
         "scan_bucketed_join",
+        "scan_schema_evolution",
     ],
     "suite_streaming": [
         "stream_tumbling_window",
@@ -314,6 +315,7 @@ SUITES: dict[str, list[str]] = {
         "events_transition_matrix",
         "join_asof_tolerance",
         "events_rolling_active_users",
+        "privacy_k_anonymity",
     ],
 }
 

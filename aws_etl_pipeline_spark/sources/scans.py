@@ -317,3 +317,40 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_name").alias("first_name"),
         F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       NULL::VARCHAR AS o_orderpriority, NULL::TIMESTAMP AS o_orderdate
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderdate
+FROM orders WHERE o_orderkey % 2 = 1
+""",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet "generations" of the same
+    table — an old batch written before two columns existed and a new
+    batch carrying them — read back as ONE relation with
+    ``mergeSchema``, old rows null-padded for the late columns. This
+    is the operational reality of a 100 TB lake (producers add columns
+    over years; re-writing history is not an option): schema merge is
+    a FOOTER-level union, so the cost is one footer read per file, and
+    column pruning/pushdown still apply per file. The oracle is the
+    same union spelled with explicit NULL padding — a type widening or
+    column misalignment in the merge path flips the hash."""
+    out = _fixture_dir(sf_dir, "schemaevo")
+    o = load_table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(out + "/gen1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderdate"
+    ).write.mode("overwrite").parquet(out + "/gen2")
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(out + "/gen1", out + "/gen2")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderdate")
+    )
