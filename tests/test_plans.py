@@ -410,3 +410,29 @@ def test_ivf_pq_broadcasts_queries_no_cartesian_rescore(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan  # query-set broadcast in rescore
     assert not python_eval_nodes(df)
+
+
+def test_dsir_feature_models_broadcast(spark, sf_dir):
+    # The 64-row log-ratio relation must broadcast into the word
+    # stream (never shuffle the corpus by bucket), and the final
+    # selection must be a global top-k, not a sort.
+    from aws_etl_pipeline_spark.llm.assembly import sample_importance_resampling
+
+    df = sample_importance_resampling(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert not python_eval_nodes(df)
+
+
+def test_logreg_training_no_wide_shuffle(spark, sf_dir):
+    # Weight/gradient relations are 16 rows: every weight join must be
+    # broadcast, nothing may nest loops over the corpus, no Python.
+    from aws_etl_pipeline_spark.llm.text import classifier_train_logreg
+
+    df = classifier_train_logreg(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert not python_eval_nodes(df)
