@@ -922,3 +922,97 @@ def classifier_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.crossJoin(F.broadcast(pred_ok)).select(
         "b", F.round("wt", 8).alias("weight"), "n_correct"
     )
+
+
+#: Gopher rule-set stopwords (Rae et al. 2021, A1.1): a doc must
+#: contain at least 2 of these to pass the "has real sentences" rule.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_words,
+         round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 6)
+           AS mean_word_len,
+         round(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...')))
+               ::DOUBLE / len(ws), 6) AS symbol_ratio,
+         round(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+               / len(ws), 6) AS alpha_frac,
+         len(list_filter(ws, w -> list_contains(
+           [{", ".join(f"'{w}'" for w in GOPHER_STOPS)}], w)))::BIGINT AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+       (n_words BETWEEN 50 AND 100000)
+         AND (mean_word_len BETWEEN 3 AND 10)
+         AND (symbol_ratio < 0.1)
+         AND (alpha_frac > 0.8)
+         AND (stop_hits >= 2) AS pass_gopher
+FROM m
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText quality rule set (Rae et al. 2021,
+    Appendix A1.1) as named per-document verdicts: word count in
+    [50, 100k], mean word length in [3, 10], symbol-word ratio
+    ('#'/'...') < 0.1, alphabetic-word fraction > 0.8, and >= 2 of
+    the 8 canonical stopwords — plus the conjunction ``pass_gopher``.
+    (The rule set's LINE-based members — bullet-start and
+    ellipsis-ending line fractions — are inapplicable here: the
+    synthetic corpus is single-line by construction, so they are
+    omitted rather than trivially emitted as constants.)
+
+    Complements text_quality (a blended score) and text_repetition
+    (duplication signals) by exposing the EXACT published rule list
+    individually, which is how curation pipelines tune and audit
+    drop reasons. All rules are scan-fused per-row expressions —
+    zero shuffles, zero Python."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    n_words = F.size(ws)
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / n_words,
+        6,
+    )
+    sym = F.round(
+        F.size(
+            F.filter(
+                ws, lambda w: w.contains("#") | w.contains("...")
+            )
+        ).cast("double")
+        / n_words,
+        6,
+    )
+    alpha = F.round(
+        F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("double") / n_words,
+        6,
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    stops = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))).cast("long")
+    m = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        alpha.alias("alpha_frac"),
+        stops.alias("stop_hits"),
+    )
+    return m.select(
+        "*",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("symbol_ratio") < 0.1)
+            & (F.col("alpha_frac") > 0.8)
+            & (F.col("stop_hits") >= 2)
+        ).alias("pass_gopher"),
+    )

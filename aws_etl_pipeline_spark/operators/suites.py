@@ -254,6 +254,7 @@ SUITES: dict[str, list[str]] = {
         "text_repetition",
         "corpus_ppl_buckets",
         "classifier_train_logreg",
+        "text_gopher_rules",
     ],
     "suite_multimodal": [
         "multimodal_features",
