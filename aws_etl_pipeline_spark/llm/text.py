@@ -1016,3 +1016,65 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stop_hits") >= 2)
         ).alias("pass_gopher"),
     )
+
+
+BPE_TOP = 20  # merge candidates reported
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH vocab AS (
+  SELECT term, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY term
+),
+pairs AS (
+  SELECT substr(v.term, u.i, 1) || '_' || substr(v.term, u.i + 1, 1) AS pair,
+         v.freq
+  FROM vocab v,
+       LATERAL (SELECT unnest(generate_series(1, length(v.term) - 1)) AS i) u
+)
+SELECT pair, sum(freq)::BIGINT AS merge_count
+FROM pairs GROUP BY pair
+QUALIFY row_number() OVER (ORDER BY sum(freq) DESC, pair) <= {BPE_TOP}
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration's pair statistics (Sennrich et al.
+    2016): the corpus-wide frequency of every adjacent symbol pair,
+    reported as the top-{BPE_TOP} merge candidates — the inner loop a
+    tokenizer trainer runs per merge. Uses the trick every real BPE
+    trainer uses at scale: DEDUPLICATE TO THE VOCABULARY FIRST (one
+    word shuffle to (term, freq)), then expand pairs over distinct
+    words only, weighted by corpus frequency — pair expansion cost
+    tracks vocabulary size, not corpus size, and the final state is
+    one row per distinct symbol pair. A full training run repeats
+    this with the winning pair merged into the symbol stream; the
+    per-iteration plan shape (vocab agg -> in-codegen pair expand ->
+    pair agg -> top-k) is what this query pins."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(_words()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # substring with a dynamic start needs expr-level substr; build the
+    # pair list with a SQL expression so both engines run the same text.
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(term) - 1), "
+                "i -> concat(substr(term, i, 1), '_', substr(term, i + 1, 1)))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )

@@ -255,6 +255,7 @@ SUITES: dict[str, list[str]] = {
         "corpus_ppl_buckets",
         "classifier_train_logreg",
         "text_gopher_rules",
+        "bpe_pair_counts",
     ],
     "suite_multimodal": [
         "multimodal_features",
