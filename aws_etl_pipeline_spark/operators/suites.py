@@ -196,6 +196,7 @@ SUITES: dict[str, list[str]] = {
         "scan_range_clustered",
         "scan_bucketed_join",
         "scan_schema_evolution",
+        "scan_xml_roundtrip",
     ],
     "suite_streaming": [
         "stream_tumbling_window",

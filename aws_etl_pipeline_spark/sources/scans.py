@@ -354,3 +354,29 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out + "/gen1", out + "/gen2")
         .select("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderdate")
     )
+
+
+@query(
+    "scan_xml_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan — Spark 4's built-in XML source (the former
+    spark-xml package, merged upstream): nation written with a
+    row tag per record, read back with an explicit schema (XML infers
+    everything as string otherwise; a streaming XML feed — the classic
+    enterprise-integration format — needs the schema pinned exactly
+    like the CSV path, R1). Special characters are entity-escaped on
+    write and unescaped on read, so the trip is lossless and the
+    oracle is the source table."""
+    out = _fixture_dir(sf_dir, "xml")
+    n = load_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(out)
+    return (
+        spark.read.schema(TESTDATA["nation"])
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(out)
+    )
