@@ -285,3 +285,45 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle the same text modulo the ::BIGINT cast spelling."""
     _views(spark, sf_dir, "part")
     return spark.sql(_RECURSIVE_SQL.replace("::BIGINT", ""))
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_rich,
+       CAST(round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+            AS DOUBLE) AS bal_sum
+FROM customer
+WHERE c_acctbal > 900.0 AND c_mktsegment <> 'MACHINERY'
+GROUP BY c_mktsegment
+""",
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 session variables + EXECUTE IMMEDIATE: the
+    parameterized-SQL surface an orchestration layer uses to run one
+    vetted statement text against many parameter sets without string
+    interpolation (injection-safe binding, plan-cache-friendly).
+    DECLARE + SET VARIABLE hold the parameters, the statement binds
+    them with ``USING`` placeholders. The oracle inlines the same
+    constants — so a binding bug (wrong order, type coercion) flips
+    the hash. DuckDB has no session-variable dialect; the CONTRACT
+    verified is the parameterized execution result, which is exactly
+    the point of the feature."""
+    _views(spark, sf_dir, "customer")
+    spark.sql("DECLARE OR REPLACE VARIABLE min_bal DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE excluded_seg STRING DEFAULT ''")
+    spark.sql("SET VARIABLE min_bal = 900.0")
+    spark.sql("SET VARIABLE excluded_seg = 'MACHINERY'")
+    return spark.sql(
+        """
+EXECUTE IMMEDIATE
+ 'SELECT c_mktsegment,
+         count(*) AS n_rich,
+         round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal_sum
+  FROM customer
+  WHERE c_acctbal > ? AND c_mktsegment <> ?
+  GROUP BY c_mktsegment'
+ USING min_bal, excluded_seg
+"""
+    )

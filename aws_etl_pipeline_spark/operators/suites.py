@@ -154,6 +154,7 @@ SUITES: dict[str, list[str]] = {
         "sql_cte_chain",
         "sql_recursive_cte",
         "fn_unpivot",
+        "sql_session_variables",
     ],
     "suite_window": [
         "window_ranking",

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 207  # COVERAGE.md "207 named queries total"
-DOCUMENTED_GRANULAR = 188
+DOCUMENTED_TOTAL = 208  # COVERAGE.md "208 named queries total"
+DOCUMENTED_GRANULAR = 189
 DOCUMENTED_SUITES = 19
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
