@@ -436,3 +436,69 @@ def test_logreg_training_no_wide_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert not python_eval_nodes(df)
+
+
+def test_analyze_table_stats_enable_broadcast(spark, sf_dir, tmp_path):
+    # Cost-based optimization: a metastore table with COMPUTED STATS
+    # under the broadcast threshold joins as BroadcastHashJoin with no
+    # hint; the same join before ANALYZE (no stats, conservative
+    # fallback sizing from file size is already small here, so drive
+    # the negative via a threshold squeeze instead): with the
+    # threshold floored, the join must degrade to a shuffle join —
+    # proving the decision is STATS x THRESHOLD, the lever a 100 TB
+    # deployment tunes instead of sprinkling hints.
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS nation_stats")
+    nation.write.option("path", str(tmp_path / "nation_stats")).saveAsTable(
+        "nation_stats"
+    )
+    spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS")
+    def build():
+        # fresh Dataset per measurement: a Dataset's QueryExecution
+        # (and thus its physical plan) is cached on first explain, so
+        # conf changes only show up in newly-built plans.
+        return cust.join(
+            spark.table("nation_stats"),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+
+    assert "BroadcastHashJoin" in _plan(build())
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        # Both levers must be floored: the static planner threshold AND
+        # AQE's runtime re-broadcast threshold (a separate conf — the
+        # subtle production gotcha this test documents).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        assert "BroadcastHashJoin" not in _plan(build())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        spark.sql("DROP TABLE IF EXISTS nation_stats")
+
+
+def test_observation_metrics_piggyback_on_action(spark, sf_dir):
+    # df.observe: operational metrics (row counts, sums, null counts)
+    # collected DURING the job's own pass — no second scan. The 100 TB
+    # use is data-quality counters on production pipelines where an
+    # extra audit pass doubles cost.
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("audit")
+    audited = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity")).alias("qty_sum"),
+        F.count_if(F.col("l_shipdate").isNull()).alias("null_shipdates"),
+    )
+    n = audited.count()  # one action drives both the count and the metrics
+    m = obs.get
+    assert m["rows_seen"] == n
+    assert m["null_shipdates"] == 0
+    assert m["qty_sum"] > 0
