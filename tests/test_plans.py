@@ -502,3 +502,44 @@ def test_observation_metrics_piggyback_on_action(spark, sf_dir):
     assert m["rows_seen"] == n
     assert m["null_shipdates"] == 0
     assert m["qty_sum"] > 0
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    # The adaptive complement to join_skew_salted's manual pattern:
+    # with 90% of a 400k-row fact collapsing onto one key, AQE must
+    # detect the oversized shuffle partition AT RUNTIME and split it
+    # (SortMergeJoin(skew=true) in the FINAL executed plan) — no
+    # salting, no hints. Thresholds are scaled to test data size; at
+    # 100 TB the defaults (256 MB skew threshold) play the same role.
+    # The final plan lives on the executed Dataset's QueryExecution —
+    # a fresh explain() shows only the initial plan.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = big.join(dim, "k")
+        assert len(j.collect()) == 400_000
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
