@@ -286,3 +286,38 @@ def test_ensure_output_root_rejects_file(spark, tmp_path):
     f.write_text("occupied")
     with pytest.raises(ValueError, match="is a file"):
         ensure_output_root(spark, str(f))
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """The idempotent-backfill write pattern: with partitionOverwriteMode
+    =dynamic, an INSERT OVERWRITE touches ONLY the partitions present in
+    the incoming batch — re-running a day's backfill replaces that day
+    and leaves every other day intact (static mode would wipe the whole
+    table root). The mechanism behind generator.generate_historical's
+    per-day reruns at 100 TB."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [("2024-03-14", 1, 10.0), ("2024-03-14", 2, 20.0), ("2024-03-15", 3, 30.0)],
+        "day STRING, id INT, v DOUBLE",
+    )
+    base.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        fix = spark.createDataFrame(
+            [("2024-03-14", 1, 11.0)], "day STRING, id INT, v DOUBLE"
+        )
+        fix.write.partitionBy("day").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    got = {
+        # partition discovery types the day column back as DATE
+        (str(r.day), r.id): r.v
+        for r in spark.read.parquet(out).collect()
+    }
+    # day 14 replaced wholesale by the backfill batch; day 15 untouched
+    assert got == {("2024-03-14", 1): 11.0, ("2024-03-15", 3): 30.0}
