@@ -213,6 +213,7 @@ SUITES: dict[str, list[str]] = {
         "stream_exec_upsert",
         "stream_exec_upsert_json",
         "stream_exec_dedup",
+        "stream_exec_static_join",
     ],
     "suite_dedup": [
         "dedup_exact",

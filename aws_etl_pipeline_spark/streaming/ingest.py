@@ -628,3 +628,48 @@ def stream_exec_upsert_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_value",
         F.lit(n_json).cast("long").alias("json_rows"),
     )
+
+
+@query(
+    "stream_exec_static_join",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+""",
+)
+def stream_exec_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static enrichment join — the lookup pattern every
+    production stream runs (events enriched against a slowly-changing
+    dimension): the replayed event stream joins the STATIC customer
+    table per micro-batch (stateless — no watermark, no join state;
+    the static side is re-planned each batch, which is how dimension
+    updates become visible mid-stream), appended to a memory sink.
+    The drained result must hash-equal the batch LEFT JOIN oracle
+    regardless of how the four micro-batches split the events. At
+    100 TB the static side is a broadcast or a bucketed layout; the
+    stream side never shuffles for the join when the dim broadcasts."""
+    from ..catalog import load_table
+
+    stage_dir, key = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(stage_dir).schema
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey, "left").select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment"
+    )
+    qname = f"streamexec_staticjoin_{key}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.table(qname)
