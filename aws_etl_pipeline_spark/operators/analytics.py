@@ -742,3 +742,59 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(small, F.col("n"))), F.lit(0)).alias("rows_suppressed"),
         F.coalesce(F.sum(F.when(~small, F.col("n"))), F.lit(0)).alias("rows_kept"),
     )
+
+
+EWMA_TERMS = 7  # truncation horizon (alpha = 0.5 -> residual weight < 0.8%)
+
+
+def _ewma_sql() -> str:
+    terms = ["0.5 * v"] + [
+        f"{0.5 ** (k + 1)} * coalesce(lag(v, {k}) OVER w, 0)"
+        for k in range(1, EWMA_TERMS)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, round(v, 2) AS daily_value,
+       round({_ewma_sql()}, 6) AS ewma
+FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+""",
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume per
+    type (alpha = 0.5), spelled as the TRUNCATED convolution sum
+    {EWMA_TERMS} lags deep — the distributable form: the textbook
+    recursive EWMA is inherently sequential, but with alpha = 0.5 the
+    weight of everything beyond {EWMA_TERMS} observed days is under
+    0.8%, so the convolution over a bounded window is both
+    deterministic and within rounding of the recursion, and it runs
+    as ONE per-type window pass (state = {EWMA_TERMS} lag slots). The
+    smoothing is over OBSERVED days (compose with ts_resample_gapfill
+    first for calendar-exact decay across gaps). Daily totals are
+    DECIMAL-summed so both engines convolve identical inputs."""
+    from .relational import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(dsum("value").alias("v"))
+    w = W.partitionBy("event_type").orderBy("day")
+    terms = F.lit(0.5) * F.col("v")
+    for k in range(1, EWMA_TERMS):
+        terms = terms + F.lit(0.5 ** (k + 1)) * F.coalesce(
+            F.lag("v", k).over(w), F.lit(0.0)
+        )
+    return daily.select(
+        "event_type",
+        "day",
+        F.round("v", 2).alias("daily_value"),
+        F.round(terms, 6).alias("ewma"),
+    )

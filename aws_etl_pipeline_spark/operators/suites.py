@@ -321,6 +321,7 @@ SUITES: dict[str, list[str]] = {
         "join_asof_tolerance",
         "events_rolling_active_users",
         "privacy_k_anonymity",
+        "events_ewma",
     ],
 }
 
