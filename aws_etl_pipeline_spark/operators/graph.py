@@ -123,3 +123,95 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", "deg", "rank")
+
+
+TRIANGLE_TOP = 20  # most-triangulated nodes reported
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+WITH edges AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+per_node AS (
+  SELECT node, count(*)::BIGINT AS n_triangles
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node
+)
+SELECT node, n_triangles,
+       (SELECT count(*)::BIGINT FROM tri) AS total_triangles
+FROM per_node
+QUALIFY row_number() OVER (ORDER BY n_triangles DESC, node) <= {TRIANGLE_TOP}
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting — THE canonical graph benchmark —
+    over the part co-purchase graph (parts sharing an order are
+    adjacent): the classic two-join wedge-close formulation on an
+    oriented edge list (u < v), which counts each triangle exactly
+    once. Emits the top-{TRIANGLE_TOP} most-triangulated parts (the
+    'tightly bundled product cliques' signal) plus the global count.
+
+    100 TB shape: orienting edges low->high bounds wedge generation by
+    the SMALLER endpoint's out-degree — the standard mitigation that
+    keeps hub nodes from generating deg² wedges (at scale, orient by
+    (degree, id) instead of raw id for the full Cohen bound; the id
+    spelling keeps the oracle exact here). Both joins are equi-joins
+    on vertex keys: shuffle volume is wedges + edges, never an
+    all-pairs product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+        .persist()  # three self-join arms consume the edge list
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+        .persist()  # feeds the per-node explode AND the global count
+    )
+    total = tri.count()
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        per_node.select(
+            "node", "n_triangles", F.lit(total).cast("long").alias("total_triangles")
+        )
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(TRIANGLE_TOP)
+    )

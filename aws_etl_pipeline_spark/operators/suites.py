@@ -322,6 +322,7 @@ SUITES: dict[str, list[str]] = {
         "events_rolling_active_users",
         "privacy_k_anonymity",
         "events_ewma",
+        "graph_triangle_count",
     ],
 }
 
