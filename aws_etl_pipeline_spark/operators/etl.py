@@ -324,3 +324,47 @@ def etl_dropna_required(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("kept"),
         (F.lit(total) - F.count(F.lit(1))).cast("long").alias("dropped"),
     )
+
+
+@query(
+    "etl_winsorize",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+         quantile_cont(o_totalprice, 0.99) AS hi
+  FROM orders
+)
+SELECT o_orderkey,
+       round(o_totalprice, 2) AS price,
+       round(least(greatest(o_totalprice, b.lo), b.hi), 6) AS winsorized,
+       (o_totalprice < b.lo OR o_totalprice > b.hi) AS clipped
+FROM orders CROSS JOIN b
+""",
+)
+def etl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the standard outlier treatment for numeric ETL
+    (clip to the exact p1/p99 instead of dropping rows, preserving
+    row count and rank order while bounding the influence of tails):
+    one exact-percentile aggregation produces a 1-row bounds relation,
+    broadcast back over the table for a per-row least/greatest clip.
+    Emits the original and clipped value plus the clip flag so the
+    treatment is auditable row-by-row.
+
+    100 TB shape: the bounds pass uses the same percentile machinery
+    as agg_percentile_exact (swap in approx_percentile's mergeable
+    KLL sketch for unbounded columns — identical plan shape); the
+    clip itself is a scan-fused expression, zero extra shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.percentile("o_totalprice", F.lit(0.01)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("hi"),
+    )
+    p = F.col("o_totalprice")
+    return o.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        F.round(p, 2).alias("price"),
+        F.round(F.least(F.greatest(p, F.col("lo")), F.col("hi")), 6).alias(
+            "winsorized"
+        ),
+        ((p < F.col("lo")) | (p > F.col("hi"))).alias("clipped"),
+    )

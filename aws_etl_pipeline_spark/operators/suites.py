@@ -307,6 +307,7 @@ SUITES: dict[str, list[str]] = {
         "scd2_current_snapshot",
         "scd2_intervals",
         "sample_stable_hash",
+        "etl_winsorize",
     ],
     "suite_analytics": [
         "events_funnel",

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 211  # COVERAGE.md "211 named queries total"
-DOCUMENTED_GRANULAR = 192
+DOCUMENTED_TOTAL = 212  # COVERAGE.md "212 named queries total"
+DOCUMENTED_GRANULAR = 193
 DOCUMENTED_SUITES = 19
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
