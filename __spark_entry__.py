@@ -32,9 +32,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return etl_flagship(spark, "/root/testdata/sf0.001")
 
 
+def _with_cache_sweep(fn: Callable[[SparkSession, str], DataFrame]):
+    """Unpersist the PREVIOUS query's tracked blocks before building
+    the next plan (cache.clear_persisted docstring) — by the time the
+    driver asks for query N, query N-1's result has been collected, so
+    its pinned intermediates are dead weight in executor memory."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_etl_pipeline_spark.cache import clear_persisted
+
+        clear_persisted()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in all_queries().items()}
+    return {name: _with_cache_sweep(q.fn) for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

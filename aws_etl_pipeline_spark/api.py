@@ -22,6 +22,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .cache import track
 from .operators.etl import (  # noqa: F401  (re-exported reference-parity ops)
     amount_category_expr,
     run_pipeline,
@@ -204,7 +205,7 @@ def _lsh_band_rows(
         *(["sig"] if include_sig else []),
         f"stack({n_bands}, {stack_args}) AS (band_idx, band_hash)",
     )
-    return band_rows.persist()
+    return band_rows.transform(track)
 
 
 def minhash_lsh_pairs(
@@ -272,7 +273,7 @@ def jaccard_pairs(
     )
     # persist: the shingle pipeline feeds both self-join sides (Catalyst
     # does not reuse the common subtree).
-    t = df.select(id_col, block_col, F.array_distinct(shingles).alias("sh")).persist()
+    t = df.select(id_col, block_col, F.array_distinct(shingles).alias("sh")).transform(track)
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     if measure == "jaccard":
@@ -346,7 +347,7 @@ def containment_lsh_pairs(
             " ", *[F.element_at(ws, (i + off).cast("int")) for off in range(shingle)]
         ),
     )
-    sh = df.select(id_col, F.array_distinct(shingles).alias("sh")).persist()
+    sh = df.select(id_col, F.array_distinct(shingles).alias("sh")).transform(track)
     ta = sh.select(F.col(id_col).alias(ia), F.col("sh").alias("sh_a"))
     tb = sh.select(F.col(id_col).alias(ib), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..catalog import load_spread, load_table
 from ..registry import query
 
@@ -316,7 +317,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nrm"),
     )
     # persist: the cast+norm pipeline feeds both self-join sides.
-    n = n.persist()
+    n = track(n)
     a = n.alias("a")
     b = n.alias("b")
     dot = F.aggregate(
@@ -619,7 +620,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("ccos"),
         )
-        .persist()  # feeds both sides of the within-cell pair join
+        .transform(track)  # feeds both sides of the within-cell pair join
     )
     a, b = mem.alias("a"), mem.alias("b")
     pair_cos = F.round(

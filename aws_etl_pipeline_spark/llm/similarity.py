@@ -24,6 +24,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..catalog import load_spread
 from ..registry import query
 
@@ -233,7 +234,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "*", *[_ann_bit_spark(F.col("v"), r).alias(f"b{k}") for k, r in enumerate(rows)]
         )
-        .persist()
+        .transform(track)
     )
     bits = [F.col(f"b{k}") for k in range(ANN_PLANES)]
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
@@ -329,8 +330,8 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
         )
         .select(F.col("label").alias("cell"), "cv")
     )
-    n = base.select("vec_id", "v").withColumn("nrm", _norm(F.col("v"))).persist()
-    cent_n = cent.withColumn("cnrm", _norm(F.col("cv"))).persist()
+    n = base.select("vec_id", "v").withColumn("nrm", _norm(F.col("v"))).transform(track)
+    cent_n = cent.withColumn("cnrm", _norm(F.col("cv"))).transform(track)
 
     def ranked_cells(side: DataFrame) -> DataFrame:
         scored = side.crossJoin(F.broadcast(cent_n)).select(
@@ -886,7 +887,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", _as_double("embedding").alias("v"))
         .withColumn("nrm", _norm(F.col("v")))
         .withColumn("bucket", _bucket_spark(F.col("v")))
-        .persist()
+        .transform(track)
     )
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

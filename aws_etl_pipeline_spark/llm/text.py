@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..catalog import load_table
 from ..registry import query
 
@@ -864,10 +865,14 @@ def classifier_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = (
         feats.join(n_per_doc, "doc_id")
         .select("doc_id", "b", (F.col("cnt") / F.col("n")).alias("x"))
-        .persist()  # reused twice per iteration + final accuracy pass
+        .transform(track)  # reused twice per iteration + final accuracy pass
     )
     lab = d.select("doc_id", (F.col("lang") == "en").cast("int").cast("double").alias("y"))
-    n_docs = float(d.count())
+    # corpus size as a broadcast 1-row aggregate, not d.count(): an
+    # eager action here would run at plan-construction time and hide
+    # one scan from any harness timing the returned plan (round-6
+    # advice, same fix as graph_triangle_count's total).
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     w = spark.range(LOGREG_B).select(
         F.col("id").alias("b"), F.lit(0.0).alias("wt")
     )
@@ -901,10 +906,11 @@ def classifier_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("g")
             )
         )
-        w = w.join(g, "b", "left").select(
+        w = w.join(g, "b", "left").crossJoin(F.broadcast(nd)).select(
             "b",
             F.round(
-                F.col("wt") + LOGREG_LR * F.coalesce(F.col("g"), F.lit(0.0)) / n_docs,
+                F.col("wt")
+                + LOGREG_LR * F.coalesce(F.col("g"), F.lit(0.0)) / F.col("n_docs"),
                 12,
             ).alias("wt"),
         )

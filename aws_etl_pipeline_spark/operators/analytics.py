@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..catalog import load_table
 from ..registry import query
 
@@ -435,7 +436,7 @@ def basket_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .persist()
+        .transform(track)
     )
     n = li.agg(F.count_distinct("l_orderkey").cast("long").alias("n_orders"))
     part_cnt = li.groupBy("l_partkey").agg(
@@ -680,7 +681,7 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, never of raw events; report days are restricted to days
     that actually occur."""
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct().persist()
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct().transform(track)
     days = du.select("day").distinct()
     contrib = du.select(
         "user_id",

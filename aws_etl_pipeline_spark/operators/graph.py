@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..catalog import load_table
 from ..registry import query
 
@@ -92,10 +93,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (each round's plan is shallow once edges/deg are materialized).
     edges = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    ).transform(track)
     deg = edges.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
-    ).persist()
+    ).transform(track)
     # node count as a broadcast scalar — no driver-side collect
     tot = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = deg.crossJoin(F.broadcast(tot)).select(
@@ -186,7 +187,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("v"),
         )
         .distinct()
-        .persist()  # three self-join arms consume the edge list
+        .transform(track)  # three self-join arms consume the edge list
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -200,18 +201,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1.v").alias("b"),
             F.col("e2.v").alias("c"),
         )
-        .persist()  # feeds the per-node explode AND the global count
+        .transform(track)  # feeds the per-node explode AND the global count
     )
-    total = tri.count()
+    # global count as a broadcast 1-row aggregate (the oracle's scalar
+    # subquery), NOT tri.count(): an eager action here would run part
+    # of the operator at DataFrame-construction time, so a harness
+    # timing only the returned plan's action would undercount it
+    # (round-6 advice) — and the persisted tri relation makes the
+    # second consumer nearly free anyway.
+    total = tri.agg(F.count(F.lit(1)).cast("long").alias("total_triangles"))
     per_node = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return (
-        per_node.select(
-            "node", "n_triangles", F.lit(total).cast("long").alias("total_triangles")
-        )
+        per_node.crossJoin(F.broadcast(total))
+        .select("node", "n_triangles", "total_triangles")
         .orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(TRIANGLE_TOP)
     )

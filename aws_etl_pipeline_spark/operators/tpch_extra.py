@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..catalog import load_table
 from ..registry import query
 
@@ -665,7 +666,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                l.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
-        .persist()
+        .transform(track)
     )
     total = val.agg(F.sum("value").alias("total"))
     return (

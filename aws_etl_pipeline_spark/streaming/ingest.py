@@ -620,13 +620,18 @@ def stream_exec_upsert_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
-    n_json = spark.read.json(json_dir).count()
-    return spark.read.parquet(target_dir).select(
-        "user_id",
-        "last_ts",
-        "last_type",
-        "last_value",
-        F.lit(n_json).cast("long").alias("json_rows"),
+    # the stream drain necessarily runs at build time (the operator IS
+    # "execute the stream, read back the sinks"), but the archive row
+    # count joins relationally — a broadcast 1-row aggregate over the
+    # JSON sink — so the read-back/verify cost lives in the returned
+    # plan, not in an eager count() (round-6 advice).
+    jn = spark.read.json(json_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("json_rows")
+    )
+    return (
+        spark.read.parquet(target_dir)
+        .crossJoin(F.broadcast(jn))
+        .select("user_id", "last_ts", "last_type", "last_value", "json_rows")
     )
 
 

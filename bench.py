@@ -26,6 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from aws_etl_pipeline_spark.cache import clear_persisted
 from aws_etl_pipeline_spark.registry import all_queries
 from aws_etl_pipeline_spark.session import get_spark
 
@@ -107,6 +108,10 @@ def main() -> None:
             df = q.fn(spark, sf_dir)
             n = df.count()
             samples.append(time.time() - t0)
+            # each rep re-builds (and re-persists) its intermediates;
+            # sweep them so cached blocks don't pile up across reps
+            # (timing unchanged: every rep pays its own persist).
+            clear_persisted()
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]

@@ -130,9 +130,12 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
+    from aws_etl_pipeline_spark.cache import clear_persisted
+
     failed = []
     for name in names:
         q = queries[name]
+        clear_persisted()  # sweep the previous query's pinned blocks
         t0 = time.time()
         try:
             sdf = q.fn(spark, args.sf)
