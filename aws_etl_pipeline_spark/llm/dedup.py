@@ -572,41 +572,21 @@ FROM mem m LEFT JOIN pruned p ON m.vec_id = p.vec_id
     )
 
 
-@query("dedup_semantic", oracle=_semdedup_oracle())
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
-    2303.09540): cluster the embedding corpus with the deterministic
-    Lloyd's k-means (similarity.lloyd_assign — seed = first k vectors,
-    DECIMAL-exact means, so the DuckDB oracle replays the identical
-    iterations), then WITHIN each cluster prune any vector whose
-    cosine to a higher-priority member is >= {tau}. Priority follows
-    the paper's keep-rule: LOW similarity to the cluster centroid wins
-    (keep the atypical representative, prune the redundant core),
-    vec_id breaking 6-decimal ties. Emits one row per vector —
-    (vec_id, cell, centroid_cos, kept) — so the oracle hash pins the
-    cluster assignment, the priority score, and the prune verdict.
-
-    100 TB shape: candidate pairs exist only WITHIN a cell — never
-    across — so the pair space is sum(|cell|^2), not n^2; in
-    production k scales with the corpus (SemDeDup uses ~100k clusters
-    for 100M embeddings) to hold cells at ~1k members, and each cell's
-    pairwise block runs after ONE shuffle by cell id. Assignment never
-    shuffles the corpus (broadcast centroids), the priority score is
-    one broadcast join, and the final verdict is a left anti-shaped
-    join on vec_id. Zero Python in the hot path — all fold/zip_with
-    expression arithmetic."""
-    from .similarity import (
-        K_CELLS,
-        KMEANS_ITERS,
-        _as_double,
-        _dot,
-        _norm,
-        lloyd_assign,
-    )
+def semdedup_frame(
+    spark: SparkSession, sf_dir: str, k: int, iters: int, tau: float
+) -> DataFrame:
+    """Parameterized SemDeDup pipeline under :func:`dedup_semantic` —
+    exposed separately because **k is the scale knob the SCALING.md
+    claim rests on** (the paper's ~100k cells per 100M embeddings):
+    `tools/measure_semdedup_k.py` runs this at k=8 vs k=64 on the 10x
+    replica to demonstrate that holding |cell| constant by scaling k
+    is literally a parameter change, not a rewrite. The registered
+    query pins k=K_CELLS so the DuckDB oracle replays it exactly."""
+    from .similarity import _as_double, _dot, _norm, lloyd_assign
 
     e = load_spread(spark, sf_dir, "embeddings")
     base = e.select("vec_id", _as_double("embedding").alias("v"))
-    assign, cent = lloyd_assign(base, K_CELLS, KMEANS_ITERS)
+    assign, cent = lloyd_assign(base, k, iters)
     centn = cent.select("cell", "cv", _norm(F.col("cv")).alias("cnrm"))
     mem = (
         assign.join(F.broadcast(centn), "cell")
@@ -631,7 +611,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pruned = (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & higher_priority)
-        .filter(pair_cos >= SEMDEDUP_TAU)
+        .filter(pair_cos >= tau)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("is_pruned", F.lit(True))
@@ -645,6 +625,34 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_pruned").isNull().alias("kept"),
         )
     )
+
+
+@query("dedup_semantic", oracle=_semdedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): cluster the embedding corpus with the deterministic
+    Lloyd's k-means (similarity.lloyd_assign — seed = first k vectors,
+    DECIMAL-exact means, so the DuckDB oracle replays the identical
+    iterations), then WITHIN each cluster prune any vector whose
+    cosine to a higher-priority member is >= {tau}. Priority follows
+    the paper's keep-rule: LOW similarity to the cluster centroid wins
+    (keep the atypical representative, prune the redundant core),
+    vec_id breaking 6-decimal ties. Emits one row per vector —
+    (vec_id, cell, centroid_cos, kept) — so the oracle hash pins the
+    cluster assignment, the priority score, and the prune verdict.
+
+    100 TB shape: candidate pairs exist only WITHIN a cell — never
+    across — so the pair space is sum(|cell|^2), not n^2; in
+    production k scales with the corpus (SemDeDup uses ~100k clusters
+    for 100M embeddings) to hold cells at ~1k members, and each cell's
+    pairwise block runs after ONE shuffle by cell id. Assignment never
+    shuffles the corpus (broadcast centroids), the priority score is
+    one broadcast join, and the final verdict is a left anti-shaped
+    join on vec_id. Zero Python in the hot path — all fold/zip_with
+    expression arithmetic."""
+    from .similarity import K_CELLS, KMEANS_ITERS
+
+    return semdedup_frame(spark, sf_dir, K_CELLS, KMEANS_ITERS, SEMDEDUP_TAU)
 
 
 _BAND_ROWS_SQL = "\n  UNION ALL ".join(

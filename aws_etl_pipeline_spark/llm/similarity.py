@@ -355,10 +355,13 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     return n, assign, probes
 
 
-@query(
-    "sim_ivf_ann",
-    oracle=f"""
-WITH e AS (
+#: The IVF front-end spelled ONCE for every oracle that rides it
+#: (sim_ivf_ann and the sq8 / true-PQ rescore family) — the SQL twin
+#: of ``_ivf_parts``: per-label coarse centroids, the norm table, the
+#: corpus->cell assignment, and each query's probe cells. Shared so
+#: the five oracles cannot silently drift apart (round-6 advice).
+_IVF_CTES = f"""
+e AS (
   SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
   FROM embeddings
 ),
@@ -398,7 +401,12 @@ probes AS (
                       DESC, cent.cell) AS rn
     FROM n CROSS JOIN cent WHERE n.vec_id < {N_QUERIES}
   ) WHERE rn <= {N_PROBE}
-)
+)"""
+
+
+@query(
+    "sim_ivf_ann",
+    oracle="WITH " + _IVF_CTES + f"""
 SELECT query_id, neighbor_id, cosine FROM (
   SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
          round(list_dot_product(qn.v, cn_.v) / (qn.nrm * cn_.nrm), 8) AS cosine,
@@ -451,50 +459,10 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_ivf_pq",
-    oracle=f"""
-WITH e AS (
-  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
-  FROM embeddings
-),
-dims AS (
-  SELECT label, u.d, u.x
-  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS d,
-                          unnest(v) AS x) u
-),
-cent AS (
-  SELECT label AS cell, list(c ORDER BY d) AS cv
-  FROM (SELECT label, d,
-               CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
-        FROM dims GROUP BY label, d)
-  GROUP BY label
-),
-n AS (
-  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
-),
-assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT n.vec_id, cent.cell,
-           row_number() OVER (
-             PARTITION BY n.vec_id
-             ORDER BY list_dot_product(n.v, cent.cv)
-                      / (n.nrm * sqrt(list_sum(list_transform(cent.cv, x -> x*x))))
-                      DESC, cent.cell) AS rn
-    FROM n CROSS JOIN cent
-  ) WHERE rn = 1
-),
-probes AS (
-  SELECT vec_id, cell FROM (
-    SELECT n.vec_id, cent.cell,
-           row_number() OVER (
-             PARTITION BY n.vec_id
-             ORDER BY list_dot_product(n.v, cent.cv)
-                      / (n.nrm * sqrt(list_sum(list_transform(cent.cv, x -> x*x))))
-                      DESC, cent.cell) AS rn
-    FROM n CROSS JOIN cent WHERE n.vec_id < {N_QUERIES}
-  ) WHERE rn <= {N_PROBE}
-),
+# ---------------------------------------------------------------- SQ8 family
+#: int8 scalar-quantized corpus codes: q_i = round(x_i * 127 / max|x|)
+#: per vector (the scheme embed_normalize_quantize emits).
+_SQ8_QUANT_CTE = f"""
 quant AS (
   SELECT vec_id,
          list_transform(v, x -> CAST(round(x * 127 / nullif(mx, 0)) AS TINYINT))
@@ -502,8 +470,12 @@ quant AS (
          mx / 127 AS scale
   FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
         FROM e WHERE vec_id >= {N_QUERIES})
-)
-SELECT query_id, neighbor_id, approx_cosine FROM (
+)"""
+
+#: probe candidates scored by the int8 asymmetric dot, ranked per
+#: query — the block sim_ivf_sq8 cuts at rn<=3 and sim_ivf_sq8_rerank
+#: cuts at rn<={PQ_RERANK_R} (one spelling, two consumers).
+_SQ8_SCORED_SELECT = f"""
   SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
          round(qz.scale *
                list_sum(list_transform(list_zip(qn.v, qz.qi), t -> t[1] * t[2]))
@@ -519,28 +491,17 @@ SELECT query_id, neighbor_id, approx_cosine FROM (
   JOIN n qn  ON qn.vec_id = p.vec_id
   JOIN n cn_ ON cn_.vec_id = a.vec_id
   JOIN quant qz ON qz.vec_id = a.vec_id
-) WHERE rn <= 3
-""",
-)
-def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + int8 asymmetric-distance rescoring — the memory-side
-    companion to sim_ivf_ann: identical coarse quantizer, assignment
-    and probing (shared ``_ivf_parts``), but the probed cells are
-    rescored against the INT8-QUANTIZED corpus vectors (symmetric
-    per-vector quantization, q_i = round(x_i * 127 / max|x|), the same
-    scheme embed_normalize_quantize emits) while the query stays
-    full-precision — the standard ADC arrangement that cuts index
-    memory/bandwidth 4x at 100 TB. Exact per-vector L2 norms are kept
-    alongside the int8 codes (8 bytes against a 4x-reduced vector —
-    standard practice), so the only approximation is the quantized
-    dot product; measured recall@3 vs the exact top-3 is recorded in
-    SCALING.md via tools/measure_ann_recall.py.
+"""
 
-    Cross-engine determinism: quantized codes are integers (exactly
-    reproduced by both engines' HALF_UP round — the green
-    embed_normalize_quantize precedent), the dot is a sequential
-    double fold on both sides, and ranking rounds to 8 decimals with
-    vec_id tie-break."""
+
+def _sq8_scored(spark: SparkSession, sf_dir: str):
+    """Shared int8 (SQ8) scoring stage under sim_ivf_sq8 and
+    sim_ivf_sq8_rerank (one spelling — round-6 advice flagged the
+    copy-paste twins): IVF front-end from ``_ivf_parts``, corpus
+    quantized to per-vector int8 codes + one fp scale + exact norm,
+    probe candidates scored with the asymmetric quantized dot (query
+    stays full-precision). Returns ``(n, qn, cand)`` where ``cand``
+    is (query_id, neighbor_id, approx_cosine), unranked."""
     n, assign, probes = _ivf_parts(spark, sf_dir)
     qn = n.select(
         F.col("vec_id").alias("query_id"),
@@ -577,6 +538,38 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(quant, "neighbor_id")
         .select("query_id", "neighbor_id", approx.alias("approx_cosine"))
     )
+    return n, qn, cand
+
+
+@query(
+    "sim_ivf_sq8",
+    oracle="WITH " + _IVF_CTES + "," + _SQ8_QUANT_CTE + f"""
+SELECT query_id, neighbor_id, approx_cosine FROM (
+{_SQ8_SCORED_SELECT}) WHERE rn <= 3
+""",
+)
+def sim_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + int8 scalar-quantization (SQ8) rescoring — renamed from
+    ``sim_ivf_pq`` in round 7: this operator is per-vector SCALAR
+    quantization (one int8 code per dimension + one fp scale), a 4x
+    index reduction; true PRODUCT quantization with per-subspace
+    codebooks and ADC lookup is ``sim_ivf_truepq`` below. Identical
+    coarse quantizer, assignment and probing as sim_ivf_ann (shared
+    ``_ivf_parts``), but the probed cells are rescored against the
+    int8 codes while the query stays full-precision — the standard
+    asymmetric arrangement that cuts index memory/bandwidth 4x at
+    100 TB. Exact per-vector L2 norms ride alongside the codes
+    (8 bytes against a 4x-reduced vector — standard practice), so the
+    only approximation is the quantized dot product; measured recall@3
+    vs the exact top-3 is recorded in SCALING.md via
+    tools/measure_ann_recall.py.
+
+    Cross-engine determinism: quantized codes are integers (exactly
+    reproduced by both engines' HALF_UP round — the green
+    embed_normalize_quantize precedent), the dot is a sequential
+    double fold on both sides, and ranking rounds to 8 decimals with
+    vec_id tie-break."""
+    _, _, cand = _sq8_scored(spark, sf_dir)
     w = W.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rn", F.row_number().over(w))
@@ -585,75 +578,401 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PQ_RERANK_R = 6  # int8 shortlist size re-ranked at full precision
+PQ_RERANK_R = 6  # quantized shortlist size re-ranked at full precision
 
 
 @query(
-    "sim_ivf_pq_rerank",
-    oracle=f"""
-WITH e AS (
-  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
-  FROM embeddings
-),
-dims AS (
-  SELECT label, u.d, u.x
-  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS d,
-                          unnest(v) AS x) u
-),
-cent AS (
-  SELECT label AS cell, list(c ORDER BY d) AS cv
-  FROM (SELECT label, d,
-               CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
-        FROM dims GROUP BY label, d)
-  GROUP BY label
-),
-n AS (
-  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
-),
-assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT n.vec_id, cent.cell,
-           row_number() OVER (
-             PARTITION BY n.vec_id
-             ORDER BY list_dot_product(n.v, cent.cv)
-                      / (n.nrm * sqrt(list_sum(list_transform(cent.cv, x -> x*x))))
-                      DESC, cent.cell) AS rn
-    FROM n CROSS JOIN cent
-  ) WHERE rn = 1
-),
-probes AS (
-  SELECT vec_id, cell FROM (
-    SELECT n.vec_id, cent.cell,
-           row_number() OVER (
-             PARTITION BY n.vec_id
-             ORDER BY list_dot_product(n.v, cent.cv)
-                      / (n.nrm * sqrt(list_sum(list_transform(cent.cv, x -> x*x))))
-                      DESC, cent.cell) AS rn
-    FROM n CROSS JOIN cent WHERE n.vec_id < {N_QUERIES}
-  ) WHERE rn <= {N_PROBE}
-),
-quant AS (
-  SELECT vec_id,
-         list_transform(v, x -> CAST(round(x * 127 / nullif(mx, 0)) AS TINYINT))
-           AS qi,
-         mx / 127 AS scale
-  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
-        FROM e WHERE vec_id >= {N_QUERIES})
-),
+    "sim_ivf_sq8_rerank",
+    oracle="WITH " + _IVF_CTES + "," + _SQ8_QUANT_CTE + f""",
 shortlist AS (
   SELECT query_id, neighbor_id FROM (
+{_SQ8_SCORED_SELECT}) WHERE rn <= {PQ_RERANK_R}
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(qn.v, cn_.v) / (qn.nrm * cn_.nrm), 8) AS cosine,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY round(list_dot_product(qn.v, cn_.v) / (qn.nrm * cn_.nrm), 8) DESC,
+                    s.neighbor_id) AS rn
+  FROM shortlist s
+  JOIN n qn  ON qn.vec_id = s.query_id
+  JOIN n cn_ ON cn_.vec_id = s.neighbor_id
+) WHERE rn <= 3
+""",
+)
+def sim_ivf_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over the int8 IVF index (renamed from
+    ``sim_ivf_pq_rerank`` in round 7 alongside sim_ivf_sq8) — the
+    production architecture a memory-bounded 100 TB vector store
+    actually runs: stage 1 shortlists the top-{PQ_RERANK_R} per query
+    by the int8 asymmetric score (4x less index traffic, same probe
+    geometry as sim_ivf_ann/sim_ivf_sq8), stage 2 re-ranks ONLY the
+    shortlist against the full-precision vectors (one
+    {PQ_RERANK_R}-rows-per-query join) and emits exact-cosine top-3.
+    Any pair the int8 score orders wrongly inside the shortlist is
+    corrected, so the result converges to sim_ivf_ann's as R grows,
+    while the fp vectors are touched for R rows per query instead of
+    the whole probe set."""
+    n, qn, cand = _sq8_scored(spark, sf_dir)
+    w1 = W.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= PQ_RERANK_R)
+        .select("query_id", "neighbor_id")
+    )
+    cn_ = n.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
+    exact = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 8
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(F.broadcast(qn), "query_id")
+        .join(cn_, "neighbor_id")
+        .select("query_id", "neighbor_id", exact.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+# ------------------------------------------------------------ true-PQ family
+#: Product-quantization geometry — the standard "PQ8" arrangement for
+#: d=64 (Jegou et al. 2011 §V uses m=8 for d<=128; FAISS's default
+#: PQ8x8 is the same): DIM=64 splits into PQ_M=8 subspaces of
+#: PQ_SUBDIM=8 dims; each subspace trains a PQ_K=256-codeword codebook
+#: (PQ_ITERS deterministic Lloyd rounds, seeded by the first PQ_K
+#: corpus subvectors — at an SF whose corpus is smaller than PQ_K the
+#: codebook simply has fewer codewords, identically on both engines).
+#: A corpus vector is then 8 codes x 8 bits = 8 BYTES against 256 fp
+#: bytes — the 32x (vs int8's 4x) reduction a genuinely memory-bound
+#: 100 TB index runs. Geometry chosen by a measured sweep (SCALING.md
+#: round-7 PQ table): coarser grids (4x16, 8x64) leave ADC recall at
+#: 0.07-0.23 on this corpus's weak neighbor structure; 8x256 scores
+#: 0.367 vs the 0.433 IVF-exact ceiling at sf0.01 and the fp rerank
+#: recovers the ceiling exactly.
+PQ_M = 8
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 256
+PQ_ITERS = 2
+
+
+def _pq_subvectors(df: DataFrame) -> DataFrame:
+    """(vec_id, v) -> (vec_id, sub, sv): each vector exploded into its
+    PQ_M contiguous subvectors, inside codegen (array slice, no
+    shuffle)."""
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.slice("v", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    return df.select("vec_id", F.explode(structs).alias("t")).select(
+        "vec_id", "t.sub", "t.sv"
+    )
+
+
+def _pq_d2() -> F.Column:
+    """Squared distance between the sv/cv subvector columns, spelled
+    as PQ_SUBDIM inline element_at terms instead of a zip_with fold:
+    bit-identical arithmetic (a left-associated sum of non-negative
+    squares; the fold's 0.0 seed adds exactly nothing), but the whole
+    expression stays inside whole-stage codegen — the interpreted HOF
+    fold evaluated corpus x PQ_K times was ~80% of the query's wall
+    clock at PQ_K=256."""
+    terms = []
+    for i in range(1, PQ_SUBDIM + 1):
+        dx = F.element_at(F.col("sv"), i) - F.element_at(F.col("cv"), i)
+        terms.append(dx * dx)
+    d2 = terms[0]
+    for t in terms[1:]:
+        d2 = d2 + t
+    return d2
+
+
+def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment per (vec_id, sub) -> (vec_id, sub,
+    cell): broadcast the (PQ_M x PQ_K)-row codebook, argmin squared
+    distance within the SAME subspace, ties on cell asc — the grouped
+    twin of lloyd_assign's assignment step. The argmin is a
+    hash-aggregate min(struct(d2, cell)) — struct ordering IS
+    (d2 asc, cell asc), so it matches the oracle's row_number
+    tie-break exactly while map-side partial aggregation collapses
+    the PQ_K candidate rows per (vec_id, sub) BEFORE any exchange (a
+    row_number window here sorted corpus x PQ_K rows and dominated
+    the whole query at PQ_K=256). The corpus never shuffles for
+    assignment."""
+    return (
+        sub.join(F.broadcast(cent), "sub")
+        .select(
+            "vec_id", "sub", F.struct(_pq_d2().alias("d2"), F.col("cell")).alias("dc")
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", "sub", F.col("m.cell").alias("cell"))
+    )
+
+
+def _pq_encode(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """_pq_assign plus the subvector joined back on — the training
+    loop needs (cell, sv) pairs for the centroid update; plain
+    encoding (codes for ADC) uses _pq_assign directly and skips the
+    join."""
+    return _pq_assign(sub, cent).join(sub, ["vec_id", "sub"]).select(
+        "vec_id", "sub", "cell", "sv"
+    )
+
+
+def _pq_train(sub: DataFrame) -> DataFrame:
+    """Per-subspace Lloyd's k-means over corpus subvectors — PQ_M
+    independent codebooks trained in ONE grouped pipeline (the sub
+    column rides every key, so this is lloyd_assign generalized by a
+    group key, not PQ_M separate jobs). Deterministic by the same
+    construction as kmeans_train: seed = the first PQ_K corpus
+    vectors' subvectors, ties on cell asc, means through DECIMAL.
+    Returns the final codebook (sub, cell, cv)."""
+    cent = sub.filter(F.col("vec_id") < N_QUERIES + PQ_K).select(
+        "sub",
+        (F.col("vec_id") - N_QUERIES).cast("int").alias("cell"),
+        F.col("sv").alias("cv"),
+    )
+    for _ in range(PQ_ITERS):
+        assign = _pq_encode(sub, cent)
+        dims = assign.select("sub", "cell", F.posexplode("sv").alias("d0", "x"))
+        cent = (
+            dims.groupBy("sub", "cell", "d0")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .groupBy("sub", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d0", "c"))),
+                    lambda s: s.getField("c"),
+                ).alias("cv")
+            )
+        )
+    return cent
+
+
+def _truepq_scored(spark: SparkSession, sf_dir: str):
+    """Shared true-PQ scoring stage under sim_ivf_truepq and
+    sim_ivf_truepq_rerank: IVF front-end from ``_ivf_parts``, per-
+    subspace codebooks from ``_pq_train``, corpus encoded to PQ_M
+    codes per vector, and probe candidates scored by ADC — the
+    approximate dot is the sum of PQ_M codebook-table lookups
+    dot(q_sub, codeword[code]), and the reconstructed norm is
+    sqrt(sum of codeword sqnorms): NO per-vector fp state survives on
+    the index side, codes only. Partial dots and sqnorms sum through
+    DECIMAL so the 4-way sum is order-independent on both engines.
+    Returns ``(n, qn, scored)`` with scored = (query_id, neighbor_id,
+    approx_cosine), unranked."""
+    n, assign, probes = _ivf_parts(spark, sf_dir)
+    sub = _pq_subvectors(n.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "v"))
+    # the trained codebook feeds three consumers (encode, sqnorm table,
+    # query LUT) — persist the 64-row relation so training runs once.
+    cent = track(_pq_train(sub))
+    codes = _pq_assign(sub, cent).select(
+        F.col("vec_id").alias("neighbor_id"), "sub", F.col("cell").alias("code")
+    )
+    sq = F.aggregate(
+        F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    cw = cent.select("sub", F.col("cell").alias("code"), sq.alias("csq"))
+    qsub = _pq_subvectors(
+        n.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "v")
+    )
+    lut = qsub.join(cent, "sub").select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        F.col("cell").alias("code"),
+        _dot(F.col("sv"), F.col("cv")).alias("pdot"),
+    )
+    qn = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        probes.join(assign, "cell")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .join(F.broadcast(cw), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("pdot").cast("decimal(28,12)")).cast("double").alias("num"),
+            F.sum(F.col("csq").cast("decimal(28,12)")).cast("double").alias("csqs"),
+        )
+        .join(F.broadcast(qn.select("query_id", "qnrm")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("num") / (F.col("qnrm") * F.sqrt(F.col("csqs"))), 8
+            ).alias("approx_cosine"),
+        )
+    )
+    return n, qn, scored
+
+
+def _pq_ctes() -> str:
+    """The true-PQ oracle CTE chain appended to _IVF_CTES: per-subspace
+    Lloyd UNROLLED (the _kmeans_blocks pattern with the sub column
+    threaded through every key), final-codebook encode, codeword
+    sqnorm table, query LUT, and the ADC-scored candidate relation."""
+    sd = PQ_SUBDIM
+    d2 = (
+        "list_sum(list_transform(list_zip(s.sv, c.cv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    blocks = [
+        f"""
+sub AS (
+  SELECT vec_id, t.s AS sub, list_slice(v, t.s*{sd}+1, t.s*{sd}+{sd}) AS sv
+  FROM e, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) t
+  WHERE vec_id >= {N_QUERIES}
+),
+pcent0 AS (
+  SELECT sub, CAST(vec_id - {N_QUERIES} AS INT) AS cell, sv AS cv
+  FROM sub WHERE vec_id < {N_QUERIES + PQ_K}
+)"""
+    ]
+    for i in range(PQ_ITERS):
+        blocks.append(
+            f"""
+passign{i} AS (
+  SELECT vec_id, sub, cell, sv FROM (
+    SELECT s.vec_id, s.sub, c.cell, s.sv,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM sub s JOIN pcent{i} c ON c.sub = s.sub
+  ) WHERE rn = 1
+),
+pcent{i + 1} AS (
+  SELECT sub, cell, list(c ORDER BY d) AS cv
+  FROM (SELECT sub, cell, u.d,
+               CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+        FROM passign{i},
+             LATERAL (SELECT unnest(generate_series(1, len(sv))) AS d,
+                             unnest(sv) AS x) u
+        GROUP BY sub, cell, u.d)
+  GROUP BY sub, cell
+)"""
+        )
+    fin = PQ_ITERS
+    blocks.append(
+        f"""
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.cell AS code,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM sub s JOIN pcent{fin} c ON c.sub = s.sub
+  ) WHERE rn = 1
+),
+cw AS (
+  SELECT sub, cell AS code, list_sum(list_transform(cv, x -> x * x)) AS csq
+  FROM pcent{fin}
+),
+qsub AS (
+  SELECT vec_id AS query_id, t.s AS sub,
+         list_slice(v, t.s*{sd}+1, t.s*{sd}+{sd}) AS sv
+  FROM e, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) t
+  WHERE vec_id < {N_QUERIES}
+),
+lut AS (
+  SELECT q.query_id, c.sub, c.cell AS code, list_dot_product(q.sv, c.cv) AS pdot
+  FROM qsub q JOIN pcent{fin} c ON c.sub = q.sub
+),
+pqscored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(s.num / (qn.nrm * sqrt(s.csqs)), 8) AS approx_cosine
+  FROM (
     SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-           row_number() OVER (
-             PARTITION BY p.vec_id
-             ORDER BY round(qz.scale *
-                      list_sum(list_transform(list_zip(qn.v, qz.qi), t -> t[1] * t[2]))
-                      / (qn.nrm * cn_.nrm), 8) DESC,
-                      a.vec_id) AS rn
+           CAST(sum(CAST(l.pdot AS DECIMAL(28,12))) AS DOUBLE) AS num,
+           CAST(sum(CAST(w.csq AS DECIMAL(28,12))) AS DOUBLE) AS csqs
     FROM probes p
     JOIN assign a ON a.cell = p.cell AND a.vec_id >= {N_QUERIES}
-    JOIN n qn  ON qn.vec_id = p.vec_id
-    JOIN n cn_ ON cn_.vec_id = a.vec_id
-    JOIN quant qz ON qz.vec_id = a.vec_id
+    JOIN codes k ON k.vec_id = a.vec_id
+    JOIN lut l ON l.query_id = p.vec_id AND l.sub = k.sub AND l.code = k.code
+    JOIN cw w ON w.sub = k.sub AND w.code = k.code
+    GROUP BY p.vec_id, a.vec_id
+  ) s JOIN n qn ON qn.vec_id = s.query_id
+)"""
+    )
+    return ",".join(blocks)
+
+
+@query(
+    "sim_ivf_truepq",
+    oracle="WITH " + _IVF_CTES + "," + _pq_ctes() + """
+SELECT query_id, neighbor_id, approx_cosine FROM (
+  SELECT query_id, neighbor_id, approx_cosine,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY approx_cosine DESC, neighbor_id) AS rn
+  FROM pqscored
+) WHERE rn <= 3
+""",
+)
+def sim_ivf_truepq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + TRUE product quantization (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the 64-dim corpus is
+    split into PQ_M=8 subspaces of 8 dims; each subspace trains a
+    PQ_K=256-codeword codebook with the repo's deterministic Lloyd
+    construction (seed = first PQ_K corpus subvectors, DECIMAL-exact
+    means — the kmeans_train recipe, generalized by a subspace group
+    key so all 8 codebooks train in ONE grouped pipeline); every
+    corpus vector is encoded as 8 codes x 8 bits = 8 bytes (the
+    FAISS-standard PQ8x8 layout). Scoring is ADC (asymmetric distance
+    computation): per query, an 8x256-entry lookup table of
+    dot(q_sub, codeword) is built once (a broadcast relation for all
+    10 queries), and a candidate's approximate dot is the sum of its
+    8 table lookups; the reconstructed norm is derived from the
+    codeword sqnorm table — unlike sim_ivf_sq8, NO per-vector fp
+    state survives on the index side. That is the 32x memory
+    reduction (256 fp bytes -> 8 code bytes) a genuinely memory-bound
+    100 TB vector index runs, at the price of real quantization
+    error: measured recall@3 vs the exact top-3 is recorded in
+    SCALING.md (tools/measure_ann_recall.py) next to the geometry
+    sweep that chose 8x256, with the fp re-rank recovery path in
+    sim_ivf_truepq_rerank.
+
+    100 TB shape: training touches the corpus PQ_ITERS times with a
+    broadcast codebook and shuffles only (sub, cell, dim) partial
+    sums; encoding is one broadcast join; query-time cost per
+    candidate is PQ_M integer-keyed lookups against two broadcast
+    tables plus a 4-row DECIMAL sum — no fp vector is read after the
+    shortlist leaves the index. Cross-engine determinism: codes are
+    integer argmins with cell-asc tie-break over identically-folded
+    doubles (green kmeans precedent), and the cross-subspace sums go
+    through DECIMAL so partial order cannot flip the hash."""
+    _, _, scored = _truepq_scored(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "approx_cosine")
+    )
+
+
+@query(
+    "sim_ivf_truepq_rerank",
+    oracle="WITH " + _IVF_CTES + "," + _pq_ctes() + f""",
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_cosine DESC, neighbor_id) AS rn
+    FROM pqscored
   ) WHERE rn <= {PQ_RERANK_R}
 )
 SELECT query_id, neighbor_id, cosine FROM (
@@ -669,56 +988,21 @@ SELECT query_id, neighbor_id, cosine FROM (
 ) WHERE rn <= 3
 """,
 )
-def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage retrieval over the int8 IVF index — the production
-    architecture a memory-bounded 100 TB vector store actually runs:
-    stage 1 shortlists the top-{PQ_RERANK_R} per query by the int8
-    asymmetric score (4x less index traffic, same probe geometry as
-    sim_ivf_ann/sim_ivf_pq), stage 2 re-ranks ONLY the shortlist
-    against the full-precision vectors (one {PQ_RERANK_R}-rows-per-
-    query join) and emits exact-cosine top-3. This closes the
-    SCALING.md note that razor-thin ranking margins are recovered by
-    fp re-ranking: any pair the int8 score orders wrongly inside the
-    shortlist is corrected, so the result converges to sim_ivf_ann's
-    as R grows, while the fp vectors are touched for R rows per query
-    instead of the whole probe set."""
-    n, assign, probes = _ivf_parts(spark, sf_dir)
-    qn = n.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
+def sim_ivf_truepq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over the 2-byte PQ index: stage 1
+    shortlists the top-{PQ_RERANK_R} per query by the ADC score
+    (codes-only index traffic), stage 2 re-ranks ONLY the shortlist
+    against the full-precision vectors and emits exact-cosine top-3 —
+    the recovery path for PQ's quantization error (SCALING.md records
+    the recall delta this closes vs sim_ivf_truepq). Identical
+    architecture to sim_ivf_sq8_rerank; only the stage-1 quantizer
+    differs (codebook ADC vs per-vector int8)."""
+    n, qn, scored = _truepq_scored(spark, sf_dir)
+    w1 = W.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
     )
-    corp = n.filter(F.col("vec_id") >= N_QUERIES)
-    mx = F.array_max(F.transform("v", F.abs))
-    quant = corp.withColumn("mx", mx).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.transform(
-            "v",
-            lambda x: F.round(x * 127 / F.nullif(F.col("mx"), F.lit(0.0))).cast(
-                "tinyint"
-            ),
-        ).alias("qi"),
-        (F.col("mx") / 127).alias("scale"),
-        "nrm",
-    )
-    approx = F.round(
-        F.col("scale")
-        * F.aggregate(
-            F.zip_with(F.col("qv"), F.col("qi"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / (F.col("qnrm") * F.col("nrm")),
-        8,
-    )
-    w1 = W.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
     shortlist = (
-        probes.join(assign, "cell")
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .join(F.broadcast(qn), "query_id")
-        .join(quant, "neighbor_id")
-        .select("query_id", "neighbor_id", approx.alias("approx"))
-        .withColumn("rn", F.row_number().over(w1))
+        scored.withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= PQ_RERANK_R)
         .select("query_id", "neighbor_id")
     )

@@ -1069,11 +1069,16 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # substring with a dynamic start needs expr-level substr; build the
     # pair list with a SQL expression so both engines run the same text.
+    # The length guard matters: Spark's sequence(1, 0) yields the
+    # DESCENDING [1, 0] (not empty like DuckDB's generate_series), so a
+    # 1-char term would fabricate junk pairs on one engine only.
     pairs = vocab.select(
         F.explode(
             F.expr(
+                "CASE WHEN length(term) > 1 THEN "
                 "transform(sequence(1, length(term) - 1), "
-                "i -> concat(substr(term, i, 1), '_', substr(term, i + 1, 1)))"
+                "i -> concat(substr(term, i, 1), '_', substr(term, i + 1, 1))) "
+                "ELSE array() END"
             )
         ).alias("pair"),
         "freq",
@@ -1084,3 +1089,165 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("merge_count"), F.asc("pair"))
         .limit(BPE_TOP)
     )
+
+
+BPE_ROUNDS = 3
+#: bracket chars wrapping every symbol in the training string form:
+#: "\x02sym\x03" — self-delimiting, so the winning pair's replace()
+#: pattern can never false-match inside a longer symbol, and greedy
+#: left-to-right non-overlapping merge (what replace() does on both
+#: engines) is exactly the BPE merge rule.
+_BPE_O, _BPE_C = "\x02", "\x03"
+
+
+def _bpe_vocab_sql() -> str:
+    return """
+  SELECT term, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY term
+"""
+
+
+def _bpe_train_oracle() -> str:
+    """BPE_ROUNDS merge iterations unrolled as CTEs (the kmeans_train /
+    logreg unrolled-trajectory pattern): per round, pair counts over
+    the bracketed symbol strings, the argmax winner, and the merged
+    string form feeding the next round."""
+    o, c = "chr(2)", "chr(3)"
+    blocks = [
+        f"""
+v0 AS ({_bpe_vocab_sql()}),
+w0 AS (
+  SELECT regexp_replace(term, '(.)', {o} || '\\1' || {c}, 'g') AS w, freq
+  FROM v0
+)"""
+    ]
+    for r in range(BPE_ROUNDS):
+        blocks.append(
+            f"""
+p{r} AS (
+  SELECT a, b, sum(freq)::BIGINT AS cnt
+  FROM (
+    SELECT arr[u.i] AS a, arr[u.i + 1] AS b, freq
+    FROM (SELECT string_split(substr(w, 2, length(w) - 2), {c} || {o}) AS arr,
+                 freq
+          FROM w{r}),
+         LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) u
+  ) GROUP BY a, b
+),
+win{r} AS (
+  SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a || '_' || b ASC LIMIT 1
+),
+w{r + 1} AS (
+  SELECT replace(w,
+                 {o} || (SELECT a FROM win{r}) || {c}
+                     || {o} || (SELECT b FROM win{r}) || {c},
+                 {o} || (SELECT a FROM win{r}) || (SELECT b FROM win{r}) || {c})
+           AS w,
+         freq
+  FROM w{r}
+)"""
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT {r + 1}::BIGINT AS round, a || '_' || b AS pair, "
+        f"cnt AS merge_count FROM win{r}"
+        for r in range(BPE_ROUNDS)
+    )
+    return "WITH " + ",".join(blocks) + "\n" + final
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING loop (Sennrich et al. 2016), {BPE_ROUNDS} merge
+    rounds unrolled — the full trainer iteration bpe_pair_counts pins
+    one round of: count adjacent symbol pairs over the (deduplicated,
+    frequency-weighted) vocabulary, pick the argmax pair, apply the
+    merge to the symbol stream, repeat. Emits the learned merge table
+    (round, pair, merge_count) — the artifact a tokenizer trainer
+    persists.
+
+    Representation: each word is a string of bracketed symbols
+    "\\x02sym\\x03\\x02sym\\x03…"; applying the winning merge (a, b)
+    is one engine-native replace() of "\\x02a\\x03\\x02b\\x03" with
+    "\\x02ab\\x03" — replace() is greedy left-to-right non-overlapping
+    on both engines, which IS the BPE merge rule (an 'aaa' run with
+    winner (a,a) becomes [aa, a], exactly like the reference
+    implementation). Brackets make symbols self-delimiting so a
+    pattern can never match inside a longer symbol.
+
+    100 TB shape: the corpus is touched ONCE (the vocab aggregation —
+    the dedupe-to-vocabulary-first trick from bpe_pair_counts); every
+    round then runs over the vocabulary relation only, with the winner
+    as a broadcast 1-row join (argmax via global TakeOrdered) — cost
+    tracks vocabulary size x rounds, not corpus size (measured flat at
+    the 10x replica, SCALING.md). Each round's symbol strings and the
+    winner relation persist (cache.track) so round r+1's plan builds
+    on materialized round-r state instead of an exponentially
+    re-expanded lineage — the kmeans/pagerank iterative-loop rule.
+
+    Determinism: pair counts are integer sums; the argmax orders by
+    (count desc, 'a_b' label asc) identically on both engines; merges
+    are byte-exact string ops. The oracle unrolls the same rounds as
+    chained CTEs."""
+    from functools import reduce
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(_words()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    words = track(
+        vocab.select(
+            F.regexp_replace("term", "(.)", _BPE_O + "$1" + _BPE_C).alias("w"),
+            "freq",
+        )
+    )
+    outs = []
+    for r in range(1, BPE_ROUNDS + 1):
+        arr = F.split(F.expr("substring(w, 2, length(w) - 2)"), _BPE_C + _BPE_O)
+        wp = words.withColumn("arr", arr)
+        # guard: Spark's sequence(1, 0) is the DESCENDING [1, 0], not
+        # empty — single-symbol words must contribute no pairs.
+        idx = F.when(
+            F.size("arr") > 1, F.sequence(F.lit(1), F.size("arr") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        prs = wp.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(F.col("arr"), i).alias("a"),
+                        F.element_at(F.col("arr"), i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        pc = (
+            prs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "freq")
+            .groupBy("a", "b")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        win = track(
+            pc.orderBy(F.desc("cnt"), F.concat_ws("_", "a", "b").asc()).limit(1)
+        )
+        outs.append(
+            win.select(
+                F.lit(r).cast("long").alias("round"),
+                F.concat_ws("_", "a", "b").alias("pair"),
+                F.col("cnt").alias("merge_count"),
+            )
+        )
+        pat = F.concat(
+            F.lit(_BPE_O), F.col("a"), F.lit(_BPE_C),
+            F.lit(_BPE_O), F.col("b"), F.lit(_BPE_C),
+        )
+        rep = F.concat(F.lit(_BPE_O), F.col("a"), F.col("b"), F.lit(_BPE_C))
+        words = track(
+            words.crossJoin(F.broadcast(win))
+            .select(F.replace(F.col("w"), pat, rep).alias("w"), "freq")
+        )
+    return reduce(DataFrame.unionAll, outs)

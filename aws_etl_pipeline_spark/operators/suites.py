@@ -232,8 +232,10 @@ SUITES: dict[str, list[str]] = {
         "sim_bruteforce_topk",
         "sim_lsh_ann",
         "sim_ivf_ann",
-        "sim_ivf_pq",
-        "sim_ivf_pq_rerank",
+        "sim_ivf_sq8",
+        "sim_ivf_sq8_rerank",
+        "sim_ivf_truepq",
+        "sim_ivf_truepq_rerank",
         "sim_label_centroid",
         "sim_range_search",
         "embed_normalize_quantize",
@@ -259,6 +261,7 @@ SUITES: dict[str, list[str]] = {
         "classifier_train_logreg",
         "text_gopher_rules",
         "bpe_pair_counts",
+        "bpe_train_merges",
     ],
     "suite_multimodal": [
         "multimodal_features",

@@ -82,6 +82,16 @@ def query(name: str, oracle: Optional[str] = None, doc: str = ""):
 #: the three round-6 operators IN: dedup_semantic (SemDeDup k-means +
 #: within-cell cosine prune), dedup_containment_lsh (bucket-blocked
 #: containment), sim_ivf_pq (int8 asymmetric-distance IVF rescore).
+#: Round-7 rotation: dedup_semantic, dedup_containment_lsh OUT (direct
+#: green r6; digest-covered by suite_dedup); sim_ivf_pq was RENAMED to
+#: sim_ivf_sq8 (it is scalar int8 quantization, not product
+#: quantization — the r6 verdict's overclaim fix) and leaves the block
+#: digest-covered by suite_sim with direct green r6 history under the
+#: old name; the round-7 flagships IN: sim_ivf_truepq (true per-
+#: subspace-codebook PQ with ADC scoring), sim_ivf_truepq_rerank (the
+#: fp recovery stage for PQ's measured recall loss — kept granular
+#: alongside it so the driver hash-pins BOTH stages of the two-stage
+#: architecture), bpe_train_merges (multi-round BPE training loop).
 PRIORITY: tuple[str, ...] = (
     # reference-parity flagships (§2A)
     "etl_flagship",
@@ -127,12 +137,15 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_minhash_mllib",
     "dedup_connected_components",
-    "dedup_semantic",  # rotated in r6: new SemDeDup-style dedup
-    "dedup_containment_lsh",  # rotated in r6: new bucket-blocked containment
+    # (dedup_semantic / dedup_containment_lsh rotated out r7 —
+    # suite_dedup digest; direct green r6. sim_ivf_pq renamed to
+    # sim_ivf_sq8 in r7 and digest-covered by suite_sim.)
     "sim_bruteforce_topk",
     "sim_lsh_ann",
-    "sim_ivf_pq",  # rotated in r6: new int8 asymmetric-distance IVF
+    "sim_ivf_truepq",  # rotated in r7: true product quantization + ADC
+    "sim_ivf_truepq_rerank",  # rotated in r7: PQ's fp recovery stage
     "sim_brp_lsh_mllib",
+    "bpe_train_merges",  # rotated in r7: multi-round BPE training loop
     "text_stats",
     "corpus_curation_pipeline",
     "multimodal_features",

@@ -53,6 +53,30 @@ def _fixture_dir(sf_dir: str, tag: str) -> str:
     )
 
 
+def _publish_fixture(write_fn, out: str) -> None:
+    """Build a fixture via ``write_fn(tmp_dir)`` in a UNIQUE temp dir,
+    then swap it into place (rmtree + rename) — the same discipline as
+    stream_exec_dedup's staging (round-6 advice): two sessions hitting
+    the same sf_dir each build a complete private copy, and whichever
+    rename wins leaves a fully-written directory; a reader can never
+    observe an interleaved half-overwritten fixture. (The rmtree→
+    rename gap is a transient not-found, never silent corruption.)"""
+    import shutil
+    import uuid
+
+    tmp = f"{out}.tmp.{uuid.uuid4().hex[:8]}"
+    write_fn(tmp)
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # another session's complete fixture won the rename race —
+        # use theirs, discard ours.
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(out):
+            raise
+
+
 @query(
     "scan_csv_roundtrip",
     oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
@@ -63,7 +87,9 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round trip must be lossless."""
     out = _fixture_dir(sf_dir, "csv")
     c = load_table(spark, sf_dir, "customer")
-    c.write.mode("overwrite").option("header", True).csv(out)
+    _publish_fixture(
+        lambda tmp: c.write.mode("overwrite").option("header", True).csv(tmp), out
+    )
     return spark.read.schema(TESTDATA["customer"]).option("header", True).csv(out)
 
 
@@ -75,7 +101,7 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + scan with explicit schema (R16/R22 -> scan)."""
     out = _fixture_dir(sf_dir, "json")
     r = load_table(spark, sf_dir, "region")
-    r.write.mode("overwrite").json(out)
+    _publish_fixture(lambda tmp: r.write.mode("overwrite").json(tmp), out)
     return spark.read.schema(TESTDATA["region"]).json(out)
 
 
@@ -116,7 +142,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round trip must be lossless — same contract as the CSV/JSON scans)."""
     out = _fixture_dir(sf_dir, "orc")
     n = load_table(spark, sf_dir, "nation")
-    n.write.mode("overwrite").orc(out)
+    _publish_fixture(lambda tmp: n.write.mode("overwrite").orc(tmp), out)
     return spark.read.schema(TESTDATA["nation"]).orc(out)
 
 

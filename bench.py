@@ -71,6 +71,26 @@ HEADLINE = [
     "scd2_intervals",
 ]
 
+#: HEADLINE_EXT (frozen in round 7): the heavy post-r1 operators that
+#: had one-off SCALING.md slope rows but no per-round drift tracking
+#: (r6 verdict). A SECOND frozen list — never merged into HEADLINE, so
+#: the r1-comparable total stays comparable — emitted as its own
+#: compact JSON line with metric "headline_ext_query_set_wall_clock".
+#: Names are frozen at their round-7 spellings (sim_ivf_sq8 is the
+#: operator benched as sim_ivf_pq in r6, renamed — scalar
+#: quantization, not product quantization).
+HEADLINE_EXT = [
+    "stream_exec_upsert_json",
+    "sim_ivf_sq8",
+    "sim_ivf_truepq",
+    "dedup_semantic",
+    "dedup_containment_lsh",
+    "dedup_substring",
+    "sample_importance_resampling",
+    "graph_triangle_count",
+    "bpe_train_merges",
+]
+
 
 WARMUP_SF = "/root/testdata/sf0.001"
 
@@ -91,35 +111,42 @@ def main() -> None:
     # JIT/page-cache state differed is distinguishable after the fact.
     t_w = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE_EXT:
         try:
             queries[name].fn(spark, WARMUP_SF).count()
+            clear_persisted()
         except Exception as e:  # warmup is best-effort
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
     warmup_sec = round(time.time() - t_w, 3)
 
-    timings: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        q = queries[name]
-        samples, n = [], 0
-        for _ in range(REPS):
-            t0 = time.time()
-            df = q.fn(spark, sf_dir)
-            n = df.count()
-            samples.append(time.time() - t0)
-            # each rep re-builds (and re-persists) its intermediates;
-            # sweep them so cached blocks don't pile up across reps
-            # (timing unchanged: every rep pays its own persist).
-            clear_persisted()
-        samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
-        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
-        print(
-            f"# {name}: median {timings[name]}s "
-            f"[{spread[name][0]}..{spread[name][1]}] ({n} rows)",
-            file=sys.stderr,
-        )
+    def run_set(names: list[str]):
+        timings: dict[str, float] = {}
+        spread: dict[str, list[float]] = {}
+        for name in names:
+            q = queries[name]
+            samples, n = [], 0
+            for _ in range(REPS):
+                t0 = time.time()
+                df = q.fn(spark, sf_dir)
+                n = df.count()
+                samples.append(time.time() - t0)
+                # each rep re-builds (and re-persists) its
+                # intermediates; sweep them so cached blocks don't
+                # pile up across reps (timing unchanged: every rep
+                # pays its own persist).
+                clear_persisted()
+            samples.sort()
+            timings[name] = round(samples[len(samples) // 2], 3)
+            spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
+            print(
+                f"# {name}: median {timings[name]}s "
+                f"[{spread[name][0]}..{spread[name][1]}] ({n} rows)",
+                file=sys.stderr,
+            )
+        return timings, spread
+
+    timings, spread = run_set(HEADLINE)
+    ext_timings, ext_spread = run_set(HEADLINE_EXT)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -160,13 +187,30 @@ def main() -> None:
         "loadavg_start": LOADAVG_START,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
+    # The EXT line shares the protocol and self-adjudication fields but
+    # carries its own metric name + total, so cross-round trend tools
+    # track both sets independently (HEADLINE stays r1-comparable).
+    ext_fields = {
+        **compact_fields,
+        "metric": "headline_ext_query_set_wall_clock",
+        "value": round(sum(ext_timings.values()), 3),
+        "queries": ext_timings,
+    }
     compact = json.dumps(compact_fields, separators=(",", ":"))
+    compact_ext = json.dumps(ext_fields, separators=(",", ":"))
     print(compact, flush=True)
+    print(compact_ext, flush=True)
     print(json.dumps({**compact_fields, "spread": spread}))
-    # Tail-retention copy (see above). "dup":true lets a parser that
-    # scans EVERY stdout JSON line dedup it instead of double-counting.
+    print(json.dumps({**ext_fields, "spread": ext_spread}))
+    # Tail-retention copies (see above). "dup":true lets a parser that
+    # scans EVERY stdout JSON line dedup them instead of
+    # double-counting.
     print(
         json.dumps({**compact_fields, "dup": True}, separators=(",", ":")),
+        flush=True,
+    )
+    print(
+        json.dumps({**ext_fields, "dup": True}, separators=(",", ":")),
         flush=True,
     )
     spark.stop()

@@ -193,22 +193,22 @@ def test_semantic_dedup_prunes_only_within_cell(spark, sf_dir):
     assert 0 < n_pruned < 500, n_pruned  # tau neither prunes nothing nor everything
 
 
-def test_ivf_pq_preserves_ivf_ranking(spark, sf_dir):
+def test_ivf_sq8_preserves_ivf_ranking(spark, sf_dir):
     """int8 asymmetric rescoring must not wreck the IVF ranking: the
     candidate cells are IDENTICAL by construction (shared _ivf_parts),
     so any divergence is pure quantization noise — measured zero at
     sf0.01/sf0.1 (SCALING.md); this guards a looser 0.8 overlap so a
     quantization bug (wrong scale, clipped codes) fails loudly while
     legitimate last-rank flips on other data don't."""
-    from aws_etl_pipeline_spark.llm.similarity import sim_ivf_ann, sim_ivf_pq
+    from aws_etl_pipeline_spark.llm.similarity import sim_ivf_ann, sim_ivf_sq8
 
     ivf = {(r.query_id, r.neighbor_id) for r in sim_ivf_ann(spark, sf_dir).collect()}
-    pq = {(r.query_id, r.neighbor_id) for r in sim_ivf_pq(spark, sf_dir).collect()}
+    pq = {(r.query_id, r.neighbor_id) for r in sim_ivf_sq8(spark, sf_dir).collect()}
     assert len(pq) == len(ivf)
     assert len(pq & ivf) / len(ivf) >= 0.8, (len(pq & ivf), len(ivf))
 
 
-def test_ivf_pq_rerank_reproduces_full_precision(spark, sf_dir):
+def test_ivf_sq8_rerank_reproduces_full_precision(spark, sf_dir):
     """The two-stage path (int8 shortlist -> fp re-rank) must converge
     to sim_ivf_ann: measured EXACT result-set equality at sf0.001,
     sf0.01 and sf0.1 — pinned here at the fixture SF so an int8
@@ -216,12 +216,42 @@ def test_ivf_pq_rerank_reproduces_full_precision(spark, sf_dir):
     shortlist fails loudly."""
     from aws_etl_pipeline_spark.llm.similarity import (
         sim_ivf_ann,
-        sim_ivf_pq_rerank,
+        sim_ivf_sq8_rerank,
     )
 
     ivf = {(r.query_id, r.neighbor_id) for r in sim_ivf_ann(spark, sf_dir).collect()}
     rr = {
         (r.query_id, r.neighbor_id)
-        for r in sim_ivf_pq_rerank(spark, sf_dir).collect()
+        for r in sim_ivf_sq8_rerank(spark, sf_dir).collect()
     }
     assert rr == ivf
+
+
+def test_ivf_truepq_quantization_error_bounded_and_recovered(spark, sf_dir):
+    """True PQ carries REAL quantization error (8 bytes of codes vs
+    256 fp bytes — unlike SQ8 there is no per-vector fp residue), so
+    exact agreement with sim_ivf_ann is NOT expected. What must hold:
+    (a) the ADC ranking stays in the IVF ballpark (measured overlap
+    0.567 at sf0.001, 0.367+ recall elsewhere — guard 0.4 so a broken
+    codebook/LUT join fails loudly), and (b) the fp re-rank stage
+    RECOVERS ranking quality: its overlap with sim_ivf_ann (measured
+    0.8 at sf0.001, 0.867 at sf0.01) must beat the raw ADC overlap
+    and clear 0.6. Row counts stay exact (top-3 per query)."""
+    from aws_etl_pipeline_spark.llm.similarity import (
+        sim_ivf_ann,
+        sim_ivf_truepq,
+        sim_ivf_truepq_rerank,
+    )
+
+    ivf = {(r.query_id, r.neighbor_id) for r in sim_ivf_ann(spark, sf_dir).collect()}
+    pq = {(r.query_id, r.neighbor_id) for r in sim_ivf_truepq(spark, sf_dir).collect()}
+    rr = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ivf_truepq_rerank(spark, sf_dir).collect()
+    }
+    assert len(pq) == len(ivf) == len(rr)
+    adc_overlap = len(pq & ivf) / len(ivf)
+    rr_overlap = len(rr & ivf) / len(ivf)
+    assert adc_overlap >= 0.4, adc_overlap
+    assert rr_overlap >= 0.6, rr_overlap
+    assert rr_overlap >= adc_overlap, (rr_overlap, adc_overlap)

@@ -398,17 +398,32 @@ def test_containment_lsh_candidates_are_equi_join(spark, sf_dir):
     assert not python_eval_nodes(df)
 
 
-def test_ivf_pq_broadcasts_queries_no_cartesian_rescore(spark, sf_dir):
-    # sim_ivf_pq's rescore joins candidates to the broadcast query set
+def test_ivf_sq8_broadcasts_queries_no_cartesian_rescore(spark, sf_dir):
+    # sim_ivf_sq8's rescore joins candidates to the broadcast query set
     # and the quantized corpus by key; the only nested-loop joins are
     # the tiny centroid broadcasts in assignment/probing (shared with
     # sim_ivf_ann), never a corpus-sized cartesian.
-    from aws_etl_pipeline_spark.llm.similarity import sim_ivf_pq
+    from aws_etl_pipeline_spark.llm.similarity import sim_ivf_sq8
 
-    df = sim_ivf_pq(spark, sf_dir)
+    df = sim_ivf_sq8(spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan  # query-set broadcast in rescore
+    assert not python_eval_nodes(df)
+
+
+def test_ivf_truepq_all_index_joins_keyed(spark, sf_dir):
+    # True-PQ: codebook training assigns via a broadcast equi-join on
+    # the subspace key, encoding is the same broadcast join, and ADC
+    # scoring joins candidates to the broadcast LUT / codeword-sqnorm
+    # tables on (query, sub, code) — nothing may nest loops over the
+    # corpus and no Python may appear anywhere in the pipeline.
+    from aws_etl_pipeline_spark.llm.similarity import sim_ivf_truepq
+
+    df = sim_ivf_truepq(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
     assert not python_eval_nodes(df)
 
 

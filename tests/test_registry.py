@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 212  # COVERAGE.md "212 named queries total"
-DOCUMENTED_GRANULAR = 193
+DOCUMENTED_TOTAL = 215  # COVERAGE.md "215 named queries total"
+DOCUMENTED_GRANULAR = 196
 DOCUMENTED_SUITES = 19
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -115,5 +115,11 @@ def test_rotated_out_slots_stay_digest_covered():
     # direct rows
     for rotated_out in ("dedup_substring", "q18_large_volume_customer", "scd2_intervals"):
         assert rotated_out in digest_covered, rotated_out
-    for rotated_in in ("dedup_semantic", "dedup_containment_lsh", "sim_ivf_pq"):
+    # the round-7 rotation: r6's slots leave with direct green r6
+    # history but must stay digest-covered (sim_ivf_pq was renamed to
+    # sim_ivf_sq8 in r7 — scalar quantization, not product
+    # quantization); the r7 flagships hold direct rows
+    for rotated_out in ("dedup_semantic", "dedup_containment_lsh", "sim_ivf_sq8"):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in ("sim_ivf_truepq", "sim_ivf_truepq_rerank", "bpe_train_merges"):
         assert rotated_in in PRIORITY, rotated_in

@@ -29,8 +29,10 @@ from aws_etl_pipeline_spark.session import get_spark  # noqa: E402
 ANN_QUERIES = (
     "sim_lsh_ann",
     "sim_ivf_ann",
-    "sim_ivf_pq",
-    "sim_ivf_pq_rerank",
+    "sim_ivf_sq8",
+    "sim_ivf_sq8_rerank",
+    "sim_ivf_truepq",
+    "sim_ivf_truepq_rerank",
     "sim_brp_lsh_mllib",
 )
 
