@@ -406,3 +406,21 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "nation")
         .load(out)
     )
+
+
+def scan_avro_roundtrip_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink + scan — the row-oriented interchange format next to
+    the columnar ORC path (same lossless-round-trip contract as
+    scan_orc_roundtrip). NOT registered as a query: spark-avro is an
+    "external data source module since Spark 2.4" (the exact error
+    Spark raises without it), i.e. a separate jar this container
+    doesn't ship and can't fetch (no network, installs disallowed).
+    tests/test_avro.py probes the format at session time and executes
+    this round trip for real the day the environment gains the jar —
+    the delta-spark / protobuf standing-probe pattern."""
+    out = _fixture_dir(sf_dir, "avro")
+    n = load_table(spark, sf_dir, "nation")
+    _publish_fixture(
+        lambda tmp: n.write.mode("overwrite").format("avro").save(tmp), out
+    )
+    return spark.read.schema(TESTDATA["nation"]).format("avro").load(out)

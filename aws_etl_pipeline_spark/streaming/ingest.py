@@ -370,8 +370,21 @@ def _latest_merge_batch_fn(target_dir: str):
     from pyspark.sql import functions as F
 
     def merge_batch(batch_df, batch_id: int) -> None:
+        import glob
+
         s = batch_df.sparkSession
         incoming = _latest_per_user(batch_df)
+        # Crash recovery for the two-step swap below (round-6 advice):
+        # rename(target, old) -> rename(tmp, target) is NOT atomic — a
+        # crash between the renames leaves the accumulated state only
+        # in .old{id}, and the _SUCCESS probe would then silently
+        # restart the upsert target from the incoming batch alone.
+        # If the target is missing but an .old generation exists,
+        # adopt the newest one before probing.
+        if not os.path.exists(target_dir):
+            olds = sorted(glob.glob(target_dir + ".old*"), key=os.path.getmtime)
+            if olds:
+                os.rename(olds[-1], target_dir)
         if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
             tgt = s.read.parquet(target_dir)
             # union the two winner sets and re-reduce — associative, so
