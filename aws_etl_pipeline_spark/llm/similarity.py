@@ -657,6 +657,15 @@ PQ_M = 8
 PQ_SUBDIM = DIM // PQ_M
 PQ_K = 256
 PQ_ITERS = 2
+#: Codebooks train on a DETERMINISTIC BOUNDED SAMPLE — the first
+#: PQ_TRAIN_SAMPLE corpus vectors — and only the single encode pass
+#: touches the whole corpus. This is how every production PQ build
+#: works (FAISS trains on ~100k-1M sampled vectors regardless of index
+#: size): it makes training cost CONSTANT in corpus size instead of
+#: corpus x PQ_K per Lloyd round. At the driver SFs the corpus
+#: (<=2000) fits inside the sample, so the bound is exercised only on
+#: the scale replicas (SCALING.md measures the slope flattening).
+PQ_TRAIN_SAMPLE = 2048
 
 
 def _pq_subvectors(df: DataFrame) -> DataFrame:
@@ -777,9 +786,12 @@ def _truepq_scored(spark: SparkSession, sf_dir: str):
     approx_cosine), unranked."""
     n, assign, probes = _ivf_parts(spark, sf_dir)
     sub = _pq_subvectors(n.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "v"))
+    # train on the bounded deterministic sample (see PQ_TRAIN_SAMPLE);
     # the trained codebook feeds three consumers (encode, sqnorm table,
-    # query LUT) — persist the 64-row relation so training runs once.
-    cent = track(_pq_train(sub))
+    # query LUT) — persist the small relation so training runs once.
+    cent = track(
+        _pq_train(sub.filter(F.col("vec_id") < N_QUERIES + PQ_TRAIN_SAMPLE))
+    )
     codes = _pq_assign(sub, cent).select(
         F.col("vec_id").alias("neighbor_id"), "sub", F.col("cell").alias("code")
     )
@@ -841,6 +853,9 @@ sub AS (
   FROM e, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) t
   WHERE vec_id >= {N_QUERIES}
 ),
+subt AS (
+  SELECT * FROM sub WHERE vec_id < {N_QUERIES + PQ_TRAIN_SAMPLE}
+),
 pcent0 AS (
   SELECT sub, CAST(vec_id - {N_QUERIES} AS INT) AS cell, sv AS cv
   FROM sub WHERE vec_id < {N_QUERIES + PQ_K}
@@ -854,7 +869,7 @@ passign{i} AS (
     SELECT s.vec_id, s.sub, c.cell, s.sv,
            row_number() OVER (PARTITION BY s.vec_id, s.sub
              ORDER BY {d2} ASC, c.cell ASC) AS rn
-    FROM sub s JOIN pcent{i} c ON c.sub = s.sub
+    FROM subt s JOIN pcent{i} c ON c.sub = s.sub
   ) WHERE rn = 1
 ),
 pcent{i + 1} AS (
@@ -946,9 +961,11 @@ def sim_ivf_truepq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep that chose 8x256, with the fp re-rank recovery path in
     sim_ivf_truepq_rerank.
 
-    100 TB shape: training touches the corpus PQ_ITERS times with a
-    broadcast codebook and shuffles only (sub, cell, dim) partial
-    sums; encoding is one broadcast join; query-time cost per
+    100 TB shape: training runs on a deterministic bounded sample
+    (PQ_TRAIN_SAMPLE — the FAISS practice; cost constant in corpus
+    size) with a broadcast codebook, shuffling only (sub, cell, dim)
+    partial sums; encoding is one broadcast join over the full
+    corpus; query-time cost per
     candidate is PQ_M integer-keyed lookups against two broadcast
     tables plus a 4-row DECIMAL sum — no fp vector is read after the
     shortlist leaves the index. Cross-engine determinism: codes are

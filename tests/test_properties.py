@@ -243,3 +243,40 @@ def test_mix_temperature_flattens_skewed_corpus(spark, tmp_path):
     # (c) extremes move toward the middle
     assert out["small"].p_temp > out["small"].p_raw
     assert out["big"].p_temp < out["big"].p_raw
+
+
+SYM = st.text(alphabet="abc", min_size=1, max_size=2)
+SYMS = st.lists(SYM, min_size=0, max_size=12)
+
+
+@settings(**COMMON)
+@given(syms=SYMS, a=SYM, b=SYM)
+def test_bpe_merge_replace_matches_python_model(spark, syms, a, b):
+    """bpe_train_merges applies a winning merge (a, b) with one
+    engine-native replace() over the bracketed symbol string; that must
+    equal the textbook greedy left-to-right non-overlapping BPE merge —
+    including the overlap case (pair (a,a) on an 'aaa' run -> [aa, a])
+    and never matching inside a longer symbol ('ab','b' untouched by
+    pair (a,b)). Randomized symbol streams vs a pure-Python reference."""
+    from aws_etl_pipeline_spark.llm.text import _BPE_C, _BPE_O
+
+    def ref_merge(ss):
+        out, i = [], 0
+        while i < len(ss):
+            if i + 1 < len(ss) and ss[i] == a and ss[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(ss[i])
+                i += 1
+        return out
+
+    wrapped = "".join(_BPE_O + s + _BPE_C for s in syms)
+    pat = _BPE_O + a + _BPE_C + _BPE_O + b + _BPE_C
+    rep = _BPE_O + a + b + _BPE_C
+    df = spark.createDataFrame([(wrapped,)], "w string").select(
+        F.replace(F.col("w"), F.lit(pat), F.lit(rep)).alias("w")
+    )
+    got = df.collect()[0].w
+    want = "".join(_BPE_O + s + _BPE_C for s in ref_merge(syms))
+    assert got == want, (syms, a, b, got, want)
