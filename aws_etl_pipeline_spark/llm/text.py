@@ -1109,11 +1109,12 @@ def _bpe_vocab_sql() -> str:
 """
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_train_blocks() -> list[str]:
     """BPE_ROUNDS merge iterations unrolled as CTEs (the kmeans_train /
     logreg unrolled-trajectory pattern): per round, pair counts over
     the bracketed symbol strings, the argmax winner, and the merged
-    string form feeding the next round."""
+    string form feeding the next round. Shared by the train oracle and
+    the encode oracle (which applies the win{r} merges to documents)."""
     o, c = "chr(2)", "chr(3)"
     blocks = [
         f"""
@@ -1149,12 +1150,16 @@ w{r + 1} AS (
   FROM w{r}
 )"""
         )
+    return blocks
+
+
+def _bpe_train_oracle() -> str:
     final = "\nUNION ALL\n".join(
         f"SELECT {r + 1}::BIGINT AS round, a || '_' || b AS pair, "
         f"cnt AS merge_count FROM win{r}"
         for r in range(BPE_ROUNDS)
     )
-    return "WITH " + ",".join(blocks) + "\n" + final
+    return "WITH " + ",".join(_bpe_train_blocks()) + "\n" + final
 
 
 @query("bpe_train_merges", oracle=_bpe_train_oracle())
@@ -1192,6 +1197,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained CTEs."""
     from functools import reduce
 
+    outs, _ = _bpe_train(spark, sf_dir)
+    return reduce(DataFrame.unionAll, outs)
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """The shared BPE training loop: returns ``(outs, wins)`` — the
+    per-round (round, pair, merge_count) rows and the per-round 1-row
+    winner relations (a, b, cnt), the latter consumed as broadcast
+    merge rules by bpe_encode_corpus."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(_words()).alias("term"))
@@ -1205,7 +1219,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
         )
     )
-    outs = []
+    outs, wins = [], []
     for r in range(1, BPE_ROUNDS + 1):
         arr = F.split(F.expr("substring(w, 2, length(w) - 2)"), _BPE_C + _BPE_O)
         wp = words.withColumn("arr", arr)
@@ -1234,6 +1248,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         win = track(
             pc.orderBy(F.desc("cnt"), F.concat_ws("_", "a", "b").asc()).limit(1)
         )
+        wins.append(win)
         outs.append(
             win.select(
                 F.lit(r).cast("long").alias("round"),
@@ -1250,4 +1265,98 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             words.crossJoin(F.broadcast(win))
             .select(F.replace(F.col("w"), pat, rep).alias("w"), "freq")
         )
-    return reduce(DataFrame.unionAll, outs)
+    return outs, wins
+
+
+def _bpe_encode_oracle() -> str:
+    o, c = "chr(2)", "chr(3)"
+    blocks = list(_bpe_train_blocks())
+    blocks.append(f"""
+docs0 AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '([^ ])', {o} || '\\1' || {c}, 'g')
+           AS w
+  FROM documents
+),
+docs0n AS (
+  SELECT doc_id, w,
+         (length(w) - length(replace(w, {o}, ''))) AS n0
+  FROM docs0
+)""")
+    for r in range(BPE_ROUNDS):
+        blocks.append(f"""
+docs{r + 1}n AS (
+  SELECT doc_id,
+         replace(w,
+                 {o} || (SELECT a FROM win{r}) || {c}
+                     || {o} || (SELECT b FROM win{r}) || {c},
+                 {o} || (SELECT a FROM win{r}) || (SELECT b FROM win{r}) || {c})
+           AS w,
+         n0
+  FROM docs{r}n
+)""")
+    return (
+        "WITH " + ",".join(blocks) + f"""
+SELECT doc_id,
+       n0::BIGINT AS n_symbols_char,
+       (length(w) - length(replace(w, {o}, '')))::BIGINT AS n_tokens_bpe,
+       round((length(w) - length(replace(w, {o}, '')))::DOUBLE
+             / nullif(n0, 0), 6) AS compression
+FROM docs{BPE_ROUNDS}n
+"""
+    )
+
+
+@query("bpe_encode_corpus", oracle=_bpe_encode_oracle())
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the apply half of the tokenizer loop
+    (bpe_train_merges is the train half, sharing ``_bpe_train``): the
+    {BPE_ROUNDS} learned merges are applied IN TRAINING ORDER to every
+    document's character stream, and each document reports its symbol
+    count before (pure characters) and after (BPE tokens) plus the
+    compression ratio — the per-document token count a packing /
+    budgeting stage (pack_token_budget) consumes downstream.
+
+    Representation matches training: every non-space character is
+    bracketed "\\x02ch\\x03" (spaces stay BARE, so a merge pattern —
+    which always carries brackets — can never cross a word boundary:
+    word-internal merges only, the Sennrich setup). Each merge is one
+    engine-native greedy replace() with the 1-row winner relation
+    broadcast; token counts are length deltas (count of \\x02 marks),
+    all inside codegen.
+
+    100 TB shape: training cost is vocabulary-bound (measured flat,
+    SCALING.md); the encode is {BPE_ROUNDS} sequential linear scans of
+    the corpus with zero shuffles — state is the broadcast merge
+    table, exactly how a production tokenizer-apply stage distributes
+    (in practice the full merge list rides one broadcast instead of
+    per-round joins)."""
+    _, wins = _bpe_train(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    wrap = F.regexp_replace(
+        F.lower(F.trim(F.col("text"))), "([^ ])", _BPE_O + "$1" + _BPE_C
+    )
+    n_marks = lambda col: F.length(col) - F.length(  # noqa: E731
+        F.replace(col, F.lit(_BPE_O), F.lit(""))
+    )
+    docs = d.select("doc_id", wrap.alias("w")).select(
+        "doc_id", "w", n_marks(F.col("w")).cast("long").alias("n0")
+    )
+    for win in wins:
+        pat = F.concat(
+            F.lit(_BPE_O), F.col("a"), F.lit(_BPE_C),
+            F.lit(_BPE_O), F.col("b"), F.lit(_BPE_C),
+        )
+        rep = F.concat(F.lit(_BPE_O), F.col("a"), F.col("b"), F.lit(_BPE_C))
+        docs = docs.crossJoin(F.broadcast(win)).select(
+            "doc_id", F.replace(F.col("w"), pat, rep).alias("w"), "n0"
+        )
+    nt = n_marks(F.col("w")).cast("long")
+    return docs.select(
+        "doc_id",
+        F.col("n0").alias("n_symbols_char"),
+        nt.alias("n_tokens_bpe"),
+        F.round(
+            nt.cast("double") / F.nullif(F.col("n0").cast("double"), F.lit(0.0)), 6
+        ).alias("compression"),
+    )

@@ -262,6 +262,7 @@ SUITES: dict[str, list[str]] = {
         "text_gopher_rules",
         "bpe_pair_counts",
         "bpe_train_merges",
+        "bpe_encode_corpus",
     ],
     "suite_multimodal": [
         "multimodal_features",
