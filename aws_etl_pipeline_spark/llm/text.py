@@ -756,10 +756,11 @@ LOGREG_ITERS = 2  # unrolled gradient steps
 LOGREG_LR = 1.0
 
 
-def _logreg_oracle(nb: int, iters: int) -> str:
+def _logreg_blocks(nb: int, iters: int) -> list[str]:
     """Unrolled batch-gradient-descent CTEs (DuckDB) replaying the
     Spark loop exactly: identically-rounded per-term products, DECIMAL
-    sums (order-independent), identical sigmoid rounding."""
+    sums (order-independent), identical sigmoid rounding. Shared by
+    the train oracle and the score (apply) oracle."""
     blocks = [
         f"""
 feats AS (
@@ -805,13 +806,18 @@ w{i + 1} AS (
   FROM w{i} w LEFT JOIN g{i} g USING (b) CROSS JOIN nd
 )""")
     last = iters
-    return (
-        "WITH " + ",".join(blocks) + f""",
+    blocks.append(f"""
 zf AS (
   SELECT x.doc_id,
          CAST(sum(CAST(round(x.x * w.wt, 12) AS DECIMAL(28,12))) AS DOUBLE) AS z
   FROM x JOIN w{last} w USING (b) GROUP BY x.doc_id
-),
+)""")
+    return blocks
+
+
+def _logreg_oracle(nb: int, iters: int) -> str:
+    return (
+        "WITH " + ",".join(_logreg_blocks(nb, iters)) + f""",
 acc AS (
   SELECT count(*) FILTER (
            WHERE (round(1.0 / (1.0 + exp(-z.z)), 12) >= 0.5) = (l.y = 1.0)
@@ -819,7 +825,19 @@ acc AS (
   FROM zf z JOIN lab l USING (doc_id)
 )
 SELECT w.b, round(w.wt, 8) AS weight, acc.n_correct
-FROM w{last} w CROSS JOIN acc
+FROM w{iters} w CROSS JOIN acc
+"""
+    )
+
+
+def _logreg_score_oracle(nb: int, iters: int) -> str:
+    return (
+        "WITH " + ",".join(_logreg_blocks(nb, iters)) + """
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-coalesce(z.z, 0.0))), 12) AS en_score,
+       (round(1.0 / (1.0 + exp(-coalesce(z.z, 0.0))), 12) >= 0.5)
+         AS predicted_en
+FROM documents d LEFT JOIN zf z USING (doc_id)
 """
     )
 
@@ -855,6 +873,28 @@ def classifier_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the Bayes rate for this corpus). What the oracle hash pins is the
     thing a 1000-executor training job actually needs verified: the
     exact per-iteration gradient arithmetic, bit-equal across engines."""
+    d, lab, w, z_of = _logreg_train(spark, sf_dir)
+    pred_ok = (
+        z_of(w)
+        .join(lab, "doc_id")
+        .select(
+            (
+                (F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 12) >= 0.5)
+                == (F.col("y") == 1.0)
+            ).alias("ok")
+        )
+        .agg(F.count_if(F.col("ok")).alias("n_correct"))
+    )
+    return w.crossJoin(F.broadcast(pred_ok)).select(
+        "b", F.round("wt", 8).alias("weight"), "n_correct"
+    )
+
+
+def _logreg_train(spark: SparkSession, sf_dir: str):
+    """The shared gradient-descent loop under classifier_train_logreg
+    (weights + accuracy) and classifier_score_docs (per-doc apply):
+    returns ``(d, lab, w_final, z_of)`` where ``z_of(wdf)`` scores
+    every featured document against a weight relation."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(_words()).alias("term"))
     b = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % LOGREG_B
@@ -914,19 +954,45 @@ def classifier_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 12,
             ).alias("wt"),
         )
-    pred_ok = (
-        z_of(w)
-        .join(lab, "doc_id")
-        .select(
-            (
-                (F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 12) >= 0.5)
-                == (F.col("y") == 1.0)
-            ).alias("ok")
-        )
-        .agg(F.count_if(F.col("ok")).alias("n_correct"))
+    return d, lab, w, z_of
+
+
+@query(
+    "classifier_score_docs",
+    oracle=_logreg_score_oracle(LOGREG_B, LOGREG_ITERS),
+)
+def classifier_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier APPLY — the inference half of the curation-classifier
+    loop (classifier_train_logreg is the train half; both share
+    ``_logreg_train``): the trained weight relation scores EVERY
+    document — one broadcast join of the {LOGREG_B}-row weights into
+    the feature stream, one doc-keyed DECIMAL-exact sum, one sigmoid —
+    emitting (doc_id, en_score, predicted_en). Documents with no
+    features (empty text) score at z=0 -> 0.5 via a left join, so the
+    output is exactly one row per document — the per-doc quality score
+    a downstream keep/drop gate (corpus_curation_pipeline's shape)
+    consumes. This is how CCNet/GPT-3-style quality filtering actually
+    deploys: train once, score the whole crawl where it lives.
+
+    100 TB shape: training cost is the kmeans-style bounded loop
+    (weights are {LOGREG_B} rows at any corpus size); the apply pass
+    is one broadcast join + per-doc aggregation — the corpus shuffles
+    only on doc_id for the z sum, which co-partitions with the feature
+    build. Same honest-fit caveat as the trainer: the synthetic corpus
+    carries no label signal, so the verified contract is the exact
+    scoring arithmetic, not the fit."""
+    d, _, w, z_of = _logreg_train(spark, sf_dir)
+    score = F.round(
+        1.0 / (1.0 + F.exp(-F.coalesce(F.col("z"), F.lit(0.0)))), 12
     )
-    return w.crossJoin(F.broadcast(pred_ok)).select(
-        "b", F.round("wt", 8).alias("weight"), "n_correct"
+    return (
+        d.select("doc_id")
+        .join(z_of(w), "doc_id", "left")
+        .select(
+            "doc_id",
+            score.alias("en_score"),
+            (score >= 0.5).alias("predicted_en"),
+        )
     )
 
 

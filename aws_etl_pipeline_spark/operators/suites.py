@@ -263,6 +263,7 @@ SUITES: dict[str, list[str]] = {
         "bpe_pair_counts",
         "bpe_train_merges",
         "bpe_encode_corpus",
+        "classifier_score_docs",
     ],
     "suite_multimodal": [
         "multimodal_features",

@@ -558,3 +558,30 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bpe_encode_zero_shuffle_apply(spark, sf_dir):
+    # The encode stage applies broadcast 1-row merge rules to linear
+    # scans of the corpus: no Python anywhere, no unbounded cartesian
+    # (the only nested-loop joins are the broadcast 1-row winner
+    # relations), and the per-doc output must not introduce a wide
+    # shuffle beyond the training aggregations.
+    from aws_etl_pipeline_spark.llm.text import bpe_encode_corpus
+
+    df = bpe_encode_corpus(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert not python_eval_nodes(df)
+
+
+def test_classifier_score_broadcast_weights(spark, sf_dir):
+    # Inference joins the 16-row weight relation into the feature
+    # stream as a broadcast; the corpus shuffles only on doc_id for
+    # the z-sum. No Python, no cartesian.
+    from aws_etl_pipeline_spark.llm.text import classifier_score_docs
+
+    df = classifier_score_docs(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert not python_eval_nodes(df)

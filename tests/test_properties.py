@@ -280,3 +280,53 @@ def test_bpe_merge_replace_matches_python_model(spark, syms, a, b):
     got = df.collect()[0].w
     want = "".join(_BPE_O + s + _BPE_C for s in ref_merge(syms))
     assert got == want, (syms, a, b, got, want)
+
+
+# _pq_assign's distance expression is PQ_SUBDIM-wide by construction,
+# so generated vectors must match that width exactly (feeding shorter
+# arrays would make element_at return NULL — a misuse, not a bug;
+# caught when this test's first draft did exactly that).
+VEC_PQ = st.lists(
+    st.floats(min_value=-8, max_value=8, allow_nan=False, width=16),
+    min_size=8, max_size=8,
+)
+
+
+@settings(**COMMON)
+@given(
+    vecs=st.lists(VEC_PQ, min_size=1, max_size=5),
+    cents=st.lists(VEC_PQ, min_size=1, max_size=4),
+)
+def test_pq_assign_matches_python_argmin(spark, vecs, cents):
+    """_pq_assign's hash-aggregate min(struct(d2, cell)) must equal the
+    textbook argmin with (distance asc, cell asc) tie-break — the
+    struct-ordering trick replaced a row_number window for speed and
+    this pins that the semantics survived. The Python model uses the
+    identical left-associated IEEE double arithmetic (Python floats
+    ARE doubles), so even near-tie orderings must agree exactly."""
+    from aws_etl_pipeline_spark.llm.similarity import PQ_SUBDIM, _pq_assign
+
+    assert PQ_SUBDIM == 8  # generator width is tied to the geometry
+    sub = spark.createDataFrame(
+        [(i, 0, v) for i, v in enumerate(vecs)],
+        "vec_id long, sub int, sv array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, j, c) for j, c in enumerate(cents)],
+        "sub int, cell int, cv array<double>",
+    )
+    got = {
+        (r.vec_id, r.cell) for r in _pq_assign(sub, cent).collect()
+    }
+
+    def d2(v, c):
+        acc = (v[0] - c[0]) * (v[0] - c[0])
+        for k in range(1, PQ_SUBDIM):
+            acc = acc + (v[k] - c[k]) * (v[k] - c[k])
+        return acc
+
+    want = {
+        (i, min(range(len(cents)), key=lambda j: (d2(v, cents[j]), j)))
+        for i, v in enumerate(vecs)
+    }
+    assert got == want, (got, want)
