@@ -214,6 +214,7 @@ SUITES: dict[str, list[str]] = {
         "stream_exec_upsert_json",
         "stream_exec_dedup",
         "stream_exec_static_join",
+        "stream_exec_custom_state",
     ],
     "suite_dedup": [
         "dedup_exact",

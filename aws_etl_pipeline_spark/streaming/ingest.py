@@ -691,3 +691,90 @@ def stream_exec_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain(q)
     return spark.table(qname)
+
+
+@query(
+    "stream_exec_custom_state",
+    oracle="""
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_cents
+FROM events GROUP BY user_id
+""",
+)
+def stream_exec_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom-stateful streaming execution, oracle-verified — the
+    ``applyInPandasWithState`` escape hatch for operators the built-in
+    stateful aggregations can't express (SURVEY §2B UDF/stateful row),
+    upgraded from pytest-only to a hash-green driver row now that the
+    round-7 probe confirmed the API executes in this container (the
+    transformWithStateInPandas twin stays protobuf-gated,
+    streaming/stateful.py). Per-user (count, cents) state is carried
+    across four genuine micro-batches; every batch emits the key's
+    running totals in update mode, and the final per-user emission —
+    selected as the max-(n_events) row, which is strictly increasing
+    per key — must hash-equal the batch aggregate REGARDLESS of how
+    the micro-batches split the events. That verifies the cross-batch
+    state arithmetic itself, not a batch twin.
+
+    Determinism: values are rounded to integer cents JVM-side (Spark's
+    HALF_UP round, matching the oracle's round()) BEFORE entering the
+    Python state function, so the accumulator is exact integer
+    arithmetic — no float-summation-order or banker's-rounding
+    exposure in pandas. At 100 TB: state is two longs per live key
+    partitioned across executors by the group key; input flows Arrow-
+    batched into Python per micro-batch — the documented slow-but-
+    unbounded path, used only when built-ins genuinely can't express
+    the semantics (running_totals_stream's contract)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stage_dir, key = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(stage_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .select(
+            "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+    )
+
+    def upd(key_, pdfs, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key_[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        upd,
+        "user_id bigint, n_events bigint, total_cents bigint",
+        "n bigint, cents bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    qname = f"streamexec_state_{key}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_cents")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("n_events"),
+            F.col("m.total_cents").alias("total_cents"),
+        )
+    )

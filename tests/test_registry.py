@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 217  # COVERAGE.md "217 named queries total"
-DOCUMENTED_GRANULAR = 198
+DOCUMENTED_TOTAL = 218  # COVERAGE.md "218 named queries total"
+DOCUMENTED_GRANULAR = 199
 DOCUMENTED_SUITES = 19
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
