@@ -215,6 +215,7 @@ SUITES: dict[str, list[str]] = {
         "stream_exec_dedup",
         "stream_exec_static_join",
         "stream_exec_custom_state",
+        "stream_exec_stream_join",
     ],
     "suite_dedup": [
         "dedup_exact",

@@ -778,3 +778,81 @@ def stream_exec_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.total_cents").alias("total_cents"),
         )
     )
+
+
+@query(
+    "stream_exec_stream_join",
+    oracle="""
+SELECT a.event_id AS evt_id, b.event_id AS prior_id, a.user_id
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+ AND b.ts BETWEEN a.ts - INTERVAL '6 hours' AND a.ts
+""",
+)
+def stream_exec_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL STREAM-STREAM inner join, oracle-verified — the last
+    first-class Structured Streaming join shape (stream-static is
+    stream_exec_static_join; this is both sides unbounded): the staged
+    event files feed TWO independent streaming sources (even event_ids
+    = the fact side, odd = the candidate side), joined on user_id with
+    an event-time interval (candidate within the 6 hours before the
+    fact event) — the attribution pattern (purchase joined to the
+    clicks preceding it) every event pipeline runs. Each side arrives
+    in four genuine micro-batches; the join buffers BOTH sides' state
+    so a pair whose halves arrive in different batches still matches —
+    which is exactly what the oracle hash verifies: the appended
+    result must equal the batch interval join REGARDLESS of the
+    micro-batch interleaving.
+
+    No watermark ON PURPOSE for the bounded availableNow drain: a
+    watermark is state GC, and with replayed files whose timestamps
+    are not monotone per batch it would DROP legitimately-matchable
+    rows nondeterministically. Unbounded-state inner join is exact;
+    the watermarked variant (bounded state, late drops) is pinned
+    with crafted timestamps in
+    tests/test_stateful_streaming.py::test_stream_stream_interval_join.
+    At 100 TB the production form carries watermarks on both sides
+    sized to the interval bound, making join state proportional to
+    the interval window, not the stream history."""
+    from pyspark.sql import functions as F
+
+    stage_dir, key = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(stage_dir).schema
+
+    def side(parity: int, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+            .filter(F.col("event_id") % 2 == parity)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user"),
+            )
+        )
+
+    facts = side(0, "evt")
+    cands = side(1, "prior")
+    joined = facts.join(
+        cands,
+        F.expr(
+            "evt_user = prior_user AND "
+            "prior_ts BETWEEN evt_ts - INTERVAL 6 HOURS AND evt_ts"
+        ),
+    ).select(
+        F.col("evt_id"),
+        F.col("prior_id"),
+        F.col("evt_user").alias("user_id"),
+    )
+    qname = f"streamexec_ssjoin_{key}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.table(qname)
