@@ -92,6 +92,13 @@ def query(name: str, oracle: Optional[str] = None, doc: str = ""):
 #: fp recovery stage for PQ's measured recall loss — kept granular
 #: alongside it so the driver hash-pins BOTH stages of the two-stage
 #: architecture), bpe_train_merges (multi-round BPE training loop).
+#: Round-7 second rotation (late additions): stream_exec_tumbling OUT
+#: (direct green r4-r6; suite_streaming digest) and dedup_minhash_lsh
+#: OUT (direct green r1-r6; suite_dedup digest) to seat the two new
+#: REAL-streaming flagships stream_exec_custom_state (oracle-verified
+#: applyInPandasWithState, probed working this round) and
+#: stream_exec_stream_join (stream-stream interval join) with direct
+#: driver rows in their first round.
 PRIORITY: tuple[str, ...] = (
     # reference-parity flagships (§2A)
     "etl_flagship",
@@ -127,14 +134,18 @@ PRIORITY: tuple[str, ...] = (
     # digest-covered by suite_sql_surface / suite_scans; direct green
     # history r1–r3. fn_predicates stays digest-covered by
     # suite_fn_scalar.)
-    # real incremental streaming execution (stream_tumbling_window, its
-    # batch twin, is digest-covered by suite_streaming)
-    "stream_exec_tumbling",
+    # real incremental streaming execution flagships: the round-7
+    # additions hold the direct rows (stream_exec_tumbling rotated out
+    # in the second r7 rotation — suite_streaming digest, direct green
+    # r4-r6; its batch twin stream_tumbling_window likewise digest-
+    # covered)
+    "stream_exec_custom_state",
+    "stream_exec_stream_join",
     # LLM-pipeline flagships
     "dedup_exact",
     # (dedup_substring rotated out r6 — suite_dedup digest; direct
-    # green r5.)
-    "dedup_minhash_lsh",
+    # green r5. dedup_minhash_lsh rotated out in the second r7
+    # rotation — suite_dedup digest; direct green r1-r6.)
     "dedup_minhash_mllib",
     "dedup_connected_components",
     # (dedup_semantic / dedup_containment_lsh rotated out r7 —

@@ -123,3 +123,9 @@ def test_rotated_out_slots_stay_digest_covered():
         assert rotated_out in digest_covered, rotated_out
     for rotated_in in ("sim_ivf_truepq", "sim_ivf_truepq_rerank", "bpe_train_merges"):
         assert rotated_in in PRIORITY, rotated_in
+    # the round-7 SECOND rotation: the two new real-streaming flagships
+    # take direct slots; the vacating queries stay digest-covered
+    for rotated_out in ("stream_exec_tumbling", "dedup_minhash_lsh"):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in ("stream_exec_custom_state", "stream_exec_stream_join"):
+        assert rotated_in in PRIORITY, rotated_in
