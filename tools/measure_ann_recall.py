@@ -1,7 +1,8 @@
 """Measure ANN recall@3 against the exact brute-force baseline.
 
-Reproduces the SCALING.md "ANN recall at 10x" table: for each ANN
-query (sim_lsh_ann, sim_ivf_ann, sim_brp_lsh_mllib), recall@3 =
+Reproduces the SCALING.md recall tables: for each ANN query (the
+ANN_QUERIES list below — LSH, IVF, the SQ8 and true-PQ quantized
+variants with their fp reranks, and the MLlib BRP twin), recall@3 =
 |ANN top-3 ∩ exact top-3| / (3 x n_queries), where exact top-3 is
 sim_bruteforce_topk (top-5) re-ranked to 3 per query by (cosine desc,
 neighbor_id).
