@@ -232,6 +232,7 @@ SUITES: dict[str, list[str]] = {
     ],
     "suite_sim": [
         "sim_bruteforce_topk",
+        "sim_bruteforce_pandas",
         "sim_lsh_ann",
         "sim_ivf_ann",
         "sim_ivf_sq8",
