@@ -255,3 +255,25 @@ def test_ivf_truepq_quantization_error_bounded_and_recovered(spark, sf_dir):
     assert adc_overlap >= 0.4, adc_overlap
     assert rr_overlap >= 0.6, rr_overlap
     assert rr_overlap >= adc_overlap, (rr_overlap, adc_overlap)
+
+
+def test_bruteforce_pandas_agrees_and_flags(spark, sf_dir):
+    """The vectorized numpy path must (a) emit pandas_ok=True at the
+    fixture SF (measured agreement 1.0 — a BLAS scoring bug flips it)
+    and (b) return exactly the exact-fold top-3 rows, since the
+    returned relation is the JVM-computed ranking, not the pandas
+    one."""
+    from aws_etl_pipeline_spark.llm.similarity import (
+        sim_bruteforce_pandas,
+        sim_bruteforce_topk,
+    )
+
+    rows = sim_bruteforce_pandas(spark, sf_dir).collect()
+    assert rows and all(r.pandas_ok for r in rows)
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    exact5 = sim_bruteforce_topk(spark, sf_dir).collect()
+    per = {}
+    for r in sorted(exact5, key=lambda r: (r.query_id, -r.cosine, r.neighbor_id)):
+        per.setdefault(r.query_id, []).append(r.neighbor_id)
+    want = {(q, n) for q, lst in per.items() for n in lst[:3]}
+    assert got == want
