@@ -462,3 +462,46 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bitwise_not(k).cast("long").alias("flipped"),
         F.bit_count(k).cast("long").alias("popcount"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT)   AS k_int,
+       json_extract_string(props, '$.k')            AS k_str,
+       CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_int,
+       (json_type(props, '$.k') = 'NULL')           AS k_is_json_null,
+       'OBJECT<k: ' ||
+         (CASE WHEN json_type(props, '$.k') IN ('UBIGINT', 'BIGINT', 'INTEGER')
+               THEN 'BIGINT'
+               WHEN json_type(props, '$.k') = 'DOUBLE' THEN 'DOUBLE'
+               ELSE 'STRING' END) || '>'            AS vschema
+FROM events
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT battery over ``events.props`` — the modern
+    semi-structured path next to fn_json's string-based one:
+    ``parse_json`` produces a binary VARIANT (typed, shreddable —
+    at 100 TB this is the open-format answer to schemaless columns:
+    parse once at ingest, then typed sub-column access without
+    re-parsing strings), ``try_variant_get`` extracts typed values
+    (wrong-type/missing paths null out instead of erroring),
+    ``is_variant_null`` distinguishes JSON null from SQL missing, and
+    ``schema_of_variant`` reports the per-row inferred shape. The
+    oracle mirrors each call with DuckDB's JSON machinery
+    (json_extract / json_type), pinning the value semantics the
+    VARIANT encoding must preserve."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_int"),
+        F.is_variant_null(F.try_variant_get(v, "$.k", "variant")).alias(
+            "k_is_json_null"
+        ),
+        F.schema_of_variant(v).alias("vschema"),
+    )

@@ -181,6 +181,7 @@ SUITES: dict[str, list[str]] = {
         "fn_map",
         "fn_json",
         "fn_json_roundtrip",
+        "fn_variant",
     ],
     "suite_udf": [
         "udf_pandas_scalar",
