@@ -839,3 +839,48 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.min("o_orderdate").alias("first_date"),
     )
+
+
+@query(
+    "agg_hll_mergeable",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+       true AS hll_ok
+FROM events GROUP BY event_type
+""",
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HLL sketches (Datasketches ``hll_sketch_agg`` /
+    ``hll_union_agg``, Spark 3.5+) — the production distinct-counting
+    architecture that ``agg_approx_distinct``'s opaque scalar can't
+    express: per-day sketches are built FIRST (the pattern a 100 TB
+    pipeline materializes as a sketch TABLE — bytes you can store,
+    ship, and re-aggregate later without touching raw data), then
+    union-merged per event type and estimated. The two-level plan is
+    the point: a new day's data only builds its own sketch; historical
+    re-aggregation merges bytes, never rescans events.
+
+    Verdict pattern (the approx-aggregate precedent): emits the exact
+    distinct count plus ``hll_ok`` = merged-sketch estimate within 5%
+    relative (lgK=12 gives ~1.6% standard error; measured exact-match
+    at the driver SFs). The oracle returns the same exact counts and
+    literal true — an estimator or merge regression flips the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("hll_ok"),
+    )

@@ -136,6 +136,7 @@ SUITES: dict[str, list[str]] = {
         "agg_string_concat",
         "agg_boolean",
         "agg_percentile_exact",
+        "agg_hll_mergeable",
     ],
     "suite_setops": [
         "set_union_all",

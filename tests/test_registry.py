@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 221  # COVERAGE.md "221 named queries total"
-DOCUMENTED_GRANULAR = 202
+DOCUMENTED_TOTAL = 222  # COVERAGE.md "222 named queries total"
+DOCUMENTED_GRANULAR = 203
 DOCUMENTED_SUITES = 19
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
