@@ -1,0 +1,466 @@
+"""Mergeable data sketches as first-class distributed aggregations:
+count-min (heavy hitters), KMV/theta (distinct + set intersection) and
+Bloom filters (membership pre-filtering).
+
+Why sketches are a 100 TB primitive: every one of these reduces a
+corpus-sized relation to a CONSTANT-size mergeable state (d*w counters,
+k minimum hashes, m bits) whose merge operator is associative and
+commutative — exactly the contract Spark's partial aggregation
+(map-side combine) exploits. At 1000 executors each partition folds its
+rows into a tiny local state and the shuffle moves only those states,
+never the rows; this family is how you count distinct users, find heavy
+hitters, or intersect audiences over 100 TB with megabytes of traffic.
+(`agg_hll_mergeable` pins the same story for HyperLogLog via
+Datasketches byte blobs; these three pin it with arithmetic the DuckDB
+oracle can replay hash-for-hash.)
+
+Hash parity: both engines compute ``md5`` of identical strings and take
+the first 8 (or 15) hex chars as an integer — Spark via
+``conv(substr(...), 16, 10)``, DuckDB via ``('0x' || substr(...))::
+BIGINT`` — the same cross-engine device ``sample_stable_hash`` and the
+minhash family already rely on (api.py:149).
+
+Reference scope: the reference pipeline has no sketches at all (its
+whole analytics surface is eager pandas over 75-row batches,
+lambda_function.py); this family is north-star surface per SURVEY §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..cache import track
+from ..catalog import load_table
+from ..registry import query
+
+__all__ = [
+    "sketch_countmin_heavyhitters",
+    "sketch_kmv_distinct",
+    "sketch_bloom_membership",
+    "sketch_theta_intersect",
+]
+
+# ------------------------------------------------------------ count-min
+#: depth (independent hash rows) and width (counters per row). The
+#: corpus vocabulary is ~31 words, so w=16 forces real collisions and
+#: the one-sided error (estimate >= truth, by construction) is visible
+#: in the output rather than vacuously zero.
+CMS_D = 4
+CMS_W = 16
+
+
+def _cms_col_spark(r: int, tok: F.Column) -> F.Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), tok)), 1, 8), 16, 10
+    ).cast("long")
+    return (h % CMS_W).alias(f"c{r}")
+
+
+def _cms_col_sql(r: int, tok: str) -> str:
+    return f"(('0x' || substr(md5('cms{r}:' || {tok}), 1, 8))::BIGINT % {CMS_W})"
+
+
+@query(
+    "sketch_countmin_heavyhitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents
+),
+cells AS (
+  SELECT r, c, count(*)::BIGINT AS cnt
+  FROM (
+    {" UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_col_sql(r, 'tok')} AS c FROM toks"
+        for r in range(CMS_D)
+    )}
+  )
+  GROUP BY r, c
+),
+exact AS (SELECT tok, count(*)::BIGINT AS exact_n FROM toks GROUP BY tok),
+probes AS (
+  SELECT tok, exact_n, r, {_cms_col_sql(0, 'tok')} AS c0,
+         {_cms_col_sql(1, 'tok')} AS c1, {_cms_col_sql(2, 'tok')} AS c2,
+         {_cms_col_sql(3, 'tok')} AS c3
+  FROM exact CROSS JOIN (SELECT unnest(range({CMS_D})) AS r)
+),
+est AS (
+  SELECT p.tok, p.exact_n, min(s.cnt)::BIGINT AS cms_est
+  FROM probes p
+  JOIN cells s
+    ON s.r = p.r
+   AND s.c = CASE p.r WHEN 0 THEN p.c0 WHEN 1 THEN p.c1
+                      WHEN 2 THEN p.c2 ELSE p.c3 END
+  GROUP BY p.tok, p.exact_n
+)
+SELECT tok, exact_n, cms_est, (cms_est >= exact_n) AS never_undercounts
+FROM est
+""",
+)
+def sketch_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d={CMS_D} rows x w={CMS_W} counters) over the
+    corpus token stream, probed for every vocabulary term against the
+    exact counts.
+
+    100 TB shape: the sketch build hashes each occurrence into d cells
+    and aggregates by (row, col) — a {CMS_D}x{CMS_W}-cell state with
+    map-side combine, so the shuffle carries at most d*w rows PER
+    PARTITION no matter how many tokens stream through. The probe side
+    joins the (broadcast-size) sketch back to the vocabulary. The CMS
+    guarantee (estimate never below truth) is emitted as a per-term
+    verdict column, so the driver hash-pins both the arithmetic and the
+    invariant."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok")
+    ).transform(track)  # feeds the sketch build AND the exact counts
+
+    # build: each occurrence -> d (row, col) increments, then one tiny
+    # (r, c) aggregation. posexplode keeps it a single pass.
+    cells = (
+        toks.select(
+            F.posexplode(
+                F.array(*[(_cms_col_spark(r, F.col("tok"))) for r in range(CMS_D)])
+            ).alias("r", "c")
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+
+    # probe: vocabulary x d rows -> look up each cell, min across rows.
+    probes = exact.select(
+        "tok",
+        "exact_n",
+        F.posexplode(
+            F.array(*[(_cms_col_spark(r, F.col("tok"))) for r in range(CMS_D)])
+        ).alias("r", "c"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("never_undercounts"),
+    )
+
+
+# ------------------------------------------------------------ KMV distinct
+#: k minimum hash values kept per group; estimate = (k-1) * 2^60 / h_k.
+KMV_K = 64
+_H60 = float(1 << 60)
+
+
+def _h60_spark(col: F.Column) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _h60_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT)"
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+),
+hashed AS (
+  SELECT o_orderpriority, {_h60_sql('o_custkey')} AS h FROM keys
+),
+ranked AS (
+  SELECT o_orderpriority, h,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY h, o_orderpriority) AS rn
+  FROM hashed
+),
+sk AS (
+  SELECT o_orderpriority,
+         max(CASE WHEN rn <= {KMV_K} THEN h END) AS hk,
+         count(*) FILTER (WHERE rn <= {KMV_K})::BIGINT AS kk,
+         count(*)::BIGINT AS exact_distinct
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, exact_distinct,
+       round(CASE WHEN kk < {KMV_K} THEN exact_distinct::DOUBLE
+                  ELSE ({KMV_K} - 1) * {_H60:.1f} / hk END, 4) AS kmv_est,
+       round(abs(CASE WHEN kk < {KMV_K} THEN exact_distinct::DOUBLE
+                      ELSE ({KMV_K} - 1) * {_H60:.1f} / hk END
+                 - exact_distinct) / exact_distinct, 4) AS rel_err,
+       (abs(CASE WHEN kk < {KMV_K} THEN exact_distinct::DOUBLE
+                 ELSE ({KMV_K} - 1) * {_H60:.1f} / hk END
+            - exact_distinct) / exact_distinct < 0.5) AS within_bound
+FROM sk
+""",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (k={KMV_K}) per order
+    priority, checked against the exact distinct customer count.
+
+    100 TB shape: the KMV state is the k smallest 60-bit hashes per
+    group — mergeable by "union then re-take k smallest", so a
+    1000-executor build folds each partition to k rows before the
+    shuffle (here spelled as a rank-filter; an `applyInPandas` heap
+    does the same fold when groups are huge). Estimate, relative error
+    and the 2-sigma-ish verdict are all emitted so the driver pins the
+    estimator arithmetic, not just the plumbing."""
+    o = load_table(spark, sf_dir, "orders")
+    keys = o.select("o_orderpriority", "o_custkey").distinct()
+    hashed = keys.select(
+        "o_orderpriority", _h60_spark(F.col("o_custkey")).alias("h")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("o_orderpriority").orderBy("h", "o_orderpriority")
+    )
+    ranked = hashed.withColumn("rn", rn)
+    sk = ranked.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("rn") <= KMV_K, F.col("h"))).alias("hk"),
+        F.count(F.when(F.col("rn") <= KMV_K, F.lit(1))).cast("long").alias("kk"),
+        F.count(F.lit(1)).cast("long").alias("exact_distinct"),
+    )
+    est = F.when(
+        F.col("kk") < KMV_K, F.col("exact_distinct").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) * F.lit(_H60) / F.col("hk"))
+    rel = F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct")
+    return sk.select(
+        "o_orderpriority",
+        "exact_distinct",
+        F.round(est, 4).alias("kmv_est"),
+        F.round(rel, 4).alias("rel_err"),
+        (rel < 0.5).alias("within_bound"),
+    )
+
+
+# ------------------------------------------------------------ Bloom filter
+BLOOM_M = 4096  # bits
+BLOOM_J = 3  # hash functions
+_BLOOM_SEG = "BUILDING"
+
+
+def _bloom_pos_spark(j: int, key: F.Column) -> F.Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"bloom{j}:"), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h % BLOOM_M
+
+
+def _bloom_pos_sql(j: int, expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5('bloom{j}:' || CAST({expr} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {BLOOM_M})"
+    )
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=f"""
+WITH bits AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(j, 'c_custkey')} AS pos FROM customer "
+        f"WHERE c_mktsegment = '{_BLOOM_SEG}'"
+        for j in range(BLOOM_J)
+    )}
+  )
+),
+probe AS (
+  SELECT c_custkey, c_mktsegment, j,
+         CASE j {" ".join(
+             f"WHEN {j} THEN {_bloom_pos_sql(j, 'c_custkey')}"
+             for j in range(BLOOM_J)
+         )} END AS pos
+  FROM customer CROSS JOIN (SELECT unnest(range({BLOOM_J})) AS j)
+),
+hits AS (
+  SELECT p.c_custkey, p.c_mktsegment,
+         (count(b.pos) = {BLOOM_J}) AS bloom_hit
+  FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+  GROUP BY p.c_custkey, p.c_mktsegment
+)
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_customers,
+       count(*) FILTER (WHERE bloom_hit)::BIGINT AS n_bloom_hits,
+       count(*) FILTER (WHERE c_mktsegment = '{_BLOOM_SEG}')::BIGINT AS n_members,
+       count(*) FILTER (WHERE bloom_hit AND c_mktsegment <> '{_BLOOM_SEG}')::BIGINT
+         AS n_false_positives,
+       count(*) FILTER (WHERE NOT bloom_hit AND c_mktsegment = '{_BLOOM_SEG}')::BIGINT
+         AS n_false_negatives
+FROM hits
+GROUP BY c_mktsegment
+""",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (m={BLOOM_M} bits, j={BLOOM_J} hashes) built over
+    the '{_BLOOM_SEG}'-segment customer keys, probed by every customer;
+    per-segment hit/false-positive/false-negative tallies (the
+    false-negative column is the Bloom guarantee — it must be 0, and
+    the driver hash pins it).
+
+    100 TB shape: the filter state is the distinct set-bit list —
+    at most m rows regardless of build-side cardinality, merged by
+    set-union (DISTINCT after map-side combine) and broadcast to the
+    probe side. This is exactly the runtime-filter semi-join pattern
+    (Spark's `spark.sql.optimizer.runtime.bloomFilter.enabled` does it
+    inside the engine; this spells the same plan out so the oracle can
+    replay it bit-for-bit): probe rows that miss the filter never reach
+    the expensive join/shuffle downstream."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    build = c.filter(F.col("c_mktsegment") == _BLOOM_SEG)
+    bits = (
+        build.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos_spark(j, F.col("c_custkey")) for j in range(BLOOM_J)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probe = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(
+            F.array(
+                *[_bloom_pos_spark(j, F.col("c_custkey")) for j in range(BLOOM_J)]
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "pos", "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg((F.count("present") == BLOOM_J).alias("bloom_hit"))
+    )
+    member = F.col("c_mktsegment") == _BLOOM_SEG
+    return hits.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.count(F.when(F.col("bloom_hit"), 1)).cast("long").alias("n_bloom_hits"),
+        F.count(F.when(member, 1)).cast("long").alias("n_members"),
+        F.count(F.when(F.col("bloom_hit") & ~member, 1))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.count(F.when(~F.col("bloom_hit") & member, 1))
+        .cast("long")
+        .alias("n_false_negatives"),
+    )
+
+
+# ------------------------------------------------------------ theta intersect
+THETA_K = 64
+_EV_A = "click"
+_EV_B = "purchase"
+
+
+@query(
+    "sketch_theta_intersect",
+    oracle=f"""
+WITH flags AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = '{_EV_A}' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN event_type = '{_EV_B}' THEN 1 ELSE 0 END) AS in_b
+  FROM events
+  WHERE event_type IN ('{_EV_A}', '{_EV_B}')
+  GROUP BY user_id
+),
+hashed AS (
+  SELECT user_id, in_a, in_b, {_h60_sql('user_id')} AS h FROM flags
+),
+kmin AS (
+  SELECT * FROM hashed ORDER BY h, user_id LIMIT {THETA_K}
+),
+sk AS (
+  SELECT max(h) AS hk, count(*)::BIGINT AS kk FROM kmin
+),
+agg AS (
+  SELECT
+    (SELECT hk FROM sk) AS hk,
+    (SELECT kk FROM sk) AS kk,
+    count(*)::BIGINT AS exact_union,
+    count(*) FILTER (WHERE in_a = 1 AND in_b = 1)::BIGINT AS exact_inter,
+    count(*) FILTER (WHERE h < (SELECT hk FROM sk)
+                       AND in_a = 1 AND in_b = 1)::BIGINT AS sample_inter
+  FROM hashed
+)
+SELECT exact_union,
+       round(CASE WHEN kk < {THETA_K} THEN exact_union::DOUBLE
+                  ELSE ({THETA_K} - 1) * {_H60:.1f} / hk END, 4) AS est_union,
+       exact_inter,
+       round(CASE WHEN kk < {THETA_K} THEN exact_inter::DOUBLE
+                  ELSE sample_inter * {_H60:.1f} / hk END, 4) AS est_inter
+FROM agg
+""",
+)
+def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set intersection: estimate |clickers ∩
+    purchasers| from one k={THETA_K} minimum-hash sample of the union,
+    next to the exact values.
+
+    This is the sketch HLL cannot provide (HLL unions exactly but only
+    bounds intersections via inclusion–exclusion); theta/KMV keeps the
+    actual sampled keys below the threshold θ = h_k, so ANY set
+    expression over the sampled flags is an unbiased estimate scaled by
+    1/θ. 100 TB shape: per-set per-partition states are the k smallest
+    hashes with membership flags (constant size, union-mergeable);
+    audience-overlap queries over billions of users move kilobytes."""
+    e = load_table(spark, sf_dir, "events")
+    flags = (
+        e.filter(F.col("event_type").isin(_EV_A, _EV_B))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == _EV_A, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("event_type") == _EV_B, 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    hashed = flags.withColumn("h", _h60_spark(F.col("user_id"))).transform(track)
+    # the k-smallest fold is a TakeOrderedAndProject (per-partition
+    # top-k, then merge of k-row states) — the mergeable-sketch shape,
+    # never a global sort. θ = h_k; the sample is everything strictly
+    # below θ, spelled identically on both engines so hash ties at the
+    # threshold cannot diverge.
+    sk = (
+        hashed.orderBy("h", "user_id")
+        .limit(THETA_K)
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).cast("long").alias("kk"))
+    )
+    agg = hashed.crossJoin(F.broadcast(sk)).agg(
+        F.first("hk").alias("hk"),
+        F.first("kk").alias("kk"),
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.count(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1))
+        .cast("long")
+        .alias("exact_inter"),
+        F.count(
+            F.when(
+                (F.col("h") < F.col("hk"))
+                & (F.col("in_a") == 1)
+                & (F.col("in_b") == 1),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("sample_inter"),
+    )
+    est_union = F.when(
+        F.col("kk") < THETA_K, F.col("exact_union").cast("double")
+    ).otherwise(F.lit(float(THETA_K - 1)) * F.lit(_H60) / F.col("hk"))
+    est_inter = F.when(
+        F.col("kk") < THETA_K, F.col("exact_inter").cast("double")
+    ).otherwise(F.col("sample_inter") * F.lit(_H60) / F.col("hk"))
+    return agg.select(
+        "exact_union",
+        F.round(est_union, 4).alias("est_union"),
+        "exact_inter",
+        F.round(est_inter, 4).alias("est_inter"),
+    )

@@ -48,6 +48,19 @@ from pyspark.sql import functions as F
 from ..registry import Query, _REGISTRY, query
 from ._digest_spec import COLSPEC
 
+# Digest construction reads members out of the registry, so the member
+# modules must be populated before the module-level _make_suite loop
+# runs. registry.all_queries() imports them first anyway; these imports
+# make `import ...operators.suites` safe STANDALONE too (a test that
+# touches only one operator module plus SUITES used to blow up here).
+from . import analytics, etl, graph, relational, setops, sketches  # noqa: F401,E402
+from . import sql_surface, tpch_extra, upsert, windows  # noqa: F401,E402
+from ..functions import scalar, udfs  # noqa: F401,E402
+from ..sources import scans  # noqa: F401,E402
+from ..streaming import batch_windows, ingest  # noqa: F401,E402
+from ..llm import assembly, decontaminate, dedup, multimodal, similarity, text  # noqa: F401,E402
+from .. import generator  # noqa: F401,E402
+
 _SEP = "\x1f"
 _NULL = "\x01NULL"
 
@@ -137,6 +150,10 @@ SUITES: dict[str, list[str]] = {
         "agg_boolean",
         "agg_percentile_exact",
         "agg_hll_mergeable",
+        # r8: rotated out of PRIORITY into the digest (direct green
+        # history r1-r6)
+        "agg_collect",
+        "agg_approx_quantile",
     ],
     "suite_setops": [
         "set_union_all",
@@ -334,6 +351,12 @@ SUITES: dict[str, list[str]] = {
         "privacy_k_anonymity",
         "events_ewma",
         "graph_triangle_count",
+    ],
+    "suite_sketches": [
+        "sketch_countmin_heavyhitters",
+        "sketch_kmv_distinct",
+        "sketch_bloom_membership",
+        "sketch_theta_intersect",
     ],
 }
 

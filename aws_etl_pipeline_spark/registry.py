@@ -99,6 +99,16 @@ def query(name: str, oracle: Optional[str] = None, doc: str = ""):
 #: applyInPandasWithState, probed working this round) and
 #: stream_exec_stream_join (stream-stream interval join) with direct
 #: driver rows in their first round.
+#: Round-8 rotation: agg_approx_quantile and agg_collect OUT (both
+#: digest-covered by suite_agg with direct green history r1-r6) to
+#: seat the new mergeable-sketch family: sketch_countmin_heavyhitters
+#: (the granular flagship — count-min build + probe with the
+#: never-undercounts invariant hash-pinned) and the suite_sketches
+#: digest (count-min, KMV distinct, Bloom membership, theta
+#: intersection — one green row hash-verifies all four). The round-7
+#: seats (sim_ivf_truepq*, bpe_train_merges, stream_exec_custom_state,
+#: stream_exec_stream_join) stay put: no CORRECTNESS_r07 artifact was
+#: recorded, so they are still waiting on their first direct driver row.
 PRIORITY: tuple[str, ...] = (
     # reference-parity flagships (§2A)
     "etl_flagship",
@@ -123,9 +133,9 @@ PRIORITY: tuple[str, ...] = (
     # green r5, r4 bench regression verified fixed at 1.05x r1.)
     "agg_basic",
     "agg_distinct",
-    "agg_collect",
+    # (agg_collect and agg_approx_quantile rotated out r8 — suite_agg
+    # digest; direct green r1–r6.)
     "agg_approx_distinct",
-    "agg_approx_quantile",
     "sort_multi_nulls",
     "limit_topk",
     # (window_ranking rotated out r5 — suite_window digest; direct
@@ -143,6 +153,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_exec_stream_join",
     # LLM-pipeline flagships
     "dedup_exact",
+    "sketch_countmin_heavyhitters",  # rotated in r8: mergeable-sketch flagship
     # (dedup_substring rotated out r6 — suite_dedup digest; direct
     # green r5. dedup_minhash_lsh rotated out in the second r7
     # rotation — suite_dedup digest; direct green r1-r6.)
@@ -183,6 +194,7 @@ PRIORITY: tuple[str, ...] = (
     "suite_tpch",
     "suite_etl_misc",
     "suite_analytics",
+    "suite_sketches",  # rotated in r8: the mergeable-sketch family digest
     # (q7/q18 deliberately NOT in the priority block: suite_tpch
     # digest-covers all 20 extra TPC-H shapes; tests pin len <= 50
     # so nothing silently falls off the driver's budget again)
@@ -192,7 +204,7 @@ PRIORITY: tuple[str, ...] = (
 def all_queries() -> dict[str, Query]:
     """Import all operator modules (populating the registry) and return
     it, priority queries first (see :data:`PRIORITY`)."""
-    from .operators import etl, relational, setops, sql_surface, tpch_extra, windows, upsert, analytics, graph  # noqa: F401
+    from .operators import etl, relational, setops, sql_surface, tpch_extra, windows, upsert, analytics, graph, sketches  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
     from .sources import scans  # noqa: F401
     from .streaming import batch_windows, ingest  # noqa: F401

@@ -28,9 +28,9 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 222  # COVERAGE.md "222 named queries total"
-DOCUMENTED_GRANULAR = 203
-DOCUMENTED_SUITES = 19
+DOCUMENTED_TOTAL = 227  # COVERAGE.md "227 named queries total"
+DOCUMENTED_GRANULAR = 207
+DOCUMENTED_SUITES = 20
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
 

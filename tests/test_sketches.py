@@ -1,0 +1,69 @@
+"""Mergeable-sketch family: estimator invariants the math guarantees
+(count-min never undercounts, Bloom never false-negatives) plus the
+plan shapes that make the sketches 100 TB-safe (constant-size states
+broadcast to the probe side, no cartesian anywhere, no Python eval)."""
+
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_spark.operators.sketches import (
+    sketch_bloom_membership,
+    sketch_countmin_heavyhitters,
+    sketch_kmv_distinct,
+    sketch_theta_intersect,
+)
+from aws_etl_pipeline_spark.plans.explain import plan_string, python_eval_nodes
+
+
+def test_cms_never_undercounts_and_collides(spark, sf_dir):
+    rows = sketch_countmin_heavyhitters(spark, sf_dir).collect()
+    assert len(rows) == 31  # full corpus vocabulary
+    assert all(r.never_undercounts for r in rows)
+    assert all(r.cms_est >= r.exact_n for r in rows)
+    # w=16 over a 31-term vocabulary forces collisions: the one-sided
+    # error must actually be visible, not vacuously zero.
+    assert any(r.cms_est > r.exact_n for r in rows)
+
+
+def test_bloom_guarantees(spark, sf_dir):
+    rows = sketch_bloom_membership(spark, sf_dir).collect()
+    assert {r.c_mktsegment for r in rows} >= {"BUILDING"}
+    # no false negatives, ever — the Bloom contract.
+    assert all(r.n_false_negatives == 0 for r in rows)
+    for r in rows:
+        if r.c_mktsegment == "BUILDING":
+            assert r.n_bloom_hits >= r.n_members
+
+
+def test_kmv_estimator_within_bound(spark, sf_dir):
+    rows = sketch_kmv_distinct(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.within_bound for r in rows)
+    assert all(r.kmv_est > 0 for r in rows)
+
+
+def test_theta_intersect_consistent(spark, sf_dir):
+    row = sketch_theta_intersect(spark, sf_dir).collect()[0]
+    assert row.exact_inter <= row.exact_union
+    assert row.est_union > 0 and row.est_inter >= 0
+    # sampled-intersection estimate can never exceed the union estimate
+    assert row.est_inter <= row.est_union + 1e-9
+
+
+def test_sketch_plans_are_scale_safe(spark, sf_dir):
+    """The probe sides join against constant-size sketch states: the
+    join must be broadcast, never cartesian, and the whole family stays
+    JVM-side (no Python eval nodes)."""
+    for q in (sketch_countmin_heavyhitters, sketch_bloom_membership):
+        df = q(spark, sf_dir)
+        plan = plan_string(df)
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert python_eval_nodes(df) == [], q.__name__
+
+
+def test_theta_fold_is_takeordered(spark, sf_dir):
+    """The k-smallest union sample must be the mergeable
+    TakeOrderedAndProject fold, not a global-sort window."""
+    plan = plan_string(sketch_theta_intersect(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
