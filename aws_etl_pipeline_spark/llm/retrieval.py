@@ -1,0 +1,272 @@
+"""Lexical and hybrid retrieval: BM25 scoring and reciprocal-rank
+fusion (RRF) of a lexical ranker with an embedding ranker.
+
+This is the query-side complement of the corpus-side text/similarity
+families: TF-IDF (`text_tfidf_topterms`) ranks terms within documents,
+the `sim_*` family ranks vectors — retrieval ranks DOCUMENTS for a
+query, and hybrid RRF is the de-facto standard fusion (Cormack et al.,
+SIGIR'09) used by every production search stack that mixes BM25 with
+dense vectors.
+
+100 TB design:
+  * BM25's per-document term frequencies are computed scan-fused with
+    `F.filter` over the token array — no explode, no shuffle; the
+    corpus statistics (N, avgdl, per-term df) reduce to ONE broadcast
+    row, so scoring is a single pass over documents ending in a
+    TakeOrdered top-k. At index time a real deployment would
+    materialize (term, doc, tf) postings once; the scoring plan shape
+    (broadcast stats ⋈ scan → top-k) is identical.
+  * RRF never ranks the full corpus globally: each ranker folds to a
+    top-C candidate list first (TakeOrderedAndProject — per-partition
+    top-C, mergeable), and the window that assigns ranks runs over
+    those C rows, not the corpus. Fusion is a full-outer join of two
+    C-row lists — driver-size work no matter the corpus size.
+
+Reference scope: the reference pipeline (eager pandas over 75-row
+batches, lambda_function.py) has no search surface at all; this is
+north-star surface per SURVEY §2B/§2C.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..cache import track
+from ..catalog import load_table
+from ..registry import query
+
+__all__ = ["text_bm25_topk", "sim_hybrid_rrf"]
+
+#: the fixed lexical query (mid-frequency corpus terms).
+BM25_QUERY = ("join", "window", "slow")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+#: candidates per ranker fed into fusion, and the fused result size.
+RRF_CANDIDATES = 100
+RRF_K = 60
+RRF_TOP = 20
+#: query-by-example: the corpus vector used as the dense query.
+RRF_QUERY_VEC = 0
+
+
+def _bm25_score_sql() -> str:
+    """One BM25 summand per query term, DuckDB spelling."""
+    parts = []
+    for t in BM25_QUERY:
+        tf = f"len(list_filter(ws, w -> w = '{t}'))::DOUBLE"
+        idf = (
+            f"ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        )
+        parts.append(
+            f"{idf} * ({tf} * ({BM25_K1} + 1.0)) / "
+            f"({tf} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        )
+    return " + ".join(parts)
+
+
+def _bm25_oracle() -> str:
+    dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END)::DOUBLE AS df_{t}"
+        for t in BM25_QUERY
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+),
+docs AS (SELECT doc_id, ws, len(ws)::DOUBLE AS dl FROM t),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl, {dfs} FROM docs
+),
+scored AS (
+  SELECT doc_id,
+         round({_bm25_score_sql()}, 8) AS bm25
+  FROM docs CROSS JOIN stats
+)
+SELECT doc_id, bm25 FROM scored
+QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= {BM25_TOP}
+"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, bm25) for the fixed query, unranked."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), " ")
+    docs = d.select(
+        "doc_id", ws.alias("ws"), F.size(ws).cast("double").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("ws", t), 1).otherwise(0)
+            ).cast("double").alias(f"df_{t}")
+            for t in BM25_QUERY
+        ],
+    )
+    scored = docs.crossJoin(F.broadcast(stats))
+    summands = []
+    for t in BM25_QUERY:
+        tf = F.size(F.filter("ws", lambda w: w == F.lit(t))).cast("double")  # noqa: B023
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        summands.append(
+            idf
+            * (tf * (BM25_K1 + 1.0))
+            / (
+                tf
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+    total = summands[0]
+    for s in summands[1:]:
+        total = total + s
+    return scored.select("doc_id", F.round(total, 8).alias("bm25"))
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-20 documents for a fixed 3-term query.
+    Corpus statistics (N, avgdl, per-term df) fold to one broadcast
+    row; term frequencies are array-filter expressions fused into the
+    scan; the result is a TakeOrdered top-k — one corpus pass, no
+    wide shuffle."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+),
+docs AS (SELECT doc_id, ws, len(ws)::DOUBLE AS dl FROM t),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+         {", ".join(
+             f"sum(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END)::DOUBLE AS df_{t}"
+             for t in BM25_QUERY
+         )}
+  FROM docs
+),
+bm25_all AS (
+  SELECT doc_id, round({_bm25_score_sql()}, 8) AS bm25
+  FROM docs CROSS JOIN stats
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM (SELECT * FROM bm25_all
+        QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                <= {RRF_CANDIDATES})
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+),
+q AS (SELECT v, nrm FROM n WHERE vec_id = {RRF_QUERY_VEC}),
+cos_all AS (
+  SELECT n.vec_id AS doc_id,
+         round(list_dot_product(n.v, q.v) / (n.nrm * q.nrm), 8) AS cosine
+  FROM n CROSS JOIN q
+),
+dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS cos_rank
+  FROM (SELECT * FROM cos_all
+        QUALIFY row_number() OVER (ORDER BY cosine DESC, doc_id)
+                <= {RRF_CANDIDATES})
+),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.cos_rank,
+         round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+               + coalesce(1.0 / ({RRF_K} + d.cos_rank), 0.0), 8) AS rrf
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, cos_rank, rrf FROM fused
+QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= {RRF_TOP}
+"""
+
+
+@query("sim_hybrid_rrf", oracle=_rrf_oracle())
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 candidates and embedding-cosine
+    candidates (query-by-example, vec {RRF_QUERY_VEC}) fused with
+    reciprocal-rank fusion, rrf = Σ 1/(60 + rank). Each ranker folds
+    to a top-{RRF_CANDIDATES} candidate list via a mergeable
+    TakeOrdered BEFORE any rank window runs, so ranking windows only
+    ever see candidate-list-sized inputs; fusion is a full-outer join
+    of the two lists."""
+    lex_cand = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_CANDIDATES)
+    )
+    lex = lex_cand.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n = e.select(
+        "vec_id",
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("nrm"),
+    )
+    q = n.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    cos_cand = (
+        n.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (F.col("nrm") * F.col("qnrm")), 8).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RRF_CANDIDATES)
+    )
+    dense = cos_cand.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("cosine"), F.asc("doc_id")))
+        .cast("long")
+        .alias("cos_rank"),
+    )
+
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "cos_rank",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("cos_rank")), F.lit(0.0)),
+                8,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP)

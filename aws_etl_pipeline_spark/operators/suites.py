@@ -58,7 +58,7 @@ from . import sql_surface, tpch_extra, upsert, windows  # noqa: F401,E402
 from ..functions import scalar, udfs  # noqa: F401,E402
 from ..sources import scans  # noqa: F401,E402
 from ..streaming import batch_windows, ingest  # noqa: F401,E402
-from ..llm import assembly, decontaminate, dedup, multimodal, similarity, text  # noqa: F401,E402
+from ..llm import assembly, decontaminate, dedup, multimodal, retrieval, similarity, text  # noqa: F401,E402
 from .. import generator  # noqa: F401,E402
 
 _SEP = "\x1f"
@@ -264,6 +264,9 @@ SUITES: dict[str, list[str]] = {
         "embed_gram_matrix",
         "embed_pca_project",
         "kmeans_train",
+        # r8: hybrid retrieval (BM25 + dense fused with RRF)
+        "text_bm25_topk",
+        "sim_hybrid_rrf",
     ],
     "suite_text": [
         "text_stats",

@@ -208,7 +208,7 @@ def all_queries() -> dict[str, Query]:
     from .functions import scalar, udfs  # noqa: F401
     from .sources import scans  # noqa: F401
     from .streaming import batch_windows, ingest  # noqa: F401
-    from .llm import assembly, dedup, similarity, text, multimodal, decontaminate  # noqa: F401
+    from .llm import assembly, dedup, similarity, text, multimodal, decontaminate, retrieval  # noqa: F401
     from . import generator  # noqa: F401
     from .operators import suites  # noqa: F401  (last: wraps registered members)
 

