@@ -799,3 +799,274 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 2).alias("daily_value"),
         F.round(terms, 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------- quality
+#: declarative expectation list evaluated in ONE pass (deequ-style).
+QE_PRICE_MAX = 1_000_000.0
+
+
+@query(
+    "quality_expectations",
+    oracle=f"""
+WITH m AS (
+  SELECT
+    count(*)::DOUBLE AS n_rows,
+    count(o_custkey)::DOUBLE AS n_custkey,
+    count(DISTINCT o_orderkey)::DOUBLE AS n_distinct_key,
+    min(o_totalprice) AS min_price,
+    max(o_totalprice) AS max_price,
+    count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))::DOUBLE
+      AS n_bad_status,
+    count(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-'))::DOUBLE
+      AS n_bad_priority,
+    count(*) FILTER (WHERE o_totalprice <= 0)::DOUBLE AS n_nonpositive_price
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'completeness_o_custkey' AS constraint, round(n_custkey / n_rows, 6) AS metric,
+         (n_custkey = n_rows) AS passed FROM m
+  UNION ALL
+  SELECT 'uniqueness_o_orderkey', round(n_distinct_key / n_rows, 6),
+         (n_distinct_key = n_rows) FROM m
+  UNION ALL
+  SELECT 'min_o_totalprice_positive', round(min_price, 6), (min_price > 0) FROM m
+  UNION ALL
+  SELECT 'max_o_totalprice_bounded', round(max_price, 6),
+         (max_price <= {QE_PRICE_MAX}) FROM m
+  UNION ALL
+  SELECT 'status_in_domain', round(n_bad_status / n_rows, 6),
+         (n_bad_status = 0) FROM m
+  UNION ALL
+  SELECT 'priority_matches_pattern', round(n_bad_priority / n_rows, 6),
+         (n_bad_priority = 0) FROM m
+  UNION ALL
+  SELECT 'price_nonpositive_fraction', round(n_nonpositive_price / n_rows, 6),
+         (n_nonpositive_price = 0) FROM m
+)
+""",
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the deequ/Great-
+    Expectations pattern) over `orders`: completeness, key uniqueness,
+    bounds, domain membership and pattern conformance — ALL metrics
+    computed in ONE Aggregate over ONE scan, then unpivoted into
+    (constraint, metric, passed) verdict rows.
+
+    100 TB shape: a constraint suite must never cost one scan per
+    constraint; everything here folds into a single pass with map-side
+    partials (the count-distinct Expand is the one documented extra,
+    same trade as `profile_table`). The verdict relation is
+    constant-size (one row per declared expectation), so downstream
+    gating (fail the pipeline when any `passed` is false) is a
+    driver-free broadcast join."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        F.count("o_custkey").cast("double").alias("n_custkey"),
+        F.countDistinct("o_orderkey").cast("double").alias("n_distinct_key"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1))
+        .cast("double")
+        .alias("n_bad_status"),
+        F.count(F.when(~F.col("o_orderpriority").rlike("^[1-5]-"), 1))
+        .cast("double")
+        .alias("n_bad_priority"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1))
+        .cast("double")
+        .alias("n_nonpositive_price"),
+    )
+    rows = [
+        ("completeness_o_custkey", F.round(F.col("n_custkey") / F.col("n_rows"), 6),
+         F.col("n_custkey") == F.col("n_rows")),
+        ("uniqueness_o_orderkey",
+         F.round(F.col("n_distinct_key") / F.col("n_rows"), 6),
+         F.col("n_distinct_key") == F.col("n_rows")),
+        ("min_o_totalprice_positive", F.round(F.col("min_price"), 6),
+         F.col("min_price") > 0),
+        ("max_o_totalprice_bounded", F.round(F.col("max_price"), 6),
+         F.col("max_price") <= QE_PRICE_MAX),
+        ("status_in_domain", F.round(F.col("n_bad_status") / F.col("n_rows"), 6),
+         F.col("n_bad_status") == 0),
+        ("priority_matches_pattern",
+         F.round(F.col("n_bad_priority") / F.col("n_rows"), 6),
+         F.col("n_bad_priority") == 0),
+        ("price_nonpositive_fraction",
+         F.round(F.col("n_nonpositive_price") / F.col("n_rows"), 6),
+         F.col("n_nonpositive_price") == 0),
+    ]
+    verdicts = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("constraint"),
+                metric.cast("double").alias("metric"),
+                passed.alias("passed"),
+            )
+            for name, metric, passed in rows
+        ]
+    )
+    return (
+        m.select(F.explode(verdicts).alias("v"))
+        .select("v.constraint", "v.metric", "v.passed")
+    )
+
+
+L_DIV = 3  # minimum distinct sensitive values per quasi-identifier group
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+WITH qi AS (
+  SELECT c_nationkey,
+         (floor(c_acctbal / 1000) * 1000)::BIGINT AS bal_band,
+         count(DISTINCT c_mktsegment)::BIGINT AS l,
+         count(*)::BIGINT AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey,
+       count(*)::BIGINT AS groups_total,
+       (count(*) FILTER (WHERE l < {L_DIV}))::BIGINT AS groups_not_diverse,
+       min(l)::BIGINT AS min_l,
+       coalesce(sum(n) FILTER (WHERE l < {L_DIV}), 0)::BIGINT AS rows_at_risk
+FROM qi GROUP BY 1
+""",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al.) — the stronger
+    privacy gate layered on `privacy_k_anonymity`: a quasi-identifier
+    group is safe only if the SENSITIVE attribute (market segment)
+    takes at least l={L_DIV} distinct values inside it, so group
+    membership alone cannot disclose the sensitive value. Per nation:
+    group counts, the minimum observed l, and how many rows sit in
+    non-diverse groups.
+
+    Plan: one QI-keyed distinct-count aggregation (shuffle bounded by
+    the generalization lattice, not row count) and a per-nation
+    rollup — identical scale shape to the k-anonymity audit."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias("bal_band"),
+    ).agg(
+        F.countDistinct("c_mktsegment").cast("long").alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    weak = F.col("l") < L_DIV
+    return qi.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("groups_total"),
+        F.count_if(weak).cast("long").alias("groups_not_diverse"),
+        F.min("l").cast("long").alias("min_l"),
+        F.coalesce(F.sum(F.when(weak, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
+
+
+# ------------------------------------------------------------- time series
+TS_PERIOD = 7  # weekly seasonality over daily buckets
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS v
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, day, v,
+         CASE WHEN count(*) OVER w = {TS_PERIOD}
+              THEN round(CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                         / {TS_PERIOD}, 6)
+         END AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+season AS (
+  SELECT event_type, (day::DATE - DATE '1970-01-01') % {TS_PERIOD} AS dow,
+         round(CAST(sum(CAST(round(v - trend, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS seasonal
+  FROM tr WHERE trend IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT t.event_type, t.day, t.v, t.trend, s.seasonal,
+       round(t.v - t.trend - s.seasonal, 6) AS residual
+FROM tr t
+LEFT JOIN season s
+  ON s.event_type = t.event_type
+ AND s.dow = (t.day::DATE - DATE '1970-01-01') % {TS_PERIOD}
+""",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily
+    per-event-type value series: trend = centered {TS_PERIOD}-day
+    moving average (null at the edges where the window is partial),
+    seasonal = day-of-week mean of the detrended series, residual =
+    value - trend - seasonal.
+
+    Every stage is distributable: the daily rollup is one hash agg
+    (exact DECIMAL sums), the moving average one bounded-frame window
+    per event_type, the seasonal profile a {TS_PERIOD}-row-per-series
+    broadcastable aggregate joined back by weekday index. Weekday is
+    epoch-day mod {TS_PERIOD} — engine-neutral, no locale-dependent
+    dayofweek(). Sums route through DECIMAL before rounding so both
+    engines see order-insensitive exact values."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("v")
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(TS_PERIOD // 2), TS_PERIOD // 2)
+    )
+    tr = daily.withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(w) == TS_PERIOD,
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,2)")).over(w).cast("double")
+                / TS_PERIOD,
+                6,
+            ),
+        ),
+    ).transform(track)  # feeds the seasonal profile AND the final join
+    dow = (F.datediff(F.col("day").cast("date"), F.lit("1970-01-01")) % TS_PERIOD)
+    season = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("event_type", dow.alias("dow"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("v") - F.col("trend"), 6).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("seasonal")
+        )
+    )
+    return (
+        tr.withColumn("dow", dow)
+        .join(F.broadcast(season), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "day",
+            "v",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("v") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+    )

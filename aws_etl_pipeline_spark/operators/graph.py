@@ -26,7 +26,7 @@ from ..cache import track
 from ..catalog import load_table
 from ..registry import query
 
-__all__ = ["graph_pagerank"]
+__all__ = ["graph_pagerank", "graph_triangle_count", "graph_jaccard_neighbors"]
 
 _DAMP = 0.85
 _ITERS = 3
@@ -221,3 +221,96 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(TRIANGLE_TOP)
     )
+
+
+JACCARD_TOP = 20  # most-similar part pairs reported
+JACCARD_MIN_COMMON = 2  # prune pairs sharing fewer neighbors
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u AS x, v AS y FROM pairs UNION ALL SELECT v, u FROM pairs),
+deg AS (SELECT x AS node, count(*)::BIGINT AS deg FROM edges GROUP BY x),
+common AS (
+  SELECT e1.x AS u, e2.x AS v, count(*)::BIGINT AS n_common
+  FROM edges e1 JOIN edges e2 ON e1.y = e2.y AND e1.x < e2.x
+  GROUP BY e1.x, e2.x
+  HAVING count(*) >= {JACCARD_MIN_COMMON}
+)
+SELECT c.u, c.v, c.n_common,
+       round(c.n_common::DOUBLE
+             / (du.deg + dv.deg - c.n_common), 8) AS jaccard
+FROM common c
+JOIN deg du ON du.node = c.u
+JOIN deg dv ON dv.node = c.v
+QUALIFY row_number() OVER (ORDER BY jaccard DESC, c.u, c.v) <= {JACCARD_TOP}
+""",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard node similarity ("customers who bought X
+    also bought Y") on the part co-purchase graph: for part pairs
+    sharing at least {JACCARD_MIN_COMMON} graph neighbors,
+    jaccard = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|; top-{JACCARD_TOP} pairs.
+
+    100 TB shape: the intersection size comes from the same oriented
+    wedge join triangle counting uses (equi-join on the shared
+    neighbor, u < v to count each pair once) — shuffle volume is the
+    wedge count, never an all-pairs product, and hub blowup is bounded
+    by the smaller endpoint's degree. Union size is derived from the
+    broadcastable degree table via inclusion–exclusion, so neighbor
+    SETS are never materialized or shipped."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).toDF("x", "y").transform(track)
+    deg = edges.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    common = (
+        e1.join(e2, (F.col("e1.y") == F.col("e2.y")) & (F.col("e1.x") < F.col("e2.x")))
+        .groupBy(F.col("e1.x").alias("u"), F.col("e2.x").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= JACCARD_MIN_COMMON)
+    )
+    du = deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "deg_u")
+    dv = deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "deg_v")
+    scored = (
+        common.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("n_common")),
+                8,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.asc("u"), F.asc("v")
+    ).limit(JACCARD_TOP)

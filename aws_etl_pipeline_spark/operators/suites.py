@@ -354,6 +354,11 @@ SUITES: dict[str, list[str]] = {
         "privacy_k_anonymity",
         "events_ewma",
         "graph_triangle_count",
+        # r8: governance, decomposition, node similarity
+        "quality_expectations",
+        "privacy_l_diversity",
+        "ts_seasonal_decompose",
+        "graph_jaccard_neighbors",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

@@ -1,0 +1,91 @@
+"""Round-8 governance / time-series / node-similarity operators:
+domain invariants plus the single-pass and wedge-join plan contracts."""
+
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_spark.operators.analytics import (
+    L_DIV,
+    TS_PERIOD,
+    privacy_l_diversity,
+    quality_expectations,
+    ts_seasonal_decompose,
+)
+from aws_etl_pipeline_spark.operators.graph import graph_jaccard_neighbors
+from aws_etl_pipeline_spark.plans.explain import plan_string, python_eval_nodes
+
+
+def test_quality_expectations_verdicts(spark, sf_dir):
+    rows = quality_expectations(spark, sf_dir).collect()
+    by_name = {r.constraint: r for r in rows}
+    assert len(rows) == 7
+    # the synthetic orders table satisfies the whole suite.
+    assert all(r.passed for r in rows), [r.constraint for r in rows if not r.passed]
+    assert by_name["completeness_o_custkey"].metric == 1.0
+    assert by_name["uniqueness_o_orderkey"].metric == 1.0
+
+
+def test_quality_expectations_is_one_scan(spark, sf_dir):
+    """A constraint suite must never cost one scan per constraint."""
+    df = quality_expectations(spark, sf_dir)
+    plan = plan_string(df)
+    # formatted output names each node twice (tree + detail header);
+    # one scan node == one "(1) Scan parquet" detail header.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert python_eval_nodes(df) == []
+
+
+def test_l_diversity_bounds(spark, sf_dir):
+    rows = privacy_l_diversity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.min_l <= 5  # 5 market segments exist
+        assert r.groups_not_diverse <= r.groups_total
+        if r.min_l >= L_DIV:
+            assert r.groups_not_diverse == 0 and r.rows_at_risk == 0
+
+
+def test_seasonal_decompose_identity(spark, sf_dir):
+    """v = trend + seasonal + residual wherever the trend window was
+    full; edges carry null trend/residual."""
+    rows = ts_seasonal_decompose(spark, sf_dir).collect()
+    assert rows
+    full = [r for r in rows if r.trend is not None]
+    assert full, "no interior days — series shorter than the MA window?"
+    for r in full:
+        assert r.seasonal is not None
+        assert abs(r.v - (r.trend + r.seasonal + r.residual)) < 1e-6
+    # each series has exactly period-1+period-1... edge days null-trended
+    for r in rows:
+        if r.trend is None:
+            assert r.residual is None
+
+
+def test_seasonal_profile_is_periodic(spark, sf_dir):
+    """At most TS_PERIOD distinct seasonal values per event_type."""
+    df = ts_seasonal_decompose(spark, sf_dir)
+    per = (
+        df.filter(F.col("seasonal").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("seasonal").alias("n"))
+        .collect()
+    )
+    assert all(r.n <= TS_PERIOD for r in per)
+
+
+def test_jaccard_neighbors_scores(spark, sf_dir):
+    rows = graph_jaccard_neighbors(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.n_common >= 2
+        assert r.u < r.v  # oriented pair, counted once
+    scores = [r.jaccard for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_jaccard_plan_is_equi_wedge_join(spark, sf_dir):
+    plan = plan_string(graph_jaccard_neighbors(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
