@@ -884,3 +884,79 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("hll_ok"),
     )
+
+
+@query(
+    "join_asof_multi",
+    oracle="""
+WITH m AS (
+  SELECT *,
+         CASE WHEN event_type = 'click' THEN value END AS click_v,
+         CASE WHEN event_type = 'view' THEN value END AS view_v,
+         CASE WHEN event_type = 'error' THEN ts END AS error_ts
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       last_value(click_v IGNORE NULLS) OVER w AS last_click_value,
+       last_value(view_v IGNORE NULLS) OVER w AS last_view_value,
+       last_value(error_ts IGNORE NULLS) OVER w AS last_error_ts,
+       ((last_value(click_v IGNORE NULLS) OVER w IS NOT NULL)::BIGINT
+        + (last_value(view_v IGNORE NULLS) OVER w IS NOT NULL)::BIGINT
+        + (last_value(error_ts IGNORE NULLS) OVER w IS NOT NULL)::BIGINT)
+         AS n_features_present
+FROM m
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+QUALIFY event_type = 'purchase'
+""",
+)
+def join_asof_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: for each purchase (the label
+    spine), the latest strictly-earlier value from THREE feature
+    streams (last click value, last view value, last error timestamp)
+    — the classic training-set assembly step that must never leak
+    future data.
+
+    Scale shape: the naive spelling is one as-of join PER feature
+    table (N shuffles, N build sides); this is the one-pass
+    generalization of `join_asof` — union the spine with all feature
+    streams, ONE shuffle on the entity key, and one window computes
+    every feature column via conditional `last_value IGNORE NULLS`.
+    Adding a feature adds a projection column, not a join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("value")).alias("click_v"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias("view_v"),
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("error_ts"),
+    )
+    feats = [
+        F.last("click_v", ignorenulls=True).over(w).alias("last_click_value"),
+        F.last("view_v", ignorenulls=True).over(w).alias("last_view_value"),
+        F.last("error_ts", ignorenulls=True).over(w).alias("last_error_ts"),
+    ]
+    out = marked.select("event_id", "user_id", "ts", "event_type", *feats)
+    present = sum(
+        F.col(c).isNotNull().cast("long")
+        for c in ("last_click_value", "last_view_value", "last_error_ts")
+    )
+    return (
+        out.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_click_value",
+            "last_view_value",
+            "last_error_ts",
+            present.alias("n_features_present"),
+        )
+    )

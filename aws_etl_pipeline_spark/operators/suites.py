@@ -138,6 +138,8 @@ SUITES: dict[str, list[str]] = {
         "join_range_interval",
         "join_skew_salted",
         "join_fuzzy_blocked",
+        # r8: one-pass multi-feature point-in-time join
+        "join_asof_multi",
     ],
     "suite_agg": [
         "agg_rollup",

@@ -585,3 +585,16 @@ def test_classifier_score_broadcast_weights(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert not python_eval_nodes(df)
+
+
+def test_asof_multi_is_single_shuffle(spark, sf_dir):
+    """The multi-feature point-in-time join must cost ONE shuffle on
+    the entity key regardless of feature count — that is its whole
+    advantage over N per-feature as-of joins."""
+    import re
+
+    from aws_etl_pipeline_spark.operators.relational import join_asof_multi
+
+    plan = _plan(join_asof_multi(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1

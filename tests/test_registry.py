@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 233  # COVERAGE.md "233 named queries total"
-DOCUMENTED_GRANULAR = 213
+DOCUMENTED_TOTAL = 234  # COVERAGE.md "234 named queries total"
+DOCUMENTED_GRANULAR = 214
 DOCUMENTED_SUITES = 20
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
