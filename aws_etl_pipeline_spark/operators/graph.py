@@ -223,7 +223,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-JACCARD_TOP = 20  # most-similar part pairs reported
+JACCARD_TOP = 20  # most-similar adjacent part pairs reported
 JACCARD_MIN_COMMON = 2  # prune pairs sharing fewer neighbors
 
 
@@ -237,12 +237,24 @@ WITH pairs AS (
   JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-edges AS (SELECT u AS x, v AS y FROM pairs UNION ALL SELECT v, u FROM pairs),
-deg AS (SELECT x AS node, count(*)::BIGINT AS deg FROM edges GROUP BY x),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
 common AS (
-  SELECT e1.x AS u, e2.x AS v, count(*)::BIGINT AS n_common
-  FROM edges e1 JOIN edges e2 ON e1.y = e2.y AND e1.x < e2.x
-  GROUP BY e1.x, e2.x
+  SELECT u, v, count(*)::BIGINT AS n_common FROM (
+    SELECT a AS u, b AS v FROM tri
+    UNION ALL SELECT a, c FROM tri
+    UNION ALL SELECT b, c FROM tri
+  )
+  GROUP BY u, v
   HAVING count(*) >= {JACCARD_MIN_COMMON}
 )
 SELECT c.u, c.v, c.n_common,
@@ -255,18 +267,27 @@ QUALIFY row_number() OVER (ORDER BY jaccard DESC, c.u, c.v) <= {JACCARD_TOP}
 """,
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Neighborhood-Jaccard node similarity ("customers who bought X
-    also bought Y") on the part co-purchase graph: for part pairs
-    sharing at least {JACCARD_MIN_COMMON} graph neighbors,
+    """Edge-Jaccard node similarity ("customers who bought X also
+    bought Y") on the part co-purchase graph: for ADJACENT part pairs
+    sharing at least {JACCARD_MIN_COMMON} common neighbors,
     jaccard = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|; top-{JACCARD_TOP} pairs.
+    Common-neighbor counts are exactly the triangles through each
+    edge, so this rides the oriented wedge-close plan triangle
+    counting already uses.
 
-    100 TB shape: the intersection size comes from the same oriented
-    wedge join triangle counting uses (equi-join on the shared
-    neighbor, u < v to count each pair once) — shuffle volume is the
-    wedge count, never an all-pairs product, and hub blowup is bounded
-    by the smaller endpoint's degree. Union size is derived from the
-    broadcastable degree table via inclusion–exclusion, so neighbor
-    SETS are never materialized or shipped."""
+    100 TB shape — candidate generation is THE scale decision here,
+    learned the hard way: scoring every wedge pair (u,w,v sharing any
+    neighbor w) materializes Σ deg(w)² pairs and went 30x
+    super-linear on the 10x replica (193 s at sf0.1; a hub of degree
+    d alone emits d² pairs). Restricting candidates to EXISTING edges
+    bounds the output by the edge count and turns the intersection
+    into per-edge triangle counts — the wedge-close join whose volume
+    is wedges + edges, with hub blowup bounded by the smaller
+    endpoint's degree (same mitigation as `graph_triangle_count`).
+    Union sizes come from the broadcastable degree table via
+    inclusion–exclusion, so neighbor SETS are never materialized or
+    shipped. Non-adjacent similarity at scale is the LSH tier's job
+    (`dedup_minhash_lsh` blocks candidates by signature instead)."""
     li = load_table(spark, sf_dir, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
     a, b = basket.alias("a"), basket.alias("b")
@@ -281,17 +302,39 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("v"),
         )
         .distinct()
+        .transform(track)  # wedge arms + degree table + edge check
     )
-    edges = pairs.union(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).toDF("x", "y").transform(track)
-    deg = edges.groupBy(F.col("x").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
-    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
     common = (
-        e1.join(e2, (F.col("e1.y") == F.col("e2.y")) & (F.col("e1.x") < F.col("e2.x")))
-        .groupBy(F.col("e1.x").alias("u"), F.col("e2.x").alias("v"))
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
         .filter(F.col("n_common") >= JACCARD_MIN_COMMON)
     )
