@@ -960,3 +960,175 @@ def join_asof_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             present.alias("n_features_present"),
         )
     )
+
+
+SN_WINDOW = 3  # sorted-neighborhood comparison window (self + 2 successors)
+SN_MAX_LEV = 10
+SN_BLOCK_PREFIX = 6  # chars of the folded sort key that define a block
+
+
+@query(
+    "er_sorted_neighborhood",
+    oracle=f"""
+WITH dirty AS (
+  SELECT p_partkey AS rec_id, replace(p_name, 'a', '@') AS name, 1 AS is_dirty
+  FROM part WHERE p_partkey % 5 = 1
+),
+clean AS (
+  SELECT p_partkey AS rec_id, p_name AS name, 0 AS is_dirty FROM part
+),
+recs AS (
+  SELECT *, replace(name, '@', 'a') AS sort_key,
+         substr(replace(name, '@', 'a'), 1, {SN_BLOCK_PREFIX}) AS blk
+  FROM (SELECT * FROM dirty UNION ALL SELECT * FROM clean)
+),
+neigh AS (
+  SELECT rec_id, name, is_dirty,
+         lead(rec_id, 1) OVER w AS id1, lead(name, 1) OVER w AS name1,
+         lead(is_dirty, 1) OVER w AS d1,
+         lead(rec_id, 2) OVER w AS id2, lead(name, 2) OVER w AS name2,
+         lead(is_dirty, 2) OVER w AS d2
+  FROM recs
+  WINDOW w AS (PARTITION BY blk ORDER BY sort_key, is_dirty, rec_id)
+),
+cand AS (
+  SELECT CASE WHEN is_dirty = 1 THEN rec_id ELSE id1 END AS dirty_id,
+         CASE WHEN is_dirty = 1 THEN id1 ELSE rec_id END AS clean_id,
+         CASE WHEN is_dirty = 1 THEN name ELSE name1 END AS dname,
+         CASE WHEN is_dirty = 1 THEN name1 ELSE name END AS cname
+  FROM neigh WHERE id1 IS NOT NULL AND is_dirty <> d1
+  UNION ALL
+  SELECT CASE WHEN is_dirty = 1 THEN rec_id ELSE id2 END,
+         CASE WHEN is_dirty = 1 THEN id2 ELSE rec_id END,
+         CASE WHEN is_dirty = 1 THEN name ELSE name2 END,
+         CASE WHEN is_dirty = 1 THEN name2 ELSE name END
+  FROM neigh WHERE id2 IS NOT NULL AND is_dirty <> d2
+),
+scored AS (
+  SELECT dirty_id, clean_id, levenshtein(dname, cname)::BIGINT AS lev
+  FROM cand WHERE levenshtein(dname, cname) <= {SN_MAX_LEV}
+)
+SELECT dirty_id, clean_id AS matched_partkey, lev
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY dirty_id
+                           ORDER BY lev, clean_id) = 1
+""",
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution — the OTHER classic
+    blocking strategy next to `join_fuzzy_blocked`'s key blocking:
+    dirty and clean records are unioned, sorted by a typo-folded key,
+    and each record is compared only with its {SN_WINDOW}-record
+    neighborhood via `lead()` columns; `levenshtein` runs on
+    neighborhood pairs only, never all pairs.
+
+    Distributed spelling: the sort window is PARTITIONED by a
+    {SN_BLOCK_PREFIX}-char prefix block of the sort key, so each
+    block sorts independently (one shuffle on the block key, windows
+    within partitions) — the standard scale adaptation, at the
+    documented cost that matches straddling a block boundary are
+    missed; production systems run a second pass with a shifted key
+    (Hernández-Stolfo multi-pass), which this operator's single pass
+    stands in for. Typos here never corrupt the first
+    {SN_BLOCK_PREFIX} chars' fold, so the oracle is exact."""
+    p = load_table(spark, sf_dir, "part")
+    dirty = p.filter(F.col("p_partkey") % 5 == 1).select(
+        F.col("p_partkey").alias("rec_id"),
+        F.translate("p_name", "a", "@").alias("name"),
+        F.lit(1).alias("is_dirty"),
+    )
+    clean = p.select(
+        F.col("p_partkey").alias("rec_id"),
+        F.col("p_name").alias("name"),
+        F.lit(0).alias("is_dirty"),
+    )
+    recs = dirty.unionByName(clean).select(
+        "*",
+        F.translate("name", "@", "a").alias("sort_key"),
+    )
+    recs = recs.withColumn(
+        "blk", F.substring("sort_key", 1, SN_BLOCK_PREFIX)
+    )
+    w = W.partitionBy("blk").orderBy("sort_key", "is_dirty", "rec_id")
+    neigh = recs.select(
+        "rec_id",
+        "name",
+        "is_dirty",
+        F.lead("rec_id", 1).over(w).alias("id1"),
+        F.lead("name", 1).over(w).alias("name1"),
+        F.lead("is_dirty", 1).over(w).alias("d1"),
+        F.lead("rec_id", 2).over(w).alias("id2"),
+        F.lead("name", 2).over(w).alias("name2"),
+        F.lead("is_dirty", 2).over(w).alias("d2"),
+    )
+
+    def _arm(idc: str, namec: str, dc: str):
+        dirty_first = F.col("is_dirty") == 1
+        return (
+            neigh.filter(F.col(idc).isNotNull() & (F.col("is_dirty") != F.col(dc)))
+            .select(
+                F.when(dirty_first, F.col("rec_id")).otherwise(F.col(idc)).alias(
+                    "dirty_id"
+                ),
+                F.when(dirty_first, F.col(idc)).otherwise(F.col("rec_id")).alias(
+                    "clean_id"
+                ),
+                F.when(dirty_first, F.col("name")).otherwise(F.col(namec)).alias(
+                    "dname"
+                ),
+                F.when(dirty_first, F.col(namec)).otherwise(F.col("name")).alias(
+                    "cname"
+                ),
+            )
+        )
+
+    cand = _arm("id1", "name1", "d1").unionByName(_arm("id2", "name2", "d2"))
+    scored = cand.withColumn(
+        "lev", F.levenshtein("dname", "cname").cast("long")
+    ).filter(F.col("lev") <= SN_MAX_LEV)
+    best = F.row_number().over(
+        W.partitionBy("dirty_id").orderBy("lev", "clean_id")
+    )
+    return (
+        scored.withColumn("rn", best)
+        .filter(F.col("rn") == 1)
+        .select("dirty_id", F.col("clean_id").alias("matched_partkey"), "lev")
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+WITH counts AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment AS modal_segment, n AS modal_count
+FROM counts
+QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                           ORDER BY n DESC, c_mktsegment) = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the most frequent market segment per
+    nation, ties broken by segment name. Spelled as count + rank
+    rather than the builtin `mode()` because both engines' builtin
+    mode picks an ARBITRARY value on ties — the count-rank spelling is
+    the reproducible form (and the same two-phase plan: map-side
+    combined counts, then a tiny per-group top-1)."""
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("c_nationkey").orderBy(F.desc("n"), F.asc("c_mktsegment"))
+    )
+    return (
+        counts.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("modal_segment"),
+            F.col("n").alias("modal_count"),
+        )
+    )

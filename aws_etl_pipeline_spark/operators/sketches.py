@@ -363,9 +363,10 @@ _EV_A = "click"
 _EV_B = "purchase"
 
 
-@query(
-    "sketch_theta_intersect",
-    oracle=f"""
+#: shared with streaming/ingest.py's stream_exec_sketch_merge, whose
+#: cross-micro-batch merged state must reproduce EXACTLY this batch
+#: sketch (one oracle string, two execution paths — no copy drift).
+THETA_ORACLE = f"""
 WITH flags AS (
   SELECT user_id,
          max(CASE WHEN event_type = '{_EV_A}' THEN 1 ELSE 0 END) AS in_a,
@@ -400,8 +401,10 @@ SELECT exact_union,
        round(CASE WHEN kk < {THETA_K} THEN exact_inter::DOUBLE
                   ELSE sample_inter * {_H60:.1f} / hk END, 4) AS est_inter
 FROM agg
-""",
-)
+"""
+
+
+@query("sketch_theta_intersect", oracle=THETA_ORACLE)
 def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch-style set intersection: estimate |clickers ∩
     purchasers| from one k={THETA_K} minimum-hash sample of the union,

@@ -140,6 +140,9 @@ SUITES: dict[str, list[str]] = {
         "join_fuzzy_blocked",
         # r8: one-pass multi-feature point-in-time join
         "join_asof_multi",
+        # r8: sorted-neighborhood blocking ER (the other classic
+        # blocking strategy next to join_fuzzy_blocked)
+        "er_sorted_neighborhood",
     ],
     "suite_agg": [
         "agg_rollup",
@@ -156,6 +159,8 @@ SUITES: dict[str, list[str]] = {
         # history r1-r6)
         "agg_collect",
         "agg_approx_quantile",
+        # r8: deterministic count-rank mode
+        "agg_mode",
     ],
     "suite_setops": [
         "set_union_all",
@@ -177,6 +182,7 @@ SUITES: dict[str, list[str]] = {
         "sql_session_variables",
     ],
     "suite_window": [
+        "window_gaps_islands",  # r8
         "window_ranking",
         "window_lag_lead",
         "window_running",
@@ -237,6 +243,8 @@ SUITES: dict[str, list[str]] = {
         "stream_exec_static_join",
         "stream_exec_custom_state",
         "stream_exec_stream_join",
+        # r8: cross-micro-batch mergeable-sketch state
+        "stream_exec_sketch_merge",
     ],
     "suite_dedup": [
         "dedup_exact",

@@ -179,3 +179,65 @@ def window_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 8).alias("cume"),
     )
+
+
+@query(
+    "window_gaps_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+),
+grp AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS island_key
+  FROM days
+),
+islands AS (
+  SELECT user_id, island_key,
+         count(*)::BIGINT AS streak_len,
+         min(day) AS streak_start
+  FROM grp GROUP BY user_id, island_key
+)
+SELECT user_id,
+       sum(streak_len)::BIGINT AS n_active_days,
+       count(*)::BIGINT AS n_streaks,
+       max(streak_len)::BIGINT AS longest_streak,
+       min(streak_start) FILTER (
+         WHERE streak_len = (SELECT max(i2.streak_len) FROM islands i2
+                             WHERE i2.user_id = islands.user_id)
+       ) AS longest_streak_start
+FROM islands
+GROUP BY user_id
+""",
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of CONSECUTIVE active days
+    (day minus dense row_number is constant within a run — the
+    canonical SQL islands trick), rolled up to activity-streak
+    statistics: total active days, number of streaks, longest streak
+    and its (earliest, for tie determinism) start date.
+
+    Scale shape: dedup to (user, day) pairs first — the window and
+    every later aggregate run on the calendar-bounded day relation,
+    never raw events; one shuffle on user_id carries the whole
+    computation (the dedup, the island window and the rollup all
+    share the user_id partitioning)."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    grp = days.withColumn("island_key", F.date_sub(F.col("day"), rn))
+    islands = grp.groupBy("user_id", "island_key").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    longest = F.max("streak_len").over(W.partitionBy("user_id"))
+    flagged = islands.withColumn("is_longest", F.col("streak_len") == longest)
+    return flagged.groupBy("user_id").agg(
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("streak_len").cast("long").alias("longest_streak"),
+        F.min(F.when(F.col("is_longest"), F.col("streak_start"))).alias(
+            "longest_streak_start"
+        ),
+    )

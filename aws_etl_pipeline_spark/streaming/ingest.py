@@ -856,3 +856,154 @@ def stream_exec_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain(q)
     return spark.table(qname)
+
+
+def _theta_oracle() -> str:
+    from ..operators.sketches import THETA_ORACLE
+
+    return THETA_ORACLE
+
+
+@query("stream_exec_sketch_merge", oracle=_theta_oracle())
+def stream_exec_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming execution of a mergeable sketch: the KMV/theta
+    union sample (`sketch_theta_intersect`) maintained ACROSS
+    micro-batches. Each micro-batch folds its events to a k-row
+    (hash, in_a, in_b) state; foreachBatch merges it with the
+    accumulated state by "union, max the flags per key, re-take the k
+    smallest" — the associative/commutative sketch merge — staged with
+    the same tmp+atomic-rename discipline as stream_exec_dedup. The
+    final state must reproduce EXACTLY the batch sketch (the oracle is
+    literally `sketch_theta_intersect`'s, imported — one string, two
+    execution paths), proving the merge is split-invariant: any
+    micro-batch interleaving yields the identical estimate.
+
+    This is the streaming face of the 100 TB sketch story: per-batch
+    (or per-executor) states are constant-size, so continuous
+    distinct/overlap monitoring over an unbounded stream ships k rows
+    per trigger, never the stream. The per-batch state fold is a
+    TakeOrdered over THAT BATCH only; nothing corpus-sized crosses a
+    batch boundary."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import THETA_K, _EV_A, _EV_B, _H60, _h60_spark
+
+    stage_dir, key = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(stage_dir).schema
+    # per-invocation private state root: the state is rebuilt from the
+    # replay every time (it IS the thing under test), so no cross-
+    # session reuse and no staleness guard needed.
+    state_root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_kmvstate_{_uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(state_root, exist_ok=True)
+    cur = os.path.join(state_root, "current")
+
+    def merge_batch(batch, _bid: int) -> None:
+        part = (
+            batch.filter(F.col("event_type").isin(_EV_A, _EV_B))
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.when(F.col("event_type") == _EV_A, 1).otherwise(0)
+                ).alias("in_a"),
+                F.max(
+                    F.when(F.col("event_type") == _EV_B, 1).otherwise(0)
+                ).alias("in_b"),
+            )
+            .withColumn("h", _h60_spark(F.col("user_id")))
+            .orderBy("h", "user_id")
+            .limit(THETA_K)
+        )
+        if os.path.exists(os.path.join(cur, "_SUCCESS")):
+            prev = batch.sparkSession.read.parquet(cur)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("user_id", "h")
+                .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+                .orderBy("h", "user_id")
+                .limit(THETA_K)
+            )
+        else:
+            merged = part
+        tmp = os.path.join(state_root, f"tmp_{_bid}_{_uuid.uuid4().hex[:8]}")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = os.path.join(state_root, f"old_{_bid}")
+        if os.path.exists(cur):
+            os.rename(cur, old)
+        os.rename(tmp, cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    state = spark.read.parquet(cur)
+    sk = state.agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).cast("long").alias("kk")
+    )
+    # exact side from the same staged batch data the stream replayed.
+    ev = spark.read.parquet(stage_dir)
+    flags = (
+        ev.filter(F.col("event_type").isin(_EV_A, _EV_B))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == _EV_A, 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("event_type") == _EV_B, 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    exact = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.count(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1))
+        .cast("long")
+        .alias("exact_inter"),
+    )
+    sample = (
+        state.crossJoin(F.broadcast(sk))
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("h") < F.col("hk"))
+                    & (F.col("in_a") == 1)
+                    & (F.col("in_b") == 1),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("sample_inter"),
+            F.first("hk").alias("hk"),
+            F.first("kk").alias("kk"),
+        )
+    )
+    est_union = F.when(
+        F.col("kk") < THETA_K, F.col("exact_union").cast("double")
+    ).otherwise(F.lit(float(THETA_K - 1)) * F.lit(_H60) / F.col("hk"))
+    est_inter = F.when(
+        F.col("kk") < THETA_K, F.col("exact_inter").cast("double")
+    ).otherwise(F.col("sample_inter") * F.lit(_H60) / F.col("hk"))
+    return (
+        exact.crossJoin(F.broadcast(sample))
+        .select(
+            "exact_union",
+            F.round(est_union, 4).alias("est_union"),
+            "exact_inter",
+            F.round(est_inter, 4).alias("est_inter"),
+        )
+    )

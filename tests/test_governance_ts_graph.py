@@ -89,3 +89,44 @@ def test_jaccard_plan_is_equi_wedge_join(spark, sf_dir):
     plan = plan_string(graph_jaccard_neighbors(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sorted_neighborhood_match_contract(spark, sf_dir):
+    """One best match per dirty record, always dirty-vs-clean, lev
+    within the declared cap. (Self-matches are NOT guaranteed: part
+    names repeat, so identically-named parts form sort clusters larger
+    than the window and the true original can sit outside it — the
+    documented single-pass sorted-neighborhood miss that multi-pass
+    fixes; the DuckDB oracle pins the exact same misses.)"""
+    from aws_etl_pipeline_spark.operators.relational import (
+        SN_MAX_LEV,
+        er_sorted_neighborhood,
+    )
+
+    rows = er_sorted_neighborhood(spark, sf_dir).collect()
+    assert rows
+    ids = [r.dirty_id for r in rows]
+    assert len(ids) == len(set(ids))  # best-of per dirty record
+    assert all(0 <= r.lev <= SN_MAX_LEV for r in rows)
+    assert all(r.dirty_id % 5 == 1 for r in rows)  # dirty side only
+    # names without 'a' survive the perturbation verbatim -> lev 0
+    assert any(r.lev == 0 for r in rows)
+
+
+def test_gaps_islands_arithmetic(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.windows import window_gaps_islands
+
+    rows = window_gaps_islands(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.longest_streak <= r.n_active_days
+        assert r.n_streaks >= 1
+        assert r.longest_streak_start is not None
+
+
+def test_agg_mode_is_deterministic_argmax(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.relational import agg_mode
+
+    rows = agg_mode(spark, sf_dir).collect()
+    assert len(rows) == 25
+    assert all(r.modal_count >= 1 for r in rows)

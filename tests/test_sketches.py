@@ -67,3 +67,14 @@ def test_theta_fold_is_takeordered(spark, sf_dir):
     plan = plan_string(sketch_theta_intersect(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_stream_sketch_merge_equals_batch_sketch(spark, sf_dir):
+    """The cross-micro-batch merged KMV state must yield the identical
+    estimate to the single-pass batch sketch — merge split-invariance,
+    checked end-to-end through real Structured Streaming."""
+    from aws_etl_pipeline_spark.streaming.ingest import stream_exec_sketch_merge
+
+    streamed = stream_exec_sketch_merge(spark, sf_dir).collect()[0]
+    batch = sketch_theta_intersect(spark, sf_dir).collect()[0]
+    assert streamed.asDict() == batch.asDict()
