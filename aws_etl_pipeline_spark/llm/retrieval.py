@@ -270,3 +270,214 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP)
+
+
+# ------------------------------------------------ embedding-training ops
+MRL_DIMS = 16  # truncated prefix width (full vectors are 64-d)
+MRL_TOP = 5
+MRL_QUERIES = 5  # query-by-example vectors 0..4
+
+
+def _cos_sql(vexpr: str, qexpr: str) -> str:
+    return (
+        f"round(list_dot_product({vexpr}, {qexpr}) / "
+        f"(sqrt(list_sum(list_transform({vexpr}, x -> x * x))) * "
+        f"sqrt(list_sum(list_transform({qexpr}, x -> x * x)))), 8)"
+    )
+
+
+@query(
+    "sim_matryoshka_truncation",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         list_transform(embedding[1:{MRL_DIMS}], x -> x::DOUBLE) AS vt
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv, vt AS qvt FROM e WHERE vec_id < {MRL_QUERIES}),
+c AS (SELECT * FROM e WHERE vec_id >= {MRL_QUERIES}),
+full_rank AS (
+  SELECT q.qid, c.vec_id,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {_cos_sql('c.v', 'q.qv')} DESC, c.vec_id)
+           AS rn
+  FROM c CROSS JOIN q
+),
+trunc_rank AS (
+  SELECT q.qid, c.vec_id,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {_cos_sql('c.vt', 'q.qvt')} DESC, c.vec_id)
+           AS rn
+  FROM c CROSS JOIN q
+)
+SELECT f.qid AS query_id,
+       count(t.vec_id)::BIGINT AS overlap_at_{MRL_TOP},
+       round(count(t.vec_id) / {MRL_TOP}.0, 4) AS recall_vs_full
+FROM (SELECT * FROM full_rank WHERE rn <= {MRL_TOP}) f
+LEFT JOIN (SELECT * FROM trunc_rank WHERE rn <= {MRL_TOP}) t
+  ON t.qid = f.qid AND t.vec_id = f.vec_id
+GROUP BY f.qid
+""",
+)
+def sim_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: how much of the full-
+    dimension top-{MRL_TOP} survives when vectors are truncated to
+    their first {MRL_DIMS} of 64 dims — the measurement behind
+    dimension-adaptive retrieval (truncate for the cheap first pass,
+    full dims for rerank; MRL trains embeddings so prefixes are
+    usable). Emits per-query overlap@{MRL_TOP} and recall-vs-full.
+
+    Scale shape: both rankings are broadcast-query scans of the corpus
+    with per-shard top-k folds (the `sim_bruteforce_topk` plan, twice
+    — the truncated pass reads {MRL_DIMS}/64 of the vector bytes,
+    which is the entire point at 100 TB); the overlap join touches
+    2·k·|queries| rows. These synthetic embeddings are NOT
+    MRL-trained, so measured recall is the honest untrained baseline —
+    the harness measures, it does not assume."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.transform(
+            F.slice("embedding", 1, MRL_DIMS), lambda x: x.cast("double")
+        ).alias("vt"),
+    )
+    q = e.filter(F.col("vec_id") < MRL_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("vt").alias("qvt"),
+    )
+    c = e.filter(F.col("vec_id") >= MRL_QUERIES)
+
+    def _cos(vc: str, qc: str) -> F.Column:
+        dot = F.aggregate(
+            F.zip_with(vc, qc, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        )
+        n1 = F.sqrt(
+            F.aggregate(
+                F.transform(vc, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        )
+        n2 = F.sqrt(
+            F.aggregate(
+                F.transform(qc, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        )
+        return F.round(dot / (n1 * n2), 8)
+
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        _cos("v", "qv").alias("cos_full"),
+        _cos("vt", "qvt").alias("cos_trunc"),
+    )
+    wf = W.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    wt = W.partitionBy("qid").orderBy(F.desc("cos_trunc"), F.asc("vec_id"))
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rn_full"),
+        F.row_number().over(wt).alias("rn_trunc"),
+    )
+    top_full = ranked.filter(F.col("rn_full") <= MRL_TOP).select("qid", "vec_id")
+    top_trunc = ranked.filter(F.col("rn_trunc") <= MRL_TOP).select(
+        F.col("qid").alias("tqid"), F.col("vec_id").alias("tvec")
+    )
+    return (
+        top_full.join(
+            top_trunc,
+            (F.col("qid") == F.col("tqid")) & (F.col("vec_id") == F.col("tvec")),
+            "left",
+        )
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count("tvec").cast("long").alias(f"overlap_at_{MRL_TOP}"),
+            F.round(F.count("tvec") / float(MRL_TOP), 4).alias("recall_vs_full"),
+        )
+    )
+
+
+HN_TOP = 5  # hard negatives mined per query
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+),
+q AS (SELECT * FROM n WHERE vec_id < {MRL_QUERIES}),
+c AS (SELECT * FROM n WHERE vec_id >= {MRL_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS negative_id, c.label AS negative_label,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 8) AS cosine
+  FROM q CROSS JOIN c
+  WHERE c.label <> q.label
+)
+SELECT query_id, query_label, negative_id, negative_label, cosine
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, negative_id) <= {HN_TOP}
+""",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-{HN_TOP} most-similar corpus vectors with a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss (easy negatives contribute ~zero gradient; mining hard ones
+    is the standard retrieval-training step, e.g. DPR/ANCE).
+
+    Scale shape: identical to `sim_bruteforce_topk` — broadcast query
+    set, label filter fused into the scoring scan, per-shard top-k
+    fold — so mining cost equals one scoring pass per refresh; the
+    ANCE-style variant swaps the exact scan for the IVF index
+    (`sim_ivf_ann`) with the same downstream shape."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    n = e.select(
+        "vec_id",
+        "label",
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("nrm"),
+    )
+    q = n.filter(F.col("vec_id") < MRL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = n.filter(F.col("vec_id") >= MRL_QUERIES)
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round(dot / (F.col("nrm") * F.col("qnrm")), 8).alias("cosine"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("negative_id"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= HN_TOP)
+        .select("query_id", "query_label", "negative_id", "negative_label", "cosine")
+    )

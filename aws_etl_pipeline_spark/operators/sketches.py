@@ -467,3 +467,196 @@ def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_inter",
         F.round(est_inter, 4).alias("est_inter"),
     )
+
+
+# ----------------------------------------------------- histogram quantiles
+HQ_BINS = 64
+HQ_LO = 0.0
+HQ_HI = 600_000.0  # o_totalprice upper bound at any SF (TPC-H <= ~530k)
+HQ_QS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+WITH binned AS (
+  SELECT o_orderpriority,
+         least({HQ_BINS - 1},
+               greatest(0, CAST(floor((o_totalprice - {HQ_LO})
+                                      / (({HQ_HI} - {HQ_LO}) / {HQ_BINS}))
+                              AS BIGINT))) AS bin,
+         count(*)::BIGINT AS n
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, bin, n,
+         sum(n) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum_n,
+         sum(n) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM binned
+),
+est AS (
+  SELECT o_orderpriority,
+         {", ".join(
+             f"min(CASE WHEN cum_n >= ceil(tot * {q}) THEN "
+             f"round({HQ_LO} + (bin + 0.5) * (({HQ_HI} - {HQ_LO}) / {HQ_BINS}), 4) "
+             f"END) AS hist_p{int(q * 100)}"
+             for q in HQ_QS
+         )}
+  FROM cum GROUP BY 1
+),
+exact AS (
+  SELECT o_orderpriority,
+         {", ".join(
+             f"round(quantile_cont(o_totalprice, {q}), 4) AS exact_p{int(q * 100)}"
+             for q in HQ_QS
+         )}
+  FROM orders GROUP BY 1
+)
+SELECT e.o_orderpriority,
+       {", ".join(
+           f"x.exact_p{int(q * 100)}, e.hist_p{int(q * 100)}, "
+           f"(abs(e.hist_p{int(q * 100)} - x.exact_p{int(q * 100)})"
+           f" <= ({HQ_HI} - {HQ_LO}) / {HQ_BINS}) AS p{int(q * 100)}_within_bin"
+           for q in HQ_QS
+       )}
+FROM est e JOIN exact x USING (o_orderpriority)
+""",
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantiles per order priority:
+    {HQ_BINS} fixed bins over the price domain, quantiles read off the
+    cumulative bin counts (bin-midpoint estimate), checked against the
+    exact PERCENTILE_CONT with the one-bin-width error bound the
+    construction guarantees.
+
+    This is the quantile member of the sketch family: the histogram
+    state is {HQ_BINS} counters per group — mergeable by plain vector
+    addition (map-side combine does it for free), unlike exact
+    percentiles (which need the full sorted data) or GK/KLL (mergeable
+    but opaque). At 100 TB: one narrow shuffle of (group, bin) counts;
+    re-aggregating day->month->year histograms is bin-wise addition,
+    no raw-data rescan — the same store-and-merge architecture as
+    `agg_hll_mergeable`, with the error bound visible as a verdict
+    column instead of a tolerance."""
+    o = load_table(spark, sf_dir, "orders")
+    width = (HQ_HI - HQ_LO) / HQ_BINS
+    bin_col = F.least(
+        F.lit(HQ_BINS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("o_totalprice") - HQ_LO) / width).cast("long"),
+        ),
+    )
+    binned = o.groupBy(
+        "o_orderpriority", bin_col.alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wcum = W.partitionBy("o_orderpriority").orderBy("bin")
+    cum = binned.select(
+        "o_orderpriority",
+        "bin",
+        F.sum("n").over(wcum).alias("cum_n"),
+        F.sum("n").over(W.partitionBy("o_orderpriority")).alias("tot"),
+    )
+    est_cols = [
+        F.min(
+            F.when(
+                F.col("cum_n") >= F.ceil(F.col("tot") * F.lit(q)),
+                F.round(F.lit(HQ_LO) + (F.col("bin") + 0.5) * width, 4),
+            )
+        ).alias(f"hist_p{int(q * 100)}")
+        for q in HQ_QS
+    ]
+    est = cum.groupBy("o_orderpriority").agg(*est_cols)
+    exact = o.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(
+                f"exact_p{int(q * 100)}"
+            )
+            for q in HQ_QS
+        ]
+    )
+    out_cols = []
+    for q in HQ_QS:
+        p = int(q * 100)
+        out_cols += [
+            F.col(f"exact_p{p}"),
+            F.col(f"hist_p{p}"),
+            (
+                F.abs(F.col(f"hist_p{p}") - F.col(f"exact_p{p}")) <= width
+            ).alias(f"p{p}_within_bin"),
+        ]
+    return exact.join(est, "o_orderpriority").select(
+        "o_orderpriority", *out_cols
+    )
+
+
+# ------------------------------------------------- differential privacy
+DP_EPS = 1.0  # per-release epsilon for a count query (sensitivity 1)
+
+
+@query(
+    "privacy_dp_count_laplace",
+    oracle=f"""
+WITH counts AS (
+  SELECT c_mktsegment, count(*)::BIGINT AS true_n FROM customer GROUP BY 1
+),
+noised AS (
+  SELECT c_mktsegment, true_n,
+         (('0x' || substr(md5('dp:' || c_mktsegment), 1, 8))::BIGINT + 0.5)
+           / 4294967296.0 - 0.5 AS u
+  FROM counts
+)
+SELECT c_mktsegment, true_n,
+       round(true_n - (1.0 / {DP_EPS})
+             * sign(u) * ln(1.0 - 2.0 * abs(u)), 6) AS dp_n,
+       round(abs((1.0 / {DP_EPS}) * sign(u) * ln(1.0 - 2.0 * abs(u))), 6)
+         AS noise_magnitude
+FROM noised
+""",
+)
+def privacy_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private counts via the Laplace mechanism
+    (sensitivity 1, epsilon={DP_EPS}): noise = inverse-CDF transform
+    Lap(1/eps) = -(1/eps)·sign(u)·ln(1-2|u|) of a uniform u drawn from
+    the md5 hash of the group key — so the mechanism ARITHMETIC (the
+    thing the oracle can pin) is exactly the textbook inverse-CDF
+    sampler, while the uniform source is a deterministic seed.
+
+    SECURITY NOTE, prominently: a hash of the GROUP KEY is a fixed
+    seed, not secret randomness — rerunning leaks nothing new but an
+    adversary who knows the seed removes the noise, so a production
+    release swaps the uniform for a secure RNG draw (one line; plan
+    unchanged). What scales is the shape: noise is a scalar expression
+    on the aggregated relation, so DP costs nothing beyond the count
+    itself — the per-group lattice relation, never the raw data,
+    carries the mechanism."""
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dp:"), F.col("c_mktsegment"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double")
+            + 0.5
+        )
+        / F.lit(4294967296.0)
+        - 0.5
+    )
+    noised = counts.withColumn("u", u)
+    lapc = (
+        F.lit(1.0 / DP_EPS)
+        * F.signum(F.col("u"))
+        * F.log(F.lit(1.0) - 2.0 * F.abs(F.col("u")))
+    )
+    return noised.select(
+        "c_mktsegment",
+        "true_n",
+        F.round(F.col("true_n") - lapc, 6).alias("dp_n"),
+        F.round(F.abs(lapc), 6).alias("noise_magnitude"),
+    )

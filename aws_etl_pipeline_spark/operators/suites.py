@@ -183,6 +183,7 @@ SUITES: dict[str, list[str]] = {
     ],
     "suite_window": [
         "window_gaps_islands",  # r8
+        "window_rolling_median",  # r8
         "window_ranking",
         "window_lag_lead",
         "window_running",
@@ -277,6 +278,9 @@ SUITES: dict[str, list[str]] = {
         # r8: hybrid retrieval (BM25 + dense fused with RRF)
         "text_bm25_topk",
         "sim_hybrid_rrf",
+        # r8 second batch: embedding-training ops
+        "sim_matryoshka_truncation",
+        "sim_hard_negatives",
     ],
     "suite_text": [
         "text_stats",
@@ -367,6 +371,7 @@ SUITES: dict[str, list[str]] = {
         # r8: governance, decomposition, node similarity
         "quality_expectations",
         "privacy_l_diversity",
+        "privacy_dp_count_laplace",
         "ts_seasonal_decompose",
         "graph_jaccard_neighbors",
     ],
@@ -375,6 +380,8 @@ SUITES: dict[str, list[str]] = {
         "sketch_kmv_distinct",
         "sketch_bloom_membership",
         "sketch_theta_intersect",
+        # r8 second batch: mergeable-bin quantiles
+        "sketch_histogram_quantiles",
     ],
 }
 

@@ -241,3 +241,63 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "longest_streak_start"
         ),
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, v,
+       round(median(v) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         AS rolling_median_7d,
+       round(min(v) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+         AS rolling_min_7d,
+       round(max(v) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+         AS rolling_max_7d
+FROM daily
+""",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day EXACT median (plus min/max) of daily per-type
+    totals — the robust-statistics window the mean-based rolling
+    aggregates can't replace (one outlier day poisons a mean; the
+    median shrugs). Spark runs `percentile()` as a true window
+    aggregate over the bounded ROWS frame.
+
+    Scale shape: exact median needs the frame's values, but the frame
+    is BOUNDED (7 rows) and the input is the calendar-bounded daily
+    relation, so per-row cost is sorting 7 values — at 100 TB the
+    event->daily rollup (map-side combined) does the data reduction
+    and the window never sees raw events. Unbounded-frame medians at
+    scale go to `sketch_histogram_quantiles` instead (mergeable bins);
+    this pair documents the boundary."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("v")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.round(F.expr("percentile(v, 0.5)").over(w), 4).alias(
+            "rolling_median_7d"
+        ),
+        F.round(F.min("v").over(w), 2).alias("rolling_min_7d"),
+        F.round(F.max("v").over(w), 2).alias("rolling_max_7d"),
+    )

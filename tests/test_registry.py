@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 238  # COVERAGE.md "238 named queries total"
-DOCUMENTED_GRANULAR = 218
+DOCUMENTED_TOTAL = 243  # COVERAGE.md "243 named queries total"
+DOCUMENTED_GRANULAR = 223
 DOCUMENTED_SUITES = 20
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 

@@ -56,3 +56,33 @@ def test_rrf_rank_windows_run_after_candidate_fold(spark, sf_dir):
     plan = plan_string(sim_hybrid_rrf(spark, sf_dir))
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_recall_bounds(spark, sf_dir):
+    from aws_etl_pipeline_spark.llm.retrieval import (
+        MRL_TOP,
+        sim_matryoshka_truncation,
+    )
+
+    rows = sim_matryoshka_truncation(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= getattr(r, f"overlap_at_{MRL_TOP}") <= MRL_TOP
+        assert 0.0 <= r.recall_vs_full <= 1.0
+
+
+def test_hard_negatives_never_share_label(spark, sf_dir):
+    from aws_etl_pipeline_spark.llm.retrieval import sim_hard_negatives
+
+    rows = sim_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    assert all(r.negative_label != r.query_label for r in rows)
+    # per query: 5 negatives, scores descending
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r.query_id].append(r.cosine)
+    for scores in per.values():
+        assert scores == sorted(scores, reverse=True)
+        assert len(scores) == 5

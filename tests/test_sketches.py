@@ -78,3 +78,33 @@ def test_stream_sketch_merge_equals_batch_sketch(spark, sf_dir):
     streamed = stream_exec_sketch_merge(spark, sf_dir).collect()[0]
     batch = sketch_theta_intersect(spark, sf_dir).collect()[0]
     assert streamed.asDict() == batch.asDict()
+
+
+def test_histogram_quantiles_error_bound(spark, sf_dir):
+    """Every histogram quantile must land within one bin width of the
+    exact percentile — the construction's guarantee, also hash-pinned
+    as verdict columns."""
+    from aws_etl_pipeline_spark.operators.sketches import (
+        sketch_histogram_quantiles,
+    )
+
+    rows = sketch_histogram_quantiles(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.p50_within_bin and r.p90_within_bin and r.p99_within_bin
+
+
+def test_dp_counts_are_noised_but_close(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.sketches import (
+        DP_EPS,
+        privacy_dp_count_laplace,
+    )
+
+    rows = privacy_dp_count_laplace(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.dp_n != r.true_n  # noise actually applied
+        # Lap(1/eps) tail: P(|noise| > 20/eps) ~ 2e-9 — deterministic
+        # seed makes this a fixed fact of the dataset, not flaky.
+        assert abs(r.dp_n - r.true_n) < 20.0 / DP_EPS
+        assert r.noise_magnitude > 0
