@@ -91,6 +91,31 @@ HEADLINE_EXT = [
     "bpe_train_merges",
 ]
 
+#: HEADLINE_R8 (frozen in round 8): the round-8 surface — sketches,
+#: retrieval, governance, streaming sketch merge, edge-Jaccard — gets
+#: its own frozen third line (metric
+#: "headline_r8_query_set_wall_clock") for per-round drift tracking,
+#: by the same policy that froze HEADLINE_EXT in r7. Never merged into
+#: the earlier lines, so their cross-round totals stay comparable.
+HEADLINE_R8 = [
+    "sketch_countmin_heavyhitters",
+    "sketch_kmv_distinct",
+    "sketch_bloom_membership",
+    "sketch_theta_intersect",
+    "sketch_histogram_quantiles",
+    "stream_exec_sketch_merge",
+    "text_bm25_topk",
+    "sim_hybrid_rrf",
+    "sim_matryoshka_truncation",
+    "sim_hard_negatives",
+    "quality_expectations",
+    "privacy_dp_count_laplace",
+    "ts_seasonal_decompose",
+    "graph_jaccard_neighbors",
+    "join_asof_multi",
+    "er_sorted_neighborhood",
+]
+
 
 WARMUP_SF = "/root/testdata/sf0.001"
 
@@ -111,7 +136,7 @@ def main() -> None:
     # JIT/page-cache state differed is distinguishable after the fact.
     t_w = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE + HEADLINE_EXT:
+    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8:
         try:
             queries[name].fn(spark, WARMUP_SF).count()
             clear_persisted()
@@ -147,6 +172,7 @@ def main() -> None:
 
     timings, spread = run_set(HEADLINE)
     ext_timings, ext_spread = run_set(HEADLINE_EXT)
+    r8_timings, r8_spread = run_set(HEADLINE_R8)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -196,12 +222,21 @@ def main() -> None:
         "value": round(sum(ext_timings.values()), 3),
         "queries": ext_timings,
     }
+    r8_fields = {
+        **compact_fields,
+        "metric": "headline_r8_query_set_wall_clock",
+        "value": round(sum(r8_timings.values()), 3),
+        "queries": r8_timings,
+    }
     compact = json.dumps(compact_fields, separators=(",", ":"))
     compact_ext = json.dumps(ext_fields, separators=(",", ":"))
+    compact_r8 = json.dumps(r8_fields, separators=(",", ":"))
     print(compact, flush=True)
     print(compact_ext, flush=True)
+    print(compact_r8, flush=True)
     print(json.dumps({**compact_fields, "spread": spread}))
     print(json.dumps({**ext_fields, "spread": ext_spread}))
+    print(json.dumps({**r8_fields, "spread": r8_spread}))
     # Tail-retention copies (see above). "dup":true lets a parser that
     # scans EVERY stdout JSON line dedup them instead of
     # double-counting.
@@ -211,6 +246,10 @@ def main() -> None:
     )
     print(
         json.dumps({**ext_fields, "dup": True}, separators=(",", ":")),
+        flush=True,
+    )
+    print(
+        json.dumps({**r8_fields, "dup": True}, separators=(",", ":")),
         flush=True,
     )
     spark.stop()
