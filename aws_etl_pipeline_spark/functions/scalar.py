@@ -505,3 +505,57 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.schema_of_variant(v).alias("vschema"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || lang || '/'
+           || doc_id || '?ref=corpus&page=' || (doc_id % 7) AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+       regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]page=([^&]*)', 1) AS page_param,
+       regexp_extract(url, 'https?://(?:[^./]+\\.)*([^./]+\\.[^./]+)$|https?://(?:[^./]+\\.)*([^./]+\\.[^./]+)/', 2)
+         AS reg_domain
+FROM urls
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing — the web-pipeline scalar family (CommonCrawl-style
+    corpora key everything on URLs): host / path / query extraction
+    via Spark's `parse_url` plus a registrable-domain approximation
+    (last two labels — a stand-in for the public-suffix list, which is
+    data, not logic). URLs are synthesized deterministically from
+    document metadata since the corpus has no URL column; DuckDB has
+    no parse_url, so the oracle spells the SAME extractions as anchors
+    over regexp_extract — cross-engine agreement doubles as a spec
+    test of Spark's parse_url semantics on these shapes. All JVM-side
+    scan-fused expressions, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=corpus&page="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.parse_url("url", F.lit("HOST"))
+    return u.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("reg_domain"),
+    )

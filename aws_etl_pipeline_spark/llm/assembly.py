@@ -538,3 +538,62 @@ def sample_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sel_key"), F.asc("doc_id"))
         .limit(DSIR_K)
     )
+
+
+@query(
+    "pack_interleave_domains",
+    oracle="""
+WITH srcs AS (
+  SELECT source, row_number() OVER (ORDER BY source) - 1 AS src_idx,
+         count(*) OVER () AS n_srcs
+  FROM (SELECT DISTINCT source FROM documents)
+),
+ranked AS (
+  SELECT d.doc_id, d.source, s.src_idx, s.n_srcs,
+         row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) - 1
+           AS rank_in_src
+  FROM documents d JOIN srcs s ON s.source = d.source
+)
+SELECT (rank_in_src * n_srcs + src_idx)::BIGINT AS position,
+       source, doc_id,
+       (rank_in_src * n_srcs + src_idx) % n_srcs = src_idx AS stride_ok
+FROM ranked
+""",
+)
+def pack_interleave_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain interleaving for training order: documents
+    are striped round-robin across sources (position = rank-in-source
+    × n_sources + source-index), so any contiguous training window
+    sees every domain at its global mixture rate — the anti-
+    correlation shuffle LLM data loaders want, computed as a pure
+    expression instead of an RNG permutation (same reproducibility
+    argument as `sample_stable_hash`). The per-source rank windows
+    partition by source; the tiny source table is a broadcast join.
+    Unequal source sizes tail off exactly as the stride formula
+    dictates (positions stay unique because stride ≡ src_idx mod
+    n_srcs, pinned by the stride_ok verdict column)."""
+    d = load_table(spark, sf_dir, "documents")
+    srcs = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(W.orderBy("source")) - 1).alias("src_idx"),
+        )
+    )
+    n_srcs = srcs.agg(F.count(F.lit(1)).alias("n_srcs"))
+    ranked = (
+        d.join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(n_srcs))
+        .withColumn(
+            "rank_in_src",
+            F.row_number().over(W.partitionBy("source").orderBy("doc_id")) - 1,
+        )
+    )
+    pos = F.col("rank_in_src") * F.col("n_srcs") + F.col("src_idx")
+    return ranked.select(
+        pos.cast("long").alias("position"),
+        "source",
+        "doc_id",
+        (pos % F.col("n_srcs") == F.col("src_idx")).alias("stride_ok"),
+    )

@@ -1070,3 +1070,98 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+# ------------------------------------------------------------ RFM scoring
+RFM_TILES = 5
+
+
+@query(
+    "events_rfm_segmentation",
+    oracle=f"""
+WITH maxd AS (SELECT max(ts) AS corpus_max FROM events),
+base AS (
+  SELECT user_id,
+         date_diff('day', max(ts), (SELECT corpus_max FROM maxd))::BIGINT
+           AS recency_days,
+         count(*)::BIGINT AS frequency,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, round(monetary, 2) AS monetary,
+         ntile({RFM_TILES}) OVER (ORDER BY recency_days ASC, user_id)
+           AS r_score,
+         ntile({RFM_TILES}) OVER (ORDER BY frequency DESC, user_id)
+           AS f_score,
+         ntile({RFM_TILES}) OVER (ORDER BY monetary DESC, user_id)
+           AS m_score
+  FROM base
+)
+SELECT user_id, recency_days, frequency, monetary,
+       r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+       m_score::BIGINT AS m_score,
+       (r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR) AS segment
+FROM scored
+""",
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic warehouse scoring
+    workload: per purchasing user, Recency (days since last purchase,
+    vs the corpus max date so the query is reproducible), Frequency
+    and Monetary totals, each quintile-scored with ntile({RFM_TILES})
+    and concatenated into the familiar '543'-style segment label.
+    Ties inside every ntile ordering are broken by user_id so both
+    engines tile identically.
+
+    Scale shape: one user-keyed aggregation; the three ntile windows
+    are global-ORDER windows over the USER relation (already reduced),
+    which a 100 TB deployment runs as rangepartitioned sort — and the
+    corpus max date is a broadcast 1-row aggregate, not a driver
+    round-trip."""
+    e = load_table(spark, sf_dir, "events")
+    maxd = e.agg(F.max("ts").alias("corpus_max"))
+    base = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "user_id",
+            F.datediff(
+                F.col("corpus_max").cast("date"),
+                F.col("last_purchase").cast("date"),
+            )
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = F.ntile(RFM_TILES).over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
+    f = F.ntile(RFM_TILES).over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
+    m = F.ntile(RFM_TILES).over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
+    scored = base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

@@ -327,3 +327,46 @@ EXECUTE IMMEDIATE
  USING min_bal, excluded_seg
 """
     )
+
+
+@query(
+    "sql_lateral_join",
+    oracle="""
+SELECT r.r_name, t.n_name, t.n_customers
+FROM region r,
+LATERAL (
+  SELECT n.n_name, count(c.c_custkey)::BIGINT AS n_customers
+  FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_customers DESC, n.n_name
+  LIMIT 2
+) t
+""",
+)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery in the FROM clause (Spark 4 /
+    SQL:1999): for each region, the top-2 nations by customer count —
+    the 'top-N per outer row' idiom spelled as the SQL standard writes
+    it, identical text on both engines.
+
+    Catalyst decorrelates the lateral subquery into a ranked window
+    over an equi-join (DomainJoin rewrite), so the executed plan is
+    the same shuffle-once-rank-once shape as `topk_per_group` — the
+    lateral syntax costs nothing over the window spelling; this query
+    pins that equivalence."""
+    _views(spark, sf_dir, "region", "nation", "customer")
+    return spark.sql(
+        """
+SELECT r.r_name, t.n_name, t.n_customers
+FROM region r,
+LATERAL (
+  SELECT n.n_name, count(c.c_custkey) AS n_customers
+  FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_customers DESC, n.n_name
+  LIMIT 2
+) t
+"""
+    ).withColumn("n_customers", F.col("n_customers").cast("long"))

@@ -180,6 +180,7 @@ SUITES: dict[str, list[str]] = {
         "sql_recursive_cte",
         "fn_unpivot",
         "sql_session_variables",
+        "sql_lateral_join",  # r8
     ],
     "suite_window": [
         "window_gaps_islands",  # r8
@@ -192,6 +193,7 @@ SUITES: dict[str, list[str]] = {
         "topk_per_group",
     ],
     "suite_fn_scalar": [
+        "fn_url",  # r8
         "fn_string",
         "fn_string_split",
         "fn_date",
@@ -320,6 +322,7 @@ SUITES: dict[str, list[str]] = {
         "shard_manifest",
         "sample_weighted_reservoir",
         "sample_importance_resampling",
+        "pack_interleave_domains",  # r8
     ],
     "suite_tpch": [
         "q2_min_cost_supplier",
@@ -372,6 +375,7 @@ SUITES: dict[str, list[str]] = {
         "quality_expectations",
         "privacy_l_diversity",
         "privacy_dp_count_laplace",
+        "events_rfm_segmentation",  # r8
         "ts_seasonal_decompose",
         "graph_jaccard_neighbors",
     ],

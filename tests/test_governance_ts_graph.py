@@ -130,3 +130,40 @@ def test_agg_mode_is_deterministic_argmax(spark, sf_dir):
     rows = agg_mode(spark, sf_dir).collect()
     assert len(rows) == 25
     assert all(r.modal_count >= 1 for r in rows)
+
+
+def test_rfm_segments_cover_scores(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import events_rfm_segmentation
+
+    rows = events_rfm_segmentation(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+        assert r.recency_days >= 0 and r.frequency >= 1
+
+
+def test_interleave_positions_unique_and_strided(spark, sf_dir):
+    from aws_etl_pipeline_spark.llm.assembly import pack_interleave_domains
+
+    rows = pack_interleave_domains(spark, sf_dir).collect()
+    positions = [r.position for r in rows]
+    assert len(positions) == len(set(positions))  # a total order
+    assert all(r.stride_ok for r in rows)
+    # a contiguous window of n_srcs positions spans every source when
+    # sources are balanced at the head of the stream
+    head = sorted(rows, key=lambda r: r.position)[:4]
+    assert len({r.source for r in head}) == len(head)
+
+
+def test_fn_url_parses_roundtrip(spark, sf_dir):
+    from aws_etl_pipeline_spark.functions.scalar import fn_url
+
+    rows = fn_url(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:20]:
+        assert r.host.endswith(".example.com")
+        assert r.path.startswith("/docs/")
+        assert r.query.startswith("ref=corpus")
+        assert r.page_param == str(r.doc_id % 7)
+        assert r.reg_domain == "example.com"
