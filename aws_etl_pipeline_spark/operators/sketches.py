@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..cache import track
-from ..catalog import load_table
+from ..catalog import load_spread, load_table
 from ..registry import query
 
 __all__ = [
@@ -111,7 +111,12 @@ def sketch_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee (estimate never below truth) is emitted as a per-term
     verdict column, so the driver hash-pins both the arithmetic and the
     invariant."""
-    d = load_table(spark, sf_dir, "documents")
+    # load_spread: the build is compute-bound (4 md5 evaluations per
+    # token occurrence — the oracle-parity hash; production swaps in
+    # xxhash64 for ~10x less hash cost, one line, same plan); the
+    # 100x replica arrives as 2 file splits, which would serialize
+    # 256M hash calls onto 2 cores without the up-front spread.
+    d = load_spread(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok")
     ).transform(track)  # feeds the sketch build AND the exact counts
