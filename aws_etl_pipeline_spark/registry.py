@@ -109,6 +109,10 @@ def query(name: str, oracle: Optional[str] = None, doc: str = ""):
 #: seats (sim_ivf_truepq*, bpe_train_merges, stream_exec_custom_state,
 #: stream_exec_stream_join) stay put: no CORRECTNESS_r07 artifact was
 #: recorded, so they are still waiting on their first direct driver row.
+#: Round-8 second rotation: text_stats OUT (direct green r1-r6;
+#: suite_text digest) to seat stream_exec_sketch_merge -- the
+#: cross-micro-batch sketch-merge flagship whose split-invariance
+#: proof deserves a direct driver row in its first round.
 PRIORITY: tuple[str, ...] = (
     # reference-parity flagships (§2A)
     "etl_flagship",
@@ -168,7 +172,9 @@ PRIORITY: tuple[str, ...] = (
     "sim_ivf_truepq_rerank",  # rotated in r7: PQ's fp recovery stage
     "sim_brp_lsh_mllib",
     "bpe_train_merges",  # rotated in r7: multi-round BPE training loop
-    "text_stats",
+    # (text_stats rotated out r8 second rotation — suite_text digest;
+    # direct green r1-r6.)
+    "stream_exec_sketch_merge",  # rotated in r8: streaming sketch merge
     "corpus_curation_pipeline",
     "multimodal_features",
     # (sample_stable_hash is digest-covered by suite_etl_misc; keeping
