@@ -721,3 +721,70 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n_hashes=N_MINHASH, n_bands=N_BANDS,
         shingle=SHINGLE, threshold=0.2,
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id, n_chars,
+         'HTTPS://' || upper(source) || '.Example.COM/docs/'
+           || (doc_id % 50) || '/?utm_source=feed&ref=' || doc_id AS raw_url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, n_chars,
+         lower(regexp_extract(raw_url, '(?i)https?://([^/?#]+)', 1))
+           || rtrim(regexp_extract(raw_url, '(?i)https?://[^/?#]+([^?#]*)', 1), '/')
+           AS canonical_url
+  FROM urls
+)
+SELECT canonical_url,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS keeper_doc_id,
+       max(n_chars)::BIGINT AS max_chars
+FROM canon
+GROUP BY canonical_url
+HAVING count(*) > 1
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST dedup pass of every
+    web-crawl pipeline (C4/CCNet dedup by URL before touching
+    content): lowercase the host, strip the query string (tracking
+    params) and the trailing slash, then group by the canonical URL.
+    URLs are synthesized with deliberate case/param/slash noise and a
+    doc_id%200 path collision so canonical groups are non-trivial;
+    emits the duplicate groups with the kept doc (min id — the
+    'first crawl wins' policy).
+
+    100 TB shape: canonicalization is a scan-fused string expression,
+    the dedup ONE hash aggregation on the canonical key — strictly
+    cheaper than any content dedup (no shingling, no signatures), which
+    is why crawls run it first; the content tiers (exact md5, minhash,
+    semantic) follow in `corpus_curation_pipeline` order."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://"),
+        F.upper("source"),
+        F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        F.col("doc_id").cast("string"),
+    )
+    canon = F.concat(
+        F.lower(F.regexp_extract(raw, r"(?i)https?://([^/?#]+)", 1)),
+        F.regexp_replace(
+            F.regexp_extract(raw, r"(?i)https?://[^/?#]+([^?#]*)", 1), "/+$", ""
+        ),
+    )
+    return (
+        d.select("doc_id", "n_chars", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

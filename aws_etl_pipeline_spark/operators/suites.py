@@ -251,6 +251,7 @@ SUITES: dict[str, list[str]] = {
     ],
     "suite_dedup": [
         "dedup_exact",
+        "dedup_url_canonical",  # r8
         "dedup_substring",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
@@ -285,6 +286,7 @@ SUITES: dict[str, list[str]] = {
         "sim_hard_negatives",
     ],
     "suite_text": [
+        "corpus_dataset_card",  # r8
         "text_stats",
         "text_langid",
         "text_quality",

@@ -167,3 +167,31 @@ def test_fn_url_parses_roundtrip(spark, sf_dir):
         assert r.query.startswith("ref=corpus")
         assert r.page_param == str(r.doc_id % 7)
         assert r.reg_domain == "example.com"
+
+
+def test_url_canonical_groups_are_real(spark, sf_dir):
+    """Guard against the silent both-engines-wrong failure this query
+    shipped with first (case-sensitive regexes matched nothing and the
+    oracle 'agreed' on an empty canonical key): the canonical URL must
+    be a non-empty host+path and groups must reflect the %50 collision
+    design, not one giant empty-key group."""
+    from aws_etl_pipeline_spark.llm.dedup import dedup_url_canonical
+
+    rows = dedup_url_canonical(spark, sf_dir).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert ".example.com/docs/" in r.canonical_url
+        assert not r.canonical_url.endswith("/")
+        assert r.n_docs > 1 and r.keeper_doc_id is not None
+
+
+def test_dataset_card_shares_sum_to_one(spark, sf_dir):
+    from aws_etl_pipeline_spark.llm.text import corpus_dataset_card
+
+    rows = corpus_dataset_card(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.pct_of_corpus for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 <= r.exact_dup_rate < 1.0
+        assert r.n_unique_docs <= r.n_docs
+        assert r.min_chars <= r.avg_chars <= r.max_chars
