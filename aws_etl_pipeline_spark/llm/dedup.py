@@ -754,7 +754,7 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     content): lowercase the host, strip the query string (tracking
     params) and the trailing slash, then group by the canonical URL.
     URLs are synthesized with deliberate case/param/slash noise and a
-    doc_id%200 path collision so canonical groups are non-trivial;
+    doc_id%50 path collision so canonical groups are non-trivial;
     emits the duplicate groups with the kept doc (min id — the
     'first crawl wins' policy).
 

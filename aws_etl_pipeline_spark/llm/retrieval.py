@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..cache import track
-from ..catalog import load_spread, load_table
+from ..catalog import load_spread
 from ..registry import query
 
 __all__ = ["text_bm25_topk", "sim_hybrid_rrf"]
@@ -99,7 +99,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.split(F.lower(F.trim(F.col("text"))), " ")
     docs = d.select(
         "doc_id", ws.alias("ws"), F.size(ws).cast("double").alias("dl")
-    )
+    ).transform(track)  # feeds the stats fold AND the scoring pass
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -235,7 +235,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
             )
         ).alias("nrm"),
-    )
+    ).transform(track)  # feeds the query row AND the probe scan
     q = n.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
@@ -343,7 +343,7 @@ def sim_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.slice("embedding", 1, MRL_DIMS), lambda x: x.cast("double")
         ).alias("vt"),
-    )
+    ).transform(track)  # feeds the query rows AND the corpus side
     q = e.filter(F.col("vec_id") < MRL_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -454,7 +454,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
             )
         ).alias("nrm"),
-    )
+    ).transform(track)  # feeds the query rows AND the corpus side
     q = n.filter(F.col("vec_id") < MRL_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),

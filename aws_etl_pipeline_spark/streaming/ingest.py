@@ -858,13 +858,10 @@ def stream_exec_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
-def _theta_oracle() -> str:
-    from ..operators.sketches import THETA_ORACLE
-
-    return THETA_ORACLE
+from ..operators.sketches import THETA_ORACLE as _THETA_ORACLE  # noqa: E402
 
 
-@query("stream_exec_sketch_merge", oracle=_theta_oracle())
+@query("stream_exec_sketch_merge", oracle=_THETA_ORACLE)
 def stream_exec_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming execution of a mergeable sketch: the KMV/theta
     union sample (`sketch_theta_intersect`) maintained ACROSS
