@@ -1165,3 +1165,242 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+# --------------------------------------------------- Markov attribution
+MK_CHANNELS = ("view", "click", "signup", "error")
+MK_ITERS = 8
+_MKDEC = "DECIMAL(30,18)"
+
+
+def _mk_trans_sql() -> str:
+    """Journey transitions (src, dst) with removal labels, DuckDB."""
+    chans = ", ".join(f"'{c}'" for c in MK_CHANNELS)
+    return f"""
+seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         count(*) FILTER (WHERE event_type = 'purchase')
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS journey
+  FROM events
+),
+hops AS (
+  SELECT user_id, journey, event_type,
+         lag(event_type) OVER w AS prev_type,
+         lead(event_type) OVER w AS next_type
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id, journey ORDER BY ts, event_id)
+),
+raw_edges AS (
+  SELECT 'START' AS src,
+         CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS dst
+  FROM hops WHERE prev_type IS NULL
+  UNION ALL
+  SELECT event_type,
+         CASE WHEN next_type = 'purchase' THEN 'CONV'
+              WHEN next_type IS NULL THEN 'NULL'
+              ELSE next_type END
+  FROM hops WHERE event_type <> 'purchase'
+),
+labels AS (SELECT unnest(['none', {chans}]) AS removed),
+edges AS (
+  SELECT l.removed, e.src,
+         CASE WHEN e.dst = l.removed THEN 'NULL' ELSE e.dst END AS dst,
+         count(*)::DOUBLE AS n
+  FROM raw_edges e CROSS JOIN labels l
+  WHERE e.src <> l.removed
+  GROUP BY 1, 2, 3
+),
+trans AS (
+  SELECT removed, src, dst,
+         n / sum(n) OVER (PARTITION BY removed, src) AS p
+  FROM edges
+)"""
+
+
+def _mk_oracle() -> str:
+    head = "WITH " + _mk_trans_sql().lstrip() + f""",
+v0 AS (
+  SELECT removed, s, val FROM (
+    SELECT DISTINCT removed, src AS s, 0.0 AS val FROM trans
+    UNION ALL SELECT DISTINCT removed, 'CONV', 1.0 FROM trans
+    UNION ALL SELECT DISTINCT removed, 'NULL', 0.0 FROM trans
+  )
+)"""
+    steps = []
+    for k in range(1, MK_ITERS + 1):
+        steps.append(f"""
+v{k} AS (
+  SELECT removed, s, val FROM (
+    SELECT t.removed, t.src AS s,
+           round(CAST(sum(CAST(t.p * v.val AS {_MKDEC})) AS DOUBLE), 12) AS val
+    FROM trans t JOIN v{k - 1} v ON v.removed = t.removed AND v.s = t.dst
+    GROUP BY t.removed, t.src
+    UNION ALL SELECT DISTINCT removed, 'CONV', 1.0 FROM trans
+    UNION ALL SELECT DISTINCT removed, 'NULL', 0.0 FROM trans
+  )
+)""")
+    chans = ", ".join(f"'{c}'" for c in MK_CHANNELS)
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f""",
+conv AS (
+  SELECT removed, val AS conv_prob FROM v{MK_ITERS} WHERE s = 'START'
+),
+eff AS (
+  SELECT c.removed AS channel,
+         round(f.conv_prob, 12) AS conv_prob_full,
+         round(c.conv_prob, 12) AS conv_prob_removed,
+         round(1.0 - c.conv_prob / f.conv_prob, 10) AS removal_effect
+  FROM conv c, (SELECT conv_prob FROM conv WHERE removed = 'none') f
+  WHERE c.removed IN ({chans})
+)
+SELECT channel, conv_prob_full, conv_prob_removed, removal_effect,
+       round(removal_effect / sum(removal_effect) OVER (), 10)
+         AS attribution_share
+FROM eff
+"""
+    )
+
+
+@query("events_markov_attribution", oracle=_mk_oracle())
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain conversion attribution with removal effects — the
+    data-driven alternative to last-touch: user event streams are cut
+    into journeys at purchases, first-order transition probabilities
+    estimated (START / channels / absorbing CONV and NULL), absorption
+    probability from START computed by {MK_ITERS} unrolled value
+    iterations (the `graph_pagerank` precedent — DECIMAL-summed,
+    per-round rounding, so both engines walk the identical
+    trajectory), and each channel's removal effect = the conversion
+    drop when the channel is deleted (its incoming mass diverted to
+    NULL, the standard non-renormalizing construction). Shares are the
+    normalized removal effects.
+
+    100 TB shape: ONE shuffle of the event log (user-keyed windows to
+    build journeys and hops) reduces everything to the transition
+    matrix — at most (channels+1) x (channels+2) cells per removal
+    label — and the value iteration runs on that constant-size
+    relation; the removal dimension is a 5-label cross join of the
+    TINY edge table, never of events."""
+    e = load_table(spark, sf_dir, "events")
+    wj = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .over(wj)
+        .alias("journey"),
+    )
+    wh = W.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    hops = seq.select(
+        "event_type",
+        F.lag("event_type").over(wh).alias("prev_type"),
+        F.lead("event_type").over(wh).alias("next_type"),
+    )
+    starts = hops.filter(F.col("prev_type").isNull()).select(
+        F.lit("START").alias("src"),
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+    )
+    follows = hops.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("src"),
+        F.when(F.col("next_type") == "purchase", "CONV")
+        .when(F.col("next_type").isNull(), "NULL")
+        .otherwise(F.col("next_type"))
+        .alias("dst"),
+    )
+    raw_edges = starts.unionByName(follows)
+    labels = spark.createDataFrame(
+        [("none",)] + [(c,) for c in MK_CHANNELS], ["removed"]
+    )
+    edges = (
+        raw_edges.crossJoin(F.broadcast(labels))
+        .filter(F.col("src") != F.col("removed"))
+        .select(
+            "removed",
+            "src",
+            F.when(F.col("dst") == F.col("removed"), "NULL")
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+        )
+        .groupBy("removed", "src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    trans = edges.select(
+        "removed",
+        "src",
+        "dst",
+        (F.col("n") / F.sum("n").over(W.partitionBy("removed", "src"))).alias("p"),
+    ).transform(track)  # the iteration consumes it MK_ITERS times
+    absorbing = (
+        trans.select("removed")
+        .distinct()
+        .select(
+            "removed",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("CONV").alias("s"), F.lit(1.0).alias("val")),
+                    F.struct(F.lit("NULL").alias("s"), F.lit(0.0).alias("val")),
+                )
+            ).alias("a"),
+        )
+        .select("removed", "a.s", "a.val")
+        .transform(track)
+    )
+    val = trans.select(
+        "removed", F.col("src").alias("s"), F.lit(0.0).alias("val")
+    ).distinct().unionByName(absorbing)
+    for _ in range(MK_ITERS):
+        prop = (
+            trans.join(
+                val.withColumnRenamed("s", "dst"),
+                ["removed", "dst"],
+            )
+            .groupBy("removed", "src")
+            .agg(
+                F.round(
+                    F.sum((F.col("p") * F.col("val")).cast(_MKDEC)).cast("double"),
+                    12,
+                ).alias("val")
+            )
+            .select("removed", F.col("src").alias("s"), "val")
+        )
+        val = prop.unionByName(absorbing)
+    conv = val.filter(F.col("s") == "START").select(
+        "removed", F.col("val").alias("conv_prob")
+    )
+    full = conv.filter(F.col("removed") == "none").select(
+        F.col("conv_prob").alias("full_prob")
+    )
+    eff = (
+        conv.filter(F.col("removed").isin(*MK_CHANNELS))
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("removed").alias("channel"),
+            F.round(F.col("full_prob"), 12).alias("conv_prob_full"),
+            F.round(F.col("conv_prob"), 12).alias("conv_prob_removed"),
+            F.round(
+                F.lit(1.0) - F.col("conv_prob") / F.col("full_prob"), 10
+            ).alias("removal_effect"),
+        )
+    )
+    return eff.select(
+        "channel",
+        "conv_prob_full",
+        "conv_prob_removed",
+        "removal_effect",
+        F.round(
+            F.col("removal_effect") / F.sum("removal_effect").over(W.partitionBy()),
+            10,
+        ).alias("attribution_share"),
+    )

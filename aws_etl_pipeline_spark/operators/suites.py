@@ -378,6 +378,7 @@ SUITES: dict[str, list[str]] = {
         "privacy_l_diversity",
         "privacy_dp_count_laplace",
         "events_rfm_segmentation",  # r8
+        "events_markov_attribution",  # r8
         "ts_seasonal_decompose",
         "graph_jaccard_neighbors",
     ],

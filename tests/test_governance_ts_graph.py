@@ -195,3 +195,17 @@ def test_dataset_card_shares_sum_to_one(spark, sf_dir):
         assert 0.0 <= r.exact_dup_rate < 1.0
         assert r.n_unique_docs <= r.n_docs
         assert r.min_chars <= r.avg_chars <= r.max_chars
+
+
+def test_markov_attribution_shares(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import (
+        events_markov_attribution,
+    )
+
+    rows = events_markov_attribution(spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert abs(sum(r.attribution_share for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        # removing a channel can only hurt conversion (mass -> NULL)
+        assert r.conv_prob_removed <= r.conv_prob_full + 1e-9
+        assert 0.0 <= r.removal_effect <= 1.0
