@@ -1404,3 +1404,416 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).alias("attribution_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Statistical testing & monitoring (round-8 batch): the measurement
+# layer a production pipeline runs NEXT TO the warehouse queries —
+# churn survival curves, distribution-drift monitors, trend fits and
+# experiment readouts. Reference scope: the warehouse tier downstream
+# of `lambda_function.py:176` is where these run today as hand-rolled
+# SQL; here each is ONE mergeable aggregation (count / integer sums /
+# DECIMAL-exact sums of a bounded-scale cast), so the map-side combine
+# reduces 100 TB of events to a constant-size statistics relation
+# before the only shuffle. Nothing downstream of the first agg ever
+# touches the event log again. Cross-engine determinism discipline:
+# every mean/variance/slope is DERIVED from exact integer/DECIMAL sums
+# (never stddev_samp/regr_slope, whose float merge order wiggles last
+# bits), transcendentals (ln/exp) are applied to identical doubles and
+# the results DECIMAL-cast before any reduction, and every boolean
+# verdict compares the ROUNDED statistic so the flag can never
+# disagree with the reported value (the events_anomaly_days precedent).
+# --------------------------------------------------------------------------
+
+#: Users whose last activity is within this many days of the corpus
+#: horizon are right-censored (still alive), not churned.
+KM_CENSOR_DAYS = 7
+
+
+@query(
+    "events_survival_km",
+    oracle=f"""
+WITH pu AS (
+  SELECT user_id, min(ts::DATE) AS first_day, max(ts::DATE) AS last_day
+  FROM events GROUP BY 1
+),
+hz AS (SELECT max(ts::DATE) AS horizon FROM events),
+dur AS (
+  SELECT date_diff('day', first_day, last_day) AS duration,
+         (date_diff('day', last_day, horizon) < {KM_CENSOR_DAYS}) AS censored
+  FROM pu CROSS JOIN hz
+),
+km AS (
+  SELECT duration,
+         sum(CASE WHEN censored THEN 0 ELSE 1 END)::BIGINT AS d_churned,
+         sum(CASE WHEN censored THEN 1 ELSE 0 END)::BIGINT AS c_censored
+  FROM dur GROUP BY 1
+),
+risk AS (
+  SELECT duration, d_churned, c_censored,
+         sum(d_churned + c_censored) OVER
+           (ORDER BY duration
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+           AS n_at_risk
+  FROM km
+)
+SELECT duration, n_at_risk, d_churned, c_censored,
+       coalesce(round(exp(CAST(sum(CAST(ln(nullif(
+           (n_at_risk - d_churned)::DOUBLE / n_at_risk, 0.0))
+         AS DECIMAL(30,18))) OVER
+           (ORDER BY duration
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS DOUBLE)), 6), 0.0) AS survival
+FROM risk
+""",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-retention survival curve over the event log.
+
+    Per user: duration = days between first and last event; users still
+    active within ``KM_CENSOR_DAYS`` of the corpus horizon are
+    right-censored. The KM estimator S(t) = prod_{t'<=t} (1 - d/n) is
+    computed in log space — each factor's ln is DECIMAL(30,18)-cast,
+    summed over an ORDER BY duration window (a deterministic total
+    order, so both engines add in the identical sequence), and
+    exponentiated once. A factor of exactly 0 (everyone at risk churns)
+    NULLs the running sum from that point on; coalesce pins survival to
+    0.0 there on both engines, which is the true KM value.
+
+    Scale shape: ONE user_id shuffle reduces the event log to one row
+    per user (map-side combine on min/max); everything after operates
+    on the duration histogram, which is bounded by the observation
+    span in days — a constant-size relation no matter the corpus. The
+    unpartitioned ORDER BY windows run on that constant-size table
+    only. Reference: the retention readout a warehouse user would run
+    downstream of the load at `lambda_function.py:176`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    hz = ev.agg(F.max(F.to_date("ts")).alias("horizon"))
+    dur = pu.crossJoin(F.broadcast(hz)).select(
+        F.datediff("last_day", "first_day").alias("duration"),
+        (F.datediff("horizon", "last_day") < KM_CENSOR_DAYS).alias("censored"),
+    )
+    km = dur.groupBy("duration").agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("long")
+        .alias("d_churned"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_censored"),
+    )
+    w_tail = W.orderBy("duration").rowsBetween(W.currentRow, W.unboundedFollowing)
+    w_head = W.orderBy("duration").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = km.withColumn(
+        "n_at_risk",
+        F.sum(F.col("d_churned") + F.col("c_censored")).over(w_tail).cast("long"),
+    )
+    factor = (
+        (F.col("n_at_risk") - F.col("d_churned")).cast("double")
+        / F.col("n_at_risk")
+    )
+    ln_term = F.log(F.nullif(factor, F.lit(0.0))).cast("decimal(30,18)")
+    survival = F.coalesce(
+        F.round(F.exp(F.sum(ln_term).over(w_head).cast("double")), 6),
+        F.lit(0.0),
+    )
+    return risk.select(
+        "duration", "n_at_risk", "d_churned", "c_censored",
+        survival.alias("survival"),
+    )
+
+
+#: PSI verdict threshold (industry convention: <0.1 stable, >0.25 major).
+PSI_THRESHOLD = 0.1
+
+#: Laplace smoothing mass: 0.5 per bucket, 5 nominal value buckets.
+_PSI_SMOOTH, _PSI_SMOOTH_TOT = 0.5, 2.5
+
+_PSI_BUCKET_SQL = """CASE WHEN value IS NULL THEN 'null'
+              WHEN abs(value) < 25 THEN 'small'
+              WHEN abs(value) < 100 THEN 'medium'
+              WHEN abs(value) < 500 THEN 'large'
+              ELSE 'very_large' END"""
+
+
+@query(
+    "quality_drift_psi",
+    oracle=f"""
+WITH days AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE) AS day, value
+  FROM events
+),
+bounds AS (
+  SELECT min(day) + CAST(floor((max(day) - min(day)) / 2.0) AS BIGINT)
+           AS dmid
+  FROM days
+),
+b AS (
+  SELECT event_type,
+         {_PSI_BUCKET_SQL} AS bucket,
+         CASE WHEN day <= dmid THEN 1 ELSE 0 END AS is_base
+  FROM days CROSS JOIN bounds
+),
+cnt AS (
+  SELECT event_type, bucket,
+         sum(is_base)::BIGINT AS n_base,
+         sum(1 - is_base)::BIGINT AS n_cur
+  FROM b GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(n_base)::BIGINT AS t_base,
+         sum(n_cur)::BIGINT AS t_cur
+  FROM cnt GROUP BY 1
+),
+terms AS (
+  SELECT c.event_type,
+         (c.n_base + {_PSI_SMOOTH}) / (t.t_base + {_PSI_SMOOTH_TOT}) AS p,
+         (c.n_cur + {_PSI_SMOOTH}) / (t.t_cur + {_PSI_SMOOTH_TOT}) AS q
+  FROM cnt c JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       round(CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(30,18)))
+                  AS DOUBLE), 6) AS psi,
+       round(CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(30,18)))
+                  AS DOUBLE), 6) > {PSI_THRESHOLD} AS drifted
+FROM terms GROUP BY event_type
+""",
+)
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor: compares the `value`
+    distribution per event type between the first and second half of
+    the observation window (split at the midpoint day, integer date
+    arithmetic so both engines cut identically).
+
+    Buckets are the engine's fixed bucketize edges (25/100/500, the
+    R9 thresholds) plus a null bucket — fixed edges rather than
+    period-1 quantiles so the monitor is deterministic and the bucket
+    function is a single codegen CASE. Counts are exact integers;
+    p/q are Laplace-smoothed (0.5 per bucket over 5 nominal buckets)
+    so ln never sees 0; each (p-q)*ln(p/q) term is DECIMAL-cast before
+    the per-type sum, making the reduction order-independent. The
+    drift verdict compares the ROUNDED psi.
+
+    Scale shape: one scan, one groupBy(event_type, bucket) with
+    map-side combine — the monitor's state is (types x 6) rows
+    regardless of corpus size; totals re-aggregate that tiny relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),
+        "value",
+    )
+    bounds = days.agg(
+        (
+            F.min("day")
+            + F.floor((F.max("day") - F.min("day")) / 2.0).cast("long")
+        ).alias("dmid")
+    )
+    av = F.abs(F.col("value"))
+    bucket = (
+        F.when(F.col("value").isNull(), "null")
+        .when(av < 25, "small")
+        .when(av < 100, "medium")
+        .when(av < 500, "large")
+        .otherwise("very_large")
+    )
+    b = days.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        bucket.alias("bucket"),
+        F.when(F.col("day") <= F.col("dmid"), 1).otherwise(0).alias("is_base"),
+    )
+    cnt = b.groupBy("event_type", "bucket").agg(
+        F.sum("is_base").cast("long").alias("n_base"),
+        F.sum(F.lit(1) - F.col("is_base")).cast("long").alias("n_cur"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n_base").cast("long").alias("t_base"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    p = (F.col("n_base") + _PSI_SMOOTH) / (F.col("t_base") + _PSI_SMOOTH_TOT)
+    q = (F.col("n_cur") + _PSI_SMOOTH) / (F.col("t_cur") + _PSI_SMOOTH_TOT)
+    term = ((p - q) * F.log(p / q)).cast("decimal(30,18)")
+    psi = F.round(F.sum(term).cast("double"), 6)
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(psi.alias("psi"), (psi > PSI_THRESHOLD).alias("drifted"))
+    )
+
+
+@query(
+    "agg_regression_ols",
+    oracle="""
+WITH pts AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS x,
+         CAST(value AS DECIMAL(18,6)) AS y
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM pts GROUP BY 1
+)
+SELECT event_type, n,
+       round((n * sxy - sx * sy)
+             / nullif(n * sxx - sx * sx, 0.0), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) * sx)
+             / n, 6) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0), 6)
+         AS r2
+FROM s
+""",
+)
+def agg_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend fit (value vs. day) from
+    closed-form sufficient statistics — the distributed alternative to
+    `regr_slope`/`regr_r2`, whose streaming float merges are
+    partition-order-dependent.
+
+    The five sufficient statistics (sum x, sum x2, sum y, sum xy,
+    sum y2) are EXACT: x is an integer day number, y is value cast to
+    DECIMAL(18,6), so every sum is integer/DECIMAL arithmetic that any
+    merge order reproduces bit-for-bit. Slope/intercept/R2 are then
+    derived in IEEE double from those exact sums — identical on both
+    engines. This is the textbook one-pass OLS: at 100 TB the map-side
+    combine reduces the corpus to 5 numbers per group before the only
+    shuffle, and the fit itself is free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    var_x_n = n * sxx - sx * sx
+    slope = cov_n / F.nullif(var_x_n, F.lit(0.0))
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            cov_n * cov_n
+            / F.nullif(var_x_n * (n * syy - sy * sy), F.lit(0.0)),
+            6,
+        ).alias("r2"),
+    )
+
+
+#: Two-sided 5% critical value of the normal approximation.
+TTEST_CRIT = 1.96
+
+
+@query(
+    "events_abtest_welch",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, user_id % 2 AS variant,
+         CAST(value AS DECIMAL(18,6)) AS y
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type,
+         count(*) FILTER (variant = 0)::BIGINT AS n0,
+         count(*) FILTER (variant = 1)::BIGINT AS n1,
+         CAST(sum(y) FILTER (variant = 0) AS DOUBLE) AS s0,
+         CAST(sum(y) FILTER (variant = 1) AS DOUBLE) AS s1,
+         CAST(sum(y * y) FILTER (variant = 0) AS DOUBLE) AS ss0,
+         CAST(sum(y * y) FILTER (variant = 1) AS DOUBLE) AS ss1
+  FROM pts GROUP BY 1
+),
+w AS (
+  SELECT event_type, n0, n1,
+         s0 / n0 AS m0, s1 / n1 AS m1,
+         (ss0 - s0 * s0 / n0) / (n0 - 1) / n0 AS vn0,
+         (ss1 - s1 * s1 / n1) / (n1 - 1) / n1 AS vn1
+  FROM s
+)
+SELECT event_type, n0, n1,
+       round(m0, 6) AS mean_control,
+       round(m1, 6) AS mean_treatment,
+       round((m1 - m0) / nullif(sqrt(vn0 + vn1), 0.0), 6) AS t_stat,
+       round((vn0 + vn1) * (vn0 + vn1)
+             / nullif(vn0 * vn0 / (n0 - 1) + vn1 * vn1 / (n1 - 1), 0.0), 2)
+         AS welch_dof,
+       abs(round((m1 - m0) / nullif(sqrt(vn0 + vn1), 0.0), 6))
+         > {TTEST_CRIT} AS significant
+FROM w
+""",
+)
+def events_abtest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t-test of the
+    `value` metric between two deterministic variants (user_id parity —
+    the stable hash-split an experimentation platform uses), per event
+    type, with the Welch-Satterthwaite effective degrees of freedom.
+
+    Means and variances are DERIVED from exact sums (count, DECIMAL
+    sum, DECIMAL sum of squares) in a SINGLE conditional aggregate —
+    never avg/var_samp, whose float merge order differs per partition
+    layout. The significance flag compares the ROUNDED t statistic to
+    the 5% normal critical value so flag and statistic can never
+    disagree. One scan, one event_type shuffle of 7 numbers per group:
+    the experiment readout over 100 TB costs exactly one map-side-
+    combined aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    is0 = F.col("variant") == 0
+    is1 = F.col("variant") == 1
+    s = pts.groupBy("event_type").agg(
+        F.count(F.when(is0, 1)).cast("long").alias("n0"),
+        F.count(F.when(is1, 1)).cast("long").alias("n1"),
+        F.sum(F.when(is0, F.col("y"))).cast("double").alias("s0"),
+        F.sum(F.when(is1, F.col("y"))).cast("double").alias("s1"),
+        F.sum(F.when(is0, F.col("y") * F.col("y"))).cast("double").alias("ss0"),
+        F.sum(F.when(is1, F.col("y") * F.col("y"))).cast("double").alias("ss1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    m0 = F.col("s0") / n0
+    m1 = F.col("s1") / n1
+    vn0 = (F.col("ss0") - F.col("s0") * F.col("s0") / n0) / (n0 - 1) / n0
+    vn1 = (F.col("ss1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1) / n1
+    t = F.round((m1 - m0) / F.nullif(F.sqrt(vn0 + vn1), F.lit(0.0)), 6)
+    return s.select(
+        "event_type",
+        "n0",
+        "n1",
+        F.round(m0, 6).alias("mean_control"),
+        F.round(m1, 6).alias("mean_treatment"),
+        t.alias("t_stat"),
+        F.round(
+            (vn0 + vn1) * (vn0 + vn1)
+            / F.nullif(
+                vn0 * vn0 / (n0 - 1) + vn1 * vn1 / (n1 - 1), F.lit(0.0)
+            ),
+            2,
+        ).alias("welch_dof"),
+        (F.abs(t) > TTEST_CRIT).alias("significant"),
+    )

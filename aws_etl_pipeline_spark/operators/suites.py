@@ -381,6 +381,11 @@ SUITES: dict[str, list[str]] = {
         "events_markov_attribution",  # r8
         "ts_seasonal_decompose",
         "graph_jaccard_neighbors",
+        # r8 third batch: statistical testing & monitoring
+        "events_survival_km",
+        "quality_drift_psi",
+        "agg_regression_ols",
+        "events_abtest_welch",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

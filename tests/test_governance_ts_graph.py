@@ -1,6 +1,8 @@
 """Round-8 governance / time-series / node-similarity operators:
 domain invariants plus the single-pass and wedge-join plan contracts."""
 
+import re
+
 from pyspark.sql import functions as F
 
 from aws_etl_pipeline_spark.operators.analytics import (
@@ -209,3 +211,66 @@ def test_markov_attribution_shares(spark, sf_dir):
         # removing a channel can only hurt conversion (mass -> NULL)
         assert r.conv_prob_removed <= r.conv_prob_full + 1e-9
         assert 0.0 <= r.removal_effect <= 1.0
+
+
+# -- round-8 statistical testing & monitoring batch -------------------------
+
+
+def test_survival_km_is_monotone_nonincreasing(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import events_survival_km
+
+    rows = sorted(
+        events_survival_km(spark, sf_dir).collect(), key=lambda r: r.duration
+    )
+    assert rows, "empty KM table"
+    # S is a product of factors in [0,1]: monotone non-increasing in t.
+    survs = [r.survival for r in rows]
+    assert all(a >= b for a, b in zip(survs, survs[1:])), survs
+    assert all(0.0 <= s <= 1.0 for s in survs)
+    # at-risk counts telescope: n_t - (d_t + c_t) = n_{t+1}.
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_at_risk - a.d_churned - a.c_censored == b.n_at_risk
+
+
+def test_drift_psi_nonnegative_and_symmetric_zero(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import quality_drift_psi
+
+    rows = quality_drift_psi(spark, sf_dir).collect()
+    assert rows
+    # PSI is an f-divergence: >= 0, and the flag must agree with the value.
+    for r in rows:
+        assert r.psi >= 0.0, r
+        assert r.drifted == (r.psi > 0.1), r
+
+
+def test_regression_ols_r2_bounds_and_single_agg(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import agg_regression_ols
+    from aws_etl_pipeline_spark.plans.explain import plan_string
+
+    df = agg_regression_ols(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.r2 is None or -1e-9 <= r.r2 <= 1.0 + 1e-9, r
+    # one scan, one aggregate: the fit must never cost a second pass
+    # (formatted output names each node twice: tree + detail header).
+    plan = plan_string(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_abtest_welch_flag_matches_stat(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import events_abtest_welch
+    from aws_etl_pipeline_spark.plans.explain import plan_string
+
+    df = events_abtest_welch(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.n0 > 0 and r.n1 > 0
+        assert r.significant == (abs(r.t_stat) > 1.96), r
+        assert r.welch_dof is None or r.welch_dof > 0
+        # Welch dof is bounded above by the pooled dof.
+        if r.welch_dof is not None:
+            assert r.welch_dof <= r.n0 + r.n1 - 2 + 1e-9
+    plan = plan_string(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

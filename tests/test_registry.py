@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 250  # COVERAGE.md "250 named queries total"
-DOCUMENTED_GRANULAR = 230
+DOCUMENTED_TOTAL = 254  # COVERAGE.md "254 named queries total"
+DOCUMENTED_GRANULAR = 234
 DOCUMENTED_SUITES = 20
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
