@@ -53,7 +53,7 @@ from ._digest_spec import COLSPEC
 # runs. registry.all_queries() imports them first anyway; these imports
 # make `import ...operators.suites` safe STANDALONE too (a test that
 # touches only one operator module plus SUITES used to blow up here).
-from . import analytics, etl, graph, relational, setops, sketches  # noqa: F401,E402
+from . import analytics, etl, geo, graph, relational, setops, sketches  # noqa: F401,E402
 from . import sql_surface, tpch_extra, upsert, windows  # noqa: F401,E402
 from ..functions import scalar, udfs  # noqa: F401,E402
 from ..sources import scans  # noqa: F401,E402
@@ -394,6 +394,11 @@ SUITES: dict[str, list[str]] = {
         "sketch_theta_intersect",
         # r8 second batch: mergeable-bin quantiles
         "sketch_histogram_quantiles",
+    ],
+    "suite_geo": [
+        "geo_grid_density",
+        "geo_radius_join",
+        "geo_nearest_hub",
     ],
 }
 

@@ -166,7 +166,8 @@ PRIORITY: tuple[str, ...] = (
     # (dedup_semantic / dedup_containment_lsh rotated out r7 —
     # suite_dedup digest; direct green r6. sim_ivf_pq renamed to
     # sim_ivf_sq8 in r7 and digest-covered by suite_sim.)
-    "sim_bruteforce_topk",
+    # (sim_bruteforce_topk rotated out r8 third rotation — suite_sim
+    # digest; direct green r1-r6 — to seat the new suite_geo digest.)
     "sim_lsh_ann",
     "sim_ivf_truepq",  # rotated in r7: true product quantization + ADC
     "sim_ivf_truepq_rerank",  # rotated in r7: PQ's fp recovery stage
@@ -201,6 +202,7 @@ PRIORITY: tuple[str, ...] = (
     "suite_etl_misc",
     "suite_analytics",
     "suite_sketches",  # rotated in r8: the mergeable-sketch family digest
+    "suite_geo",  # rotated in r8: grid-blocked spatial join family digest
     # (q7/q18 deliberately NOT in the priority block: suite_tpch
     # digest-covers all 20 extra TPC-H shapes; tests pin len <= 50
     # so nothing silently falls off the driver's budget again)
@@ -210,7 +212,7 @@ PRIORITY: tuple[str, ...] = (
 def all_queries() -> dict[str, Query]:
     """Import all operator modules (populating the registry) and return
     it, priority queries first (see :data:`PRIORITY`)."""
-    from .operators import etl, relational, setops, sql_surface, tpch_extra, windows, upsert, analytics, graph, sketches  # noqa: F401
+    from .operators import etl, relational, setops, sql_surface, tpch_extra, windows, upsert, analytics, graph, sketches, geo  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
     from .sources import scans  # noqa: F401
     from .streaming import batch_windows, ingest  # noqa: F401

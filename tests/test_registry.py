@@ -28,9 +28,9 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 254  # COVERAGE.md "254 named queries total"
-DOCUMENTED_GRANULAR = 234
-DOCUMENTED_SUITES = 20
+DOCUMENTED_TOTAL = 258  # COVERAGE.md "258 named queries total"
+DOCUMENTED_GRANULAR = 237
+DOCUMENTED_SUITES = 21
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
 
@@ -129,3 +129,8 @@ def test_rotated_out_slots_stay_digest_covered():
         assert rotated_out in digest_covered, rotated_out
     for rotated_in in ("stream_exec_custom_state", "stream_exec_stream_join"):
         assert rotated_in in PRIORITY, rotated_in
+    # the round-8 THIRD rotation: suite_geo (grid-blocked spatial
+    # family) takes the digest slot vacated by sim_bruteforce_topk
+    # (direct green r1-r6, digest-covered by suite_sim)
+    assert "sim_bruteforce_topk" in digest_covered
+    assert "suite_geo" in PRIORITY
