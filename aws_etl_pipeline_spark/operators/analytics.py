@@ -1817,3 +1817,318 @@ def events_abtest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("welch_dof"),
         (F.abs(t) > TTEST_CRIT).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series statistics (round-8 seventh batch): autocorrelation,
+# CUSUM changepoint detection, Theil-Sen robust trend. All three run
+# on the DAILY ROLLUP — one event_type-keyed shuffle reduces the event
+# log to at most (types x observation-span-in-days) rows, a
+# calendar-bounded relation no matter the corpus size — so even the
+# O(n^2) pair work in Theil-Sen is constant-cost at 100 TB. The
+# determinism discipline is the statistical-testing batch's: means,
+# variances and every summed product are DECIMAL-cast before
+# reduction; ordered windows order by day (a total order within a
+# type); verdicts compare ROUNDED statistics.
+# --------------------------------------------------------------------------
+
+#: Shared daily value rollup: exact DECIMAL sum of `value` per
+#: (event_type, epoch-day). Engine-neutral day index (datediff from
+#: 1970-01-01) — the agg_regression_ols precedent.
+_DAILY_SQL = """
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def _daily_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rollup = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    )
+    # the rollup feeds 2-3 branches (self-joins, stats passes); persist
+    # the calendar-bounded relation so the event log is scanned ONCE
+    # (session-scoped cache, cleared at harness boundaries)
+    return track(rollup)
+
+
+#: Maximum autocorrelation lag emitted (days).
+ACF_MAX_LAG = 7
+
+
+@query(
+    "ts_autocorrelation",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL}),
+d2 AS (
+  SELECT event_type, day, v,
+         CAST(sum(CAST(v AS DECIMAL(18,2))) OVER (PARTITION BY event_type) AS DOUBLE)
+           / count(*) OVER (PARTITION BY event_type) AS mean,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+stats AS (
+  SELECT event_type,
+         CAST(sum(CAST((v - mean) * (v - mean) AS DECIMAL(38,10))) AS DOUBLE) AS denom,
+         count(*)::BIGINT AS n_days
+  FROM d2 GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type, k.lag, a.v AS va, a.mean AS mean, b.v AS vb
+  FROM d2 a
+  CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) k(lag)
+  JOIN d2 b ON b.event_type = a.event_type AND b.rn = a.rn - k.lag
+),
+acf AS (
+  SELECT event_type, lag::BIGINT AS lag,
+         CAST(sum(CAST((va - mean) * (vb - mean) AS DECIMAL(38,10))) AS DOUBLE) AS num,
+         count(*)::BIGINT AS n_pairs
+  FROM pairs GROUP BY 1, 2
+)
+SELECT a.event_type, a.lag, round(a.num / s.denom, 6) AS acf, a.n_pairs
+FROM acf a JOIN stats s USING (event_type)
+""",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily value series at lags 1..7
+    per event type — the seasonality/persistence diagnostic behind
+    every forecasting decision (a weekly cycle shows as a lag-7 peak).
+
+    ACF_k = sum((v_t - mean)(v_{t-k} - mean)) / sum((v_t - mean)^2),
+    lags taken over the row sequence of OBSERVED days ordered by day
+    (the synthetic series is dense; on a gappy series resample through
+    ts_resample_gapfill first — documented boundary). Every summed
+    product is DECIMAL(38,10)-cast so reduction order cannot wiggle
+    bits; the mean comes from the exact DECIMAL sum over an
+    unpartitioned-by-order window. Lag pairing is a rank self-join
+    (b.rn = a.rn - k) on the daily rollup — at 100 TB that relation is
+    (types x span-days), constant-bounded, so the 7x pair expansion is
+    free; the event log is touched exactly once.
+    """
+    daily = _daily_value_rollup(spark, sf_dir)
+    w_all = W.partitionBy("event_type")
+    w_ord = W.partitionBy("event_type").orderBy("day")
+    d2 = daily.select(
+        "event_type",
+        "day",
+        "v",
+        (
+            F.sum(F.col("v").cast("decimal(18,2)")).over(w_all).cast("double")
+            / F.count(F.lit(1)).over(w_all)
+        ).alias("mean"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    stats = d2.groupBy("event_type").agg(
+        F.sum(((F.col("v") - F.col("mean")) * (F.col("v") - F.col("mean"))).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("denom"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = d2.crossJoin(F.broadcast(lags))
+    b = d2.select(
+        F.col("event_type").alias("b_type"),
+        F.col("rn").alias("b_rn"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("b_type") == F.col("event_type")) & (F.col("b_rn") == F.col("rn") - F.col("lag")),
+    )
+    acf = pairs.groupBy("event_type", "lag").agg(
+        F.sum(((F.col("v") - F.col("mean")) * (F.col("vb") - F.col("mean"))).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("num"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return acf.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "lag",
+        F.round(F.col("num") / F.col("denom"), 6).alias("acf"),
+        "n_pairs",
+    )
+
+
+#: Brownian-bridge max-|B(t)| 5% critical value (the Kolmogorov
+#: distribution's 1.358): threshold = KS_CRIT * sqrt(n) for the CUSUM
+#: of standardized deviations under the no-shift null.
+KS_CRIT = 1.358
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL}),
+d2 AS (
+  SELECT event_type, day, v,
+         CAST(sum(CAST(v AS DECIMAL(18,2))) OVER (PARTITION BY event_type) AS DOUBLE)
+           / count(*) OVER (PARTITION BY event_type) AS mean,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM daily
+),
+d3 AS (
+  SELECT *, sqrt(
+           CAST(sum(CAST((v - mean) * (v - mean) AS DECIMAL(38,10)))
+                OVER (PARTITION BY event_type) AS DOUBLE) / (n - 1)
+         ) AS sd
+  FROM d2
+),
+c AS (
+  SELECT event_type, day, n,
+         round(abs(CAST(sum(CAST((v - mean) / sd AS DECIMAL(38,10)))
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE)), 6) AS abs_s
+  FROM d3
+),
+m AS (SELECT *, max(abs_s) OVER (PARTITION BY event_type) AS mx FROM c)
+SELECT event_type, max(n) AS n_days,
+       min(CASE WHEN abs_s = mx THEN day END)::BIGINT AS change_day,
+       max(mx) AS max_abs_cusum,
+       (max(mx) > {KS_CRIT} * sqrt(max(n))) AS shift_detected
+FROM m GROUP BY 1
+""",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detector per event type: the running sum of
+    standardized daily deviations, its maximum |S_t|, the day it
+    peaks (= the estimated shift point), and a Brownian-bridge
+    significance verdict (max > 1.358*sqrt(n) rejects "no shift" at
+    ~5%).
+
+    The cumulative window orders by day — a total order within a type,
+    so both engines add the DECIMAL-cast standardized terms in the
+    identical sequence. The argmax tie-break is min(day) among rows
+    whose ROUNDED |S| equals the rounded max, so the reported
+    changepoint can never disagree with the reported statistic. Scale:
+    everything after the one event_type-day shuffle runs on the
+    calendar-bounded rollup.
+    """
+    daily = _daily_value_rollup(spark, sf_dir)
+    w_all = W.partitionBy("event_type")
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d2 = daily.select(
+        "event_type",
+        "day",
+        "v",
+        (
+            F.sum(F.col("v").cast("decimal(18,2)")).over(w_all).cast("double")
+            / F.count(F.lit(1)).over(w_all)
+        ).alias("mean"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    d3 = d2.withColumn(
+        "sd",
+        F.sqrt(
+            F.sum(
+                ((F.col("v") - F.col("mean")) * (F.col("v") - F.col("mean"))).cast(
+                    "decimal(38,10)"
+                )
+            )
+            .over(w_all)
+            .cast("double")
+            / (F.col("n") - 1)
+        ),
+    )
+    c = d3.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(
+            F.abs(
+                F.sum(((F.col("v") - F.col("mean")) / F.col("sd")).cast("decimal(38,10)"))
+                .over(w_cum)
+                .cast("double")
+            ),
+            6,
+        ).alias("abs_s"),
+    )
+    m = c.withColumn("mx", F.max("abs_s").over(w_all))
+    return m.groupBy("event_type").agg(
+        F.max("n").alias("n_days"),
+        F.min(F.when(F.col("abs_s") == F.col("mx"), F.col("day")))
+        .cast("long")
+        .alias("change_day"),
+        F.max("mx").alias("max_abs_cusum"),
+        (F.max("mx") > KS_CRIT * F.sqrt(F.max("n"))).alias("shift_detected"),
+    )
+
+
+@query(
+    "ts_theil_sen",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL}),
+pairs AS (
+  SELECT a.event_type, (b.v - a.v) / (b.day - a.day) AS slope
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day > a.day
+),
+sl AS (
+  SELECT event_type, round(quantile_cont(slope, 0.5), 6) AS sen_slope,
+         count(*)::BIGINT AS n_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT d.event_type, count(*)::BIGINT AS n_days, max(s.n_pairs) AS n_pairs,
+       max(s.sen_slope) AS sen_slope,
+       round(quantile_cont(d.v - s.sen_slope * d.day, 0.5), 6) AS sen_intercept
+FROM daily d JOIN sl s ON s.event_type = d.event_type
+GROUP BY 1
+""",
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all
+    pairwise daily slopes plus the matching median intercept — the
+    outlier-resistant complement to agg_regression_ols (one corrupted
+    day moves OLS; it cannot move a median of ~n^2/2 slopes).
+
+    The O(n^2) pair self-join runs on the daily rollup, whose row
+    count is calendar-bounded (types x span-days) at ANY corpus size —
+    the same reason dedup_substring's window expansion is safe. Slopes
+    are identical doubles on both engines (differences and one
+    division of exact-rollup values); the median is the exact
+    interpolated percentile ROUNDED before the intercept pass reuses
+    it, so the two stages cannot disagree across engines. The event
+    log is scanned once.
+    """
+    daily = _daily_value_rollup(spark, sf_dir)
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("v").alias("b_v"),
+    )
+    pairs = daily.join(
+        b,
+        (F.col("b_type") == F.col("event_type")) & (F.col("b_day") > F.col("day")),
+    ).select(
+        "event_type",
+        ((F.col("b_v") - F.col("v")) / (F.col("b_day") - F.col("day"))).alias("slope"),
+    )
+    sl = pairs.groupBy("event_type").agg(
+        F.round(F.percentile("slope", 0.5), 6).alias("sen_slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return (
+        daily.join(F.broadcast(sl), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("n_pairs").alias("n_pairs"),
+            F.max("sen_slope").alias("sen_slope"),
+            F.round(
+                F.percentile(F.col("v") - F.col("sen_slope") * F.col("day"), 0.5), 6
+            ).alias("sen_intercept"),
+        )
+    )

@@ -386,6 +386,10 @@ SUITES: dict[str, list[str]] = {
         "quality_drift_psi",
         "agg_regression_ols",
         "events_abtest_welch",
+        # r8 seventh batch: time-series statistics on the daily rollup
+        "ts_autocorrelation",
+        "ts_cusum_changepoint",
+        "ts_theil_sen",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

@@ -274,3 +274,68 @@ def test_abtest_welch_flag_matches_stat(spark, sf_dir):
             assert r.welch_dof <= r.n0 + r.n1 - 2 + 1e-9
     plan = plan_string(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_autocorrelation_bounds_and_pairs(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import (
+        ACF_MAX_LAG,
+        ts_autocorrelation,
+        ts_cusum_changepoint,
+        ts_theil_sen,
+    )
+
+    rows = ts_autocorrelation(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        assert 1 <= r.lag <= ACF_MAX_LAG
+        # Cauchy-Schwarz: |sample ACF| <= 1 (tiny slack for the final
+        # double division)
+        assert abs(r.acf) <= 1.0 + 1e-9
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        # n_pairs must fall by exactly 1 per extra lag on a dense series
+        rs = sorted(rs, key=lambda r: r.lag)
+        for a, b in zip(rs, rs[1:]):
+            assert a.n_pairs == b.n_pairs + 1
+
+
+def test_cusum_changepoint_within_series(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import ts_cusum_changepoint
+
+    rows = ts_cusum_changepoint(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_abs_cusum >= 0.0
+        assert r.change_day is not None and r.n_days > 1
+
+
+def test_theil_sen_pair_arithmetic(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import ts_theil_sen
+
+    rows = ts_theil_sen(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # a self-join on day > day must produce exactly C(n,2) pairs —
+        # any other count means the join condition leaked
+        assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+        assert r.sen_slope is not None and r.sen_intercept is not None
+
+
+def test_ts_stats_scan_events_once(spark, sf_dir):
+    """All three run on the daily rollup: exactly ONE events scan in
+    each plan — the pair/lag expansions must never touch the log."""
+    import re as _re
+
+    from aws_etl_pipeline_spark.operators.analytics import (
+        ts_autocorrelation,
+        ts_cusum_changepoint,
+        ts_theil_sen,
+    )
+
+    for fn in (ts_cusum_changepoint, ts_autocorrelation, ts_theil_sen):
+        plan = plan_string(fn(spark, sf_dir))
+        scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+        # the persisted rollup shows as InMemoryTableScan; the raw
+        # events scan may appear at most once
+        assert scans <= 1, f"{fn.__name__}: {scans} parquet scans"
