@@ -228,6 +228,8 @@ SUITES: dict[str, list[str]] = {
         "scan_bucketed_join",
         "scan_schema_evolution",
         "scan_xml_roundtrip",
+        # r8: stride-partitioned parallel JDBC ingest (embedded Derby)
+        "scan_jdbc_partitioned",
     ],
     "suite_streaming": [
         "stream_tumbling_window",

@@ -424,3 +424,105 @@ def scan_avro_roundtrip_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda tmp: n.write.mode("overwrite").format("avro").save(tmp), out
     )
     return spark.read.schema(TESTDATA["nation"]).format("avro").load(out)
+
+
+# --------------------------------------------------------------------------
+# Partitioned-parallel JDBC ingest (round-8 batch). The classic "lift
+# an operational database into the lake" source: a stride-partitioned
+# read where every executor pulls its own key range over its own
+# connection. Runs for real against embedded Apache Derby (bundled in
+# Spark's classpath — the test_jdbc_merge precedent), so the exact
+# production code path (bounds probe -> N predicate-disjoint range
+# queries in parallel) executes end-to-end.
+# --------------------------------------------------------------------------
+
+#: parallel connections for the partitioned read.
+_JDBC_PARTS = 8
+
+_DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _derby_customer_db(spark: SparkSession, sf_dir: str) -> str:
+    """Seed (once per sf fingerprint) an embedded Derby database with
+    the customer table — the stand-in operational DB. Column names are
+    written UPPERCASE so Spark's unquoted partition predicates
+    (``C_CUSTKEY >= ?``) resolve against Derby's case-folding."""
+    out = _fixture_dir(sf_dir, "derby_cust")
+    if not os.path.exists(out):
+        cust = load_table(spark, sf_dir, "customer")
+
+        def build(tmp: str) -> None:
+            up = cust.select(
+                *[F.col(c).alias(c.upper()) for c in cust.columns]
+            )
+            up.coalesce(2).write.jdbc(
+                url=f"jdbc:derby:{tmp};create=true",
+                table="CUSTOMER_JDBC",
+                mode="errorifexists",
+                properties=_DERBY_PROPS,
+            )
+            # cleanly shut the db down before the rename swap — Derby
+            # keeps booted databases open in the JVM, and renaming an
+            # open store corrupts it. Successful shutdown SIGNALS via
+            # SQLException 08006 by design.
+            try:
+                spark._jvm.java.sql.DriverManager.getConnection(  # noqa: SLF001
+                    f"jdbc:derby:{tmp};shutdown=true"
+                )
+            except Exception:
+                pass
+
+        _publish_fixture(build, out)
+    return out
+
+
+@query(
+    "scan_jdbc_partitioned",
+    oracle="""
+SELECT c_nationkey, count(*)::BIGINT AS n,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+       min(c_custkey)::BIGINT AS min_key, max(c_custkey)::BIGINT AS max_key
+FROM customer GROUP BY 1
+""",
+)
+def scan_jdbc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-partitioned parallel JDBC ingest: bounds probe (one-row
+    query, the only driver-side action) then an 8-way range-partitioned
+    read — Spark issues 8 disjoint ``C_CUSTKEY`` range queries over 8
+    connections, so an operational-DB lift scales with executors
+    instead of serializing through one cursor. The per-nation exact
+    aggregate downstream makes the correctness contract sharp: any
+    row lost or duplicated at a partition boundary (the classic
+    off-by-one in lowerBound/upperBound handling) flips the hash vs
+    the parquet oracle.
+
+    Scale notes: ranges are contiguous key strides — a skewed key
+    distribution skews connections (Spark's documented behavior);
+    production mitigations are a hashed synthetic partition column or
+    predicates=[...] with explicit split points. upperBound is max+1
+    because Spark's last stride is inclusive-exclusive. Reference:
+    the psycopg2 single-cursor load at `lambda_function.py:176` is the
+    serial form of this operator.
+    """
+    db = _derby_customer_db(spark, sf_dir)
+    url = f"jdbc:derby:{db}"
+    bounds = spark.read.jdbc(
+        url,
+        "(SELECT MIN(C_CUSTKEY) LO, MAX(C_CUSTKEY) HI FROM CUSTOMER_JDBC) B",
+        properties=_DERBY_PROPS,
+    ).first()
+    cust = spark.read.jdbc(
+        url,
+        "CUSTOMER_JDBC",
+        column="C_CUSTKEY",
+        lowerBound=int(bounds["LO"]),
+        upperBound=int(bounds["HI"]) + 1,
+        numPartitions=_JDBC_PARTS,
+        properties=_DERBY_PROPS,
+    )
+    return cust.groupBy(F.col("C_NATIONKEY").alias("c_nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("C_ACCTBAL").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        F.min("C_CUSTKEY").cast("long").alias("min_key"),
+        F.max("C_CUSTKEY").cast("long").alias("max_key"),
+    )

@@ -221,3 +221,46 @@ def test_merge_into_jdbc_quoted_spaced_target(spark, derby_url):
     got = spark.read.jdbc(url=derby_url, table='"txn space"').orderBy("id")
     assert [tuple(r) for r in got.collect()] == [(1, 9.0), (2, 2.0)]
     assert _staging_tables(spark, derby_url) == []
+
+
+def test_scan_jdbc_partitioned_parallelism(spark, sf_dir):
+    """The partitioned read must actually fan out: 8 stride partitions,
+    and their union must lose/duplicate nothing vs the parquet source
+    (the agg query hash-checks values; this pins the physical layout)."""
+    from aws_etl_pipeline_spark.sources.scans import (
+        _DERBY_PROPS,
+        _JDBC_PARTS,
+        _derby_customer_db,
+        scan_jdbc_partitioned,
+    )
+
+    if not _derby_available(spark):
+        pytest.skip("Derby JDBC driver not on Spark classpath")
+
+    db = _derby_customer_db(spark, sf_dir)
+    url = f"jdbc:derby:{db}"
+    bounds = spark.read.jdbc(
+        url,
+        "(SELECT MIN(C_CUSTKEY) LO, MAX(C_CUSTKEY) HI FROM CUSTOMER_JDBC) B",
+        properties=_DERBY_PROPS,
+    ).first()
+    raw = spark.read.jdbc(
+        url,
+        "CUSTOMER_JDBC",
+        column="C_CUSTKEY",
+        lowerBound=int(bounds["LO"]),
+        upperBound=int(bounds["HI"]) + 1,
+        numPartitions=_JDBC_PARTS,
+        properties=_DERBY_PROPS,
+    )
+    assert raw.rdd.getNumPartitions() == _JDBC_PARTS
+    from aws_etl_pipeline_spark.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    assert raw.count() == cust.count()
+    # every key exactly once across the stride partitions
+    assert (
+        raw.groupBy("C_CUSTKEY").count().where("count > 1").count() == 0
+    )
+    # the query itself returns one row per nation
+    assert scan_jdbc_partitioned(spark, sf_dir).count() == 25
