@@ -53,7 +53,7 @@ from ._digest_spec import COLSPEC
 # runs. registry.all_queries() imports them first anyway; these imports
 # make `import ...operators.suites` safe STANDALONE too (a test that
 # touches only one operator module plus SUITES used to blow up here).
-from . import analytics, etl, geo, graph, relational, setops, sketches  # noqa: F401,E402
+from . import analytics, etl, features, geo, graph, relational, setops, sketches  # noqa: F401,E402
 from . import sql_surface, tpch_extra, upsert, windows  # noqa: F401,E402
 from ..functions import scalar, udfs  # noqa: F401,E402
 from ..sources import scans  # noqa: F401,E402
@@ -392,6 +392,9 @@ SUITES: dict[str, list[str]] = {
         "ts_autocorrelation",
         "ts_cusum_changepoint",
         "ts_theil_sen",
+        # r8 eighth batch: feature-engineering encodings
+        "feature_target_encode_loo",
+        "feature_woe_iv",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

@@ -212,7 +212,7 @@ PRIORITY: tuple[str, ...] = (
 def all_queries() -> dict[str, Query]:
     """Import all operator modules (populating the registry) and return
     it, priority queries first (see :data:`PRIORITY`)."""
-    from .operators import etl, relational, setops, sql_surface, tpch_extra, windows, upsert, analytics, graph, sketches, geo  # noqa: F401
+    from .operators import etl, relational, setops, sql_surface, tpch_extra, windows, upsert, analytics, graph, sketches, geo, features  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
     from .sources import scans  # noqa: F401
     from .streaming import batch_windows, ingest  # noqa: F401
