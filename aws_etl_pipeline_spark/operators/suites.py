@@ -383,6 +383,8 @@ SUITES: dict[str, list[str]] = {
         "events_markov_attribution",  # r8
         "ts_seasonal_decompose",
         "graph_jaccard_neighbors",
+        # r8 eighth batch: frontier-pruned multi-source BFS
+        "graph_bfs_reach",
         # r8 third batch: statistical testing & monitoring
         "events_survival_km",
         "quality_drift_psi",

@@ -339,3 +339,32 @@ def test_ts_stats_scan_events_once(spark, sf_dir):
         # the persisted rollup shows as InMemoryTableScan; the raw
         # events scan may appear at most once
         assert scans <= 1, f"{fn.__name__}: {scans} parquet scans"
+
+
+def test_bfs_bipartite_parity_and_frontier(spark, sf_dir):
+    """On the customer-supplier bipartite graph, distances must respect
+    side parity: customers at even hops, suppliers at odd hops; seeds
+    are exactly the nation-0 customers at dist 0."""
+    from aws_etl_pipeline_spark.catalog import load_table
+    from aws_etl_pipeline_spark.operators.graph import (
+        BFS_HOPS,
+        BFS_SEED_NATION,
+        graph_bfs_reach,
+    )
+
+    rows = graph_bfs_reach(spark, sf_dir).collect()
+    assert rows
+    seeds = {
+        f"c:{r.c_custkey}"
+        for r in load_table(spark, sf_dir, "customer")
+        .where(f"c_nationkey = {BFS_SEED_NATION}")
+        .collect()
+    }
+    got_seeds = {r.node for r in rows if r.dist == 0}
+    assert got_seeds == seeds
+    for r in rows:
+        assert 0 <= r.dist <= BFS_HOPS
+        if r.node.startswith("c:"):
+            assert r.dist % 2 == 0
+        else:
+            assert r.dist % 2 == 1
