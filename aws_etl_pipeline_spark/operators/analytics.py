@@ -2132,3 +2132,154 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sen_intercept"),
         )
     )
+
+
+#: conversion path: a view, any clicks/errors, then a purchase.
+PATTERN_RE = "V[CE]*P"
+
+_SYM_SQL = """CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+              WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+              ELSE 'E' END"""
+
+
+@query(
+    "events_pattern_match",
+    oracle=f"""
+WITH sym AS (
+  SELECT user_id, ts, event_id, {_SYM_SQL} AS s
+  FROM events
+),
+seq AS (
+  SELECT user_id,
+         string_agg(s, '' ORDER BY ts, event_id) AS path,
+         count(*)::BIGINT AS n_events
+  FROM sym GROUP BY 1
+)
+SELECT user_id, n_events, path,
+       len(regexp_extract_all(path, '{PATTERN_RE}'))::BIGINT AS n_conversions,
+       (len(regexp_extract_all(path, '{PATTERN_RE}')) > 0) AS converted
+FROM seq
+""",
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event paths — the
+    MATCH_RECOGNIZE workload expressed relationally: symbolize each
+    event to one character, fold a user's time-ordered events into a
+    path string, and count non-overlapping regex matches of the
+    conversion pattern view -> (clicks|errors)* -> purchase.
+
+    Ordering is total (ts, then event_id), so both engines build the
+    byte-identical path — the emitted ``path`` column makes the digest
+    a hard test of that ordering. Left-to-right non-overlapping match
+    counting agrees between Java regex and RE2 for this
+    backreference-free pattern class (the boundary: avoid constructs
+    where the engines' greediness semantics diverge). Scale: ONE
+    user-keyed shuffle; per-user paths are bounded by user activity —
+    on an unbounded log, sessionize first (events_sessionize) so the
+    folded string is session-sized, not lifetime-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sym = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(_SYM_SQL).alias("s"),
+    )
+    seq = sym.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "s"))),
+                lambda x: x["s"],
+            ),
+        ).alias("path"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    n_match = F.regexp_count(F.col("path"), F.lit(PATTERN_RE))
+    return seq.select(
+        "user_id",
+        "n_events",
+        "path",
+        n_match.cast("long").alias("n_conversions"),
+        (n_match > 0).alias("converted"),
+    )
+
+
+#: Iglewicz-Hoaglin modified-z-score cutoff.
+MAD_Z_CUT = 3.5
+
+
+@query(
+    "quality_outlier_mad",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(n, 0.5) AS med FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS adev
+  FROM daily d JOIN med m ON m.event_type = d.event_type
+),
+madt AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n,
+       round(0.6745 * (d.n - d.med) / nullif(t.mad, 0.0), 4) AS robust_z,
+       coalesce(abs(round(0.6745 * (d.n - d.med) / nullif(t.mad, 0.0), 4))
+                > {MAD_Z_CUT}, false) AS is_outlier
+FROM dev d JOIN madt t ON t.event_type = d.event_type
+""",
+)
+def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume outlier detection per event type using the
+    median/MAD modified z-score (0.6745*(n - median)/MAD, flag at
+    |z| > 3.5 — Iglewicz-Hoaglin). The robust complement to
+    events_anomaly_days: one corrupted day inflates a mean/stddev
+    z-score's own baseline and can mask itself; it cannot move the
+    median or the MAD.
+
+    A zero MAD (more than half the days identical) nulls the score
+    rather than dividing by zero; the flag compares the ROUNDED score
+    and coalesces to false so the boolean never disagrees with the
+    emitted value. Scale: one shuffle to the calendar-bounded daily
+    rollup (persisted — three passes read it); medians are exact
+    interpolated percentiles over that bounded relation, and the
+    per-type statistics broadcast back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = track(
+        ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n", 0.5).alias("med")
+    )
+    dev = track(
+        daily.join(F.broadcast(med), "event_type").select(
+            "event_type",
+            "day",
+            "n",
+            "med",
+            F.abs(F.col("n") - F.col("med")).alias("adev"),
+        )
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    z = F.round(
+        0.6745
+        * (F.col("n") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0)),
+        4,
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        z.alias("robust_z"),
+        F.coalesce(F.abs(z) > MAD_Z_CUT, F.lit(False)).alias("is_outlier"),
+    )

@@ -1132,3 +1132,78 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("modal_count"),
         )
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+WITH x AS (
+  SELECT o_orderstatus, o_totalprice / 100000.0 AS x FROM orders
+),
+s AS (
+  SELECT o_orderstatus, count(*)::BIGINT AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(x * x * x AS DECIMAL(38,18))) AS DOUBLE) AS s3,
+         CAST(sum(CAST(x * x * x * x AS DECIMAL(38,18))) AS DOUBLE) AS s4
+  FROM x GROUP BY 1
+)
+SELECT o_orderstatus, n,
+       round(((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / nullif(pow((s2 / n) - (s1 / n) * (s1 / n), 1.5), 0.0), 6) AS skewness,
+       round(((s4 / n) - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / nullif(pow((s2 / n) - (s1 / n) * (s1 / n), 2.0), 0.0) - 3.0, 6)
+         AS excess_kurtosis
+FROM s
+""",
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population skewness and excess kurtosis per order status
+    from FOUR power sums in one aggregate — the deterministic
+    alternative to `skewness()`/`kurtosis()`, whose streaming central-
+    moment merges (Welford-style) are partition-order-dependent in the
+    last bits.
+
+    Prices are pre-scaled by 1e-5 so x^4 stays small enough for the
+    DECIMAL(38,18) per-row cast to be exact (skewness/kurtosis are
+    scale-invariant, so the statistics are unchanged); each power is
+    an identical double on both engines, summed exactly, and the
+    moment algebra runs on the reduced 3-row relation. One scan, full
+    map-side combine — the agg_regression_ols shape extended to
+    4th-order moments.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        "o_orderstatus", (F.col("o_totalprice") / 100000.0).alias("x")
+    )
+    dec = "decimal(38,18)"
+    s = x.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("s2"),
+        F.sum((F.col("x") * F.col("x") * F.col("x")).cast(dec))
+        .cast("double")
+        .alias("s3"),
+        F.sum((F.col("x") * F.col("x") * F.col("x") * F.col("x")).cast(dec))
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    r2 = F.col("s2") / n
+    r3 = F.col("s3") / n
+    r4 = F.col("s4") / n
+    var = r2 - m1 * m1
+    skew = (r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1) / F.nullif(
+        F.pow(var, 1.5), F.lit(0.0)
+    )
+    kurt = (
+        r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1
+    ) / F.nullif(F.pow(var, 2.0), F.lit(0.0)) - 3.0
+    return s.select(
+        "o_orderstatus",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )

@@ -161,6 +161,8 @@ SUITES: dict[str, list[str]] = {
         "agg_approx_quantile",
         # r8: deterministic count-rank mode
         "agg_mode",
+        # r8: exact 4th-order moments in one aggregate
+        "agg_skew_kurtosis",
     ],
     "suite_setops": [
         "set_union_all",
@@ -397,6 +399,9 @@ SUITES: dict[str, list[str]] = {
         # r8 eighth batch: feature-engineering encodings
         "feature_target_encode_loo",
         "feature_woe_iv",
+        # r8 ninth batch: sequence patterns + robust outliers
+        "events_pattern_match",
+        "quality_outlier_mad",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

@@ -185,3 +185,66 @@ def test_transition_probabilities_sum_to_one(spark, sf_dir):
         assert r["n"] >= 1
     for s in by_from.values():
         assert abs(s - 1.0) < 1e-4, s
+
+
+def test_pattern_match_counts_non_overlapping(spark, sf_dir):
+    """Path composition and the regex count must agree with a local
+    re-scan of the emitted path."""
+    import re as _re
+
+    from aws_etl_pipeline_spark.operators.analytics import (
+        PATTERN_RE,
+        events_pattern_match,
+    )
+
+    rows = events_pattern_match(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r.path) == r.n_events
+        assert set(r.path) <= set("VCPSE")
+        assert r.n_conversions == len(_re.findall(PATTERN_RE, r.path))
+        assert r.converted == (r.n_conversions > 0)
+
+
+def test_mad_outlier_robustness_contract(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import quality_outlier_mad
+
+    rows = quality_outlier_mad(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    import statistics
+
+    for rs in by_type.values():
+        ns = [r.n for r in rs]
+        med = statistics.median(ns)
+        mad = statistics.median([abs(n - med) for n in ns])
+        for r in rs:
+            if mad == 0:
+                assert r.robust_z is None and not r.is_outlier
+            else:
+                # python round() is half-even, Spark's is half-up —
+                # compare against the unrounded value at half-tie slack
+                expect = 0.6745 * (r.n - med) / mad
+                assert abs(r.robust_z - expect) < 5.1e-5
+
+
+def test_skew_kurtosis_matches_local(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.relational import agg_skew_kurtosis
+    from aws_etl_pipeline_spark.catalog import load_table
+
+    rows = {r.o_orderstatus: r for r in agg_skew_kurtosis(spark, sf_dir).collect()}
+    prices = {}
+    for p in load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    ).collect():
+        prices.setdefault(p.o_orderstatus, []).append(p.o_totalprice / 100000.0)
+    for st, xs in prices.items():
+        n = len(xs)
+        m1 = sum(xs) / n
+        m2 = sum((v - m1) ** 2 for v in xs) / n
+        m3 = sum((v - m1) ** 3 for v in xs) / n
+        m4 = sum((v - m1) ** 4 for v in xs) / n
+        assert abs(rows[st].skewness - m3 / m2**1.5) < 1e-4
+        assert abs(rows[st].excess_kurtosis - (m4 / m2**2 - 3)) < 1e-4
