@@ -252,6 +252,8 @@ SUITES: dict[str, list[str]] = {
         "stream_exec_stream_join",
         # r8: cross-micro-batch mergeable-sketch state
         "stream_exec_sketch_merge",
+        # r8 ninth batch: CDC apply with retained DELETE tombstones
+        "stream_exec_cdc",
     ],
     "suite_dedup": [
         "dedup_exact",

@@ -355,14 +355,24 @@ def _latest_per_user(df):
 
 
 def _latest_merge_batch_fn(target_dir: str):
-    """foreachBatch body: MERGE a micro-batch's per-key latest rows
-    into the parquet target (reduce batch -> full-outer merge with the
-    running target -> atomic swap). Keeping the later of (existing,
-    incoming) per key is associative AND idempotent: the final state is
-    independent of the batch split, and re-delivering the same batch
-    (Structured Streaming's at-least-once foreachBatch contract) merges
-    identical winners to an identical target. Shared by
-    stream_exec_upsert and stream_exec_upsert_json."""
+    """foreachBatch body for the per-user-LATEST sinks: see
+    :func:`_keyed_merge_batch_fn`. Shared by stream_exec_upsert and
+    stream_exec_upsert_json."""
+    return _keyed_merge_batch_fn(target_dir, _latest_per_user)
+
+
+def _keyed_merge_batch_fn(target_dir: str, normalize_fn):
+    """foreachBatch body: MERGE a micro-batch's per-key winner rows
+    into the parquet target (``normalize_fn`` reduces the raw batch to
+    normalized per-key winners carrying ``user_id``/``last_ts``/
+    ``event_id`` -> full-outer merge with the running target -> atomic
+    swap). Keeping the later of (existing, incoming) per key is
+    associative AND idempotent: the final state is independent of the
+    batch split, and re-delivering the same batch (Structured
+    Streaming's at-least-once foreachBatch contract) merges identical
+    winners to an identical target. The winner row may carry extra
+    payload columns (e.g. a CDC ``op`` tombstone marker) — they ride
+    along untouched."""
     import os
     import shutil
 
@@ -373,7 +383,7 @@ def _latest_merge_batch_fn(target_dir: str):
         import glob
 
         s = batch_df.sparkSession
-        incoming = _latest_per_user(batch_df)
+        incoming = normalize_fn(batch_df)
         # Crash recovery for the two-step swap below (round-6 advice):
         # rename(target, old) -> rename(tmp, target) is NOT atomic — a
         # crash between the renames leaves the accumulated state only
@@ -1003,4 +1013,103 @@ def stream_exec_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_inter",
             F.round(est_inter, 4).alias("est_inter"),
         )
+    )
+
+
+def _cdc_normalize_batch(batch_df):
+    """Reduce a raw micro-batch to per-user LATEST CDC changes,
+    keeping the op marker: error events are DELETE tombstones,
+    everything else an upsert."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        batch_df.select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            "event_id",
+            F.col("value").alias("last_value"),
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.col("last_ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@query(
+    "stream_exec_cdc",
+    oracle="""
+WITH feed AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+last AS (
+  SELECT user_id, ts, value, op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM feed
+)
+SELECT user_id, ts AS last_ts, value AS last_value
+FROM last WHERE rn = 1 AND op = 'U'
+""",
+)
+def stream_exec_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming CDC apply with DELETE tombstones: the replayed
+    event stream is interpreted as a change feed (error = DELETE,
+    anything else = upsert) and each micro-batch MERGEs its per-key
+    latest CHANGE — including deletes — into the parquet target.
+
+    The CDC subtlety this pins: a delete cannot be applied by
+    physically dropping the key on arrival. A later micro-batch can
+    carry an EARLIER-timestamped upsert for the same key (out-of-order
+    delivery), and with the tombstone discarded that stale upsert
+    would resurrect the deleted row. So deletes are retained as
+    tombstone STATE rows, merged with the same
+    latest-of-(last_ts, event_id) rule as upserts — associative,
+    batching-invariant, replay-idempotent — and filtered only at READ
+    time. The no-resurrection property is pinned directly in pytest by
+    replaying a delete before an older upsert in a later batch; the
+    final table must hash-equal the batch oracle (latest change per
+    user, deletes excluded) regardless of the 4-way split.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    stage_dir, key = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(stage_dir).schema
+
+    target_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_streamcdc_{key}")
+    shutil.rmtree(target_dir, ignore_errors=True)
+    merge_batch = _keyed_merge_batch_fn(target_dir, _cdc_normalize_batch)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(target_dir)
+        .where(F.col("op") == "U")
+        .select("user_id", "last_ts", "last_value")
     )

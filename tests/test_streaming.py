@@ -128,3 +128,71 @@ def test_dual_sink_batch_replay_is_idempotent(spark, tmp_path):
     assert spark.read.json(json_dir).count() == 400
     advanced = spark.read.parquet(target_dir)
     assert advanced.count() == len(upsert_once)
+
+
+def test_cdc_tombstone_blocks_resurrection(spark, tmp_path):
+    """A DELETE in an early micro-batch must suppress an
+    OLDER-timestamped upsert arriving in a LATER batch — the reason
+    tombstones are retained state, not applied-and-dropped."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from aws_etl_pipeline_spark.streaming.ingest import (
+        _cdc_normalize_batch,
+        _keyed_merge_batch_fn,
+    )
+
+    target = str(tmp_path / "cdc_target")
+    merge = _keyed_merge_batch_fn(target, _cdc_normalize_batch)
+
+    def ev(eid, uid, ts, typ, val):
+        return Row(
+            event_id=eid, ts=ts, user_id=uid, event_type=typ,
+            value=val, props="{}",
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # batch 0: user 1 deleted at t0+10; user 2 upserted
+    merge(
+        spark.createDataFrame(
+            [
+                ev(100, 1, t0 + dt.timedelta(minutes=10), "error", None),
+                ev(101, 2, t0, "view", 5.0),
+            ]
+        ),
+        0,
+    )
+    # batch 1 (out-of-order): STALE upsert for user 1 at t0 — must NOT
+    # resurrect; fresher upsert for user 2
+    merge(
+        spark.createDataFrame(
+            [
+                ev(50, 1, t0, "purchase", 99.0),
+                ev(102, 2, t0 + dt.timedelta(minutes=5), "click", 7.0),
+            ]
+        ),
+        1,
+    )
+    from pyspark.sql import functions as F
+
+    state = spark.read.parquet(target)
+    live = {r.user_id: r for r in state.where(F.col("op") == "U").collect()}
+    assert 1 not in live  # tombstone held
+    assert live[2].last_value == 7.0
+    # the tombstone itself is retained as state
+    dead = {r.user_id for r in state.where(F.col("op") == "D").collect()}
+    assert dead == {1}
+    # replay idempotence: re-delivering batch 1 changes nothing
+    before = sorted(map(tuple, state.collect()))
+    merge(
+        spark.createDataFrame(
+            [
+                ev(50, 1, t0, "purchase", 99.0),
+                ev(102, 2, t0 + dt.timedelta(minutes=5), "click", 7.0),
+            ]
+        ),
+        2,
+    )
+    after = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert before == after
