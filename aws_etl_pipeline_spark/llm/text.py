@@ -1508,3 +1508,68 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_chars",
         )
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+tg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tri
+  FROM t WHERE len(ws) > 2
+),
+dfreq AS (SELECT tri, count(*)::BIGINT AS df FROM tg GROUP BY 1)
+SELECT tg.doc_id,
+       count(*)::BIGINT AS n_trigrams,
+       sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS novelty
+FROM tg JOIN dfreq d ON d.tri = tg.tri
+GROUP BY 1
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word trigrams that occur in NO other document — the
+    content-originality signal curation pipelines use to separate
+    boilerplate/templated text (novelty -> 0) from unique prose
+    (novelty -> 1); the scoring inverse of dedup_substring's question.
+
+    Two shuffles at corpus scale: (doc, trigram) dedup, then the
+    trigram document-frequency aggregate whose result joins back to
+    the per-doc rows by trigram — all counts exact BIGINTs, the ratio
+    one identical double division. Documents under 3 words have no
+    trigrams and drop out (documented; both engines agree by
+    construction). At 100 TB the df table is the corpus trigram
+    vocabulary — the same relation the dedup shingle index builds, so
+    a real pipeline computes both from one pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ws, i.cast("int")),
+            F.element_at(ws, (i + 1).cast("int")),
+            F.element_at(ws, (i + 2).cast("int")),
+        ),
+    )
+    tg = (
+        d.filter(F.size(ws) > 2)
+        .select("doc_id", F.explode(trigrams).alias("tri"))
+        .distinct()
+    )
+    dfreq = tg.groupBy("tri").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long")
+    return (
+        tg.join(dfreq, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            novel.alias("n_novel"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )

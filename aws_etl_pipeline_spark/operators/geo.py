@@ -61,6 +61,7 @@ __all__ = [
     "geo_grid_density",
     "geo_radius_join",
     "geo_nearest_hub",
+    "geo_hotspot_clusters",
 ]
 
 #: One 64-bit literal, spelled identically in the Spark expressions and
@@ -305,4 +306,194 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.hub_key").alias("nearest_hub"),
         F.col("m.dist_km").alias("nearest_km"),
         "n_within_1000",
+    )
+
+
+#: label-propagation rounds for hotspot clustering (fixed, unrolled on
+#: both engines — labels converge within graph distance CLUSTER_ROUNDS;
+#: the dedup_connected_components fixed-round discipline).
+CLUSTER_ROUNDS = 3
+
+#: hotspot rule: a cell is HOT when its 3x3 neighborhood holds at least
+#: DENSITY_FACTOR x the average neighborhood mass (2x average, computed
+#: from the corpus count, so the threshold is scale-relative and both
+#: engines derive it identically from exact integers).
+DENSITY_FACTOR = 2.0
+
+_GRID_W = 72  # cells per latitude row (360 deg / 5 deg)
+
+_OFFSETS_SQL = """
+  CROSS JOIN (VALUES (-1), (0), (1)) d1(dlat)
+  CROSS JOIN (VALUES (-1), (0), (1)) d2(dlon)
+"""
+
+
+# Clustered synthesis for the hotspot query: the uniform modular
+# lattice used by the other geo queries has deliberately FLAT density
+# (nothing exceeds 2x average — verified), so hotspot detection needs
+# points scattered around centers. Each customer lands within +/-3.5
+# degrees of its (c_custkey % 25)-th hub: 25 deterministic blobs.
+_CL_LAT_MILLI = (
+    "(((c_custkey % 25) * 37 % 100 - 50) * 1000"
+    " + (c_custkey * 7919) % 7000 - 3500)"
+)
+_CL_LON_MILLI = (
+    "(((c_custkey % 25) * 73 % 340 - 170) * 1000"
+    " + (c_custkey * 104729) % 7000 - 3500)"
+)
+
+_CLUST_PTS_SQL = f"""
+  SELECT c_custkey,
+         CAST(floor(({_CL_LAT_MILLI} + 60000) / {CELL_MILLI}) AS BIGINT) AS cell_lat,
+         CAST(floor(({_CL_LON_MILLI} + 180000) / {CELL_MILLI}) AS BIGINT) AS cell_lon
+  FROM customer
+"""
+
+
+def _hotspot_oracle() -> str:
+    head = f"""
+WITH pts AS ({_CLUST_PTS_SQL}),
+cells AS (
+  SELECT cell_lat, cell_lon, count(*)::BIGINT AS n FROM pts GROUP BY 1, 2
+),
+tot AS (SELECT sum(n)::BIGINT AS total FROM cells),
+nb AS (
+  SELECT a.cell_lat, a.cell_lon,
+         sum(b.n)::BIGINT AS nb_count
+  FROM cells a {_OFFSETS_SQL}
+  JOIN cells b ON b.cell_lat = a.cell_lat + d1.dlat
+              AND b.cell_lon = a.cell_lon + d2.dlon
+  GROUP BY 1, 2
+),
+l0 AS (
+  SELECT nb.cell_lat, nb.cell_lon, nb.nb_count,
+         (nb.cell_lat * {_GRID_W} + nb.cell_lon)::BIGINT AS label
+  FROM nb CROSS JOIN tot t
+  WHERE nb.nb_count >= ceil({DENSITY_FACTOR} * 9 * t.total / (24.0 * {_GRID_W}))
+)"""
+    steps = []
+    for k in range(1, CLUSTER_ROUNDS + 1):
+        steps.append(
+            f""",
+l{k} AS (
+  SELECT h.cell_lat, h.cell_lon, h.nb_count, min(g.label) AS label
+  FROM l{k - 1} h {_OFFSETS_SQL}
+  JOIN l{k - 1} g ON g.cell_lat = h.cell_lat + d1.dlat
+                 AND g.cell_lon = h.cell_lon + d2.dlon
+  GROUP BY 1, 2, 3
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT cell_lat, cell_lon, nb_count, label AS cluster_id,
+       count(*) OVER (PARTITION BY label)::BIGINT AS cluster_size
+FROM l{CLUSTER_ROUNDS}
+"""
+    )
+
+
+@query("geo_hotspot_clusters", oracle=_hotspot_oracle())
+def geo_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based density hotspot clustering (the relational core of
+    DBSCAN): cells whose 3x3 neighborhood holds >= 2x the average
+    neighborhood mass are HOT, and adjacent hot cells merge into
+    clusters by CLUSTER_ROUNDS rounds of min-label propagation over
+    the cell adjacency — entirely joins/aggregates, no UDF, no
+    iteration over points.
+
+    Why this scales: points are touched exactly once (the cell count
+    agg); density, thresholding, and clustering all run on the CELL
+    relation, which is bounded by the grid (24 x 72) no matter the
+    corpus — the same bounded-state trick as the time-series rollups.
+    The threshold is scale-relative (derived from the exact total
+    count), so the operator is meaningful at every SF without
+    retuning. Fixed-round label semantics: labels are minima within
+    graph distance CLUSTER_ROUNDS, identical on both engines by
+    unrolled construction (clusters wider than that in cell-graph
+    radius would need more rounds — the dedup_connected_components
+    convergence caveat, irrelevant on a bounded grid where rounds can
+    simply be sized to the grid diameter).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    lat_m = F.expr(_CL_LAT_MILLI)
+    lon_m = F.expr(_CL_LON_MILLI)
+    pts = cust.select(
+        "c_custkey",
+        F.floor((lat_m + 60000) / CELL_MILLI).alias("cell_lat"),
+        F.floor((lon_m + 180000) / CELL_MILLI).alias("cell_lon"),
+    )
+    cells = pts.groupBy("cell_lat", "cell_lon").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from ..cache import track
+
+    cells = track(cells)
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    offs = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    off2 = (
+        spark.range(1)
+        .select(F.explode(offs).alias("dlat"))
+        .select("dlat", F.explode(offs).alias("dlon"))
+    )
+    a = cells.crossJoin(F.broadcast(off2))
+    b = cells.select(
+        F.col("cell_lat").alias("b_lat"),
+        F.col("cell_lon").alias("b_lon"),
+        F.col("n").alias("b_n"),
+    )
+    nb = (
+        a.join(
+            b,
+            (F.col("b_lat") == F.col("cell_lat") + F.col("dlat"))
+            & (F.col("b_lon") == F.col("cell_lon") + F.col("dlon")),
+        )
+        .groupBy("cell_lat", "cell_lon")
+        .agg(F.sum("b_n").cast("long").alias("nb_count"))
+    )
+    hot = (
+        nb.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("nb_count")
+            >= F.ceil(DENSITY_FACTOR * 9 * F.col("total") / (24.0 * _GRID_W))
+        )
+        .select(
+            "cell_lat",
+            "cell_lon",
+            "nb_count",
+            (F.col("cell_lat") * _GRID_W + F.col("cell_lon"))
+            .cast("long")
+            .alias("label"),
+        )
+    )
+    lbl = hot
+    for _ in range(CLUSTER_ROUNDS):
+        lbl = track(lbl)
+        g = lbl.select(
+            F.col("cell_lat").alias("g_lat"),
+            F.col("cell_lon").alias("g_lon"),
+            F.col("label").alias("g_label"),
+        )
+        lbl = (
+            lbl.crossJoin(F.broadcast(off2))
+            .join(
+                g,
+                (F.col("g_lat") == F.col("cell_lat") + F.col("dlat"))
+                & (F.col("g_lon") == F.col("cell_lon") + F.col("dlon")),
+            )
+            .groupBy("cell_lat", "cell_lon", "nb_count")
+            .agg(F.min("g_label").alias("label"))
+        )
+    from pyspark.sql import Window as W
+
+    return lbl.select(
+        "cell_lat",
+        "cell_lon",
+        "nb_count",
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("label"))
+        .cast("long")
+        .alias("cluster_size"),
     )

@@ -1207,3 +1207,59 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_entropy_gini",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS cnt
+  FROM customer GROUP BY 1, 2
+),
+t AS (
+  SELECT c_nationkey, sum(cnt)::BIGINT AS tot, count(*)::BIGINT AS n_segments
+  FROM c GROUP BY 1
+)
+SELECT c.c_nationkey, max(t.tot) AS n_customers, max(t.n_segments) AS n_segments,
+       round(CAST(sum(CAST(-(cnt::DOUBLE / tot) * ln(cnt::DOUBLE / tot)
+                           AS DECIMAL(38,18))) AS DOUBLE), 6) AS entropy,
+       round(1.0 - CAST(sum(CAST((cnt::DOUBLE / tot) * (cnt::DOUBLE / tot)
+                                 AS DECIMAL(38,18))) AS DOUBLE), 6) AS gini
+FROM c JOIN t ON t.c_nationkey = c.c_nationkey
+GROUP BY 1
+""",
+)
+def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy and Gini impurity of the market-segment mix per
+    nation — the categorical-dispersion aggregates behind decision-tree
+    splits and diversity monitors.
+
+    Shares derive from exact BIGINT counts (one (nation, segment) agg,
+    totals folded from it — the heavy table is scanned once); ln runs
+    on identical doubles and every term is DECIMAL-cast before the
+    per-nation sum, so reduction order cannot move bits. The term
+    relation is at most nations x segments (125 rows) — constant at
+    any corpus size.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    t = c.groupBy("c_nationkey").agg(
+        F.sum("cnt").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+    )
+    p = F.col("cnt").cast("double") / F.col("tot")
+    dec = "decimal(38,18)"
+    return (
+        c.join(F.broadcast(t), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.max("tot").alias("n_customers"),
+            F.max("n_segments").alias("n_segments"),
+            F.round(F.sum((-p * F.log(p)).cast(dec)).cast("double"), 6).alias(
+                "entropy"
+            ),
+            F.round(1.0 - F.sum((p * p).cast(dec)).cast("double"), 6).alias("gini"),
+        )
+    )

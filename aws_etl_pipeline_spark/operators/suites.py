@@ -163,6 +163,8 @@ SUITES: dict[str, list[str]] = {
         "agg_mode",
         # r8: exact 4th-order moments in one aggregate
         "agg_skew_kurtosis",
+        # r8 ninth batch: categorical dispersion
+        "agg_entropy_gini",
     ],
     "suite_setops": [
         "set_union_all",
@@ -313,6 +315,8 @@ SUITES: dict[str, list[str]] = {
         "bpe_train_merges",
         "bpe_encode_corpus",
         "classifier_score_docs",
+        # r8 ninth batch: per-doc n-gram novelty
+        "text_ngram_novelty",
     ],
     "suite_multimodal": [
         "multimodal_features",
@@ -417,6 +421,8 @@ SUITES: dict[str, list[str]] = {
         "geo_grid_density",
         "geo_radius_join",
         "geo_nearest_hub",
+        # r8 ninth batch: grid-DBSCAN hotspot clustering
+        "geo_hotspot_clusters",
     ],
 }
 

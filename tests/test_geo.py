@@ -89,3 +89,30 @@ def test_grid_density_partitions_everyone(spark, sf_dir):
     assert sum(r.n_customers for r in rows) == pts.count()
     for r in rows:
         assert 0 <= r.cell_lat < 24 and 0 <= r.cell_lon < 72
+
+
+def test_hotspot_clusters_contract(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.geo import geo_hotspot_clusters
+
+    rows = geo_hotspot_clusters(spark, sf_dir).collect()
+    assert rows, "clustered synthesis must produce hot cells at any SF"
+    by_cluster = {}
+    for r in rows:
+        assert r.cluster_size >= 1
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, cells in by_cluster.items():
+        assert len(cells) == cells[0].cluster_size
+        # the label is the min cell id of the member set (within the
+        # fixed propagation radius): it must belong to the cluster
+        ids = {c.cell_lat * 72 + c.cell_lon for c in cells}
+        assert cid == min(ids)
+        # every member within a cluster is 8-connected to some other
+        # member (no isolated cell may share a propagated label)
+        if len(cells) > 1:
+            for c in cells:
+                assert any(
+                    abs(c.cell_lat - o.cell_lat) <= 1
+                    and abs(c.cell_lon - o.cell_lon) <= 1
+                    and (c.cell_lat, c.cell_lon) != (o.cell_lat, o.cell_lon)
+                    for o in cells
+                )
