@@ -54,6 +54,11 @@ SHOWCASE = {
     "ts_seasonal_decompose": "bounded-frame MA window per series + broadcast weekday-profile join",
     "graph_jaccard_neighbors": "edge-Jaccard: per-edge triangle counts from the oriented wedge-close; degree table broadcast for inclusion-exclusion",
     "join_asof_multi": "three as-of features in ONE window pass: single Exchange on the entity key, single Window node",
+    # round-8 late-session additions
+    "geo_radius_join": "grid-blocked spatial join: 3x3 neighbor-cell expansion broadcast, haversine fused into the join projection — zero big-side shuffle, no cartesian",
+    "feature_target_encode_loo": "5-row exact stats + global prior broadcast into a scan-fused LOO encoding pass — no per-category window shuffle",
+    "scan_jdbc_partitioned": "8 stride-disjoint JDBC range queries feeding one hash agg (JDBCRelation numPartitions=8)",
+    "ts_theil_sen": "O(n^2) slope pairs confined to the calendar-bounded daily rollup; events scanned once (InMemoryTableScan reuse)",
 }
 
 
