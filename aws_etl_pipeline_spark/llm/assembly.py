@@ -597,3 +597,87 @@ def pack_interleave_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (pos % F.col("n_srcs") == F.col("src_idx")).alias("stride_ok"),
     )
+
+
+#: split boundaries on the 0..99 salted-hash bucket: [0,80) train,
+#: [80,90) val, [90,100) test.
+SPLIT_EDGES = (80, 90)
+
+
+@query(
+    "sample_train_test_split",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('split42:' || doc_id), 1, 8))::UBIGINT % 100 AS bucket
+  FROM documents
+),
+lab AS (
+  SELECT CASE WHEN bucket < {SPLIT_EDGES[0]} THEN 'train'
+              WHEN bucket < {SPLIT_EDGES[1]} THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM b
+),
+tot AS (SELECT count(*)::BIGINT AS n_total FROM documents)
+SELECT split, count(*)::BIGINT AS n_docs,
+       round(count(*)::DOUBLE / t.n_total, 6) AS pct_of_corpus,
+       sum(n_chars)::BIGINT AS n_chars,
+       (sum(count(*)) OVER () = t.n_total) AS covers_corpus
+FROM lab CROSS JOIN tot t
+GROUP BY split, t.n_total
+""",
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by salted-md5
+    bucket of the document key — the split every training pipeline
+    freezes before anything else, with the properties that matter
+    hash-pinned: membership is a pure function of (salt, doc_id), so
+    the split is identical across runs, engines, partitionings, and
+    corpus growth (an old doc never migrates between splits when new
+    docs arrive — the failure mode of ntile/percent_rank splits), and
+    the emitted ``covers_corpus`` verdict proves the three buckets
+    partition the corpus exactly (no loss, no leakage-by-duplication).
+
+    One scan, one 3-row aggregate; the hash is JVM-side md5 on both
+    engines (the stable_sample device). Per-split char mass ships in
+    the same pass so downstream token budgeting needs no rescan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split42:"), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    lab = d.select(
+        F.when(bucket < SPLIT_EDGES[0], "train")
+        .when(bucket < SPLIT_EDGES[1], "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_chars",
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    agg = (
+        lab.crossJoin(F.broadcast(tot))
+        .groupBy("split", "n_total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "split",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias(
+            "pct_of_corpus"
+        ),
+        "n_chars",
+        (
+            F.sum("n_docs").over(W.partitionBy()) == F.col("n_total")
+        ).alias("covers_corpus"),
+    )

@@ -2283,3 +2283,91 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("robust_z"),
         F.coalesce(F.abs(z) > MAD_Z_CUT, F.lit(False)).alias("is_outlier"),
     )
+
+
+#: Brown's DES forecast horizon (days ahead from each observation).
+DES_HORIZON = 7
+
+
+def _conv_sql(col: str) -> str:
+    """Truncated alpha=0.5 EWMA convolution of ``col`` over window w —
+    the _ewma_sql device generalized to any input column."""
+    terms = [f"0.5 * {col}"] + [
+        f"{0.5 ** (k + 1)} * coalesce(lag({col}, {k}) OVER w, 0)"
+        for k in range(1, EWMA_TERMS)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "ts_brown_des_forecast",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+s1 AS (
+  SELECT event_type, day, v, round({_conv_sql('v')}, 6) AS sp
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+s2 AS (
+  SELECT event_type, day, v, sp, round({_conv_sql('sp')}, 6) AS spp
+  FROM s1 WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, round(v, 2) AS daily_value,
+       round(2 * sp - spp, 6) AS level,
+       round(sp - spp, 6) AS trend,
+       round((2 * sp - spp) + {DES_HORIZON} * (sp - spp), 6) AS forecast_{DES_HORIZON}d
+FROM s2
+""",
+)
+def ts_brown_des_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing (trend-aware forecasting)
+    per event type: level = 2S' - S'', trend = (a/(1-a))(S' - S'')
+    with a = 0.5, forecast_h = level + h*trend — the classic
+    low-state forecaster, built from TWO chained truncated-convolution
+    EWMAs (the events_ewma device: the textbook recursion is
+    sequential, the truncated convolution is a bounded window sum that
+    distributes; residual weight past the horizon < 0.8%).
+
+    S' is ROUNDED before feeding the second convolution, so both
+    engines convolve byte-identical intermediates — without that pin,
+    fourteen chained double ops would still agree, but the contract is
+    cheaper to keep at the boundary. One event shuffle to the daily
+    rollup; both window passes run per type on the calendar-bounded
+    series with EWMA_TERMS lag slots of state. Smoothing is over
+    OBSERVED days (compose with ts_resample_gapfill for calendar-exact
+    decay across gaps — the events_ewma caveat).
+    """
+    daily = _daily_value_rollup(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("day")
+
+    def conv(col):
+        terms = F.lit(0.5) * col
+        for k in range(1, EWMA_TERMS):
+            terms = terms + F.lit(0.5 ** (k + 1)) * F.coalesce(
+                F.lag(col, k).over(w), F.lit(0.0)
+            )
+        return terms
+
+    s1 = daily.select(
+        "event_type", "day", "v", F.round(conv(F.col("v")), 6).alias("sp")
+    )
+    s2 = s1.select(
+        "event_type",
+        "day",
+        "v",
+        "sp",
+        F.round(conv(F.col("sp")), 6).alias("spp"),
+    )
+    level = 2 * F.col("sp") - F.col("spp")
+    trend = F.col("sp") - F.col("spp")
+    return s2.select(
+        "event_type",
+        "day",
+        F.round("v", 2).alias("daily_value"),
+        F.round(level, 6).alias("level"),
+        F.round(trend, 6).alias("trend"),
+        F.round(level + DES_HORIZON * trend, 6).alias(f"forecast_{DES_HORIZON}d"),
+    )

@@ -335,6 +335,8 @@ SUITES: dict[str, list[str]] = {
         "sample_weighted_reservoir",
         "sample_importance_resampling",
         "pack_interleave_domains",  # r8
+        # r8 tenth batch: frozen train/val/test split
+        "sample_train_test_split",
     ],
     "suite_tpch": [
         "q2_min_cost_supplier",
@@ -408,6 +410,8 @@ SUITES: dict[str, list[str]] = {
         # r8 ninth batch: sequence patterns + robust outliers
         "events_pattern_match",
         "quality_outlier_mad",
+        # r8 tenth batch: trend-aware forecasting
+        "ts_brown_des_forecast",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

@@ -248,3 +248,31 @@ def test_skew_kurtosis_matches_local(spark, sf_dir):
         m4 = sum((v - m1) ** 4 for v in xs) / n
         assert abs(rows[st].skewness - m3 / m2**1.5) < 1e-4
         assert abs(rows[st].excess_kurtosis - (m4 / m2**2 - 3)) < 1e-4
+
+
+def test_brown_des_trend_tracks_level_change(spark, sf_dir):
+    """DES algebra: level - daily EWMA relation (level = 2S'-S'') and
+    the forecast identity forecast = level + h*trend on every row."""
+    from aws_etl_pipeline_spark.operators.analytics import (
+        DES_HORIZON,
+        ts_brown_des_forecast,
+    )
+
+    rows = ts_brown_des_forecast(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        fc = getattr(r, f"forecast_{DES_HORIZON}d")
+        assert abs(fc - (r.level + DES_HORIZON * r.trend)) < 2e-6
+
+
+def test_train_test_split_partitions_exactly(spark, sf_dir):
+    from aws_etl_pipeline_spark.catalog import load_table
+    from aws_etl_pipeline_spark.llm.assembly import sample_train_test_split
+
+    rows = {r.split: r for r in sample_train_test_split(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == total
+    assert all(r.covers_corpus for r in rows.values())
+    assert rows["train"].n_docs > rows["val"].n_docs
+    assert abs(sum(r.pct_of_corpus for r in rows.values()) - 1.0) < 1e-4
