@@ -368,3 +368,59 @@ def etl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((p < F.col("lo")) | (p > F.col("hi"))).alias("clipped"),
     )
+
+
+#: range-bucket width for the two-pass dense-ID assignment.
+SURROGATE_BUCKET = 4096
+
+
+@query(
+    "etl_dense_surrogate_ids",
+    oracle="""
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_orderkey)::BIGINT AS surrogate_id
+FROM orders
+""",
+)
+def etl_dense_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense gapless surrogate keys (1..N in natural-key order) WITHOUT
+    the textbook global window — the warehouse dimension-key op, built
+    the way it survives 100 TB.
+
+    ``row_number() OVER (ORDER BY key)`` (the oracle's spelling, and
+    what most engines execute) funnels the whole table through ONE
+    partition. The scalable form here is the classic two-pass: bucket
+    rows by key range, count per bucket (a bucket-count-sized
+    aggregate), prefix-sum those counts into per-bucket offsets (a
+    window over the TINY bucket relation), broadcast the offsets back,
+    and emit offset + local row_number within the bucket — every stage
+    is parallel, the only per-row window partitions by bucket. The
+    result is value-identical to the single-partition window, which is
+    exactly what the oracle checks. Plan-asserted: no SinglePartition
+    exchange carries the orders table (tests/test_etl.py).
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    b = orders.withColumn(
+        "bucket", F.floor(F.col("o_orderkey") / SURROGATE_BUCKET)
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.select(
+        "bucket",
+        (
+            F.sum("cnt").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            )
+        ).alias("offset"),
+    ).fillna({"offset": 0})
+    local = F.row_number().over(
+        W.partitionBy("bucket").orderBy("o_orderkey")
+    )
+    return (
+        b.join(F.broadcast(offsets), "bucket")
+        .select(
+            "o_orderkey",
+            (F.col("offset") + local).cast("long").alias("surrogate_id"),
+        )
+    )

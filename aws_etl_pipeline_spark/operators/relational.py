@@ -1263,3 +1263,74 @@ def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - F.sum((p * p).cast(dec)).cast("double"), 6).alias("gini"),
         )
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+WITH w AS (
+  SELECT o_orderpriority, o_totalprice AS v,
+         (o_orderkey % 5 + 1)::BIGINT AS wt
+  FROM orders
+),
+tot AS (
+  SELECT o_orderpriority, sum(wt)::BIGINT AS total_wt FROM w GROUP BY 1
+),
+c AS (
+  SELECT w.o_orderpriority, w.v, w.wt, t.total_wt,
+         sum(w.wt) OVER (PARTITION BY w.o_orderpriority
+                         ORDER BY w.v, w.wt
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS cum_wt
+  FROM w JOIN tot t ON t.o_orderpriority = w.o_orderpriority
+)
+SELECT o_orderpriority, max(total_wt) AS total_wt,
+       round(min(CASE WHEN 2 * cum_wt >= total_wt THEN v END), 4)
+         AS weighted_median
+FROM c GROUP BY 1
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median order price per priority (weight = a
+    deterministic 1..5 from the order key): the smallest value whose
+    cumulative weight reaches half the total — the robust center neither percentile() nor quantile_cont
+    can compute under weights.
+
+    Spelled as an ordered cumulative-weight window (total order:
+    value, then weight — deterministic across engines) over each
+    group, then the minimal crossing value. Weights and cumulative
+    sums are exact BIGINTs, the crossing test is integer arithmetic
+    (2*cum >= total avoids any float half), so the selected row is
+    identical everywhere. One shuffle on the group key; the window
+    frame is running, so state is O(1) per row.
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderkey") % 5 + 1).cast("long").alias("wt"),
+    )
+    tot = w.groupBy("o_orderpriority").agg(
+        F.sum("wt").cast("long").alias("total_wt")
+    )
+    cum = (
+        w.join(F.broadcast(tot), "o_orderpriority")
+        .withColumn(
+            "cum_wt",
+            F.sum("wt")
+            .over(
+                W.partitionBy("o_orderpriority")
+                .orderBy("v", "wt")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            .cast("long"),
+        )
+    )
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("total_wt").alias("total_wt"),
+        F.round(
+            F.min(F.when(2 * F.col("cum_wt") >= F.col("total_wt"), F.col("v"))), 4
+        ).alias("weighted_median"),
+    )

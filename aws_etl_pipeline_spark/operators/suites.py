@@ -165,6 +165,8 @@ SUITES: dict[str, list[str]] = {
         "agg_skew_kurtosis",
         # r8 ninth batch: categorical dispersion
         "agg_entropy_gini",
+        # r8 tenth batch: cumulative-weight crossing median
+        "agg_weighted_median",
     ],
     "suite_setops": [
         "set_union_all",
@@ -369,6 +371,8 @@ SUITES: dict[str, list[str]] = {
         "scd2_intervals",
         "sample_stable_hash",
         "etl_winsorize",
+        # r8 tenth batch: two-pass dense surrogate keys
+        "etl_dense_surrogate_ids",
     ],
     "suite_analytics": [
         "events_funnel",

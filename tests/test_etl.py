@@ -207,3 +207,50 @@ def test_pandas_nan_compat_flag(spark):
     }
     assert compat["T1"] == "Nan"
     assert compat["T2"] == "Shop A"
+
+
+def test_dense_surrogate_ids_no_global_window(spark, sf_dir):
+    """Dense 1..N in key order WITHOUT funneling the table through one
+    partition: ids are gapless, order-consistent, and the plan's only
+    SinglePartition exchange carries the tiny bucket-count relation."""
+    import re as _re
+
+    from aws_etl_pipeline_spark.operators.etl import etl_dense_surrogate_ids
+    from aws_etl_pipeline_spark.plans.explain import plan_string
+
+    df = etl_dense_surrogate_ids(spark, sf_dir)
+    rows = sorted(df.collect(), key=lambda r: r.o_orderkey)
+    assert [r.surrogate_id for r in rows] == list(range(1, len(rows) + 1))
+    plan = plan_string(df)
+    # the per-row window must partition by bucket; a SinglePartition
+    # exchange is allowed only on the bucket-offsets subplan (which
+    # carries 'cnt'), never on the orders rows
+    for m in _re.finditer(r"Exchange SinglePartition", plan):
+        ctx = plan[m.start() : m.start() + 400]
+        assert "cnt" in ctx or "offset" in ctx, ctx
+
+
+def test_weighted_median_crossing_definition(spark, sf_dir):
+    from aws_etl_pipeline_spark.catalog import load_table
+    from aws_etl_pipeline_spark.operators.relational import agg_weighted_median
+    from pyspark.sql import functions as F
+
+    got = {r.o_orderpriority: r for r in agg_weighted_median(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderkey") % 5 + 1).cast("long").alias("wt"),
+    )
+    local = {}
+    for r in orders.collect():
+        local.setdefault(r.o_orderpriority, []).append((r.v, r.wt))
+    for prio, pairs in local.items():
+        pairs.sort()
+        total = sum(w for _, w in pairs)
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if 2 * cum >= total:
+                assert abs(got[prio].weighted_median - round(v, 4)) < 1e-9
+                assert got[prio].total_wt == total
+                break
