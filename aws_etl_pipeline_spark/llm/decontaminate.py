@@ -107,3 +107,87 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count("hit")).cast("long").alias("n_clean"),
         )
     )
+
+
+#: cosine threshold above which a training vector is considered a
+#: semantic leak of a benchmark item (0.35 = this synthetic corpus's
+#: same-label similarity floor, the dedup_embedding_cosine setting;
+#: real pipelines tune much higher on real embedding geometry).
+SEM_DECON_TAU = 0.35
+
+#: benchmark membership: the decontaminate_ngram split, on vectors.
+SEM_BENCH_MOD = 37
+
+
+@query(
+    "decontaminate_semantic",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+),
+bench AS (SELECT * FROM n WHERE vec_id % {SEM_BENCH_MOD} = 0),
+train AS (SELECT * FROM n WHERE vec_id % {SEM_BENCH_MOD} <> 0)
+SELECT t.vec_id, t.label,
+       max(round(list_dot_product(t.v, b.v) / (t.nrm * b.nrm), 6))
+         AS max_benchmark_cos,
+       (max(round(list_dot_product(t.v, b.v) / (t.nrm * b.nrm), 6))
+        >= {SEM_DECON_TAU}) AS contaminated
+FROM train t CROSS JOIN bench b
+GROUP BY 1, 2
+""",
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) eval-leakage guard — the complement
+    to decontaminate_ngram's lexical screen: an eval item paraphrased
+    into the training set shares no n-grams but sits next to it in
+    embedding space. Every training vector is scored by its maximum
+    cosine to ANY benchmark vector; max >= tau flags it.
+
+    Scale shape is the geo_nearest_hub one: benchmark sets are tiny by
+    construction (eval suites vs a corpus), so the bench side rides a
+    broadcast nested-loop expansion collapsed by a map-side max
+    partial agg — shuffle volume is one row per training vector, the
+    corpus is scanned once, and nothing ever shuffles by similarity.
+    The flag compares the ROUNDED max (both engines take max over
+    identically-rounded doubles), so the verdict cannot disagree with
+    the reported score. At larger benchmark sets, route candidate
+    generation through the LSH bucket join (sim_lsh_ann) and keep
+    this exact max as the rescore.
+    """
+    e = load_spread(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    n = e.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("nrm"),
+    )
+    bench = n.where(F.col("vec_id") % SEM_BENCH_MOD == 0).select(
+        F.col("v").alias("bv"), F.col("nrm").alias("bnrm")
+    )
+    train = n.where(F.col("vec_id") % SEM_BENCH_MOD != 0)
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("bv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = train.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "label",
+        F.round(dot / (F.col("nrm") * F.col("bnrm")), 6).alias("cos"),
+    )
+    mx = F.max("cos")
+    return scored.groupBy("vec_id", "label").agg(
+        mx.alias("max_benchmark_cos"),
+        (mx >= SEM_DECON_TAU).alias("contaminated"),
+    )

@@ -319,6 +319,8 @@ SUITES: dict[str, list[str]] = {
         "classifier_score_docs",
         # r8 ninth batch: per-doc n-gram novelty
         "text_ngram_novelty",
+        # r8 tenth batch: embedding-space eval-leakage guard
+        "decontaminate_semantic",
     ],
     "suite_multimodal": [
         "multimodal_features",

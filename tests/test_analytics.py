@@ -276,3 +276,26 @@ def test_train_test_split_partitions_exactly(spark, sf_dir):
     assert all(r.covers_corpus for r in rows.values())
     assert rows["train"].n_docs > rows["val"].n_docs
     assert abs(sum(r.pct_of_corpus for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_semantic_decontamination_contract(spark, sf_dir):
+    from aws_etl_pipeline_spark.catalog import load_table
+    from aws_etl_pipeline_spark.llm.decontaminate import (
+        SEM_BENCH_MOD,
+        SEM_DECON_TAU,
+        decontaminate_semantic,
+    )
+
+    rows = decontaminate_semantic(spark, sf_dir).collect()
+    assert rows
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    n_bench = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(f"vec_id % {SEM_BENCH_MOD} = 0")
+        .count()
+    )
+    assert len(rows) == n_vec - n_bench  # every train vector scored
+    for r in rows:
+        assert r.vec_id % SEM_BENCH_MOD != 0  # bench never scored
+        assert -1.0 - 1e-9 <= r.max_benchmark_cos <= 1.0 + 1e-9
+        assert r.contaminated == (r.max_benchmark_cos >= SEM_DECON_TAU)
