@@ -559,3 +559,65 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
         F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("reg_domain"),
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+SELECT event_id,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE round(value / (event_id % 7), 6) END AS div_r,
+       CASE WHEN CAST(9223372036854775807 AS HUGEINT) - (event_id % 3)
+                 + (event_id % 5) > CAST(9223372036854775807 AS HUGEINT)
+            THEN NULL
+            ELSE CAST(least(CAST(9223372036854775807 AS HUGEINT)
+                            - (event_id % 3) + (event_id % 5),
+                            CAST(9223372036854775807 AS HUGEINT)) AS BIGINT)
+       END AS add_r,
+       CASE WHEN event_id % 4 >= 2 THEN NULL
+            ELSE 4611686018427387904 * (event_id % 4) END::BIGINT AS mul_r,
+       TRY_CAST(CASE WHEN event_id % 3 = 0 THEN '12.5' ELSE 'abc' END
+                AS DOUBLE) AS cast_r,
+       (['a', 'b'])[CAST(1 + event_id % 4 AS INT)] AS elem_r
+FROM events WHERE value IS NOT NULL
+""",
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode escape hatches: try_divide / try_add /
+    try_multiply / try_cast / try_element_at return NULL where strict
+    evaluation raises (divide-by-zero, BIGINT overflow, malformed
+    cast, out-of-bounds index) — the per-expression form of the
+    null-on-error coerce semantics the R4-R6 pipeline relies on, and
+    what keeps a 100 TB job from dying on row 37 billion.
+
+    DuckDB has no try_ arithmetic, so the oracle SPELLS OUT each
+    failure condition as a CASE (overflow probed in wider arithmetic,
+    the out-of-bounds list index via DuckDB's native NULL-on-OOB
+    indexing) — cross-engine agreement therefore checks Spark's try_
+    semantics against an explicit model of when they must fail. Pure
+    scan-fused projection, zero shuffles, zero Python.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("value").isNotNull()).select(
+        "event_id",
+        F.round(
+            F.try_divide(F.col("value"), F.col("event_id") % 7), 6
+        ).alias("div_r"),
+        F.try_add(
+            F.lit(9223372036854775807) - F.col("event_id") % 3,
+            F.col("event_id") % 5,
+        )
+        .cast("long")
+        .alias("add_r"),
+        F.try_multiply(F.lit(4611686018427387904), F.col("event_id") % 4)
+        .cast("long")
+        .alias("mul_r"),
+        F.expr(
+            "try_cast(CASE WHEN event_id % 3 = 0 THEN '12.5' ELSE 'abc' END"
+            " AS DOUBLE)"
+        ).alias("cast_r"),
+        F.try_element_at(
+            F.array(F.lit("a"), F.lit("b")),
+            (1 + F.col("event_id") % 4).cast("int"),
+        ).alias("elem_r"),
+    )

@@ -2371,3 +2371,145 @@ def ts_brown_des_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(trend, 6).alias("trend"),
         F.round(level + DES_HORIZON * trend, 6).alias(f"forecast_{DES_HORIZON}d"),
     )
+
+
+@query(
+    "events_uplift_cuped",
+    oracle="""
+WITH days AS (
+  SELECT user_id, date_diff('day', DATE '1970-01-01', ts::DATE) AS day, value
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT min(day) + CAST(floor((max(day) - min(day)) / 2.0) AS BIGINT) AS dmid
+  FROM days
+),
+per_user AS (
+  SELECT user_id, user_id % 2 AS grp,
+         CAST(sum(CASE WHEN day <= dmid THEN CAST(value AS DECIMAL(18,2)) END)
+              AS DOUBLE) AS pre_sum,
+         sum(CASE WHEN day <= dmid THEN 1 ELSE 0 END)::BIGINT AS pre_n,
+         CAST(sum(CASE WHEN day > dmid THEN CAST(value AS DECIMAL(18,2)) END)
+              AS DOUBLE) AS post_sum,
+         sum(CASE WHEN day > dmid THEN 1 ELSE 0 END)::BIGINT AS post_n
+  FROM days CROSS JOIN bounds GROUP BY 1, 2
+),
+xy AS (
+  SELECT grp, pre_sum / pre_n AS x, post_sum / post_n AS y
+  FROM per_user WHERE pre_n > 0 AND post_n > 0
+),
+s AS (
+  SELECT count(*)::BIGINT AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         CAST(sum(CASE WHEN grp = 1 THEN CAST(y AS DECIMAL(38,12)) END)
+              AS DOUBLE) AS sy1,
+         CAST(sum(CASE WHEN grp = 1 THEN CAST(x AS DECIMAL(38,12)) END)
+              AS DOUBLE) AS sx1
+  FROM xy
+)
+SELECT n AS n_users,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS var_reduction_pct,
+       round(sy1 / n1 - (sy - sy1) / (n - n1), 6) AS diff_raw,
+       round((sy1 / n1 - (sy - sy1) / (n - n1))
+             - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+               * (sx1 / n1 - (sx - sx1) / (n - n1)), 6) AS diff_adj
+FROM s
+""",
+)
+def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout (Deng et al.'s
+    controlled-experiment workhorse): the pre-period per-user mean is
+    the covariate, theta = cov(x,y)/var(x), and the adjusted metric
+    y - theta*(x - mean_x) removes the share of outcome variance the
+    pre-period already explains — var_reduction_pct is exactly the
+    squared correlation rho^2, often 30-50% smaller confidence
+    intervals for free on real logs.
+
+    Same machinery as the statistical-testing batch: the event log
+    reduces in ONE user-keyed shuffle to per-user (pre, post) exact
+    sums, the covariate moments fold in one more constant-size
+    aggregate of DECIMAL-cast products, and theta / the adjusted
+    treatment difference (user_id parity split, the Welch device) are
+    closed-form arithmetic on that single row. Pre/post split at the
+    midpoint day, integer date arithmetic (the PSI device). The
+    adjusted difference must equal diff_raw - theta * (covariate
+    imbalance) — pinned in pytest.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.where(F.col("value").isNotNull()).select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),
+        "value",
+    )
+    bounds = days.agg(
+        (
+            F.min("day")
+            + F.floor((F.max("day") - F.min("day")) / 2.0).cast("long")
+        ).alias("dmid")
+    )
+    dec = "decimal(18,2)"
+    per_user = (
+        days.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", (F.col("user_id") % 2).alias("grp"))
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("dmid"), F.col("value").cast(dec)))
+            .cast("double")
+            .alias("pre_sum"),
+            F.sum(F.when(F.col("day") <= F.col("dmid"), 1).otherwise(0))
+            .cast("long")
+            .alias("pre_n"),
+            F.sum(F.when(F.col("day") > F.col("dmid"), F.col("value").cast(dec)))
+            .cast("double")
+            .alias("post_sum"),
+            F.sum(F.when(F.col("day") > F.col("dmid"), 1).otherwise(0))
+            .cast("long")
+            .alias("post_n"),
+        )
+    )
+    xy = per_user.where((F.col("pre_n") > 0) & (F.col("post_n") > 0)).select(
+        "grp",
+        (F.col("pre_sum") / F.col("pre_n")).alias("x"),
+        (F.col("post_sum") / F.col("post_n")).alias("y"),
+    )
+    d38 = "decimal(38,12)"
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast("double").alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).cast("double").alias("syy"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("y").cast(d38)))
+        .cast("double")
+        .alias("sy1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("x").cast(d38)))
+        .cast("double")
+        .alias("sx1"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    n1, sy1, sx1 = F.col("n1"), F.col("sy1"), F.col("sx1")
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    diff_raw = sy1 / n1 - (sy - sy1) / (n - n1)
+    return s.select(
+        n.alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("var_reduction_pct"),
+        F.round(diff_raw, 6).alias("diff_raw"),
+        F.round(
+            diff_raw - theta * (sx1 / n1 - (sx - sx1) / (n - n1)), 6
+        ).alias("diff_adj"),
+    )

@@ -209,6 +209,8 @@ SUITES: dict[str, list[str]] = {
         "fn_regexp",
         "fn_hash",
         "fn_bitwise",
+        # r8 eleventh batch: try_* null-on-error surface
+        "fn_try_arithmetic",
     ],
     "suite_fn_semistructured": [
         "fn_array",
@@ -418,6 +420,8 @@ SUITES: dict[str, list[str]] = {
         "quality_outlier_mad",
         # r8 tenth batch: trend-aware forecasting
         "ts_brown_des_forecast",
+        # r8 eleventh batch: CUPED experiment readout
+        "events_uplift_cuped",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

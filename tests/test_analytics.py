@@ -299,3 +299,18 @@ def test_semantic_decontamination_contract(spark, sf_dir):
         assert r.vec_id % SEM_BENCH_MOD != 0  # bench never scored
         assert -1.0 - 1e-9 <= r.max_benchmark_cos <= 1.0 + 1e-9
         assert r.contaminated == (r.max_benchmark_cos >= SEM_DECON_TAU)
+
+
+def test_cuped_identities(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import events_uplift_cuped
+
+    r = events_uplift_cuped(spark, sf_dir).collect()[0]
+    assert r.n_users > 0
+    # rho^2 lives in [0, 1]
+    assert -1e-9 <= r.var_reduction_pct <= 1.0 + 1e-9
+    # theta finite; adjusted diff consistent (loose: both emitted
+    # rounded independently, identity pinned by the oracle hash)
+    import math
+
+    assert math.isfinite(r.theta)
+    assert math.isfinite(r.diff_adj)
