@@ -1573,3 +1573,386 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+@query(
+    "classifier_train_nb",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+),
+doc_terms AS (
+  SELECT doc_id, source, term, count(*)::BIGINT AS cnt
+  FROM toks GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT source AS cls, count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM documents GROUP BY 1
+),
+totals AS (
+  SELECT (SELECT count(DISTINCT term) FROM toks)::BIGINT AS v,
+         (SELECT count(*) FROM documents)::BIGINT AS n
+),
+class_tok AS (
+  SELECT source AS cls, sum(cnt)::BIGINT AS t_s
+  FROM doc_terms GROUP BY 1
+),
+model AS (
+  SELECT t.source AS cls, t.term,
+         round(ln((sum(t.cnt) + 1.0)
+                  / (any_value(ct.t_s) + any_value(tt.v))), 8) AS loglik
+  FROM doc_terms t
+  JOIN class_tok ct ON ct.cls = t.source
+  CROSS JOIN totals tt
+  GROUP BY 1, 2
+),
+class_const AS (
+  SELECT c.cls,
+         round(ln(c.n_docs / CAST(t.n AS DOUBLE)), 8) AS prior,
+         round(ln(1.0 / (ct.t_s + t.v)), 8) AS loglik0
+  FROM classes c JOIN class_tok ct ON ct.cls = c.cls CROSS JOIN totals t
+),
+scores AS (
+  SELECT d.doc_id, d.source AS actual, cc.cls,
+         round(CAST(any_value(cc.prior) AS DECIMAL(38,8))
+               + sum(CAST(d.cnt AS DECIMAL(18,0))
+                     * CAST(coalesce(m.loglik, cc.loglik0)
+                            AS DECIMAL(20,8))), 6) AS score
+  FROM doc_terms d
+  CROSS JOIN class_const cc
+  LEFT JOIN model m ON m.cls = cc.cls AND m.term = d.term
+  GROUP BY d.doc_id, d.source, cc.cls, cc.prior, cc.loglik0
+),
+pred AS (
+  SELECT doc_id, actual, cls AS predicted
+  FROM scores
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, cls) = 1
+)
+SELECT actual, predicted, count(*)::BIGINT AS n_docs
+FROM pred GROUP BY 1, 2
+""",
+)
+def classifier_train_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes TRAINING + resubstitution scoring in
+    pure DataFrame ops — the counting-based sibling of
+    `classifier_train_logreg`: where logreg needs an iterative gradient
+    loop, NB training IS one aggregation pass (McCallum & Nigam's
+    event model), which makes it the cheapest learned source-classifier
+    a 100 TB curation pipeline can field. The class is the document's
+    `source`; features are whitespace unigram counts; likelihoods are
+    Laplace-smoothed over the joint vocabulary.
+
+    Every model scalar is pinned before reuse: per-(class, term)
+    log-likelihoods and the per-class prior / unseen-term constant are
+    round(·, 8), so scoring sums DECIMAL-exact products of integer
+    counts and 8-decimal logs — bit-equal across engines regardless of
+    partition order; the final per-(doc, class) score rounds to 6 and
+    argmax ties break on class name via an identical full ordering in
+    both engines. Output is the training-set confusion matrix
+    (actual x predicted, at most |sources|^2 rows).
+
+    Scale shape: model build = one groupBy(source, term) whose state is
+    vocab x classes (vocab-bound, NOT corpus-bound — the BPE
+    dedupe-to-vocabulary argument); scoring = doc-term counts joined to
+    the BROADCAST model grid, one groupBy(doc_id, class), one per-doc
+    window over |classes| rows. The corpus is scanned twice and never
+    shuffled on anything wider than (doc_id, class).
+
+    Honest-fit caveat (the classifier_train_logreg contract): the
+    synthetic corpus shares one vocabulary across sources, so accuracy
+    sits at the majority/Bayes rate — what the oracle hash pins is the
+    training arithmetic: identical counts, identical smoothed logs,
+    identical argmax on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(_words()).alias("term")
+    )
+    doc_terms = toks.groupBy("doc_id", "source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).transform(track)
+    classes = d.groupBy(F.col("source").alias("cls")).agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    vocab_n = toks.agg(F.countDistinct("term").cast("long").alias("v"))
+    corpus_n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    class_tok = doc_terms.groupBy(F.col("source").alias("cls")).agg(
+        F.sum("cnt").cast("long").alias("t_s")
+    )
+    model = (
+        doc_terms.groupBy(F.col("source").alias("cls"), "term")
+        .agg(F.sum("cnt").alias("c"))
+        .join(class_tok, "cls")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "cls",
+            "term",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("t_s") + F.col("v"))), 8
+            ).alias("loglik"),
+        )
+    )
+    class_const = (
+        classes.join(class_tok, "cls")
+        .crossJoin(F.broadcast(corpus_n))
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "cls",
+            F.round(F.log(F.col("n_docs") / F.col("n").cast("double")), 8).alias(
+                "prior"
+            ),
+            F.round(F.log(1.0 / (F.col("t_s") + F.col("v"))), 8).alias("loglik0"),
+        )
+    )
+    scores = (
+        doc_terms.crossJoin(F.broadcast(class_const))
+        .join(F.broadcast(model), ["cls", "term"], "left")
+        .groupBy("doc_id", F.col("source").alias("actual"), "cls")
+        .agg(
+            F.round(
+                F.max(F.col("prior")).cast("decimal(38,8)")
+                + F.sum(
+                    F.col("cnt").cast("decimal(18,0)")
+                    * F.coalesce(F.col("loglik"), F.col("loglik0")).cast(
+                        "decimal(20,8)"
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cls"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("actual", F.col("cls").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+_KN_D = 0.75  # absolute-discount constant (Chen & Goodman's fixed D)
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+           FROM documents),
+inst AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+  WHERE len(ws) > 1
+),
+bi AS (SELECT w1, w2, count(*)::BIGINT AS c FROM inst GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c)::BIGINT AS tot, count(*)::BIGINT AS n_types
+        FROM bi GROUP BY 1),
+cont AS (SELECT w2, count(*)::BIGINT AS n_right FROM bi GROUP BY 1),
+btot AS (SELECT count(*)::BIGINT AS b FROM bi),
+model AS (
+  SELECT bi.w1, bi.w2,
+         round(ln(round((greatest(bi.c - {_KN_D}, 0)
+                         + {_KN_D} * ctx.n_types
+                           * (cont.n_right / CAST(btot.b AS DOUBLE)))
+                        / ctx.tot, 12)), 8) AS logp
+  FROM bi JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN btot
+)
+SELECT i.doc_id, count(*)::BIGINT AS n_bigrams,
+       round(CAST(sum(CAST(m.logp AS DECIMAL(20,8))) AS DOUBLE), 6) AS ll,
+       round(CAST(sum(CAST(m.logp AS DECIMAL(20,8))) AS DOUBLE)
+             / count(*), 6) AS avg_logprob
+FROM inst i JOIN model m ON m.w1 = i.w1 AND m.w2 = i.w2
+GROUP BY i.doc_id
+""",
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram language model (Chen & Goodman's
+    fixed-discount D=0.75 formulation), trained on the corpus and
+    scored back over it — the LM-quality signal CCNet-style curation
+    uses where `text_unigram_logprob` is the order-0 baseline:
+    P(w2|w1) = (max(c-D,0) + D * N1+(w1, .) * Pcont(w2)) / c(w1, .),
+    with the continuation probability Pcont(w2) = N1+(., w2) / |bigram
+    types| — the part that makes KN the standard smoother.
+
+    Every model probability is round(.,12) then logged and round(.,8),
+    so per-doc scoring sums DECIMAL-exact 8-decimal logs — partition-
+    order independent and bit-equal across engines. Scored bigrams are
+    train-on-self, so every instance hits the model (no unseen-mass
+    branch; the held-out variant would add the standard backoff term).
+    Output: per-doc bigram count, total and average log-probability.
+
+    Scale shape: counts are ONE groupBy(w1, w2) with map-side combine
+    (state = bigram types, vocab^2-bounded, NOT corpus-bound); the
+    context/continuation relations re-aggregate that type table; the
+    scoring join is a bigram-keyed equi-join of instances against the
+    type-bounded model — at 100 TB both sides hash-partition on the
+    bigram key and no N x M blowup exists anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    inst = (
+        d.filter(F.size(ws) > 1)
+        .select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("ws") - 1)).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.element_at("ws", F.col("i").cast("int")).alias("w1"),
+            F.element_at("ws", (F.col("i") + 1).cast("int")).alias("w2"),
+        )
+    )
+    bi = inst.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).transform(track)
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    cont = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n_right"))
+    btot = bi.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    p = F.round(
+        (
+            F.greatest(F.col("c") - _KN_D, F.lit(0.0))
+            + _KN_D
+            * F.col("n_types")
+            * (F.col("n_right") / F.col("b").cast("double"))
+        )
+        / F.col("tot"),
+        12,
+    )
+    model = (
+        bi.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", F.round(F.log(p), 8).alias("logp"))
+    )
+    ll = F.sum(F.col("logp").cast("decimal(20,8)")).cast("double")
+    return (
+        inst.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(ll, 6).alias("ll"),
+            F.round(ll / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
+
+
+_WIN_K = 8  # winnowing char-k-gram width
+_WIN_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars shares a fp)
+
+
+@query(
+    "text_winnowing",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents),
+g AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(substr(norm, i, {_WIN_K})), 1, 8))::UBIGINT::BIGINT
+           AS h,
+         len(norm) - {_WIN_K - 1} AS n
+  FROM t, unnest(generate_series(1, len(norm) - {_WIN_K - 1})) AS u(i)
+  WHERE len(norm) >= {_WIN_K + _WIN_W - 1}
+),
+grid AS (
+  SELECT doc_id, j, i, h
+  FROM g, unnest(generate_series(greatest(1, i - {_WIN_W - 1}),
+                                 least(i, n - {_WIN_W - 1}))) AS v(j)
+),
+sel AS (
+  SELECT doc_id, i, h FROM grid
+  QUALIFY row_number() OVER (PARTITION BY doc_id, j ORDER BY h, i DESC) = 1
+),
+seld AS (SELECT DISTINCT doc_id, i, h FROM sel)
+SELECT doc_id, count(*)::BIGINT AS n_fps,
+       count(DISTINCT h)::BIGINT AS n_distinct,
+       bit_xor(h)::BIGINT AS fp_xor,
+       min(h)::BIGINT AS fp_min, max(h)::BIGINT AS fp_max
+FROM seld GROUP BY doc_id
+""",
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS algorithm): hash every k=8 char k-gram of the normalized text,
+    slide a w=4 window over the hash sequence, and select each
+    window's minimum hash — rightmost position on ties, the paper's
+    density-minimizing rule. The guarantee: any two documents sharing
+    a substring of length >= k+w-1 share at least one selected
+    fingerprint, which is what makes this the local-similarity
+    primitive under plagiarism/near-dup detection (`dedup_substring`'s
+    fixed-stride cousin with a matched-detection guarantee).
+
+    Selection is expressed relationally: the (gram x window) membership
+    grid (a constant w-fold expansion, never data-dependent), then ONE
+    row_number per (doc, window) over the full ordering (hash asc,
+    position desc) — both engines break ties identically; selected
+    (position, hash) pairs dedupe across overlapping windows exactly as
+    the paper specifies. Output is a per-doc digest of the fingerprint
+    set: count, distinct count, order-insensitive XOR, min and max —
+    hash-equality here pins the entire selected set. Docs shorter than
+    k+w-1 chars have no full window and are excluded (paper precondition).
+
+    Scale shape: everything up to the final per-doc aggregate is
+    per-document local — at 100 TB the grid explode and window
+    selection pipeline inside one partition pass (shuffle only on
+    doc_id for the selection window), cost linear in corpus chars
+    with a fixed w-factor; no cross-document state anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    base = d.select("doc_id", norm.alias("norm")).where(
+        F.length("norm") >= _WIN_K + _WIN_W - 1
+    )
+    g = base.select(
+        "doc_id",
+        (F.length("norm") - (_WIN_K - 1)).alias("n"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("norm") - (_WIN_K - 1))
+        ).alias("i"),
+        "norm",
+    ).select(
+        "doc_id",
+        "n",
+        "i",
+        F.conv(
+            F.substring(
+                F.md5(F.col("norm").substr(F.col("i"), F.lit(_WIN_K))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    grid = g.select(
+        "doc_id",
+        "i",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("i") - (_WIN_W - 1), F.lit(1)),
+                F.least(F.col("i"), F.col("n") - (_WIN_W - 1)),
+            )
+        ).alias("j"),
+    )
+    w = W.partitionBy("doc_id", "j").orderBy(F.asc("h"), F.desc("i"))
+    seld = (
+        grid.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "i", "h")
+        .distinct()
+    )
+    return seld.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps"),
+        F.countDistinct("h").cast("long").alias("n_distinct"),
+        F.expr("bit_xor(h)").cast("long").alias("fp_xor"),
+        F.min("h").cast("long").alias("fp_min"),
+        F.max("h").cast("long").alias("fp_max"),
+    )

@@ -2513,3 +2513,102 @@ def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             diff_raw - theta * (sx1 / n1 - (sx - sx1) / (n - n1)), 6
         ).alias("diff_adj"),
     )
+
+
+#: chi-square critical value, df=8 (nine leading digits), alpha=0.05.
+_BENFORD_CRIT = 15.507
+
+
+@query(
+    "quality_benford",
+    oracle=f"""
+WITH vals AS (
+  SELECT event_type,
+         substr(CAST(CAST(floor(abs(value)) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit
+  FROM events
+  WHERE value IS NOT NULL AND abs(value) >= 1
+),
+cnt AS (
+  SELECT event_type, digit, count(*)::BIGINT AS n_d
+  FROM vals GROUP BY 1, 2
+),
+digits AS (SELECT CAST(d AS VARCHAR) AS digit, log10(1.0 + 1.0 / d) AS p
+           FROM range(1, 10) t(d)),
+grid AS (
+  SELECT t.event_type, t.n_vals, d.digit, d.p, coalesce(c.n_d, 0)::BIGINT AS n_d
+  FROM (SELECT event_type, sum(n_d)::BIGINT AS n_vals FROM cnt GROUP BY 1) t
+  CROSS JOIN digits d
+  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.digit = d.digit
+)
+SELECT event_type,
+       max(n_vals) AS n_vals,
+       round(sum((n_d - n_vals * p) * (n_d - n_vals * p) / (n_vals * p)), 6)
+         AS chi2,
+       round(sum((n_d - n_vals * p) * (n_d - n_vals * p) / (n_vals * p)), 6)
+         > {_BENFORD_CRIT} AS anomalous,
+       round(max(CASE WHEN digit = '1' THEN n_d END) / CAST(max(n_vals) AS DOUBLE),
+             6) AS p_leading_1
+FROM grid GROUP BY event_type
+""",
+)
+def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit per event type — the classic
+    forensic screen for fabricated or machine-generated numeric columns
+    (Nigrini's audit statistic; in a training-data pipeline the same
+    test flags synthetic/spam sources whose metric fields were drawn
+    uniformly instead of organically).
+
+    The leading significant digit is extracted through exact integer
+    string arithmetic (``floor(abs(v))`` as BIGINT, first character) on
+    values with ``|v| >= 1`` — NOT via ``log10`` float gymnastics,
+    whose last-ulp behavior near powers of ten differs across engines.
+    Expected shares are Benford's ``log10(1 + 1/d)``; the chi-square
+    statistic is computed on the (type x 9) count grid — all arithmetic
+    AFTER aggregation, on exact integer counts, so no sum-order float
+    drift exists to pin, and one final round(6) seals the comparison.
+    ``anomalous`` flags chi2 above the df=8, alpha=.05 critical value.
+
+    Scale shape: ONE scan of events, one partial-agg-friendly
+    groupBy(event_type, digit) whose state is at most (types x 9)
+    rows; the grid join and chi-square run on that tiny relation.
+    At 100 TB this is a metadata-priced audit riding a single pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.where(F.col("value").isNotNull() & (F.abs("value") >= 1)).select(
+        "event_type",
+        F.substring(
+            F.floor(F.abs("value")).cast("long").cast("string"), 1, 1
+        ).alias("digit"),
+    )
+    cnt = vals.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d")
+    )
+    tot = cnt.groupBy("event_type").agg(F.sum("n_d").cast("long").alias("n_vals"))
+    digits = spark.range(1, 10).select(
+        F.col("id").cast("string").alias("digit"),
+        F.log10(1.0 + 1.0 / F.col("id")).alias("p"),
+    )
+    grid = (
+        tot.crossJoin(F.broadcast(digits))
+        .join(cnt, ["event_type", "digit"], "left")
+        .select(
+            "event_type",
+            "n_vals",
+            "digit",
+            "p",
+            F.coalesce("n_d", F.lit(0)).cast("long").alias("n_d"),
+        )
+    )
+    dev = F.col("n_d") - F.col("n_vals") * F.col("p")
+    chi2 = F.round(F.sum(dev * dev / (F.col("n_vals") * F.col("p"))), 6)
+    return grid.groupBy("event_type").agg(
+        F.max("n_vals").alias("n_vals"),
+        chi2.alias("chi2"),
+        (chi2 > _BENFORD_CRIT).alias("anomalous"),
+        F.round(
+            F.max(F.when(F.col("digit") == "1", F.col("n_d")))
+            / F.max("n_vals").cast("double"),
+            6,
+        ).alias("p_leading_1"),
+    )

@@ -447,3 +447,112 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             reached.union(nxt).groupBy("node").agg(F.min("dist").alias("dist"))
         )
     return reached.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e0 AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs)"""
+    steps = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        steps.append(
+            f"""
+n{r} AS (
+  SELECT a AS node FROM e{r - 1} GROUP BY a
+  HAVING count(*) >= {_KCORE_K}
+),
+e{r} AS (
+  SELECT e.a, e.b FROM e{r - 1} e
+  WHERE e.a IN (SELECT node FROM n{r})
+    AND e.b IN (SELECT node FROM n{r})
+)"""
+        )
+    last, prev = _KCORE_ROUNDS, _KCORE_ROUNDS - 1
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT a AS node, count(*)::BIGINT AS deg,
+       (SELECT count(*) FROM n{last}) = (SELECT count(*) FROM n{prev})
+         AS converged
+FROM e{last} GROUP BY a
+"""
+    )
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the undirected customer–supplier
+    graph by iterative peeling — Seidman's classic cohesion subgraph,
+    4 rounds UNROLLED (the
+    graph_pagerank / dedup_connected_components fixed-iteration
+    discipline): each round drops nodes whose degree in the surviving
+    subgraph is below k, then restricts edges to surviving endpoints.
+    A ``converged`` flag — surviving-node count unchanged between the
+    last two rounds, computed as broadcast scalar aggregates, never a
+    driver collect — reports whether the fixpoint was reached, the
+    same honest-fixed-iteration contract the other iterative operators
+    carry.
+
+    Scale shape: per round, ONE degree aggregation (node-count-sized
+    state) and two semi-joins of the edge list against the surviving
+    node set — all keyed on the node id, so at 100 TB a pre-partitioned
+    edge list amortizes every round's shuffle to co-located exchange;
+    per-round edge relations are persisted (graph_pagerank's lesson:
+    iterative loops must pin invariant inputs or round r re-runs the
+    whole r-1 lineage).
+
+    Oracle: the identical rounds as chained CTEs; counts are exact
+    integers end-to-end — nothing to round.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), "o_custkey").alias("a"),
+            F.concat(F.lit("s:"), "l_suppkey").alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).transform(track)
+    n_prev = None
+    survivors = None
+    for _ in range(_KCORE_ROUNDS):
+        n_prev = survivors
+        survivors = (
+            edges.groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select("node")
+        ).transform(track)
+        edges = (
+            edges.join(
+                survivors.withColumnRenamed("node", "a"), "a", "left_semi"
+            )
+            .join(survivors.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+        ).transform(track)
+    c_last = survivors.agg(F.count(F.lit(1)).alias("n_last"))
+    c_prev = n_prev.agg(F.count(F.lit(1)).alias("n_prev"))
+    return (
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .crossJoin(F.broadcast(c_last))
+        .crossJoin(F.broadcast(c_prev))
+        .select(
+            "node",
+            "deg",
+            (F.col("n_last") == F.col("n_prev")).alias("converged"),
+        )
+    )

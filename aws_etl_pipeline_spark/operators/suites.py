@@ -314,6 +314,9 @@ SUITES: dict[str, list[str]] = {
         "text_repetition",
         "corpus_ppl_buckets",
         "classifier_train_logreg",
+        "classifier_train_nb",  # r8: counting-pass NB + confusion matrix
+        "text_kneser_ney_bigram",  # r8: KN-smoothed bigram LM scoring
+        "text_winnowing",  # r8: MOSS winnowing fingerprints
         "text_gopher_rules",
         "bpe_pair_counts",
         "bpe_train_merges",
@@ -422,6 +425,9 @@ SUITES: dict[str, list[str]] = {
         "ts_brown_des_forecast",
         # r8 eleventh batch: CUPED experiment readout
         "events_uplift_cuped",
+        # r8 twelfth batch: Benford audit + k-core peeling
+        "quality_benford",
+        "graph_kcore",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

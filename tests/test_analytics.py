@@ -314,3 +314,31 @@ def test_cuped_identities(spark, sf_dir):
 
     assert math.isfinite(r.theta)
     assert math.isfinite(r.diff_adj)
+
+
+def test_benford_chi2_nonnegative_and_digit_shares(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.analytics import quality_benford
+
+    rows = quality_benford(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["chi2"] >= 0, r
+        assert 0 <= r["p_leading_1"] <= 1, r
+        # the synthetic value column is roughly log-uniform-ish; either
+        # verdict is legal, but the flag must equal the stated rule
+        assert r["anomalous"] == (r["chi2"] > 15.507), r
+
+
+def test_kcore_every_survivor_meets_degree_floor(spark, sf_dir):
+    from aws_etl_pipeline_spark.operators.graph import graph_kcore
+
+    rows = graph_kcore(spark, sf_dir).collect()
+    assert rows
+    # after a CONVERGED peel every surviving node has deg >= k within
+    # the surviving subgraph; on an unconverged fixed-round run only
+    # the flag itself is guaranteed — assert consistently with it
+    if rows[0]["converged"]:
+        assert all(r["deg"] >= 3 for r in rows)
+    # degrees are within-subgraph, so no degree may exceed node count
+    n = len(rows)
+    assert all(r["deg"] < n for r in rows)

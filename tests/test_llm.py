@@ -277,3 +277,101 @@ def test_bruteforce_pandas_agrees_and_flags(spark, sf_dir):
         per.setdefault(r.query_id, []).append(r.neighbor_id)
     want = {(q, n) for q, lst in per.items() for n in lst[:3]}
     assert got == want
+
+
+def test_nb_confusion_matrix_accounts_for_every_doc(spark, sf_dir):
+    from aws_etl_pipeline_spark.catalog import load_table
+    from aws_etl_pipeline_spark.llm.text import classifier_train_nb
+
+    rows = classifier_train_nb(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # every class label in the matrix is a real source value
+    sources = {
+        r["source"]
+        for r in load_table(spark, sf_dir, "documents").select("source").collect()
+    }
+    assert {r["actual"] for r in rows} <= sources
+    assert {r["predicted"] for r in rows} <= sources
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark, sf_dir):
+    """The paper's guarantee: two docs sharing a >= k+w-1 char substring
+    share at least one selected fingerprint. Feed two synthetic docs
+    with a long common substring through the same plan via a temp view
+    swap — cheaper: verify on the real corpus that exact-duplicate
+    normalized texts produce identical fingerprint digests."""
+    from aws_etl_pipeline_spark.llm.text import text_winnowing
+    import pyspark.sql.functions as F
+    from aws_etl_pipeline_spark.catalog import load_table
+
+    fps = text_winnowing(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("cfp")
+    )
+    j = fps.join(d, "doc_id")
+    groups = (
+        j.groupBy("cfp")
+        .agg(
+            F.countDistinct("fp_xor").alias("nx"),
+            F.countDistinct("n_fps").alias("nn"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") > 1)
+        .collect()
+    )
+    # identical content => identical winnowing digest, always
+    for g in groups:
+        assert g["nx"] == 1 and g["nn"] == 1, g
+
+
+def test_kneser_ney_probabilities_sum_to_one_per_context(spark, sf_dir):
+    """Interpolated KN normalizes over the FULL vocab: per context w1,
+    sum_{observed w2} max(c-D,0)/tot = 1 - D*n_types/tot (the reserved
+    discount mass), and the continuation distribution Pcont sums to 1
+    globally — together these give sum_{all w2} P(w2|w1) = 1. The
+    materialized model only carries observed pairs, so assert the two
+    halves of that identity separately."""
+    from aws_etl_pipeline_spark.catalog import load_table
+    import pyspark.sql.functions as F
+    from aws_etl_pipeline_spark.llm.text import _KN_D, _words
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    inst = (
+        d.filter(F.size(ws) > 1)
+        .select(ws.alias("ws"))
+        .select(F.explode(F.sequence(F.lit(1), F.size("ws") - 1)).alias("i"), "ws")
+        .select(
+            F.element_at("ws", F.col("i").cast("int")).alias("w1"),
+            F.element_at("ws", (F.col("i") + 1).cast("int")).alias("w2"),
+        )
+    )
+    bi = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("n_types")
+    )
+    cont = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n_right"))
+    btot = bi.agg(F.count(F.lit(1)).alias("b"))
+    # half 1: discounted observed mass per context == 1 - D*n_types/tot
+    obs = (
+        bi.join(ctx, "w1")
+        .groupBy("w1")
+        .agg(
+            F.sum(
+                F.greatest(F.col("c") - _KN_D, F.lit(0.0)) / F.col("tot")
+            ).alias("s"),
+            F.max(_KN_D * F.col("n_types") / F.col("tot")).alias("reserved"),
+        )
+        .collect()
+    )
+    assert obs
+    for r in obs:
+        assert abs(r["s"] + r["reserved"] - 1.0) < 1e-9, r
+    # half 2: the continuation distribution sums to 1 globally
+    pc = (
+        cont.crossJoin(F.broadcast(btot))
+        .agg(F.sum(F.col("n_right") / F.col("b").cast("double")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert abs(pc - 1.0) < 1e-9, pc

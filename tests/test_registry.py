@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 279  # COVERAGE.md "279 named queries total"
-DOCUMENTED_GRANULAR = 258
+DOCUMENTED_TOTAL = 284  # COVERAGE.md "284 named queries total"
+DOCUMENTED_GRANULAR = 263
 DOCUMENTED_SUITES = 21
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
