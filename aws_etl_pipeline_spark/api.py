@@ -407,6 +407,90 @@ def connected_components(
     return lbl.select(F.col("n").alias("node"), F.col("cid").alias("component_id"))
 
 
+def connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 12
+) -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the high-diameter complement to
+    :func:`connected_components`: min-label propagation needs
+    O(diameter) rounds, which is fine for near-dup clusters (tiny
+    diameters) but pathological for chain-shaped corpus graphs; the
+    star rounds contract paths doubly-exponentially and converge in
+    O(log^2 n) rounds REGARDLESS of diameter.
+
+    Per round (each one shuffle-join + one min-agg, same unit cost as
+    a propagation round; edge set never grows beyond the input):
+
+    * large-star(u): m = min(N(u) + {u}); emit (v, m) for v in N(u),
+      v > u  — hooks every larger neighbor to the center's minimum.
+    * small-star(u): edges oriented (larger -> smaller), m = min(N(u));
+      emit (x, m) for x in N(u) + {u}, x != m — contracts each center's
+      smaller neighborhood onto its minimum.
+
+    Convergence when a full LS+SS round leaves the edge multiset
+    unchanged (detected by the (count, sum(u), sum(v)) triple — one
+    cheap agg per round, the label-sum device from
+    ``connected_components``); at the fixed point the edges form stars
+    (child, component-min). Returns ``(node, component_id)``.
+    """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # full node universe BEFORE dropping self-loops: a node appearing
+    # only as (n, n) is a singleton component, not a non-node
+    nodes = (
+        raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
+    ).localCheckpoint()
+    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    prev_sig = object()
+    for _ in range(max_iter):
+        # large-star over the symmetrized adjacency
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        e = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over the (larger -> smaller) orientation
+        ori = (
+            e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            ori.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.sum(F.col("u").cast("decimal(30,0)")),
+                F.sum(F.col("v").cast("decimal(30,0)")),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    labels = e.union(e.select(F.col("v").alias("u"), F.col("v")).distinct()).distinct()
+    return nodes.join(
+        labels.select(F.col("u"), F.col("v").alias("cid")), "u", "left"
+    ).select(
+        F.col("u").alias("node"), F.coalesce("cid", F.col("u")).alias("component_id")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """Per-document SimHash fingerprint (word-level md5 bit votes).
 

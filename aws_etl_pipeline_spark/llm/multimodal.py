@@ -38,7 +38,13 @@ def decode_image(data: bytes):
     """Decode an image payload. STUB: the real decoder needs PIL/libvips,
     which this environment does not ship; the Spark-side plumbing
     (binary column in, typed features out) is exercised with
-    deterministic byte-level features instead (see image_features)."""
+    deterministic byte-level features instead (see image_features).
+
+    Standing probe: ``tests/test_multimodal_decode.py`` probes for PIL
+    each session (the spark-avro / delta / protobuf pattern) and, on
+    any environment that ships codecs, drives THIS function through
+    the real ``decoded_image_features`` mapInPandas plan below — no
+    edits needed to light the real path up."""
     if not _PIL:
         raise NotImplementedError(
             "image decode requires PIL; this container ships no codecs"
@@ -46,6 +52,42 @@ def decode_image(data: bytes):
     import io
 
     return Image.open(io.BytesIO(data))  # pragma: no cover
+
+
+def _decoded_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:  # pragma: no cover — exercised only when PIL exists
+    """The REAL decode path: Arrow batches of binary payloads through
+    ``decode_image``, emitting true (width, height, mode). Identical
+    batch shape / schema discipline to ``_feature_batches`` — only the
+    feature fn differs, so the probe test verifies the same plumbing
+    the stubbed queries use."""
+    for pdf in batches:
+        ws, hs, modes = [], [], []
+        for payload in pdf["payload"]:
+            img = decode_image(bytes(payload))
+            ws.append(img.width)
+            hs.append(img.height)
+            modes.append(img.mode)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series(ws, dtype="int64"),
+                "height": pd.Series(hs, dtype="int64"),
+                "mode": modes,
+            }
+        )
+
+
+def decoded_image_features(df: DataFrame) -> DataFrame:
+    """Real-decoder twin of ``multimodal_features``: (doc_id, payload)
+    binary frame -> (doc_id, width, height, mode) via mapInPandas.
+    Raises (per-batch) NotImplementedError without PIL; driven by the
+    standing probe in tests/test_multimodal_decode.py."""
+    return df.mapInPandas(
+        _decoded_feature_batches,
+        schema="doc_id long, width long, height long, mode string",
+    )
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

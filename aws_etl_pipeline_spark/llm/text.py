@@ -1616,10 +1616,10 @@ class_const AS (
 ),
 scores AS (
   SELECT d.doc_id, d.source AS actual, cc.cls,
-         round(CAST(any_value(cc.prior) AS DECIMAL(38,8))
-               + sum(CAST(d.cnt AS DECIMAL(18,0))
+         round(CAST(any_value(cc.prior) AS DECIMAL(12,8))
+               + sum(CAST(d.cnt AS DECIMAL(10,0))
                      * CAST(coalesce(m.loglik, cc.loglik0)
-                            AS DECIMAL(20,8))), 6) AS score
+                            AS DECIMAL(12,8))), 6) AS score
   FROM doc_terms d
   CROSS JOIN class_const cc
   LEFT JOIN model m ON m.cls = cc.cls AND m.term = d.term
@@ -1712,12 +1712,20 @@ def classifier_train_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(model), ["cls", "term"], "left")
         .groupBy("doc_id", F.col("source").alias("actual"), "cls")
         .agg(
+            # operand widths chosen so every decimal op is EXACT within
+            # precision 38 on BOTH engines (round-8 advice fix: the old
+            # decimal(18,0)*decimal(20,8) promoted to decimal(38,7) on
+            # Spark, rounding each term at 1e-7 while DuckDB kept
+            # (38,8) exact — a <1e-6 near-tie between classes could
+            # flip the argmax cross-engine).  (10,0)x(12,8) multiplies
+            # to (23,8) exact; the sum grows to (33,8); adding the
+            # (12,8) prior lands at (34,8) — no scale adjustment.
             F.round(
-                F.max(F.col("prior")).cast("decimal(38,8)")
+                F.max(F.col("prior")).cast("decimal(12,8)")
                 + F.sum(
-                    F.col("cnt").cast("decimal(18,0)")
+                    F.col("cnt").cast("decimal(10,0)")
                     * F.coalesce(F.col("loglik"), F.col("loglik0")).cast(
-                        "decimal(20,8)"
+                        "decimal(12,8)"
                     )
                 ),
                 6,

@@ -138,9 +138,9 @@ SUITES: dict[str, list[str]] = {
         "join_range_interval",
         "join_skew_salted",
         "join_fuzzy_blocked",
-        # r8: one-pass multi-feature point-in-time join
+        # r7: one-pass multi-feature point-in-time join
         "join_asof_multi",
-        # r8: sorted-neighborhood blocking ER (the other classic
+        # r7: sorted-neighborhood blocking ER (the other classic
         # blocking strategy next to join_fuzzy_blocked)
         "er_sorted_neighborhood",
     ],
@@ -155,17 +155,17 @@ SUITES: dict[str, list[str]] = {
         "agg_boolean",
         "agg_percentile_exact",
         "agg_hll_mergeable",
-        # r8: rotated out of PRIORITY into the digest (direct green
+        # r7: rotated out of PRIORITY into the digest (direct green
         # history r1-r6)
         "agg_collect",
         "agg_approx_quantile",
-        # r8: deterministic count-rank mode
+        # r7: deterministic count-rank mode
         "agg_mode",
-        # r8: exact 4th-order moments in one aggregate
+        # r7: exact 4th-order moments in one aggregate
         "agg_skew_kurtosis",
-        # r8 ninth batch: categorical dispersion
+        # r7 ninth batch: categorical dispersion
         "agg_entropy_gini",
-        # r8 tenth batch: cumulative-weight crossing median
+        # r7 tenth batch: cumulative-weight crossing median
         "agg_weighted_median",
     ],
     "suite_setops": [
@@ -186,11 +186,11 @@ SUITES: dict[str, list[str]] = {
         "sql_recursive_cte",
         "fn_unpivot",
         "sql_session_variables",
-        "sql_lateral_join",  # r8
+        "sql_lateral_join",  # r7
     ],
     "suite_window": [
-        "window_gaps_islands",  # r8
-        "window_rolling_median",  # r8
+        "window_gaps_islands",  # r7
+        "window_rolling_median",  # r7
         "window_ranking",
         "window_lag_lead",
         "window_running",
@@ -199,7 +199,7 @@ SUITES: dict[str, list[str]] = {
         "topk_per_group",
     ],
     "suite_fn_scalar": [
-        "fn_url",  # r8
+        "fn_url",  # r7
         "fn_string",
         "fn_string_split",
         "fn_date",
@@ -209,7 +209,7 @@ SUITES: dict[str, list[str]] = {
         "fn_regexp",
         "fn_hash",
         "fn_bitwise",
-        # r8 eleventh batch: try_* null-on-error surface
+        # r7 eleventh batch: try_* null-on-error surface
         "fn_try_arithmetic",
     ],
     "suite_fn_semistructured": [
@@ -236,7 +236,7 @@ SUITES: dict[str, list[str]] = {
         "scan_bucketed_join",
         "scan_schema_evolution",
         "scan_xml_roundtrip",
-        # r8: stride-partitioned parallel JDBC ingest (embedded Derby)
+        # r7: stride-partitioned parallel JDBC ingest (embedded Derby)
         "scan_jdbc_partitioned",
     ],
     "suite_streaming": [
@@ -256,14 +256,16 @@ SUITES: dict[str, list[str]] = {
         "stream_exec_static_join",
         "stream_exec_custom_state",
         "stream_exec_stream_join",
-        # r8: cross-micro-batch mergeable-sketch state
+        # r8: watermarked production form (bounded state, late drops)
+        "stream_exec_stream_join_watermarked",
+        # r7: cross-micro-batch mergeable-sketch state
         "stream_exec_sketch_merge",
-        # r8 ninth batch: CDC apply with retained DELETE tombstones
+        # r7 ninth batch: CDC apply with retained DELETE tombstones
         "stream_exec_cdc",
     ],
     "suite_dedup": [
         "dedup_exact",
-        "dedup_url_canonical",  # r8
+        "dedup_url_canonical",  # r7
         "dedup_substring",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
@@ -271,6 +273,8 @@ SUITES: dict[str, list[str]] = {
         "dedup_embedding_cosine",
         "dedup_keep_best",
         "dedup_connected_components",
+        # r8: alternating large-star/small-star CC (high-diameter form)
+        "dedup_connected_components_star",
         "dedup_containment",
         "dedup_containment_lsh",
         "dedup_semantic",
@@ -290,15 +294,15 @@ SUITES: dict[str, list[str]] = {
         "embed_gram_matrix",
         "embed_pca_project",
         "kmeans_train",
-        # r8: hybrid retrieval (BM25 + dense fused with RRF)
+        # r7: hybrid retrieval (BM25 + dense fused with RRF)
         "text_bm25_topk",
         "sim_hybrid_rrf",
-        # r8 second batch: embedding-training ops
+        # r7 second batch: embedding-training ops
         "sim_matryoshka_truncation",
         "sim_hard_negatives",
     ],
     "suite_text": [
-        "corpus_dataset_card",  # r8
+        "corpus_dataset_card",  # r7
         "text_stats",
         "text_langid",
         "text_quality",
@@ -314,17 +318,17 @@ SUITES: dict[str, list[str]] = {
         "text_repetition",
         "corpus_ppl_buckets",
         "classifier_train_logreg",
-        "classifier_train_nb",  # r8: counting-pass NB + confusion matrix
-        "text_kneser_ney_bigram",  # r8: KN-smoothed bigram LM scoring
-        "text_winnowing",  # r8: MOSS winnowing fingerprints
+        "classifier_train_nb",  # r7: counting-pass NB + confusion matrix
+        "text_kneser_ney_bigram",  # r7: KN-smoothed bigram LM scoring
+        "text_winnowing",  # r7: MOSS winnowing fingerprints
         "text_gopher_rules",
         "bpe_pair_counts",
         "bpe_train_merges",
         "bpe_encode_corpus",
         "classifier_score_docs",
-        # r8 ninth batch: per-doc n-gram novelty
+        # r7 ninth batch: per-doc n-gram novelty
         "text_ngram_novelty",
-        # r8 tenth batch: embedding-space eval-leakage guard
+        # r7 tenth batch: embedding-space eval-leakage guard
         "decontaminate_semantic",
     ],
     "suite_multimodal": [
@@ -343,8 +347,8 @@ SUITES: dict[str, list[str]] = {
         "shard_manifest",
         "sample_weighted_reservoir",
         "sample_importance_resampling",
-        "pack_interleave_domains",  # r8
-        # r8 tenth batch: frozen train/val/test split
+        "pack_interleave_domains",  # r7
+        # r7 tenth batch: frozen train/val/test split
         "sample_train_test_split",
     ],
     "suite_tpch": [
@@ -378,7 +382,7 @@ SUITES: dict[str, list[str]] = {
         "scd2_intervals",
         "sample_stable_hash",
         "etl_winsorize",
-        # r8 tenth batch: two-pass dense surrogate keys
+        # r7 tenth batch: two-pass dense surrogate keys
         "etl_dense_surrogate_ids",
     ],
     "suite_analytics": [
@@ -396,36 +400,36 @@ SUITES: dict[str, list[str]] = {
         "privacy_k_anonymity",
         "events_ewma",
         "graph_triangle_count",
-        # r8: governance, decomposition, node similarity
+        # r7: governance, decomposition, node similarity
         "quality_expectations",
         "privacy_l_diversity",
         "privacy_dp_count_laplace",
-        "events_rfm_segmentation",  # r8
-        "events_markov_attribution",  # r8
+        "events_rfm_segmentation",  # r7
+        "events_markov_attribution",  # r7
         "ts_seasonal_decompose",
         "graph_jaccard_neighbors",
-        # r8 eighth batch: frontier-pruned multi-source BFS
+        # r7 eighth batch: frontier-pruned multi-source BFS
         "graph_bfs_reach",
-        # r8 third batch: statistical testing & monitoring
+        # r7 third batch: statistical testing & monitoring
         "events_survival_km",
         "quality_drift_psi",
         "agg_regression_ols",
         "events_abtest_welch",
-        # r8 seventh batch: time-series statistics on the daily rollup
+        # r7 seventh batch: time-series statistics on the daily rollup
         "ts_autocorrelation",
         "ts_cusum_changepoint",
         "ts_theil_sen",
-        # r8 eighth batch: feature-engineering encodings
+        # r7 eighth batch: feature-engineering encodings
         "feature_target_encode_loo",
         "feature_woe_iv",
-        # r8 ninth batch: sequence patterns + robust outliers
+        # r7 ninth batch: sequence patterns + robust outliers
         "events_pattern_match",
         "quality_outlier_mad",
-        # r8 tenth batch: trend-aware forecasting
+        # r7 tenth batch: trend-aware forecasting
         "ts_brown_des_forecast",
-        # r8 eleventh batch: CUPED experiment readout
+        # r7 eleventh batch: CUPED experiment readout
         "events_uplift_cuped",
-        # r8 twelfth batch: Benford audit + k-core peeling
+        # r7 twelfth batch: Benford audit + k-core peeling
         "quality_benford",
         "graph_kcore",
     ],
@@ -434,14 +438,14 @@ SUITES: dict[str, list[str]] = {
         "sketch_kmv_distinct",
         "sketch_bloom_membership",
         "sketch_theta_intersect",
-        # r8 second batch: mergeable-bin quantiles
+        # r7 second batch: mergeable-bin quantiles
         "sketch_histogram_quantiles",
     ],
     "suite_geo": [
         "geo_grid_density",
         "geo_radius_join",
         "geo_nearest_hub",
-        # r8 ninth batch: grid-DBSCAN hotspot clustering
+        # r7 ninth batch: grid-DBSCAN hotspot clustering
         "geo_hotspot_clusters",
     ],
 }

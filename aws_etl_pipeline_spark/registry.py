@@ -99,20 +99,33 @@ def query(name: str, oracle: Optional[str] = None, doc: str = ""):
 #: applyInPandasWithState, probed working this round) and
 #: stream_exec_stream_join (stream-stream interval join) with direct
 #: driver rows in their first round.
-#: Round-8 rotation: agg_approx_quantile and agg_collect OUT (both
+#: Round-7 third rotation: agg_approx_quantile and agg_collect OUT (both
 #: digest-covered by suite_agg with direct green history r1-r6) to
 #: seat the new mergeable-sketch family: sketch_countmin_heavyhitters
 #: (the granular flagship — count-min build + probe with the
 #: never-undercounts invariant hash-pinned) and the suite_sketches
 #: digest (count-min, KMV distinct, Bloom membership, theta
-#: intersection — one green row hash-verifies all four). The round-7
-#: seats (sim_ivf_truepq*, bpe_train_merges, stream_exec_custom_state,
-#: stream_exec_stream_join) stay put: no CORRECTNESS_r07 artifact was
-#: recorded, so they are still waiting on their first direct driver row.
-#: Round-8 second rotation: text_stats OUT (direct green r1-r6;
+#: intersection — one green row hash-verifies all four). The earlier
+#: round-7 seats (sim_ivf_truepq*, bpe_train_merges,
+#: stream_exec_custom_state, stream_exec_stream_join) stayed put and
+#: all landed their first direct green in CORRECTNESS_r07.
+#: Round-7 fourth rotation: text_stats OUT (direct green r1-r6;
 #: suite_text digest) to seat stream_exec_sketch_merge -- the
 #: cross-micro-batch sketch-merge flagship whose split-invariance
 #: proof deserves a direct driver row in its first round.
+#: Round-8 rotation (label note: earlier rotations authored during
+#: the round-7 session were labeled one round ahead; relabeled r7 in
+#: the r8 doc sweep — round N = the CORRECTNESS_r0N artifact that
+#: first reflects the layout):
+#: sim_ivf_truepq, sim_ivf_truepq_rerank, bpe_train_merges OUT (each
+#: landed its first direct green in CORRECTNESS_r07 and is
+#: digest-covered by suite_sim / suite_text); IN:
+#: stream_exec_stream_join_watermarked (NEW this round — the
+#: production watermarked form of the stream-stream join, direct row
+#: in its first round per policy), text_winnowing and graph_kcore
+#: (both shipped late in r7 with digest-only coverage; a direct row
+#: each gives the MOSS fingerprint grid and the 4-round k-core
+#: peeling loop their own driver history).
 PRIORITY: tuple[str, ...] = (
     # reference-parity flagships (§2A)
     "etl_flagship",
@@ -137,7 +150,7 @@ PRIORITY: tuple[str, ...] = (
     # green r5, r4 bench regression verified fixed at 1.05x r1.)
     "agg_basic",
     "agg_distinct",
-    # (agg_collect and agg_approx_quantile rotated out r8 — suite_agg
+    # (agg_collect and agg_approx_quantile rotated out r7 — suite_agg
     # digest; direct green r1–r6.)
     "agg_approx_distinct",
     "sort_multi_nulls",
@@ -155,9 +168,11 @@ PRIORITY: tuple[str, ...] = (
     # covered)
     "stream_exec_custom_state",
     "stream_exec_stream_join",
+    # rotated in r8: the watermarked production form, first direct row
+    "stream_exec_stream_join_watermarked",
     # LLM-pipeline flagships
     "dedup_exact",
-    "sketch_countmin_heavyhitters",  # rotated in r8: mergeable-sketch flagship
+    "sketch_countmin_heavyhitters",  # rotated in r7: mergeable-sketch flagship
     # (dedup_substring rotated out r6 — suite_dedup digest; direct
     # green r5. dedup_minhash_lsh rotated out in the second r7
     # rotation — suite_dedup digest; direct green r1-r6.)
@@ -166,16 +181,18 @@ PRIORITY: tuple[str, ...] = (
     # (dedup_semantic / dedup_containment_lsh rotated out r7 —
     # suite_dedup digest; direct green r6. sim_ivf_pq renamed to
     # sim_ivf_sq8 in r7 and digest-covered by suite_sim.)
-    # (sim_bruteforce_topk rotated out r8 third rotation — suite_sim
+    # (sim_bruteforce_topk rotated out r7 third rotation — suite_sim
     # digest; direct green r1-r6 — to seat the new suite_geo digest.)
     "sim_lsh_ann",
-    "sim_ivf_truepq",  # rotated in r7: true product quantization + ADC
-    "sim_ivf_truepq_rerank",  # rotated in r7: PQ's fp recovery stage
+    # (sim_ivf_truepq / sim_ivf_truepq_rerank / bpe_train_merges
+    # rotated out r8 — direct green r7 (CORRECTNESS_r07); digest-
+    # covered by suite_sim / suite_text.)
     "sim_brp_lsh_mllib",
-    "bpe_train_merges",  # rotated in r7: multi-round BPE training loop
-    # (text_stats rotated out r8 second rotation — suite_text digest;
+    "text_winnowing",  # rotated in r8: MOSS winnowing fingerprints
+    "graph_kcore",  # rotated in r8: iterative k-core peeling
+    # (text_stats rotated out r7 fourth rotation — suite_text digest;
     # direct green r1-r6.)
-    "stream_exec_sketch_merge",  # rotated in r8: streaming sketch merge
+    "stream_exec_sketch_merge",  # rotated in r7: streaming sketch merge
     "corpus_curation_pipeline",
     "multimodal_features",
     # (sample_stable_hash is digest-covered by suite_etl_misc; keeping
@@ -201,8 +218,8 @@ PRIORITY: tuple[str, ...] = (
     "suite_tpch",
     "suite_etl_misc",
     "suite_analytics",
-    "suite_sketches",  # rotated in r8: the mergeable-sketch family digest
-    "suite_geo",  # rotated in r8: grid-blocked spatial join family digest
+    "suite_sketches",  # rotated in r7: the mergeable-sketch family digest
+    "suite_geo",  # rotated in r7: grid-blocked spatial join family digest
     # (q7/q18 deliberately NOT in the priority block: suite_tpch
     # digest-covers all 20 extra TPC-H shapes; tests pin len <= 50
     # so nothing silently falls off the driver's budget again)

@@ -92,6 +92,58 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return stage_dir, key
 
 
+def _stage_events_timesliced(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage the events table as four single-file TIME SLICES for
+    watermark-deterministic replay: ``ntile(4)`` over ``(ts,
+    event_id)`` splits the table into contiguous time quarters; slices
+    2, 3, 4 are written first (in time order) and slice 1 — the
+    EARLIEST quarter — last, each file with a strictly increasing
+    mtime so the file stream source (which orders by modification
+    time) replays them as four micro-batches in exactly that order.
+    Result: batches 1–3 are time-monotone (no on-time row ever falls
+    behind the advancing watermark), and batch 4 is a deliberately
+    LATE delivery whose rows sit far below the watermark — the
+    deterministic late-drop fixture ``stream_exec_stream_join_
+    watermarked`` needs.  Same content-fingerprint staleness guard as
+    ``_stage_events``.  (The global ntile sort is fine for a staging
+    fixture; a 100 TB pipeline would time-slice with
+    ``repartitionByRange(ts)`` instead — no total order needed.)"""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..sources.scans import _sf_fingerprint
+
+    key = _sf_fingerprint(sf_dir)
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_streamexec_ts_{key}"
+    )
+    if os.path.exists(os.path.join(stage_dir, "_STAGED")):
+        return stage_dir, key
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(stage_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "slice", F.ntile(4).over(W.orderBy("ts", "event_id"))
+    )
+    mtime = 1_000_000_000  # fixed base: only the ORDER matters
+    for i, s in enumerate([2, 3, 4, 1]):
+        tmp = os.path.join(stage_dir, f"_tmp_{s}")
+        ev.filter(F.col("slice") == s).drop("slice").coalesce(1).write.parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dest = os.path.join(stage_dir, f"slice_{i}_{s}.parquet")
+        os.rename(part, dest)
+        os.utime(dest, (mtime + 10 * i, mtime + 10 * i))
+        shutil.rmtree(tmp)
+    with open(os.path.join(stage_dir, "_STAGED"), "w") as fh:
+        fh.write(key)
+    return stage_dir, key
+
+
 def _drain(q: StreamingQuery, timeout_s: int = 300) -> None:
     """Block until the availableNow drain finishes; a hung stream must
     FAIL loudly, not fall through to reading a partial sink."""
@@ -868,6 +920,101 @@ def stream_exec_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+@query(
+    "stream_exec_stream_join_watermarked",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, ts, user_id,
+         ntile(4) OVER (ORDER BY ts, event_id) AS slice
+  FROM events
+),
+gm AS (SELECT max(ts) AS m FROM events),
+kept AS (
+  SELECT r.event_id, r.ts, r.user_id
+  FROM ranked r, gm
+  WHERE r.slice > 1 OR r.ts >= gm.m - INTERVAL '6 hours'
+)
+SELECT a.event_id AS evt_id, b.event_id AS prior_id, a.user_id
+FROM kept a JOIN kept b
+  ON b.user_id = a.user_id
+ AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+ AND b.ts BETWEEN a.ts - INTERVAL '6 hours' AND a.ts
+""",
+)
+def stream_exec_stream_join_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of `stream_exec_stream_join`: both sides
+    carry ``withWatermark(ts, 6 hours)`` sized to the join interval,
+    so join state is bounded by the interval window instead of the
+    stream history — the only form that survives an unbounded 100 TB
+    stream (the unwatermarked twin above is exact but its state grows
+    forever).
+
+    Determinism is engineered in the staging, not assumed:
+    ``_stage_events_timesliced`` replays the events table as four
+    micro-batches — time-ordered quarters 2, 3, 4 first, then quarter
+    1 (the earliest rows) LAST.  During the monotone prefix no on-time
+    row ever falls behind the watermark (each batch's rows are newer
+    than everything before), and cross-batch pairs are never lost to
+    state eviction: a batch-N fact needs candidates with ``prior_ts >=
+    max_ts(batch N-1) - 6h``, which is exactly 6 h ABOVE the candidate
+    eviction threshold ``WM - 6h``.  When quarter 1 finally arrives,
+    the watermark is already ``global_max_ts - 6h`` (quarter 4 carried
+    the global max), so its rows are dropped as late IFF ``ts <
+    global_max - 6h`` — a closed-form predicate the DuckDB oracle
+    states directly (`kept` CTE).  The hash verdict therefore pins
+    BOTH watermark behaviors at once: zero spurious drops on the
+    monotone prefix AND the exact late-drop set on the straggler
+    batch.
+
+    Scale shape: per-side state after this query's steady state is the
+    6 h interval window of rows, independent of stream length; the
+    memory-sink drain is the test fixture, not the operator."""
+    from pyspark.sql import functions as F
+
+    stage_dir, key = _stage_events_timesliced(spark, sf_dir)
+    schema = spark.read.parquet(stage_dir).schema
+
+    def side(parity: int, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+            .filter(F.col("event_id") % 2 == parity)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                # withWatermark rejects TIMESTAMP_NTZ; the session TZ
+                # is pinned UTC so the cast preserves the instant.
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user"),
+            )
+            .withWatermark(f"{prefix}_ts", "6 hours")
+        )
+
+    facts = side(0, "evt")
+    cands = side(1, "prior")
+    joined = facts.join(
+        cands,
+        F.expr(
+            "evt_user = prior_user AND "
+            "prior_ts BETWEEN evt_ts - INTERVAL 6 HOURS AND evt_ts"
+        ),
+    ).select(
+        F.col("evt_id"),
+        F.col("prior_id"),
+        F.col("evt_user").alias("user_id"),
+    )
+    qname = f"streamexec_ssjoin_wm_{key}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.table(qname)
+
+
 from ..operators.sketches import THETA_ORACLE as _THETA_ORACLE  # noqa: E402
 
 
@@ -1023,9 +1170,6 @@ def _cdc_normalize_batch(batch_df):
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    w = W.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
     return (
         batch_df.select(
             "user_id",

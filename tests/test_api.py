@@ -180,6 +180,42 @@ def test_connected_components_empty_edges(spark):
     assert api.connected_components(edges, "src", "dst").count() == 0
 
 
+def test_connected_components_star_matches_propagation(spark):
+    # same fixture as the propagation test: the two algorithms must
+    # assign identical (node, component) labels
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 20)], "src long, dst long"
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in api.connected_components_star(edges, "src", "dst").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)}
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    """The reason the variant exists: a 64-node chain (diameter 63)
+    resolves within 6 LS+SS rounds (5 contraction + 1 stability
+    confirmation, measured) — min-label propagation would need ~63.
+    O(log^2 n) contraction, so doubling n adds ~1 round, not ~n."""
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in api.connected_components_star(
+            edges, "src", "dst", max_iter=6
+        ).collect()
+    }
+    assert got == {(i, 1) for i in range(1, n + 1)}
+
+
+def test_connected_components_star_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert api.connected_components_star(edges, "src", "dst").count() == 0
+
+
 def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
     """200 tiny files in, a handful out; row count and content survive."""
     from aws_etl_pipeline_spark.api import compact_files

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 284  # COVERAGE.md "284 named queries total"
-DOCUMENTED_GRANULAR = 263
+DOCUMENTED_TOTAL = 286  # COVERAGE.md "286 named queries total"
+DOCUMENTED_GRANULAR = 265
 DOCUMENTED_SUITES = 21
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -121,16 +121,28 @@ def test_rotated_out_slots_stay_digest_covered():
     # quantization); the r7 flagships hold direct rows
     for rotated_out in ("dedup_semantic", "dedup_containment_lsh", "sim_ivf_sq8"):
         assert rotated_out in digest_covered, rotated_out
-    for rotated_in in ("sim_ivf_truepq", "sim_ivf_truepq_rerank", "bpe_train_merges"):
-        assert rotated_in in PRIORITY, rotated_in
+    # (the r7 flagships held direct rows through CORRECTNESS_r07, then
+    # rotated out in r8 — checked below)
     # the round-7 SECOND rotation: the two new real-streaming flagships
     # take direct slots; the vacating queries stay digest-covered
     for rotated_out in ("stream_exec_tumbling", "dedup_minhash_lsh"):
         assert rotated_out in digest_covered, rotated_out
     for rotated_in in ("stream_exec_custom_state", "stream_exec_stream_join"):
         assert rotated_in in PRIORITY, rotated_in
-    # the round-8 THIRD rotation: suite_geo (grid-blocked spatial
+    # the round-7 THIRD rotation: suite_geo (grid-blocked spatial
     # family) takes the digest slot vacated by sim_bruteforce_topk
     # (direct green r1-r6, digest-covered by suite_sim)
     assert "sim_bruteforce_topk" in digest_covered
     assert "suite_geo" in PRIORITY
+    # the round-8 rotation: the r7 flagships leave with direct green
+    # r7 history (CORRECTNESS_r07) but must stay digest-covered; the
+    # new watermarked stream-stream join and the two late-r7 operators
+    # take direct slots
+    for rotated_out in ("sim_ivf_truepq", "sim_ivf_truepq_rerank", "bpe_train_merges"):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in (
+        "stream_exec_stream_join_watermarked",
+        "text_winnowing",
+        "graph_kcore",
+    ):
+        assert rotated_in in PRIORITY, rotated_in

@@ -21,11 +21,17 @@ TABLES = (
 
 def main():
     names = sys.argv[1:] or None
-    # Deliberately bare session — the driver won't set our confs.
+    # Deliberately bare session — the driver won't set our ENGINE
+    # confs (that's the point of the sim).  Heap is provisioning, not
+    # an engine conf: the suite_* digests union ~40 member plans into
+    # one DataFrame, and the 1 GB local-mode default OOMs on plan +
+    # codegen state (observed round 8) while the real driver's box is
+    # provisioned larger (suite_analytics green in CORRECTNESS_r07).
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "6g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
