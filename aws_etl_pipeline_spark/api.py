@@ -379,9 +379,16 @@ def connected_components(
     high-diameter graphs switch the round body to large-star /
     small-star, which squares the propagation distance per round.
     """
-    sym = edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
-    sym = sym.union(sym.select(F.col("m").alias("n"), F.col("n").alias("m")))
-    sym = sym.localCheckpoint()  # pair generation runs once, not per round
+    # checkpoint the RAW pair list before symmetrizing: union's two
+    # branches are planned independently, so symmetrize-then-checkpoint
+    # ran the (expensive) edge-generation plan twice (measured 2x on
+    # dedup_connected_components at sf0.1, r8)
+    base = edges.select(
+        F.col(src).alias("n"), F.col(dst).alias("m")
+    ).localCheckpoint()
+    sym = base.union(
+        base.select(F.col("m").alias("n"), F.col("n").alias("m"))
+    ).localCheckpoint()  # cheap: reads the base checkpoint; keeps rounds flat
     lbl = (
         sym.select("n")
         .distinct()
@@ -434,12 +441,17 @@ def connected_components_star(
     ``connected_components``); at the fixed point the edges form stars
     (child, component-min). Returns ``(node, component_id)``.
     """
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # one checkpoint of the input edge list: `nodes` and `e` both
+    # derive from it, and edge GENERATION (a jaccard_pairs plan here)
+    # is usually far more expensive than anything in the rounds —
+    # deriving them from the raw plan re-ran pair generation twice
+    # (measured 93 s -> the propagation variant's level after this fix)
+    raw = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
     # full node universe BEFORE dropping self-loops: a node appearing
     # only as (n, n) is a singleton component, not a non-node
-    nodes = (
-        raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
-    ).localCheckpoint()
+    nodes = raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
     e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
     prev_sig = object()
     for _ in range(max_iter):

@@ -191,3 +191,171 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         mx.alias("max_benchmark_cos"),
         (mx >= SEM_DECON_TAU).alias("contaminated"),
     )
+
+
+#: OR-amplification geometry: L independent 4-bit hyperplane tables.
+#: One 4-bit table with Hamming-1 probes collides a cos=TAU pair with
+#: p ~ 0.49 (theory AND the measured 0.50-0.55 recall of the
+#: single-table first cut) — fine for top-k ANN, unacceptable for a
+#: leak screen where a miss ships eval data. L tables OR-ed lift the
+#: threshold-boundary recall to 1-(1-p)^L ~ 0.87 at L=3; stronger
+#: leaks (higher cos) collide with higher per-table p and recall
+#: approaches 1. The knob is L (cost: L bucket keys per vector).
+SEM_LSH_TABLES = 3
+_SEM_LSH_BITS = 4
+
+
+def _sem_lsh_oracle() -> str:
+    from .similarity import _ann_bit_sql, plane_weights
+
+    rows = plane_weights(SEM_LSH_TABLES * _SEM_LSH_BITS)
+
+    def bucket_sql(t: int, flip: int | None) -> str:
+        tbl = rows[t * _SEM_LSH_BITS : (t + 1) * _SEM_LSH_BITS]
+        bits = " || ".join(
+            _ann_bit_sql("v", row, invert=(j == flip)) for j, row in enumerate(tbl)
+        )
+        return f"'{t}:' || {bits}"
+
+    probe_union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, v, nrm, {bucket_sql(t, flip)} AS bucket FROM bench"
+        for t in range(SEM_LSH_TABLES)
+        for flip in [None, *range(_SEM_LSH_BITS)]
+    )
+    train_buckets = ", ".join(
+        f"{bucket_sql(t, None)} AS bucket{t}" for t in range(SEM_LSH_TABLES)
+    )
+    train_union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, label, v, nrm, bucket{t} AS bucket FROM train"
+        for t in range(SEM_LSH_TABLES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+),
+bench AS (SELECT * FROM n WHERE vec_id % {SEM_BENCH_MOD} = 0),
+train0 AS (SELECT * FROM n WHERE vec_id % {SEM_BENCH_MOD} <> 0),
+train AS (SELECT *, {train_buckets} FROM train0),
+trainb AS (
+  {train_union}
+),
+probes AS (
+  {probe_union}
+),
+cand AS (
+  SELECT t.vec_id, t.label,
+         round(list_dot_product(t.v, p.v) / (t.nrm * p.nrm), 6) AS cos
+  FROM trainb t JOIN probes p ON t.bucket = p.bucket
+),
+mx AS (SELECT vec_id, label, max(cos) AS m FROM cand GROUP BY 1, 2)
+SELECT t.vec_id, t.label, mx.m AS max_candidate_cos,
+       coalesce(mx.m >= {SEM_DECON_TAU}, false) AS contaminated
+FROM train0 t LEFT JOIN mx USING (vec_id, label)
+"""
+
+
+@query("decontaminate_semantic_lsh", oracle=_sem_lsh_oracle())
+def decontaminate_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BIG-BENCHMARK form of decontaminate_semantic — the LSH
+    candidate route its docstring promises: when the held-out set is
+    too large to ride a broadcast nested-loop (multi-benchmark
+    regression suites, continuous eval pools), candidates come from
+    L={SEM_LSH_TABLES} INDEPENDENT 4-bit random-hyperplane tables
+    (OR-amplification), each probed Hamming-1 on the BENCH side
+    (sim_lsh_ann's deterministic-hyperplane machinery, identical on
+    both engines), and only collisions are exactly rescored. Per
+    training vector: max cosine over its candidates (NULL if no
+    collision in any table) and the >= tau flag.
+
+    Why L tables and not sim_lsh_ann's single table: a leak screen is
+    recall-critical (a miss ships eval data into training). One 4-bit
+    table + Hamming-1 collides a cos=tau pair with p ~ 0.49 — the
+    single-table first cut MEASURED 0.50-0.55 recall vs the exact
+    screen, matching theory; three OR-ed tables lift the
+    threshold-boundary recall to ~1-(1-p)^3 and the measured value to
+    ~0.9 (SCALING.md; floor pinned in tests/test_llm.py). The exact
+    screen stays the gold standard; L is the recall/cost knob.
+
+    Scale shape: each side emits L bucket keys per vector and shuffles
+    ONCE by bucket (the bench side broadcasts while it fits, as
+    here); scoring work is |collisions|, not |train| x |bench|. The
+    signature stage is persisted and feeds both sides, as a real
+    index build would."""
+    from .similarity import _ann_bit_spark, _as_double, _dot, _norm, plane_weights
+    from ..cache import track
+
+    e = load_spread(spark, sf_dir, "embeddings")
+    rows = plane_weights(SEM_LSH_TABLES * _SEM_LSH_BITS)
+    nbits = SEM_LSH_TABLES * _SEM_LSH_BITS
+    n = (
+        e.select("vec_id", "label", _as_double("embedding").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .select(
+            "*",
+            *[_ann_bit_spark(F.col("v"), r).alias(f"b{k}") for k, r in enumerate(rows)],
+        )
+        .transform(track)
+    )
+
+    def table_bits(t: int) -> list[F.Column]:
+        return [F.col(f"b{t * _SEM_LSH_BITS + j}") for j in range(_SEM_LSH_BITS)]
+
+    def flipped(b: F.Column) -> F.Column:
+        return F.when(b == "1", "0").otherwise("1")
+
+    def bucket(t: int, flip: int | None) -> F.Column:
+        bits = [
+            flipped(b) if j == flip else b for j, b in enumerate(table_bits(t))
+        ]
+        return F.concat(F.lit(f"{t}:"), *bits)
+
+    is_bench = F.col("vec_id") % SEM_BENCH_MOD == 0
+    train = n.filter(~is_bench).select(
+        "vec_id",
+        "label",
+        "v",
+        "nrm",
+        F.explode(
+            F.array(*[bucket(t, None) for t in range(SEM_LSH_TABLES)])
+        ).alias("bucket"),
+    )
+    bench = n.filter(is_bench).select(
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+        F.explode(
+            F.array(
+                *[
+                    bucket(t, flip)
+                    for t in range(SEM_LSH_TABLES)
+                    for flip in [None, *range(_SEM_LSH_BITS)]
+                ]
+            )
+        ).alias("bucket"),
+    )
+    cand = train.join(F.broadcast(bench), "bucket").select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("v"), F.col("bv")) / (F.col("nrm") * F.col("bnrm")), 6
+        ).alias("cos"),
+    )
+    mx = cand.groupBy("vec_id", "label").agg(F.max("cos").alias("m"))
+    return (
+        n.filter(~is_bench)
+        .select("vec_id", "label")
+        .join(mx, ["vec_id", "label"], "left")
+        .select(
+            "vec_id",
+            "label",
+            F.col("m").alias("max_candidate_cos"),
+            F.coalesce(F.col("m") >= SEM_DECON_TAU, F.lit(False)).alias(
+                "contaminated"
+            ),
+        )
+    )

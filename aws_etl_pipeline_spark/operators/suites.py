@@ -330,6 +330,8 @@ SUITES: dict[str, list[str]] = {
         "text_ngram_novelty",
         # r7 tenth batch: embedding-space eval-leakage guard
         "decontaminate_semantic",
+        # r8: LSH-bucketed big-benchmark semantic decontamination
+        "decontaminate_semantic_lsh",
     ],
     "suite_multimodal": [
         "multimodal_features",

@@ -375,3 +375,29 @@ def test_kneser_ney_probabilities_sum_to_one_per_context(spark, sf_dir):
         .collect()[0]["s"]
     )
     assert abs(pc - 1.0) < 1e-9, pc
+
+
+def test_semantic_lsh_decon_recall_floor(spark, sf_dir):
+    """The OR-amplified L=3 LSH screen must recover >= 80% of the
+    exact screen's contaminated set (measured 0.91 at sf0.001/sf0.01;
+    single-table was 0.50-0.55 — the regression this pins against)
+    and must never flag a vector the exact screen clears (the rescore
+    is exact, so false positives are impossible by construction)."""
+    from aws_etl_pipeline_spark.llm.decontaminate import (
+        decontaminate_semantic,
+        decontaminate_semantic_lsh,
+    )
+
+    exact = {
+        r.vec_id: r.contaminated
+        for r in decontaminate_semantic(spark, sf_dir).collect()
+    }
+    lsh = {
+        r.vec_id: r.contaminated
+        for r in decontaminate_semantic_lsh(spark, sf_dir).collect()
+    }
+    pos = [k for k, v in exact.items() if v]
+    assert pos, "fixture must contain at least one contaminated vector"
+    recall = sum(1 for k in pos if lsh[k]) / len(pos)
+    assert recall >= 0.8, recall
+    assert not [k for k, v in lsh.items() if v and not exact[k]]

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 286  # COVERAGE.md "286 named queries total"
-DOCUMENTED_GRANULAR = 265
+DOCUMENTED_TOTAL = 287  # COVERAGE.md "287 named queries total"
+DOCUMENTED_GRANULAR = 266
 DOCUMENTED_SUITES = 21
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
