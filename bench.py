@@ -3,7 +3,7 @@
 compact JSON lines {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ..., "reps": ..., "warmup_sec": ...,
 "loadavg_start": [...], "loadavg_end": [...]} — one per frozen query
-set (HEADLINE, EXT, R8), each emitted TWICE: head copies in priority
+set (HEADLINE, EXT, R8, R9), each emitted TWICE: head copies in priority
 order first, tail copies ("dup":true) in reverse priority last, so the
 frozen HEADLINE line is both the first and the very last stdout line
 and survives either a head- or tail-retaining bounded capture.  Full
@@ -125,6 +125,28 @@ HEADLINE_R8 = [
 ]
 
 
+#: HEADLINE_R9 (frozen in round 8; first recorded point BENCH_r08 —
+#: named one ahead of the round for consistency with HEADLINE_R8's
+#: frozen name): the round-8 surface (watermarked stream-stream join,
+#: OR-amplified semantic-decon LSH) plus the five late-r7 operators
+#: that got their slope rows this round — per-round drift tracking
+#: for all of them, by the same policy that froze EXT and R8. Never
+#: merged into earlier lines. The two connected-components queries
+#: are deliberately NOT here: ~32 s each at sf0.1 is the pairwise
+#: jaccard CORRECTNESS fixture they sit on (the same O(n^2) family
+#: the HEADLINE policy excludes), not the CC loop — loop timings are
+#: tracked in SCALING.md's staged-pair-graph measurements instead.
+HEADLINE_R9 = [
+    "stream_exec_stream_join_watermarked",
+    "decontaminate_semantic_lsh",
+    "graph_kcore",
+    "text_winnowing",
+    "text_kneser_ney_bigram",
+    "classifier_train_nb",
+    "quality_benford",
+]
+
+
 WARMUP_SF = "/root/testdata/sf0.001"
 
 
@@ -144,7 +166,7 @@ def main() -> None:
     # JIT/page-cache state differed is distinguishable after the fact.
     t_w = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8:
+    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9:
         try:
             queries[name].fn(spark, WARMUP_SF).count()
             clear_persisted()
@@ -181,6 +203,7 @@ def main() -> None:
     timings, spread = run_set(HEADLINE)
     ext_timings, ext_spread = run_set(HEADLINE_EXT)
     r8_timings, r8_spread = run_set(HEADLINE_R8)
+    r9_timings, r9_spread = run_set(HEADLINE_R9)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -236,9 +259,16 @@ def main() -> None:
         "value": round(sum(r8_timings.values()), 3),
         "queries": r8_timings,
     }
+    r9_fields = {
+        **compact_fields,
+        "metric": "headline_r9_query_set_wall_clock",
+        "value": round(sum(r9_timings.values()), 3),
+        "queries": r9_timings,
+    }
     compact = json.dumps(compact_fields, separators=(",", ":"))
     compact_ext = json.dumps(ext_fields, separators=(",", ":"))
     compact_r8 = json.dumps(r8_fields, separators=(",", ":"))
+    compact_r9 = json.dumps(r9_fields, separators=(",", ":"))
     # stdout carries ONLY the six compact lines (round-8 fix: BENCH_r07
     # lost the headline value because three dup lines trailed it with
     # the headline copy FIRST — the tail-retention capture cut the
@@ -252,12 +282,18 @@ def main() -> None:
     print(compact, flush=True)
     print(compact_ext, flush=True)
     print(compact_r8, flush=True)
+    print(compact_r9, flush=True)
     print(json.dumps({**compact_fields, "spread": spread}), file=sys.stderr)
     print(json.dumps({**ext_fields, "spread": ext_spread}), file=sys.stderr)
     print(json.dumps({**r8_fields, "spread": r8_spread}), file=sys.stderr)
+    print(json.dumps({**r9_fields, "spread": r9_spread}), file=sys.stderr)
     # Tail-retention copies, reverse priority (headline LAST).
     # "dup":true lets a parser that scans EVERY stdout JSON line dedup
     # them instead of double-counting.
+    print(
+        json.dumps({**r9_fields, "dup": True}, separators=(",", ":")),
+        flush=True,
+    )
     print(
         json.dumps({**r8_fields, "dup": True}, separators=(",", ":")),
         flush=True,
