@@ -258,6 +258,10 @@ SUITES: dict[str, list[str]] = {
         "stream_exec_stream_join",
         # r8: watermarked production form (bounded state, late drops)
         "stream_exec_stream_join_watermarked",
+        # r8: left-outer watermarked form (outer-null protocol)
+        "stream_exec_stream_join_outer_watermarked",
+        # r8: bounded-state dedup (state-expiry re-emission pinned)
+        "stream_exec_dedup_watermarked",
         # r7: cross-micro-batch mergeable-sketch state
         "stream_exec_sketch_merge",
         # r7 ninth batch: CDC apply with retained DELETE tombstones

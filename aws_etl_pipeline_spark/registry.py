@@ -126,6 +126,13 @@ def query(name: str, oracle: Optional[str] = None, doc: str = ""):
 #: (both shipped late in r7 with digest-only coverage; a direct row
 #: each gives the MOSS fingerprint grid and the 4-round k-core
 #: peeling loop their own driver history).
+#: Round-8 second rotation: sim_lsh_ann and dedup_exact OUT (direct
+#: green r1-r7; digest-covered by suite_sim / suite_dedup) to seat
+#: the two NEW watermarked streaming forms in their first round:
+#: stream_exec_stream_join_outer_watermarked (left-outer null
+#: protocol under the final no-data batch) and
+#: stream_exec_dedup_watermarked (dropDuplicatesWithinWatermark with
+#: the state-expiry re-emission semantic hash-pinned).
 PRIORITY: tuple[str, ...] = (
     # reference-parity flagships (§2A)
     "etl_flagship",
@@ -170,8 +177,13 @@ PRIORITY: tuple[str, ...] = (
     "stream_exec_stream_join",
     # rotated in r8: the watermarked production form, first direct row
     "stream_exec_stream_join_watermarked",
+    # r8 second rotation: the left-outer watermarked form and the
+    # bounded-state dedup, first direct rows
+    "stream_exec_stream_join_outer_watermarked",
+    "stream_exec_dedup_watermarked",
     # LLM-pipeline flagships
-    "dedup_exact",
+    # (dedup_exact rotated out r8 second rotation — suite_dedup
+    # digest; direct green r1-r7.)
     "sketch_countmin_heavyhitters",  # rotated in r7: mergeable-sketch flagship
     # (dedup_substring rotated out r6 — suite_dedup digest; direct
     # green r5. dedup_minhash_lsh rotated out in the second r7
@@ -183,10 +195,10 @@ PRIORITY: tuple[str, ...] = (
     # sim_ivf_sq8 in r7 and digest-covered by suite_sim.)
     # (sim_bruteforce_topk rotated out r7 third rotation — suite_sim
     # digest; direct green r1-r6 — to seat the new suite_geo digest.)
-    "sim_lsh_ann",
-    # (sim_ivf_truepq / sim_ivf_truepq_rerank / bpe_train_merges
-    # rotated out r8 — direct green r7 (CORRECTNESS_r07); digest-
-    # covered by suite_sim / suite_text.)
+    # (sim_lsh_ann rotated out r8 second rotation — suite_sim digest;
+    # direct green r1-r7. sim_ivf_truepq / sim_ivf_truepq_rerank /
+    # bpe_train_merges rotated out r8 — direct green r7
+    # (CORRECTNESS_r07); digest-covered by suite_sim / suite_text.)
     "sim_brp_lsh_mllib",
     "text_winnowing",  # rotated in r8: MOSS winnowing fingerprints
     "graph_kcore",  # rotated in r8: iterative k-core peeling

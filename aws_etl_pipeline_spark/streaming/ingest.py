@@ -619,6 +619,127 @@ def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select(*cols)
 
 
+@query(
+    "stream_exec_dedup_watermarked",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         ntile(4) OVER (ORDER BY ts, event_id) AS slice
+  FROM events
+),
+thr AS (
+  SELECT max(ts) - INTERVAL '13 hours' AS t FROM ranked WHERE slice <= 3
+)
+SELECT event_id, user_id, event_type, value FROM events
+UNION ALL
+SELECT r.event_id, r.user_id, r.event_type, r.value
+FROM ranked r, thr
+WHERE r.slice = 1 AND r.event_id % 3 = 0 AND r.ts < thr.t
+""",
+)
+def stream_exec_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL execution of ``dropDuplicatesWithinWatermark`` — the
+    production bounded-state form of stream_exec_dedup (whose
+    docstring defers to it): dedup state expires once the watermark
+    passes first_ts + delay, so a re-delivery AFTER expiry is
+    re-emitted as new — the exact semantic that distinguishes it from
+    unbounded dropDuplicates, pinned here as a hash verdict.
+
+    Deterministic construction: the events table replays as four
+    time-ordered quarters (monotone, so no original is ever late and
+    every within-delay duplicate would be suppressed), then a FIFTH
+    file of byte-chosen copies — slice-1 events (every third) whose
+    ts sits >= 13 h below max(slices 1-3): their 6 h-delay state is
+    provably evicted under EITHER eviction timing (end of batch 4
+    with WM = max123 - 6h, or start of batch 5 with WM = gm - 6h —
+    the 13 h margin clears both thresholds), and the copies are
+    re-stamped to gm + 1 h so they are on time themselves. The oracle
+    is therefore closed-form: every event exactly once, plus the copy
+    set exactly once more. ts is excluded from the output so the
+    re-stamp does not enter the hash; re-emission is visible as the
+    duplicated (event_id, ...) rows.
+
+    State bound at 100 TB: live keys are those within the delay
+    window of the watermark — stream-length-independent, the reason
+    this form exists."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..sources.scans import _sf_fingerprint
+
+    key = _sf_fingerprint(sf_dir)
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_streamdedup_wm_{key}"
+    )
+    cols = ["event_id", "user_id", "event_type", "value"]
+    if not os.path.exists(os.path.join(stage_dir, "_STAGED")):
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        os.makedirs(stage_dir)
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "slice", F.ntile(4).over(W.orderBy("ts", "event_id"))
+        )
+        gm = ev.agg(F.max("ts")).collect()[0][0]
+        thr = ev.filter(F.col("slice") <= 3).agg(
+            F.max("ts") - F.expr("INTERVAL 13 HOURS")
+        ).collect()[0][0]
+        mtime = 1_000_000_000
+        for i, s in enumerate([1, 2, 3, 4]):
+            tmp = os.path.join(stage_dir, f"_tmp_{s}")
+            ev.filter(F.col("slice") == s).drop("slice").coalesce(1).write.parquet(
+                tmp
+            )
+            (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            dest = os.path.join(stage_dir, f"slice_{i}.parquet")
+            os.rename(part, dest)
+            os.utime(dest, (mtime + 10 * i, mtime + 10 * i))
+            shutil.rmtree(tmp)
+        tmp = os.path.join(stage_dir, "_tmp_copies")
+        (
+            ev.filter(
+                (F.col("slice") == 1)
+                & (F.col("event_id") % 3 == 0)
+                & (F.col("ts") < F.lit(thr))
+            )
+            .drop("slice")
+            .withColumn("ts", F.lit(gm) + F.expr("INTERVAL 1 HOURS"))
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dest = os.path.join(stage_dir, "slice_4_copies.parquet")
+        os.rename(part, dest)
+        os.utime(dest, (mtime + 40, mtime + 40))
+        shutil.rmtree(tmp)
+        with open(os.path.join(stage_dir, "_STAGED"), "w") as fh:
+            fh.write(key)
+    schema = spark.read.parquet(stage_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "6 hours")
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
+    qname = f"streamexec_dedup_wm_{key}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.table(qname).select(*cols)
+
+
 def _dual_sink_batch_fn(json_dir: str, target_dir: str):
     """foreachBatch body for the reference's FULL event path
     (`lambda_function.py:40-50`: transform -> JSON archive + warehouse
@@ -1004,6 +1125,116 @@ def stream_exec_stream_join_watermarked(spark: SparkSession, sf_dir: str) -> Dat
         F.col("evt_user").alias("user_id"),
     )
     qname = f"streamexec_ssjoin_wm_{key}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.table(qname)
+
+
+@query(
+    "stream_exec_stream_join_outer_watermarked",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, ts, user_id,
+         ntile(4) OVER (ORDER BY ts, event_id) AS slice
+  FROM events
+),
+wm AS (
+  SELECT least(
+    (SELECT max(ts) FROM events WHERE event_id % 2 = 0),
+    (SELECT max(ts) FROM events WHERE event_id % 2 = 1)
+  ) - INTERVAL '6 hours' AS w
+),
+kept AS (
+  SELECT r.event_id, r.ts, r.user_id
+  FROM ranked r, wm
+  WHERE r.slice > 1 OR r.ts >= wm.w
+),
+facts AS (
+  SELECT event_id AS evt_id, ts AS evt_ts, user_id
+  FROM kept WHERE event_id % 2 = 0
+),
+cands AS (
+  SELECT event_id AS prior_id, ts AS prior_ts, user_id AS prior_user
+  FROM kept WHERE event_id % 2 = 1
+)
+SELECT f.evt_id, c.prior_id, f.user_id
+FROM facts f JOIN cands c ON c.prior_user = f.user_id
+ AND c.prior_ts BETWEEN f.evt_ts - INTERVAL '6 hours' AND f.evt_ts
+UNION ALL
+SELECT f.evt_id, CAST(NULL AS BIGINT) AS prior_id, f.user_id
+FROM facts f, wm
+WHERE f.evt_ts < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM cands c
+    WHERE c.prior_user = f.user_id
+      AND c.prior_ts BETWEEN f.evt_ts - INTERVAL '6 hours' AND f.evt_ts
+  )
+""",
+)
+def stream_exec_stream_join_outer_watermarked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join — the last first-class
+    Structured Streaming join shape (inner unwatermarked, inner
+    watermarked above; this adds the outer-null protocol): an
+    unmatched fact may only be emitted with NULL once the watermark
+    PROVES no matching candidate can still arrive (candidate-side
+    watermark past evt_ts), so outer results trickle out as the
+    watermark advances — including Spark's final no-data batch, which
+    availableNow runs after the last file (probed empirically this
+    round: an evictable unmatched fact IS null-emitted at drain end; a
+    fact still inside the watermark window is NOT).
+
+    Same engineered-deterministic staging as the inner form. The
+    closed-form oracle adds two facts the inner one didn't need:
+    (1) the global watermark is the MIN over both sides' maxima
+    (facts = even event_ids, candidates = odd — their maxima differ),
+    and (2) the null set is exactly the kept facts with evt_ts below
+    that final watermark and no kept-candidate match — facts at or
+    above it remain buffered, unemitted, when the stream ends.
+    State bound at 100 TB: identical to the inner form (interval
+    window per side) plus the unmatched-fact buffer, also
+    watermark-bounded."""
+    from pyspark.sql import functions as F
+
+    stage_dir, key = _stage_events_timesliced(spark, sf_dir)
+    schema = spark.read.parquet(stage_dir).schema
+
+    def side(parity: int, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+            .filter(F.col("event_id") % 2 == parity)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user"),
+            )
+            .withWatermark(f"{prefix}_ts", "6 hours")
+        )
+
+    facts = side(0, "evt")
+    cands = side(1, "prior")
+    joined = facts.join(
+        cands,
+        F.expr(
+            "evt_user = prior_user AND "
+            "prior_ts BETWEEN evt_ts - INTERVAL 6 HOURS AND evt_ts"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("evt_id"),
+        F.col("prior_id"),
+        F.col("evt_user").alias("user_id"),
+    )
+    qname = f"streamexec_ssjoin_owm_{key}"
     q = (
         joined.writeStream.format("memory")
         .queryName(qname)

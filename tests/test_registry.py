@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 287  # COVERAGE.md "287 named queries total"
-DOCUMENTED_GRANULAR = 266
+DOCUMENTED_TOTAL = 289  # COVERAGE.md "289 named queries total"
+DOCUMENTED_GRANULAR = 268
 DOCUMENTED_SUITES = 21
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -144,5 +144,14 @@ def test_rotated_out_slots_stay_digest_covered():
         "stream_exec_stream_join_watermarked",
         "text_winnowing",
         "graph_kcore",
+    ):
+        assert rotated_in in PRIORITY, rotated_in
+    # the round-8 SECOND rotation: the two new watermarked streaming
+    # forms take direct slots; the vacating queries stay digest-covered
+    for rotated_out in ("sim_lsh_ann", "dedup_exact"):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in (
+        "stream_exec_stream_join_outer_watermarked",
+        "stream_exec_dedup_watermarked",
     ):
         assert rotated_in in PRIORITY, rotated_in
