@@ -56,7 +56,7 @@ from ._digest_spec import COLSPEC
 from . import analytics, etl, features, geo, graph, relational, setops, sketches  # noqa: F401,E402
 from . import sql_surface, tpch_extra, upsert, windows  # noqa: F401,E402
 from ..functions import scalar, udfs  # noqa: F401,E402
-from ..sources import scans  # noqa: F401,E402
+from ..sources import pyds, scans  # noqa: F401,E402
 from ..streaming import batch_windows, ingest  # noqa: F401,E402
 from ..llm import assembly, decontaminate, dedup, multimodal, retrieval, similarity, text  # noqa: F401,E402
 from .. import generator  # noqa: F401,E402
@@ -238,6 +238,8 @@ SUITES: dict[str, list[str]] = {
         "scan_xml_roundtrip",
         # r7: stride-partitioned parallel JDBC ingest (embedded Derby)
         "scan_jdbc_partitioned",
+        # r8: Spark 4 Python DataSource lifecycle, md5-parity generator
+        "scan_python_datasource",
     ],
     "suite_streaming": [
         "stream_tumbling_window",

@@ -243,7 +243,7 @@ def all_queries() -> dict[str, Query]:
     it, priority queries first (see :data:`PRIORITY`)."""
     from .operators import etl, relational, setops, sql_surface, tpch_extra, windows, upsert, analytics, graph, sketches, geo, features  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
-    from .sources import scans  # noqa: F401
+    from .sources import pyds, scans  # noqa: F401
     from .streaming import batch_windows, ingest  # noqa: F401
     from .llm import assembly, dedup, similarity, text, multimodal, decontaminate, retrieval  # noqa: F401
     from . import generator  # noqa: F401

@@ -598,3 +598,32 @@ def test_asof_multi_is_single_shuffle(spark, sf_dir):
     plan = _plan(join_asof_multi(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_semantic_lsh_decon_is_hash_join_not_nlj(spark, sf_dir):
+    """decontaminate_semantic_lsh's whole point vs the exact screen:
+    candidates come from a BUCKET EQUI-JOIN (BroadcastHashJoin on the
+    bucket key), never a nested-loop expansion — the plan a 100 TB
+    corpus side can survive. The exact screen is the NLJ by design;
+    the LSH form must not be."""
+    from aws_etl_pipeline_spark.llm.decontaminate import (
+        decontaminate_semantic_lsh,
+    )
+
+    plan = _plan(decontaminate_semantic_lsh(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_star_cc_rounds_are_shuffle_joins(spark):
+    """connected_components_star rounds must be keyed shuffle/broadcast
+    joins + min aggregations — no cartesian anywhere."""
+    from aws_etl_pipeline_spark import api
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 32)], "src long, dst long"
+    )
+    out = api.connected_components_star(edges, "src", "dst")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
