@@ -964,6 +964,182 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: t-closeness: ordered sensitive bins (account-balance bands over the
+#: TPC-H [-999.99, 9999.99] range) and the max allowed EMD.
+T_CLOSE_EDGES = (1750, 4500, 7250)  # 4 ordered bins
+T_CLOSE = 0.25
+
+_TC_BIN_SQL = (
+    "CASE WHEN c_acctbal < 1750 THEN 0 WHEN c_acctbal < 4500 THEN 1 "
+    "WHEN c_acctbal < 7250 THEN 2 ELSE 3 END"
+)
+
+
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+WITH binned AS (
+  SELECT c_nationkey, c_mktsegment, {_TC_BIN_SQL} AS b FROM customer
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+         count(*) FILTER (b = 0)::BIGINT AS c0,
+         count(*) FILTER (b = 1)::BIGINT AS c1,
+         count(*) FILTER (b = 2)::BIGINT AS c2,
+         count(*) FILTER (b = 3)::BIGINT AS c3
+  FROM binned GROUP BY 1, 2
+),
+tot AS (
+  SELECT count(*)::BIGINT AS nn,
+         count(*) FILTER (b = 0)::BIGINT AS t0,
+         count(*) FILTER (b = 1)::BIGINT AS t1,
+         count(*) FILTER (b = 2)::BIGINT AS t2,
+         count(*) FILTER (b = 3)::BIGINT AS t3
+  FROM binned
+),
+emd AS (
+  SELECT c_nationkey, c_mktsegment, n,
+         round((abs(c0::DOUBLE / n - t0::DOUBLE / nn)
+                + abs((c0::DOUBLE / n - t0::DOUBLE / nn)
+                      + (c1::DOUBLE / n - t1::DOUBLE / nn))
+                + abs((c0::DOUBLE / n - t0::DOUBLE / nn)
+                      + (c1::DOUBLE / n - t1::DOUBLE / nn)
+                      + (c2::DOUBLE / n - t2::DOUBLE / nn))) / 3, 6) AS emd
+  FROM g, tot
+)
+SELECT c_nationkey, c_mktsegment, n, emd, emd <= {T_CLOSE} AS t_close
+FROM emd
+""",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li, Venkatasubramanian) — the third rung
+    of the privacy ladder after `privacy_k_anonymity` and
+    `privacy_l_diversity`: a quasi-identifier group leaks through
+    DISTRIBUTION SKEW even when it is diverse, so the group's
+    sensitive-attribute distribution must stay within t of the global
+    one. The sensitive attribute (account-balance band) is ORDERED, so
+    the distance is the 1-D earth-mover's distance: mean absolute
+    cumulative difference over the {len(T_CLOSE_EDGES)} bin boundaries.
+
+    Plan: ONE scan feeding two aggregates — the QI-keyed conditional
+    bin counts (one shuffle, map-side combined) and a global 1-row bin
+    total broadcast back via the tiny-relation cross join (the verdict-
+    scalar pattern). Per-group EMD is then pure projection arithmetic:
+    no per-bin explode, no second pass over the data, holds at 100 TB.
+    The flag compares the ROUNDED emd so flag and statistic never
+    disagree across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    e0, e1, e2 = T_CLOSE_EDGES
+    bal = F.col("c_acctbal")
+    binned = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(bal < e0, 0)
+        .when(bal < e1, 1)
+        .when(bal < e2, 2)
+        .otherwise(3)
+        .alias("b"),
+    )
+
+    def bin_counts(prefix: str) -> list:
+        return [
+            F.count_if(F.col("b") == i).cast("long").alias(f"{prefix}{i}")
+            for i in range(4)
+        ]
+
+    g = binned.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), *bin_counts("c")
+    )
+    tot = binned.agg(F.count(F.lit(1)).cast("long").alias("nn"), *bin_counts("t"))
+    d0 = F.col("c0").cast("double") / F.col("n") - F.col("t0").cast("double") / F.col("nn")
+    d1 = F.col("c1").cast("double") / F.col("n") - F.col("t1").cast("double") / F.col("nn")
+    d2 = F.col("c2").cast("double") / F.col("n") - F.col("t2").cast("double") / F.col("nn")
+    emd = F.round((F.abs(d0) + F.abs(d0 + d1) + F.abs(d0 + d1 + d2)) / 3, 6)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            emd.alias("emd"),
+            (emd <= T_CLOSE).alias("t_close"),
+        )
+    )
+
+
+#: Chi-square independence: deterministic user cohorts (hash-split
+#: arms) tested against event type.
+CHISQ_COHORTS = 4
+
+
+@query(
+    "events_chisq_independence",
+    oracle=f"""
+WITH cells AS (
+  SELECT event_type, (user_id % {CHISQ_COHORTS})::BIGINT AS cohort,
+         count(*)::BIGINT AS o
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, sum(o)::BIGINT AS rtot FROM cells GROUP BY 1),
+ct AS (SELECT cohort, sum(o)::BIGINT AS ctot FROM cells GROUP BY 1),
+nn AS (SELECT sum(o)::BIGINT AS n FROM cells)
+SELECT n, count(*)::BIGINT AS n_cells,
+       (count(DISTINCT c.event_type) - 1) * (count(DISTINCT c.cohort) - 1)
+         AS dof,
+       round(CAST(sum(CAST(
+           (c.o - rt.rtot * ct.ctot / CAST(nn.n AS DOUBLE))
+           * (c.o - rt.rtot * ct.ctot / CAST(nn.n AS DOUBLE))
+           / (rt.rtot * ct.ctot / CAST(nn.n AS DOUBLE))
+         AS DECIMAL(30,12))) AS DOUBLE), 6) AS chi2
+FROM cells c
+JOIN rt USING (event_type) JOIN ct USING (cohort), nn
+GROUP BY n
+""",
+)
+def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and a
+    deterministic {CHISQ_COHORTS}-way user cohort (the hash-split arms
+    an experimentation platform assigns): observed cell counts vs the
+    independence expectation rowTotal*colTotal/N, the classic guardrail
+    that a traffic split is not correlated with behavior.
+
+    Plan: the event log collapses in ONE map-side-combined aggregation
+    to the contingency cells (types x cohorts — a few dozen rows no
+    matter the corpus size); margins, expectations, and the statistic
+    are arithmetic on that tiny relation. Per-cell contributions are
+    double-computed identically on both engines from exact BIGINT
+    margins, then DECIMAL(30,12)-cast before the final sum so the
+    reduction is order-independent; a 1-ulp cast wobble cannot reach
+    the 1e-6 rounding of the emitted statistic."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % CHISQ_COHORTS).cast("long").alias("cohort")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    cells = track(cells)
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("rtot"))
+    ct = cells.groupBy("cohort").agg(F.sum("o").cast("long").alias("ctot"))
+    nn = cells.agg(F.sum("o").cast("long").alias("n"))
+    e = F.col("rtot") * F.col("ctot") / F.col("n").cast("double")
+    contrib = (F.col("o") - e) * (F.col("o") - e) / e
+    return (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "cohort")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            (
+                (F.countDistinct("event_type") - 1)
+                * (F.countDistinct("cohort") - 1)
+            ).cast("long").alias("dof"),
+            F.round(
+                F.sum(contrib.cast("decimal(30,12)")).cast("double"), 6
+            ).alias("chi2"),
+        )
+        .select("n", "n_cells", "dof", "chi2")
+    )
+
+
 # ------------------------------------------------------------- time series
 TS_PERIOD = 7  # weekly seasonality over daily buckets
 

@@ -368,6 +368,83 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.join(o, cond).groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
 
 
+#: Bucketized interval join: campaign sampling stride and window
+#: length. A closed 30-day window ([start, start+29]) spans at most 2
+#: calendar-month buckets, so interval replication is bounded at 2x.
+INTERVAL_JOIN_STRIDE = 97
+INTERVAL_JOIN_DAYS = 29
+
+
+@query(
+    "join_interval_bucketed",
+    oracle=f"""
+WITH campaigns AS (
+  SELECT o_orderkey AS campaign_id, o_orderdate AS start_d,
+         o_orderdate + INTERVAL {INTERVAL_JOIN_DAYS} DAY AS end_d
+  FROM orders WHERE o_orderkey % {INTERVAL_JOIN_STRIDE} = 0
+)
+SELECT l.l_returnflag,
+       count(*)::BIGINT AS n_hits,
+       count(DISTINCT c.campaign_id)::BIGINT AS n_campaigns,
+       {_dsum('l.l_quantity')} AS sum_qty
+FROM lineitem l JOIN campaigns c
+  ON l.l_shipdate BETWEEN c.start_d AND c.end_d
+GROUP BY 1
+""",
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equi key, made scalable by bucket
+    decomposition: which shipments fall inside any sampled 30-day
+    campaign window. `join_range_interval` rides an equi key and keeps
+    BETWEEN as a residual; when no natural key exists the naive
+    spelling is a nested-loop/cartesian expansion (probe x intervals —
+    what Catalyst emits for a pure non-equi condition). Instead each
+    interval is EXPLODED to the calendar-month buckets it overlaps
+    (<= 2 for a 30-day window) and each probe row computes its single
+    month bucket, turning the range join into a bucket EQUI-join plus
+    a residual BETWEEN — the range-join-binning strategy (same trick
+    as `geo_radius_join`'s 2-D grid, here in 1-D time; what
+    warehouse engines' RANGE_JOIN hints do under the hood).
+
+    Correct by construction: a probe row has exactly ONE bucket, so a
+    matching (row, interval) pair meets in exactly one bucket — no
+    post-join dedup needed. At 100 TB the shuffle is keyed on the
+    month bucket; granularity trades interval replication (window /
+    bucket width) against residual-filter selectivity, and a skewed
+    month can be salted like any hash join. The plan is asserted
+    NLJ-free in tests/test_plans.py."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def month_bucket(c: Column) -> Column:
+        return (F.year(c) * 12 + F.month(c)).alias("bucket")
+
+    campaigns = o.filter(
+        F.col("o_orderkey") % INTERVAL_JOIN_STRIDE == 0
+    ).select(
+        F.col("o_orderkey").alias("campaign_id"),
+        F.col("o_orderdate").alias("start_d"),
+        F.date_add(F.col("o_orderdate"), INTERVAL_JOIN_DAYS).alias("end_d"),
+    )
+    camp_b = campaigns.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(month_bucket(F.col("start_d")), month_bucket(F.col("end_d")))
+        ),
+    )
+    probe = l.withColumn("bucket", month_bucket(F.col("l_shipdate")))
+    joined = probe.join(
+        camp_b,
+        (probe["bucket"] == camp_b["bucket"])
+        & F.col("l_shipdate").between(F.col("start_d"), F.col("end_d")),
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.countDistinct("campaign_id").cast("long").alias("n_campaigns"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
 @query(
     "join_asof",
     oracle="""

@@ -143,6 +143,8 @@ SUITES: dict[str, list[str]] = {
         # r7: sorted-neighborhood blocking ER (the other classic
         # blocking strategy next to join_fuzzy_blocked)
         "er_sorted_neighborhood",
+        # r8: no-equi-key interval join via month-bucket decomposition
+        "join_interval_bucketed",
     ],
     "suite_agg": [
         "agg_rollup",
@@ -440,6 +442,10 @@ SUITES: dict[str, list[str]] = {
         # r7 twelfth batch: Benford audit + k-core peeling
         "quality_benford",
         "graph_kcore",
+        # r8: t-closeness (privacy ladder rung 3) + chi-square
+        # independence guardrail
+        "privacy_t_closeness",
+        "events_chisq_independence",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

@@ -133,6 +133,14 @@ def query(name: str, oracle: Optional[str] = None, doc: str = ""):
 #: protocol under the final no-data batch) and
 #: stream_exec_dedup_watermarked (dropDuplicatesWithinWatermark with
 #: the state-expiry re-emission semantic hash-pinned).
+#: Round-8 third rotation: sketch_countmin_heavyhitters OUT (direct
+#: green r7; suite_sketches digest), corpus_curation_pipeline and
+#: multimodal_features OUT (direct green r2-r7; suite_text /
+#: suite_multimodal digests) to seat the three NEW r8 operators in
+#: their first round: join_interval_bucketed (no-equi-key interval
+#: join via month-bucket decomposition), privacy_t_closeness (the
+#: third privacy-ladder rung, ordered-bin EMD), and
+#: events_chisq_independence (contingency-cell chi-square guardrail).
 PRIORITY: tuple[str, ...] = (
     # reference-parity flagships (§2A)
     "etl_flagship",
@@ -162,6 +170,11 @@ PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct",
     "sort_multi_nulls",
     "limit_topk",
+    # rotated in r8 third rotation: first direct rows for the newest
+    # relational / analytics operators
+    "join_interval_bucketed",
+    "privacy_t_closeness",
+    "events_chisq_independence",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —
@@ -183,8 +196,8 @@ PRIORITY: tuple[str, ...] = (
     "stream_exec_dedup_watermarked",
     # LLM-pipeline flagships
     # (dedup_exact rotated out r8 second rotation — suite_dedup
-    # digest; direct green r1-r7.)
-    "sketch_countmin_heavyhitters",  # rotated in r7: mergeable-sketch flagship
+    # digest; direct green r1-r7. sketch_countmin_heavyhitters rotated
+    # out r8 third rotation — suite_sketches digest; direct green r7.)
     # (dedup_substring rotated out r6 — suite_dedup digest; direct
     # green r5. dedup_minhash_lsh rotated out in the second r7
     # rotation — suite_dedup digest; direct green r1-r6.)
@@ -205,8 +218,9 @@ PRIORITY: tuple[str, ...] = (
     # (text_stats rotated out r7 fourth rotation — suite_text digest;
     # direct green r1-r6.)
     "stream_exec_sketch_merge",  # rotated in r7: streaming sketch merge
-    "corpus_curation_pipeline",
-    "multimodal_features",
+    # (corpus_curation_pipeline / multimodal_features rotated out r8
+    # third rotation — suite_text / suite_multimodal digests; direct
+    # green r2-r7.)
     # (sample_stable_hash is digest-covered by suite_etl_misc; keeping
     # the granular row out of the priority block pulls every suite
     # within the driver's round-1 budget of 50 with margin)

@@ -627,3 +627,19 @@ def test_star_cc_rounds_are_shuffle_joins(spark):
     plan = _plan(out)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_interval_bucketed_join_is_equi_not_nlj(spark, sf_dir):
+    """join_interval_bucketed's whole point: the no-equi-key BETWEEN
+    join must become a hash EQUI-join on the month bucket (residual
+    BETWEEN as the join filter), never the nested-loop expansion
+    Catalyst emits for a pure range condition — the form that survives
+    a 100 TB probe side."""
+    from aws_etl_pipeline_spark.operators.relational import (
+        join_interval_bucketed,
+    )
+
+    plan = _plan(join_interval_bucketed(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan, plan  # broadcast or shuffled, both equi
