@@ -1140,6 +1140,94 @@ def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_anova_f",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         count(*)::BIGINT AS ng,
+         sum(CAST(value AS DECIMAL(18,2))) AS sg,
+         sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ssg
+  FROM events GROUP BY 1
+),
+terms AS (
+  SELECT ng, sg, ssg,
+         CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
+              AS DECIMAL(30,10)) AS t_between,
+         CAST(CAST(ssg AS DOUBLE)
+              - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
+              AS DECIMAL(30,10)) AS t_within
+  FROM g
+),
+tot AS (
+  SELECT count(*)::BIGINT AS k,
+         sum(ng)::BIGINT AS n,
+         CAST(sum(CAST(sg AS DECIMAL(30,2))) AS DOUBLE) AS s,
+         CAST(sum(t_between) AS DOUBLE) AS sum_between,
+         CAST(sum(t_within) AS DOUBLE) AS ssw
+  FROM terms
+)
+SELECT k, n,
+       round(sum_between - s * s / n, 6) AS ssb,
+       round(ssw, 6) AS ssw,
+       round(((sum_between - s * s / n) / (k - 1)) / (ssw / (n - k)), 6)
+         AS f_stat
+FROM tot
+""",
+)
+def events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of `value` across event types — the
+    k>2 sibling of `events_abtest_welch`: does ANY arm differ before
+    pairwise drill-down. Decomposes total variance into between-group
+    (SSB = sum sg^2/ng - S^2/N) and within-group (SSW = sum(ssg -
+    sg^2/ng)); F = (SSB/(k-1)) / (SSW/(N-k)).
+
+    Plan: ONE map-side-combined pass reduces the log to k rows of
+    exact sufficient statistics (BIGINT count, DECIMAL sum and sum of
+    squares); the decomposition is arithmetic on that k-row relation.
+    Per-group double terms are computed with identical operation order
+    on both engines from the exact decimal sums, then DECIMAL(30,10)-
+    cast before the cross-group sum so the k-way reduction is
+    order-independent — the same exactness discipline as
+    `events_chisq_independence`. Linear scan, no second pass, holds at
+    any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(v).alias("sg"),
+        F.sum(v * v).alias("ssg"),
+    )
+    sgd = F.col("sg").cast("double")
+    terms = g.select(
+        "ng",
+        "sg",
+        "ssg",
+        (sgd * sgd / F.col("ng")).cast("decimal(30,10)").alias("t_between"),
+        (F.col("ssg").cast("double") - sgd * sgd / F.col("ng"))
+        .cast("decimal(30,10)")
+        .alias("t_within"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(F.col("sg").cast("decimal(30,2)")).cast("double").alias("s"),
+        F.sum("t_between").cast("double").alias("sum_between"),
+        F.sum("t_within").cast("double").alias("ssw"),
+    )
+    ssb = F.col("sum_between") - F.col("s") * F.col("s") / F.col("n")
+    return tot.select(
+        "k",
+        "n",
+        F.round(ssb, 6).alias("ssb"),
+        F.round(F.col("ssw"), 6).alias("ssw"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
 # ------------------------------------------------------------- time series
 TS_PERIOD = 7  # weekly seasonality over daily buckets
 

@@ -26,7 +26,13 @@ from ..cache import track
 from ..catalog import load_table
 from ..registry import query
 
-__all__ = ["graph_pagerank", "graph_triangle_count", "graph_jaccard_neighbors", "graph_bfs_reach"]
+__all__ = [
+    "graph_pagerank",
+    "graph_triangle_count",
+    "graph_jaccard_neighbors",
+    "graph_bfs_reach",
+    "graph_label_propagation",
+]
 
 _DAMP = 0.85
 _ITERS = 3
@@ -555,4 +561,112 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deg",
             (F.col("n_last") == F.col("n_prev")).alias("converged"),
         )
+    )
+
+
+#: synchronous label-propagation rounds (unrolled in the oracle).
+LPA_ITERS = 3
+#: edge sparsifier: only high-quantity line items induce an edge, so
+#: the bipartite graph keeps real community structure (the unfiltered
+#: graph is near-complete and collapses to one giant label by round 3).
+LPA_MIN_QTY = 45
+
+
+def _lpa_oracle() -> str:
+    head = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity >= {LPA_MIN_QTY}
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM edges)"""
+    steps = []
+    for k in range(1, LPA_ITERS + 1):
+        steps.append(
+            f"""
+l{k} AS (
+  SELECT node, label FROM (
+    SELECT e.b AS node, l.label, count(*)::BIGINT AS c,
+           row_number() OVER (PARTITION BY e.b
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM edges e JOIN l{k - 1} l ON e.a = l.node
+    GROUP BY e.b, l.label
+  ) t WHERE rn = 1
+)"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT label AS community, count(*)::BIGINT AS n_members
+FROM l{LPA_ITERS} GROUP BY label"""
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) on the customer–supplier graph, {LPA_ITERS} rounds: each
+    node adopts its neighbors' MOST FREQUENT previous-round label,
+    ties broken by smallest label — the deterministic synchronous
+    variant (classic LPA breaks ties randomly; random ties cannot be
+    oracle-checked and are irreproducible across runs, the same
+    determinism discipline as `dedup_semantic`'s seeded k-means).
+    Complements the min-label connected-components pair (api.py):
+    CC finds REACHABILITY classes; LPA finds DENSITY communities
+    inside one component, the structure that matters for sharding a
+    training corpus by topic cluster.
+
+    100 TB design: per round, ONE edge-keyed shuffle (labels join on
+    the source endpoint), one map-side-combined (node,label) count,
+    and one per-NODE window for the argmax — partitioned by node, so
+    parallelism is node-count wide, never a global sort. Label state
+    is node-sized; edges/the invariant inputs are pinned (`track`)
+    exactly like `graph_pagerank`, whose measured 100x slope validated
+    this loop shape. Output is the community-size rollup (bounded by
+    node count), not per-node rows."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= LPA_MIN_QTY)
+        .select("l_orderkey", "l_suppkey")
+    )
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), "o_custkey").alias("a"),
+            F.concat(F.lit("s:"), "l_suppkey").alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).transform(track)
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(LPA_ITERS):
+        votes = (
+            edges.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        labels = (
+            votes.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("node").orderBy(
+                        F.col("c").desc(), F.col("label").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
     )

@@ -446,6 +446,11 @@ SUITES: dict[str, list[str]] = {
         # independence guardrail
         "privacy_t_closeness",
         "events_chisq_independence",
+        # r8 fourth batch: equi-depth binning (value-histogram exact
+        # deciles), LPA communities, one-way ANOVA
+        "feature_quantile_binning",
+        "graph_label_propagation",
+        "events_anova_f",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

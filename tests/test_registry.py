@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 293  # COVERAGE.md "293 named queries total"
-DOCUMENTED_GRANULAR = 272
+DOCUMENTED_TOTAL = 296  # COVERAGE.md "296 named queries total"
+DOCUMENTED_GRANULAR = 275
 DOCUMENTED_SUITES = 21
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
