@@ -2637,6 +2637,143 @@ def ts_brown_des_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Holt-Winters additive triple smoothing: weekly seasonality over the
+#: observed-day sequence, 7-step forecast horizon. Coefficients and
+#: their complements are separate literals so BOTH engines compute
+#: with the same double constants (1 - 0.3 recomputed per engine is
+#: the same double, but the literal pin is free).
+HW_PERIOD = 7
+HW_H = 7
+HW_A, HW_A1 = 0.3, 0.7  # level alpha, 1-alpha
+HW_B, HW_B1 = 0.1, 0.9  # trend beta, 1-beta
+HW_G, HW_G1 = 0.2, 0.8  # seasonal gamma, 1-gamma
+
+
+def _hw_oracle() -> str:
+    m, h = HW_PERIOD, HW_H
+    sum1 = "+".join(f"ys[{i}]" for i in range(1, m + 1))
+    sum2 = "+".join(f"ys[{i}]" for i in range(m + 1, 2 * m + 1))
+    lnew = f"{HW_A}*(nb.y - r.s[1]) + {HW_A1}*(r.l + r.b)"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY day) AS t, y
+  FROM daily
+),
+tmax AS (SELECT event_type, max(t)::BIGINT AS tm FROM base GROUP BY 1),
+init AS (
+  SELECT b.event_type, list(y ORDER BY t) AS ys
+  FROM base b JOIN tmax USING (event_type)
+  WHERE t <= {2 * m} AND tm >= {2 * m + 1}
+  GROUP BY b.event_type
+),
+st0 AS (
+  SELECT event_type,
+         ({sum1}) / {m} AS l,
+         (({sum2}) / {m} - ({sum1}) / {m}) / {m} AS b,
+         list_transform(ys[1:{m}], x -> x - ({sum1}) / {m}) AS s
+  FROM init
+),
+rec AS (
+  SELECT event_type, CAST({m} AS BIGINT) AS t, l, b, s FROM st0
+  UNION ALL
+  SELECT r.event_type, r.t + 1,
+         {lnew} AS l,
+         {HW_B}*(({lnew}) - r.l) + {HW_B1}*r.b AS b,
+         r.s[2:{m}] || [{HW_G}*(nb.y - ({lnew})) + {HW_G1}*r.s[1]] AS s
+  FROM rec r JOIN base nb ON nb.event_type = r.event_type AND nb.t = r.t + 1
+),
+fin AS (
+  SELECT r.event_type, r.t, r.l, r.b, r.s
+  FROM rec r JOIN tmax USING (event_type) WHERE r.t = tm
+)
+SELECT event_type, t AS n_days, h,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + h * b + s[h], 6) AS forecast
+FROM fin, (SELECT unnest(range(1, {h + 1})) AS h)
+"""
+
+
+def _hw_group(pdf):
+    """Per-series Holt-Winters recursion — the pandas twin of the
+    oracle's recursive CTE, written with the IDENTICAL operation
+    order so every intermediate double is bit-equal."""
+    import pandas as pd
+
+    m, hh = HW_PERIOD, HW_H
+    pdf = pdf.sort_values("day")
+    ys = [float(v) for v in pdf["y"]]
+    cols = ["event_type", "n_days", "h", "level", "trend", "forecast"]
+    if len(ys) < 2 * m + 1:
+        return pd.DataFrame({c: [] for c in cols})
+    acc1 = ys[0]
+    for i in range(1, m):
+        acc1 = acc1 + ys[i]
+    l = acc1 / m
+    acc2 = ys[m]
+    for i in range(m + 1, 2 * m):
+        acc2 = acc2 + ys[i]
+    b = (acc2 / m - l) / m
+    s = [ys[i] - l for i in range(m)]
+    for t in range(m, len(ys)):
+        y = ys[t]
+        l_new = HW_A * (y - s[0]) + HW_A1 * (l + b)
+        b = HW_B * (l_new - l) + HW_B1 * b
+        s = s[1:] + [HW_G * (y - l_new) + HW_G1 * s[0]]
+        l = l_new
+    et = pdf["event_type"].iloc[0]
+    rows = {
+        "event_type": [et] * hh,
+        "n_days": [len(ys)] * hh,
+        "h": list(range(1, hh + 1)),
+        "level": [round(l, 6)] * hh,
+        "trend": [round(b, 6)] * hh,
+        "forecast": [round(l + h * b + s[h - 1], 6) for h in range(1, hh + 1)],
+    }
+    return pd.DataFrame(rows, columns=cols)
+
+
+@query("ts_holt_winters", oracle=_hw_oracle())
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing (level +
+    trend + weekly seasonality) per event type, with a 7-step
+    forecast. Completes the forecasting ladder: `events_ewma` (level),
+    `ts_brown_des_forecast` (level+trend), and now seasonality — the
+    first model in the ladder whose recursion genuinely cannot be
+    distributed: level, trend, and the 7 seasonal slots are COUPLED,
+    so no truncated-convolution rewrite exists (the events_ewma
+    device stops here). This is exactly the case SURVEY §2's custom-
+    operator policy routes to an Arrow-batched grouped map: the heavy
+    reduction (event log -> daily totals) is a distributed map-side-
+    combined aggregate; the recursion then runs per series inside
+    `applyInPandas`, where a series is CALENDAR-bounded (365 points/
+    year regardless of corpus bytes) — per-group sequential work with
+    bounded state, the applyInPandasWithState batch twin.
+
+    Exactness: the pandas recursion and the oracle's recursive CTE
+    are written with the identical operation order over identical
+    DECIMAL-summed daily inputs, so every intermediate IEEE double
+    matches bit-for-bit; outputs round at 6. Init: first-season mean
+    level, two-season mean-difference trend, first-season additive
+    seasonals; series shorter than two seasons + 1 are excluded on
+    both sides."""
+    from .relational import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(dsum("value").alias("y"))
+    return daily.groupBy("event_type").applyInPandas(
+        _hw_group,
+        schema="event_type string, n_days long, h long, level double, "
+        "trend double, forecast double",
+    )
+
+
 @query(
     "events_uplift_cuped",
     oracle="""

@@ -199,6 +199,8 @@ SUITES: dict[str, list[str]] = {
         "window_range_frame",
         "window_cume_pct",
         "topk_per_group",
+        # r8: domain-collapsed 2-D Pareto frontier
+        "window_skyline_pareto",
     ],
     "suite_fn_scalar": [
         "fn_url",  # r7
@@ -451,6 +453,9 @@ SUITES: dict[str, list[str]] = {
         "feature_quantile_binning",
         "graph_label_propagation",
         "events_anova_f",
+        # r8 fifth batch: the seasonal rung of the forecasting ladder
+        # (per-series Arrow grouped-map recursion)
+        "ts_holt_winters",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

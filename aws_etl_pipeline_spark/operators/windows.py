@@ -301,3 +301,76 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v").over(w), 2).alias("rolling_min_7d"),
         F.round(F.max("v").over(w), 2).alias("rolling_max_7d"),
     )
+
+
+@query(
+    "window_skyline_pareto",
+    oracle="""
+WITH pm AS (
+  SELECT p_type, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+         max(p_size) AS size
+  FROM part GROUP BY 1, 2
+),
+run AS (
+  SELECT p_type, cents, size,
+         max(size) OVER (PARTITION BY p_type ORDER BY cents
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prior
+  FROM pm
+),
+fr AS (
+  SELECT p_type, cents, size FROM run
+  WHERE prior IS NULL OR prior < size
+),
+n AS (
+  SELECT p_type, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+         p_size AS size, count(*)::BIGINT AS n_parts
+  FROM part GROUP BY 1, 2, 3
+)
+SELECT f.p_type, round(f.cents / 100.0, 2) AS price, f.size, n.n_parts
+FROM fr f JOIN n USING (p_type, cents, size)
+""",
+)
+def window_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) per part type: the parts where no
+    same-type part is both cheaper-or-equal AND larger-or-equal with
+    at least one strict — the multi-objective preference query
+    (cheapest-for-the-size / largest-for-the-price) behind product
+    search and model-checkpoint selection (best loss-vs-cost points).
+
+    The naive spelling is a quadratic NOT EXISTS self-join. The 2-D
+    scalable form: (1) collapse to one candidate per (type, price
+    cent) — max size wins; this is map-side combinable and bounds the
+    relation by the PRICE DOMAIN (the feature_quantile_binning value-
+    histogram device), not row count; (2) one per-type window over
+    the collapsed relation, RANGE-framed to strictly-cheaper rows —
+    a point survives iff its size beats the running max; (3) a keyed
+    join back for the carrier count. Prices ride as exact integer
+    cents so the RANGE frame's arithmetic bound (1 PRECEDING) is
+    exact on both engines. At 100 TB stage (1) does all the heavy
+    lifting in one shuffle; the window runs on domain-bounded data
+    per type. Dominated-within-equal-price rows fall in stage (1);
+    equal (price, size) duplicates are one frontier point with
+    n_parts > 1 (neither dominates the other)."""
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long").alias("cents")
+    pm = part.groupBy("p_type", cents).agg(F.max("p_size").alias("size"))
+    w = (
+        W.partitionBy("p_type")
+        .orderBy("cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    fr = (
+        pm.withColumn("prior", F.max("size").over(w))
+        .filter(F.col("prior").isNull() | (F.col("prior") < F.col("size")))
+        .select("p_type", "cents", "size")
+    )
+    n = part.groupBy(
+        "p_type", cents, F.col("p_size").alias("size")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    return fr.join(n, ["p_type", "cents", "size"]).select(
+        "p_type",
+        F.round(F.col("cents") / 100.0, 2).alias("price"),
+        "size",
+        "n_parts",
+    )

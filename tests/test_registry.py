@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 296  # COVERAGE.md "296 named queries total"
-DOCUMENTED_GRANULAR = 275
+DOCUMENTED_TOTAL = 298  # COVERAGE.md "298 named queries total"
+DOCUMENTED_GRANULAR = 277
 DOCUMENTED_SUITES = 21
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -153,5 +153,19 @@ def test_rotated_out_slots_stay_digest_covered():
     for rotated_in in (
         "stream_exec_stream_join_outer_watermarked",
         "stream_exec_dedup_watermarked",
+    ):
+        assert rotated_in in PRIORITY, rotated_in
+    # the round-8 THIRD rotation: the three newest r8 operators take
+    # direct slots; the vacating queries stay digest-covered
+    for rotated_out in (
+        "sketch_countmin_heavyhitters",
+        "corpus_curation_pipeline",
+        "multimodal_features",
+    ):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in (
+        "join_interval_bucketed",
+        "privacy_t_closeness",
+        "events_chisq_independence",
     ):
         assert rotated_in in PRIORITY, rotated_in
