@@ -3013,3 +3013,230 @@ def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_leading_1"),
     )
+
+
+#: Mann-Whitney / KS cohort split: the same deterministic hash-split
+#: arms as the chi-square guardrail.
+_MWU_KS_ALPHA_Z = 1.96  # two-sided 5% normal critical value
+_KS_COEFF = 1.358  # two-sample KS 5% coefficient (same as CUSUM)
+
+_RANK_HIST_SQL = """
+h AS (
+  SELECT event_type, value AS v,
+         count(*) FILTER (user_id % 2 = 0)::BIGINT AS c0,
+         count(*) FILTER (user_id % 2 = 1)::BIGINT AS c1
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, v, c0, c1,
+         coalesce(sum(c0 + c1) OVER (
+             PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_all,
+         sum(c0) OVER (PARTITION BY event_type ORDER BY v) AS f0,
+         sum(c1) OVER (PARTITION BY event_type ORDER BY v) AS f1
+  FROM h
+),
+tot AS (
+  SELECT event_type, sum(c0)::BIGINT AS n0, sum(c1)::BIGINT AS n1
+  FROM h GROUP BY 1
+)"""
+
+
+@query(
+    "events_mannwhitney_u",
+    oracle=f"""
+WITH {_RANK_HIST_SQL},
+rsum AS (
+  SELECT event_type,
+         CAST(sum(CAST(c0 * (before_all + (c0 + c1 + 1) / 2.0)
+                       AS DECIMAL(30,1))) AS DOUBLE) AS r0,
+         CAST(sum(CAST((c0 + c1) AS DECIMAL(38,0))
+                  * (c0 + c1) * (c0 + c1)
+                  - (c0 + c1)) AS DOUBLE) AS tie_cubes
+  FROM cum GROUP BY 1
+),
+st AS (
+  SELECT t.event_type, t.n0, t.n1,
+         r.r0 - t.n0 * (t.n0 + 1) / 2.0 AS u0,
+         CAST(t.n0 AS DOUBLE) * t.n1 / 2.0 AS mu,
+         CAST(t.n0 AS DOUBLE) * t.n1
+           / (CAST(t.n0 + t.n1 AS DOUBLE) * (t.n0 + t.n1 - 1))
+           * ((CAST(t.n0 + t.n1 AS DOUBLE) * (t.n0 + t.n1) * (t.n0 + t.n1)
+               - (t.n0 + t.n1)) / 12.0
+              - r.tie_cubes / 12.0) AS var,
+         r.tie_cubes
+  FROM tot t JOIN rsum r USING (event_type)
+)
+SELECT event_type, n0, n1,
+       round(u0, 1) AS u0,
+       round((u0 - mu) / sqrt(var), 6) AS z,
+       abs(round((u0 - mu) / sqrt(var), 6)) > {_MWU_KS_ALPHA_Z} AS significant
+FROM st
+""",
+)
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the hash-split cohorts per
+    event type — the NON-PARAMETRIC sibling of `events_abtest_welch`
+    (detects any stochastic-dominance shift, not just a mean shift),
+    with the tie-corrected normal approximation.
+
+    Ranks at 100 TB without a global sort: the same VALUE-HISTOGRAM
+    device as `feature_quantile_binning` — the log collapses to
+    per-(type, value) split counts (bounded by the 2-dp value domain),
+    and every tied observation's average rank is before_all +
+    (t_v+1)/2, so the rank sum needs one window pass over the
+    domain-bounded histogram, never over rows. Rank-sum terms are
+    half-integers, exactly representable — DECIMAL(30,1)-cast before
+    summing so the reduction is order-free; the tie-correction
+    Σ(t³−t) rides DECIMAL(38,0). The z pipeline is arithmetic on
+    exact BIGINTs written identically on both engines; the
+    significance flag compares the ROUNDED z."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count_if(F.col("user_id") % 2 == 0).cast("long").alias("c0"),
+        F.count_if(F.col("user_id") % 2 == 1).cast("long").alias("c1"),
+    )
+    h = track(h)
+    wprev = (
+        W.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    t = F.col("c0") + F.col("c1")
+    cum = h.select(
+        "event_type",
+        "c0",
+        "c1",
+        F.coalesce(F.sum(t).over(wprev), F.lit(0)).alias("before_all"),
+    )
+    rsum = cum.groupBy("event_type").agg(
+        F.sum(
+            (
+                F.col("c0")
+                * (F.col("before_all") + (F.col("c0") + F.col("c1") + 1) / 2.0)
+            ).cast("decimal(30,1)")
+        )
+        .cast("double")
+        .alias("r0"),
+        F.sum(
+            t.cast("decimal(38,0)") * t * t - t
+        )
+        .cast("double")
+        .alias("tie_cubes"),
+    )
+    tot = h.groupBy("event_type").agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    n0d = F.col("n0").cast("double")
+    nd = (F.col("n0") + F.col("n1")).cast("double")
+    u0 = F.col("r0") - F.col("n0") * (F.col("n0") + 1) / 2.0
+    mu = n0d * F.col("n1") / 2.0
+    var = (
+        n0d
+        * F.col("n1")
+        / (nd * (F.col("n0") + F.col("n1") - 1))
+        * (
+            (nd * (F.col("n0") + F.col("n1")) * (F.col("n0") + F.col("n1"))
+             - (F.col("n0") + F.col("n1"))) / 12.0
+            - F.col("tie_cubes") / 12.0
+        )
+    )
+    z = F.round((u0 - mu) / F.sqrt(var), 6)
+    return (
+        tot.join(rsum, "event_type")
+        .select(
+            "event_type",
+            "n0",
+            "n1",
+            F.round(u0, 1).alias("u0"),
+            z.alias("z"),
+            (F.abs(z) > _MWU_KS_ALPHA_Z).alias("significant"),
+        )
+    )
+
+
+@query(
+    "events_ks_test",
+    oracle=f"""
+WITH {_RANK_HIST_SQL},
+d AS (
+  SELECT c.event_type,
+         max(abs(CAST(c.f0 AS DOUBLE) / t.n0
+                 - CAST(c.f1 AS DOUBLE) / t.n1)) AS d
+  FROM cum c JOIN tot t USING (event_type)
+  GROUP BY 1
+)
+SELECT t.event_type, t.n0, t.n1,
+       round(d.d, 6) AS ks_d,
+       round({_KS_COEFF} * sqrt(CAST(t.n0 + t.n1 AS DOUBLE)
+                                / (CAST(t.n0 AS DOUBLE) * t.n1)), 6)
+         AS crit_05,
+       round(d.d, 6) > round({_KS_COEFF} * sqrt(CAST(t.n0 + t.n1 AS DOUBLE)
+                             / (CAST(t.n0 AS DOUBLE) * t.n1)), 6)
+         AS rejected
+FROM tot t JOIN d USING (event_type)
+""",
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distribution test between the
+    hash-split cohorts per event type: D = max |F0(v) - F1(v)| with
+    the 5% critical value 1.358*sqrt(N/(n0*n1)) — the whole-shape
+    drift detector that complements `quality_drift_psi` (PSI needs
+    binning choices; KS is binning-free) and the location-only tests.
+
+    Same scale shape as `events_mannwhitney_u`: empirical CDFs are
+    running sums over the domain-bounded value histogram, so the max
+    deviation is one window pass + one max — no global sort, no
+    per-row work. D is a MAX of identically-computed doubles (order-
+    free by construction, no decimal carrier needed); the verdict
+    compares ROUNDED statistic to ROUNDED critical value so the flag
+    and the emitted numbers can never disagree across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count_if(F.col("user_id") % 2 == 0).cast("long").alias("c0"),
+        F.count_if(F.col("user_id") % 2 == 1).cast("long").alias("c1"),
+    )
+    h = track(h)
+    wrun = (
+        W.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = h.select(
+        "event_type",
+        F.sum("c0").over(wrun).alias("f0"),
+        F.sum("c1").over(wrun).alias("f1"),
+    )
+    tot = h.groupBy("event_type").agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    d = (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("f0").cast("double") / F.col("n0")
+                    - F.col("f1").cast("double") / F.col("n1")
+                )
+            ).alias("d")
+        )
+    )
+    crit = F.round(
+        _KS_COEFF
+        * F.sqrt(
+            (F.col("n0") + F.col("n1")).cast("double")
+            / (F.col("n0").cast("double") * F.col("n1"))
+        ),
+        6,
+    )
+    return tot.join(d, "event_type").select(
+        "event_type",
+        "n0",
+        "n1",
+        F.round("d", 6).alias("ks_d"),
+        crit.alias("crit_05"),
+        (F.round("d", 6) > crit).alias("rejected"),
+    )

@@ -670,3 +670,123 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
+
+
+#: HITS rounds (unrolled in the oracle, like PageRank's).
+HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+h0 AS (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS h FROM pairs)"""
+    steps = []
+    for k in range(1, HITS_ITERS + 1):
+        steps.append(
+            f"""
+a{k}raw AS (
+  SELECT p.s, CAST(sum(CAST(h.h AS DECIMAL(30,12))) AS DOUBLE) AS a
+  FROM pairs p JOIN h{k - 1} h USING (c) GROUP BY p.s
+),
+a{k} AS (
+  SELECT s, round(a / (SELECT CAST(sum(CAST(a AS DECIMAL(30,12)))
+                                AS DOUBLE) FROM a{k}raw), 12) AS a
+  FROM a{k}raw
+),
+h{k}raw AS (
+  SELECT p.c, CAST(sum(CAST(a.a AS DECIMAL(30,12))) AS DOUBLE) AS h
+  FROM pairs p JOIN a{k} a USING (s) GROUP BY p.c
+),
+h{k} AS (
+  SELECT c, round(h / (SELECT CAST(sum(CAST(h AS DECIMAL(30,12)))
+                                AS DOUBLE) FROM h{k}raw), 12) AS h
+  FROM h{k}raw
+)"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT 'c:' || c AS node, 'hub' AS role, h AS score FROM h{HITS_ITERS}
+UNION ALL
+SELECT 's:' || s AS node, 'authority' AS role, a AS score FROM a{HITS_ITERS}"""
+    )
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) on the customer-supplier
+    bipartite graph, 3 unrolled rounds with L1 normalization — the
+    directional sibling of `graph_pagerank`: a customer is a good HUB
+    if it buys from good authorities, a supplier a good AUTHORITY if
+    good hubs buy from it; on a bipartite purchase graph that is the
+    mutual-reinforcement importance score recommender pipelines seed
+    with.
+
+    Same 100 TB loop contract as PageRank: per round TWO edge-keyed
+    join+aggregate passes (edges shuffled by c then by s — at scale,
+    keep two copies of the edge list pre-partitioned each way and
+    both shuffles amortize to zero across rounds); score state is
+    node-sized; the L1 norm is a broadcast 1-row scalar, never a
+    driver collect. Scores are DECIMAL-summed and rounded to 12 after
+    every normalization so both engines walk the identical fixpoint
+    trajectory."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .transform(track)
+    )
+    _dec = "decimal(30,12)"
+
+    def l1_normalize(df, key, col):
+        # checkpoint the raw sums: the normalization references df
+        # TWICE (rows + the L1 total), which unpinned compounds to
+        # 2^(2*ITERS) recomputes of the whole chain (measured 51 s at
+        # sf0.01), and even persisted the six nested normalizations
+        # leave a tree the optimizer re-walks per broadcast subjob
+        # (measured 24 s). localCheckpoint truncates lineage each
+        # round — the connected-components device (api.py) — so every
+        # round plans flat against node-sized state (measured ~12 s,
+        # within ~1x of the DuckDB oracle's own 11.6 s on this join-
+        # heavy 6-pass algorithm).
+        df = df.localCheckpoint()
+        tot = df.agg(
+            F.sum(F.col(col).cast(_dec)).cast("double").alias("_tot")
+        )
+        return df.crossJoin(F.broadcast(tot)).select(
+            key, F.round(F.col(col) / F.col("_tot"), 12).alias(col)
+        )
+
+    hubs = pairs.select("c").distinct().select("c", F.lit(1.0).alias("h"))
+    auths = None
+    for _ in range(HITS_ITERS):
+        araw = (
+            pairs.join(hubs, "c")
+            .groupBy("s")
+            .agg(F.sum(F.col("h").cast(_dec)).cast("double").alias("a"))
+        )
+        auths = l1_normalize(araw, "s", "a")
+        hraw = (
+            pairs.join(auths, "s")
+            .groupBy("c")
+            .agg(F.sum(F.col("a").cast(_dec)).cast("double").alias("h"))
+        )
+        hubs = l1_normalize(hraw, "c", "h")
+    return hubs.select(
+        F.concat(F.lit("c:"), "c").alias("node"),
+        F.lit("hub").alias("role"),
+        F.col("h").alias("score"),
+    ).unionAll(
+        auths.select(
+            F.concat(F.lit("s:"), "s").alias("node"),
+            F.lit("authority").alias("role"),
+            F.col("a").alias("score"),
+        )
+    )

@@ -456,6 +456,10 @@ SUITES: dict[str, list[str]] = {
         # r8 fifth batch: the seasonal rung of the forecasting ladder
         # (per-series Arrow grouped-map recursion)
         "ts_holt_winters",
+        # r8 sixth batch: histogram-rank nonparametric tests + HITS
+        "events_mannwhitney_u",
+        "events_ks_test",
+        "graph_hits",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",
