@@ -424,3 +424,72 @@ def etl_dense_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + local).cast("long").alias("surrogate_id"),
         )
     )
+
+
+@query(
+    "etl_partition_checksums",
+    oracle="""
+WITH canon AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS part_year,
+         ('0x' || substr(md5(concat_ws(chr(31),
+             coalesce(CAST(o_orderkey AS VARCHAR), chr(1) || 'NULL'),
+             coalesce(CAST(o_custkey AS VARCHAR), chr(1) || 'NULL'),
+             coalesce(CAST(o_orderstatus AS VARCHAR), chr(1) || 'NULL'),
+             coalesce(CAST(CAST(round(CAST(o_totalprice AS DOUBLE) * 1000000, 0)
+                                AS BIGINT) AS VARCHAR), chr(1) || 'NULL'),
+             coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), chr(1) || 'NULL')
+         )), 1, 15))::BIGINT AS rh
+  FROM orders
+)
+SELECT part_year, count(*)::BIGINT AS n_rows,
+       CAST(sum(CAST(rh AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM canon GROUP BY part_year
+""",
+)
+def etl_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition content checksums for cross-store reconciliation:
+    each calendar-year partition of `orders` reduces to (n_rows,
+    checksum) where the checksum is the SUM of per-row 60-bit hashes
+    — the incremental, ORDER-INSENSITIVE fingerprint a 100 TB
+    replication pipeline compares source-vs-target per partition
+    before trusting a sync (and can UPDATE under row adds/deletes by
+    adding/subtracting row hashes, which a concatenation digest
+    cannot). Row canonicalization is the suite-digest discipline
+    (operators/suites.py): type-stable strings, float -> exact
+    BIGINT micros, timestamp -> epoch micros, NULL sentinel, chr(31)
+    separator; the 15-hex-digit md5 prefix parses identically via
+    Spark conv(,16,10) and DuckDB's 0x cast, and the sum rides
+    DECIMAL(38,0) so it is exact and partition-merge-order-free.
+    ONE map-side-combinable pass: hash and sum fuse into the scan —
+    no sort, no window, no state beyond one accumulator per
+    partition."""
+    o = load_table(spark, sf_dir, "orders")
+    sep = "\x1f"
+    null_s = F.lit("\x01NULL")
+    parts = [
+        F.coalesce(F.col("o_orderkey").cast("string"), null_s),
+        F.coalesce(F.col("o_custkey").cast("string"), null_s),
+        F.coalesce(F.col("o_orderstatus").cast("string"), null_s),
+        F.coalesce(
+            F.round(F.col("o_totalprice").cast("double") * 1000000, 0)
+            .cast("bigint")
+            .cast("string"),
+            null_s,
+        ),
+        F.coalesce(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("string"),
+            null_s,
+        ),
+    ]
+    rh = F.conv(F.substring(F.md5(F.concat_ws(sep, *parts)), 1, 15), 16, 10)
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("part_year"),
+            rh.cast("decimal(38,0)").alias("rh"),
+        )
+        .groupBy("part_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("rh").cast("decimal(38,0)").cast("string").alias("checksum"),
+        )
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..catalog import load_table
 from ..registry import query
 
@@ -1410,4 +1411,199 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.min(F.when(2 * F.col("cum_wt") >= F.col("total_wt"), F.col("v"))), 4
         ).alias("weighted_median"),
+    )
+
+
+#: trimmed/winsorized mean: fraction of rows clipped from each tail.
+TRIM_FRAC = 0.1
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle=f"""
+WITH h AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS v, count(*)::BIGINT AS c
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, v, c,
+         coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cb
+  FROM h
+),
+tot AS (
+  SELECT grp, sum(c)::BIGINT AS n,
+         CAST(floor(sum(c) * {TRIM_FRAC}) AS BIGINT) AS k
+  FROM h GROUP BY 1
+),
+agg AS (
+  SELECT c.grp, t.n, t.k,
+         sum(CAST(greatest(least(c.cb + c.c, t.n - t.k)
+                           - greatest(c.cb, t.k), 0) AS DECIMAL(28,0))
+             * CAST(c.v AS DECIMAL(18,2))) AS tsum,
+         min(c.v) FILTER (c.cb + c.c >= t.k + 1) AS v_low,
+         min(c.v) FILTER (c.cb + c.c >= t.n - t.k) AS v_high
+  FROM cum c JOIN tot t USING (grp)
+  GROUP BY 1, 2, 3
+)
+SELECT grp, n, k,
+       round(CAST(tsum AS DOUBLE) / (n - 2 * k), 6) AS trimmed_mean,
+       round(CAST(tsum + CAST(k AS DECIMAL(28,0)) * CAST(v_low AS DECIMAL(18,2))
+                       + CAST(k AS DECIMAL(28,0)) * CAST(v_high AS DECIMAL(18,2))
+                  AS DOUBLE) / n, 6) AS winsorized_mean
+FROM agg
+""",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed and winsorized means per order priority — the
+    robust location estimators between the mean (outlier-fragile) and
+    the median (discards 98% of the data). `etl_winsorize` clips rows
+    against approx quantiles; this computes the EXACT estimators, at
+    scale, with the value-histogram device (feature_quantile_binning):
+    collapse to per-(group, value) counts bounded by the 2-dp price
+    domain, ONE ordered window over the collapsed relation for
+    cumulative counts, then pure integer arithmetic — each value
+    contributes min(cum, n-k) - max(cum_before, k) clamped to >= 0
+    surviving rows, so ties straddling the trim boundary split
+    EXACTLY, with no row-level sort anywhere. Sums ride
+    DECIMAL(28,0)xDECIMAL(18,2) (exact); only the final divisions are
+    doubles, computed identically on both engines and rounded at 6.
+    Winsorization adds k copies of the rank-(k+1) and rank-(n-k)
+    boundary values — conditional MINs on the same pass."""
+    o = load_table(spark, sf_dir, "orders")
+    h = o.groupBy(
+        F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    from pyspark.sql import Window as W2
+
+    wprev = (
+        W2.partitionBy("grp").orderBy("v").rowsBetween(W2.unboundedPreceding, -1)
+    )
+    cum = h.select(
+        "grp", "v", "c", F.coalesce(F.sum("c").over(wprev), F.lit(0)).alias("cb")
+    )
+    tot = h.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.floor(F.sum("c") * TRIM_FRAC).cast("long").alias("k"),
+    )
+    kept = F.greatest(
+        F.least(F.col("cb") + F.col("c"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cb"), F.col("k")),
+        F.lit(0),
+    )
+    agg = (
+        cum.join(F.broadcast(tot), "grp")
+        .groupBy("grp", "n", "k")
+        .agg(
+            F.sum(
+                kept.cast("decimal(28,0)") * F.col("v").cast("decimal(18,2)")
+            ).alias("tsum"),
+            F.min(
+                F.when(F.col("cb") + F.col("c") >= F.col("k") + 1, F.col("v"))
+            ).alias("v_low"),
+            F.min(
+                F.when(
+                    F.col("cb") + F.col("c") >= F.col("n") - F.col("k"),
+                    F.col("v"),
+                )
+            ).alias("v_high"),
+        )
+    )
+    wsum = (
+        F.col("tsum")
+        + F.col("k").cast("decimal(28,0)") * F.col("v_low").cast("decimal(18,2)")
+        + F.col("k").cast("decimal(28,0)") * F.col("v_high").cast("decimal(18,2)")
+    )
+    return agg.select(
+        "grp",
+        "n",
+        "k",
+        F.round(
+            F.col("tsum").cast("double") / (F.col("n") - 2 * F.col("k")), 6
+        ).alias("trimmed_mean"),
+        F.round(wsum.cast("double") / F.col("n"), 6).alias("winsorized_mean"),
+    )
+
+
+@query(
+    "agg_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS revenue
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT l_partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS crev
+  FROM rev
+),
+tot AS (SELECT CAST(sum(revenue) AS DOUBLE) AS trev FROM rev),
+cls AS (
+  SELECT l_partkey, revenue,
+         CASE WHEN CAST(crev AS DOUBLE) / trev <= 0.8 THEN 'A'
+              WHEN CAST(crev AS DOUBLE) / trev <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM cum, tot
+)
+SELECT abc, count(*)::BIGINT AS n_parts,
+       CAST(sum(revenue) AS DOUBLE) AS class_revenue,
+       round(CAST(sum(revenue) AS DOUBLE) / (SELECT trev FROM tot), 6)
+         AS revenue_share
+FROM cls GROUP BY abc
+""",
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto-contribution) classification of parts by revenue:
+    rank entities by contribution, classify by cumulative share
+    (A <= 80%, B <= 95%, C = tail) — the inventory-analytics staple
+    and the long-tail readout for a training-data source mix.
+
+    Plan: the fact table collapses to one revenue row per part (one
+    map-side-combined shuffle); the cumulative share runs over that
+    ENTITY-BOUNDED rollup (parts, not line items) with a
+    deterministic (revenue DESC, partkey) total order, and the grand
+    total broadcasts back as a 1-row scalar. The single-partition
+    cumsum over the rollup is the documented trade-off at 100 TB
+    entity counts: swap in the two-pass bucket-offset cumulative sum
+    (the `etl_dense_surrogate_ids` device) with revenue-band buckets
+    — same arithmetic, no global window. Revenue rides DECIMAL(18,4)
+    end to end; shares are identical doubles rounded at 6, and class
+    boundaries compare the exact-decimal cumulative against the
+    scalar total on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("revenue")
+    )
+    rev = track(rev)
+    from pyspark.sql import Window as W2
+
+    wc = W2.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        W2.unboundedPreceding, 0
+    )
+    tot = rev.agg(F.sum("revenue").cast("double").alias("trev"))
+    cls = (
+        rev.withColumn("crev", F.sum("revenue").over(wc))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "revenue",
+            F.when(F.col("crev").cast("double") / F.col("trev") <= 0.8, "A")
+            .when(F.col("crev").cast("double") / F.col("trev") <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc"),
+            "trev",
+        )
+    )
+    return cls.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("revenue").cast("double").alias("class_revenue"),
+        F.round(
+            F.sum("revenue").cast("double") / F.max("trev"), 6
+        ).alias("revenue_share"),
     )

@@ -169,6 +169,9 @@ SUITES: dict[str, list[str]] = {
         "agg_entropy_gini",
         # r7 tenth batch: cumulative-weight crossing median
         "agg_weighted_median",
+        # r8 seventh batch: histogram-exact robust means + Pareto ABC
+        "agg_trimmed_mean",
+        "agg_abc_classification",
     ],
     "suite_setops": [
         "set_union_all",
@@ -396,6 +399,8 @@ SUITES: dict[str, list[str]] = {
         "etl_winsorize",
         # r7 tenth batch: two-pass dense surrogate keys
         "etl_dense_surrogate_ids",
+        # r8 seventh batch: order-insensitive reconciliation checksums
+        "etl_partition_checksums",
     ],
     "suite_analytics": [
         "events_funnel",
