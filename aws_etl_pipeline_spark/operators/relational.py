@@ -1607,3 +1607,181 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue").cast("double") / F.max("trev"), 6
         ).alias("revenue_share"),
     )
+
+
+#: Fellegi-Sunter assumed match-probabilities (m) per field; the
+#: non-match probabilities (u) are ESTIMATED from the candidate-pair
+#: population. ln(m/u) / ln((1-m)/(1-u)) are the classic agree /
+#: disagree weights.
+FS_M_NAME = 0.95
+FS_M_TYPE = 0.9
+FS_M_SIZE = 0.85
+FS_THRESHOLD = 2.0
+#: oversized-block guard: blocks whose clean side exceeds this are
+#: skipped entirely (the standard production ER cap — a block this
+#: size on a 100 TB corpus is a degenerate key, not a real entity
+#: neighborhood; the recall trade is explicit and deterministic).
+FS_BLOCK_CAP = 500
+
+
+@query(
+    "er_fellegi_sunter",
+    oracle=f"""
+WITH dirty AS (
+  SELECT p_partkey AS dirty_id, replace(p_name, 'a', '@') AS dirty_name,
+         p_brand, p_type, p_size + CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END AS p_size
+  FROM part WHERE p_partkey % 7 = 0
+),
+blocks AS (
+  SELECT length(p_name) AS bl, substr(p_name, 1, 8) AS bp, p_brand AS bb
+  FROM part GROUP BY 1, 2, 3 HAVING count(*) <= {FS_BLOCK_CAP}
+),
+cand AS (
+  SELECT d.dirty_id, p.p_partkey,
+         CASE WHEN replace(d.dirty_name, '@', 'a') = p.p_name
+              THEN 1 ELSE 0 END AS an,
+         CASE WHEN d.p_type = p.p_type THEN 1 ELSE 0 END AS at,
+         CASE WHEN d.p_size = p.p_size THEN 1 ELSE 0 END AS asz
+  FROM dirty d
+  JOIN part p
+    ON length(d.dirty_name) = length(p.p_name)
+   AND replace(substr(d.dirty_name, 1, 8), '@', 'a') = substr(p.p_name, 1, 8)
+   AND d.p_brand = p.p_brand
+  JOIN blocks b
+    ON b.bl = length(p.p_name) AND b.bp = substr(p.p_name, 1, 8)
+   AND b.bb = p.p_brand
+),
+u AS (
+  SELECT CAST(sum(an) AS DOUBLE) / count(*) AS un,
+         CAST(sum(at) AS DOUBLE) / count(*) AS ut,
+         CAST(sum(asz) AS DOUBLE) / count(*) AS us
+  FROM cand
+),
+scored AS (
+  SELECT c.dirty_id, c.p_partkey,
+         round(CASE WHEN c.an = 1 THEN ln({FS_M_NAME} / u.un)
+                    ELSE ln((1 - {FS_M_NAME}) / (1 - u.un)) END
+             + CASE WHEN c.at = 1 THEN ln({FS_M_TYPE} / u.ut)
+                    ELSE ln((1 - {FS_M_TYPE}) / (1 - u.ut)) END
+             + CASE WHEN c.asz = 1 THEN ln({FS_M_SIZE} / u.us)
+                    ELSE ln((1 - {FS_M_SIZE}) / (1 - u.us)) END, 6) AS score
+  FROM cand c, u
+)
+SELECT dirty_id, p_partkey AS matched_partkey, score,
+       score > {FS_THRESHOLD} AS is_match
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY dirty_id
+                           ORDER BY score DESC, p_partkey) = 1
+""",
+)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage — the principled
+    scoring layer the ER family (join_fuzzy_blocked's edit-distance
+    pick, er_sorted_neighborhood's blocking) feeds into: each
+    candidate pair gets a log-likelihood-ratio score summed over
+    field agreements, with agree weight ln(m/u) and disagree weight
+    ln((1-m)/(1-u)). m (P(agree | true match)) is the assumed model
+    constant; u (P(agree | random pair)) is ESTIMATED from the
+    candidate population itself — one global aggregate of exact
+    BIGINT agreement counts broadcast back as a 1-row scalar, so both
+    engines take ln of identical doubles (full EM fitting is the
+    iterative extension; the u-estimation pass shown here is its E-
+    step building block).
+
+    Scale shape: candidates come from a length+folded-prefix+brand
+    blocking equi-join (never all-pairs), PLUS the production
+    oversized-block guard: block keys whose clean side exceeds
+    FS_BLOCK_CAP are skipped entirely — on a 100 TB corpus a
+    giant block is a degenerate key (empty string, placeholder name),
+    and capping it bounds worst-case candidate generation at
+    blocks x cap x dirty-side-density instead of n^2 (the explicit,
+    deterministic recall trade every real linkage engine makes; this
+    fixture's 64-name synthetic vocabulary makes the guard
+    load-bearing — without brand in the key and the cap, the
+    10x-replica candidate set grew 100x and the slope measured 64x).
+    The u-estimate is one map-side-combined reduction over
+    candidates; the winner per dirty record is a per-key window.
+    Dirty fixture: name fold plus a size perturbation on every third
+    record, so the size field genuinely disagrees on some true
+    matches and the score separates fields with different evidence
+    strength."""
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.regexp_replace("p_name", "a", "@").alias("dirty_name"),
+        F.col("p_brand").alias("d_brand"),
+        F.col("p_type").alias("d_type"),
+        (
+            F.col("p_size")
+            + F.when(F.col("p_partkey") % 3 == 0, 1).otherwise(0)
+        ).alias("d_size"),
+    )
+    blocks = (
+        part.groupBy(
+            F.length("p_name").alias("bl"),
+            F.substring("p_name", 1, 8).alias("bp"),
+            F.col("p_brand").alias("bb"),
+        )
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= FS_BLOCK_CAP)
+        .drop("bn")
+    )
+    unfold = lambda c: F.regexp_replace(F.substring(c, 1, 8), "@", "a")
+    cand = (
+        dirty.join(
+            part,
+            (F.length("dirty_name") == F.length("p_name"))
+            & (unfold(F.col("dirty_name")) == F.substring("p_name", 1, 8))
+            & (F.col("d_brand") == F.col("p_brand")),
+        )
+        .join(
+            blocks,
+            (F.col("bl") == F.length("p_name"))
+            & (F.col("bp") == F.substring("p_name", 1, 8))
+            & (F.col("bb") == F.col("p_brand")),
+        )
+        .select(
+            "dirty_id",
+            "p_partkey",
+            (F.regexp_replace("dirty_name", "@", "a") == F.col("p_name"))
+            .cast("int")
+            .alias("an"),
+            (F.col("d_type") == F.col("p_type")).cast("int").alias("at"),
+            (F.col("d_size") == F.col("p_size")).cast("int").alias("asz"),
+        )
+    )
+    cand = track(cand)
+    u = cand.agg(
+        (F.sum("an").cast("double") / F.count(F.lit(1))).alias("un"),
+        (F.sum("at").cast("double") / F.count(F.lit(1))).alias("ut"),
+        (F.sum("asz").cast("double") / F.count(F.lit(1))).alias("us"),
+    )
+
+    def w(agree_col, m, u_col):
+        return F.when(
+            F.col(agree_col) == 1, F.log(F.lit(m) / F.col(u_col))
+        ).otherwise(F.log((F.lit(1) - F.lit(m)) / (F.lit(1) - F.col(u_col))))
+
+    scored = cand.crossJoin(F.broadcast(u)).select(
+        "dirty_id",
+        "p_partkey",
+        F.round(
+            w("an", FS_M_NAME, "un")
+            + w("at", FS_M_TYPE, "ut")
+            + w("asz", FS_M_SIZE, "us"),
+            6,
+        ).alias("score"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("dirty_id").orderBy(F.desc("score"), F.asc("p_partkey"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "dirty_id",
+            F.col("p_partkey").alias("matched_partkey"),
+            "score",
+            (F.col("score") > FS_THRESHOLD).alias("is_match"),
+        )
+    )

@@ -145,6 +145,9 @@ SUITES: dict[str, list[str]] = {
         "er_sorted_neighborhood",
         # r8: no-equi-key interval join via month-bucket decomposition
         "join_interval_bucketed",
+        # r8 eighth batch: Fellegi-Sunter linkage scoring over the
+        # same blocking as join_fuzzy_blocked
+        "er_fellegi_sunter",
     ],
     "suite_agg": [
         "agg_rollup",
@@ -465,6 +468,9 @@ SUITES: dict[str, list[str]] = {
         "events_mannwhitney_u",
         "events_ks_test",
         "graph_hits",
+        # r8 eighth batch: forecast backtest harness + cohort LTV
+        "ts_backtest_rolling",
+        "events_cohort_ltv",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 304  # COVERAGE.md "304 named queries total"
-DOCUMENTED_GRANULAR = 283
+DOCUMENTED_TOTAL = 307  # COVERAGE.md "307 named queries total"
+DOCUMENTED_GRANULAR = 286
 DOCUMENTED_SUITES = 21
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
