@@ -175,6 +175,9 @@ SUITES: dict[str, list[str]] = {
         # r8 seventh batch: histogram-exact robust means + Pareto ABC
         "agg_trimmed_mean",
         "agg_abc_classification",
+        # r8 fourth rotation: vacates its PRIORITY slot (direct green
+        # r1-r7) to fund the suite_stats digest row
+        "agg_distinct",
     ],
     "suite_setops": [
         "set_union_all",
@@ -413,7 +416,6 @@ SUITES: dict[str, list[str]] = {
         "mv_incremental_refresh",
         "graph_pagerank",
         "basket_copurchase",
-        "events_anomaly_days",
         "events_transition_matrix",
         "join_asof_tolerance",
         "events_rolling_active_users",
@@ -430,11 +432,9 @@ SUITES: dict[str, list[str]] = {
         "graph_jaccard_neighbors",
         # r7 eighth batch: frontier-pruned multi-source BFS
         "graph_bfs_reach",
-        # r7 third batch: statistical testing & monitoring
         "events_survival_km",
-        "quality_drift_psi",
-        "agg_regression_ols",
-        "events_abtest_welch",
+        # r8 sixth batch: HITS hubs/authorities
+        "graph_hits",
         # r7 seventh batch: time-series statistics on the daily rollup
         "ts_autocorrelation",
         "ts_cusum_changepoint",
@@ -444,33 +444,41 @@ SUITES: dict[str, list[str]] = {
         "feature_woe_iv",
         # r7 ninth batch: sequence patterns + robust outliers
         "events_pattern_match",
-        "quality_outlier_mad",
         # r7 tenth batch: trend-aware forecasting
         "ts_brown_des_forecast",
-        # r7 eleventh batch: CUPED experiment readout
-        "events_uplift_cuped",
         # r7 twelfth batch: Benford audit + k-core peeling
-        "quality_benford",
         "graph_kcore",
         # r8: t-closeness (privacy ladder rung 3) + chi-square
         # independence guardrail
         "privacy_t_closeness",
-        "events_chisq_independence",
         # r8 fourth batch: equi-depth binning (value-histogram exact
         # deciles), LPA communities, one-way ANOVA
         "feature_quantile_binning",
         "graph_label_propagation",
-        "events_anova_f",
         # r8 fifth batch: the seasonal rung of the forecasting ladder
         # (per-series Arrow grouped-map recursion)
         "ts_holt_winters",
-        # r8 sixth batch: histogram-rank nonparametric tests + HITS
-        "events_mannwhitney_u",
-        "events_ks_test",
-        "graph_hits",
         # r8 eighth batch: forecast backtest harness + cohort LTV
         "ts_backtest_rolling",
         "events_cohort_ltv",
+    ],
+    # r8 split: the hypothesis-test / monitor family got its own
+    # digest row once suite_analytics passed 45 members — one red row
+    # should localize to a family, and the driver row's cost stays
+    # bounded. Members moved here keep their digest coverage
+    # continuity (same canonicalization, same oracle).
+    "suite_stats": [
+        "events_abtest_welch",
+        "events_uplift_cuped",
+        "events_anova_f",
+        "events_chisq_independence",
+        "events_mannwhitney_u",
+        "events_ks_test",
+        "events_anomaly_days",
+        "quality_drift_psi",
+        "quality_benford",
+        "quality_outlier_mad",
+        "agg_regression_ols",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

@@ -141,6 +141,11 @@ def query(name: str, oracle: Optional[str] = None, doc: str = ""):
 #: join via month-bucket decomposition), privacy_t_closeness (the
 #: third privacy-ladder rung, ordered-bin EMD), and
 #: events_chisq_independence (contingency-cell chi-square guardrail).
+#: Round-8 fourth rotation: suite_analytics passed 45 members, so the
+#: hypothesis-test/monitor family split into its own suite_stats
+#: digest (one red row should localize to a family); agg_distinct OUT
+#: (direct green r1-r7; now suite_agg digest-covered) to fund the new
+#: digest's PRIORITY slot under the 50-row budget.
 PRIORITY: tuple[str, ...] = (
     # reference-parity flagships (§2A)
     "etl_flagship",
@@ -164,7 +169,8 @@ PRIORITY: tuple[str, ...] = (
     # (scd2_intervals rotated out r6 — suite_etl_misc digest; direct
     # green r5, r4 bench regression verified fixed at 1.05x r1.)
     "agg_basic",
-    "agg_distinct",
+    # (agg_distinct rotated out r8 fourth rotation — suite_agg digest;
+    # direct green r1-r7 — to seat the suite_stats digest row.)
     # (agg_collect and agg_approx_quantile rotated out r7 — suite_agg
     # digest; direct green r1–r6.)
     "agg_approx_distinct",
@@ -244,6 +250,7 @@ PRIORITY: tuple[str, ...] = (
     "suite_tpch",
     "suite_etl_misc",
     "suite_analytics",
+    "suite_stats",  # rotated in r8: hypothesis-test family digest
     "suite_sketches",  # rotated in r7: the mergeable-sketch family digest
     "suite_geo",  # rotated in r7: grid-blocked spatial join family digest
     # (q7/q18 deliberately NOT in the priority block: suite_tpch

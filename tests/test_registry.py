@@ -28,9 +28,9 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 307  # COVERAGE.md "307 named queries total"
+DOCUMENTED_TOTAL = 308  # COVERAGE.md "308 named queries total"
 DOCUMENTED_GRANULAR = 286
-DOCUMENTED_SUITES = 21
+DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
 
@@ -169,3 +169,7 @@ def test_rotated_out_slots_stay_digest_covered():
         "events_chisq_independence",
     ):
         assert rotated_in in PRIORITY, rotated_in
+    # the round-8 FOURTH rotation: the hypothesis-test family split
+    # into suite_stats; agg_distinct funds the digest's slot
+    assert "suite_stats" in PRIORITY
+    assert "agg_distinct" in digest_covered
