@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..catalog import load_table
 from ..registry import query
 
@@ -680,4 +681,133 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum("n_docs").over(W.partitionBy()) == F.col("n_total")
         ).alias("covers_corpus"),
+    )
+
+
+#: Neyman allocation: total sample budget across strata.
+NEYMAN_TOTAL = 500
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+WITH s AS (
+  SELECT c_mktsegment AS stratum,
+         count(*)::BIGINT AS nh,
+         sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sx,
+         sum(CAST(c_acctbal AS DECIMAL(18,2))
+             * CAST(c_acctbal AS DECIMAL(18,2))) AS sxx
+  FROM customer GROUP BY 1
+),
+sd AS (
+  SELECT stratum, nh,
+         sqrt((CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nh)
+              / (nh - 1)) AS sh
+  FROM s
+),
+tot AS (
+  SELECT CAST(sum(CAST(nh * sh AS DECIMAL(30,6))) AS DOUBLE) AS denom
+  FROM sd
+),
+alloc AS (
+  SELECT stratum, nh, sh,
+         CAST(floor({NEYMAN_TOTAL} * (nh * sh) / denom) AS BIGINT) AS n_alloc
+  FROM sd, tot
+),
+ranked AS (
+  SELECT c_mktsegment AS stratum,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY md5(CAST(c_custkey AS VARCHAR)),
+                                     c_custkey) AS rnk
+  FROM customer
+),
+achieved AS (
+  SELECT r.stratum, count(*)::BIGINT AS n_achieved
+  FROM ranked r JOIN alloc a USING (stratum)
+  WHERE r.rnk <= a.n_alloc
+  GROUP BY 1
+)
+SELECT a.stratum, a.nh, round(a.sh, 6) AS sh, a.n_alloc,
+       ach.n_achieved,
+       round(CAST(a.nh AS DOUBLE) / a.n_alloc, 6) AS est_weight
+FROM alloc a JOIN achieved ach USING (stratum)
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling design: the {NEYMAN_TOTAL}-row
+    budget is allocated across market segments proportional to
+    N_h * S_h (stratum size x stratum stddev) — the allocation that
+    minimizes estimator variance for a fixed budget, i.e. the
+    statistically principled upgrade over `sample_stratified`'s
+    equal-rate design (high-variance strata earn more rows). The
+    achieved sample is the deterministic per-stratum top-n_alloc in
+    md5(custkey) hash order (`sample_stable_hash`'s device), so the
+    draw is reproducible and oracle-checkable; est_weight = N_h /
+    n_alloc is the Horvitz-Thompson expansion weight downstream
+    estimators multiply by.
+
+    Scale shape: stratum stddevs come from ONE map-side-combined pass
+    of exact DECIMAL sufficient statistics (count/sum/sum-of-squares);
+    the N_h*S_h normalizer is a broadcast scalar; the draw is a
+    per-stratum rank window (partitioned by stratum — parallel across
+    strata; for mega-strata swap in the two-pass bucket-offset rank,
+    the etl_dense_surrogate_ids device). sqrt/division run on
+    identical doubles from exact sums; allocations use floor so both
+    engines agree at .5 boundaries."""
+    cust = load_table(spark, sf_dir, "customer")
+    v = F.col("c_acctbal").cast("decimal(18,2)")
+    s = cust.groupBy(F.col("c_mktsegment").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum(v).alias("sx"),
+        F.sum(v * v).alias("sxx"),
+    )
+    sxd = F.col("sx").cast("double")
+    sd = s.select(
+        "stratum",
+        "nh",
+        F.sqrt(
+            (F.col("sxx").cast("double") - sxd * sxd / F.col("nh"))
+            / (F.col("nh") - 1)
+        ).alias("sh"),
+    )
+    sd = sd.transform(track)
+    tot = sd.agg(
+        F.sum((F.col("nh") * F.col("sh")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("denom")
+    )
+    alloc = sd.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "nh",
+        "sh",
+        F.floor(NEYMAN_TOTAL * (F.col("nh") * F.col("sh")) / F.col("denom"))
+        .cast("long")
+        .alias("n_alloc"),
+    )
+    ranked = cust.select(
+        F.col("c_mktsegment").alias("stratum"),
+        F.row_number()
+        .over(
+            W.partitionBy("c_mktsegment").orderBy(
+                F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+            )
+        )
+        .alias("rnk"),
+    )
+    achieved = (
+        ranked.join(F.broadcast(alloc.select("stratum", "n_alloc")), "stratum")
+        .filter(F.col("rnk") <= F.col("n_alloc"))
+        .groupBy("stratum")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_achieved"))
+    )
+    return alloc.join(achieved, "stratum").select(
+        "stratum",
+        "nh",
+        F.round("sh", 6).alias("sh"),
+        "n_alloc",
+        "n_achieved",
+        F.round(F.col("nh").cast("double") / F.col("n_alloc"), 6).alias(
+            "est_weight"
+        ),
     )

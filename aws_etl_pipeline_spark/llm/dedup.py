@@ -848,3 +848,79 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "dedup_soft_weights",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, n_chars, md5(lower(trim(text))) AS content_md5
+  FROM documents
+),
+cl AS (
+  SELECT content_md5, count(*)::BIGINT AS cluster_size,
+         sum(n_chars)::BIGINT AS cluster_tokens
+  FROM fp GROUP BY 1
+),
+w AS (
+  SELECT f.doc_id, c.cluster_size, f.n_chars,
+         round(1.0 / c.cluster_size, 6) AS weight
+  FROM fp f JOIN cl c USING (content_md5)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (cluster_size > 1) AS BIGINT) AS n_in_clusters,
+       round(CAST(sum(CAST(weight AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS effective_docs,
+       CAST(sum(n_chars) AS BIGINT) AS raw_chars,
+       round(CAST(sum(CAST(weight * n_chars AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS effective_chars
+FROM w
+""",
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates, every
+    document gets sampling weight 1/cluster_size, so a training
+    sampler sees each unique content unit with equal total mass — the
+    duplicate-aware reweighting from the data-curation literature
+    that preserves rare-context copies hard dedup would delete (a
+    page quoted 1000x still contributes once in expectation, but its
+    1000 contexts all remain drawable). Clusters here are exact
+    content fingerprints (`dedup_exact`'s md5); the same weighting
+    composes unchanged over near-dup components — pipe
+    `connected_components` output in as the cluster key.
+
+    The emitted rollup is the curation dashboard: raw vs EFFECTIVE
+    corpus size in documents and characters (effective = what the sampler
+    actually draws from). Scale shape: one fingerprint shuffle to
+    cluster sizes, one broadcast-joinable cluster table back over the
+    scan, one global reduction; weights are exact 6-dp decimals
+    summed through DECIMAL, so the effective sizes are
+    order-independent and bit-equal across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
+    )
+    cl = fp.groupBy("content_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    w = fp.join(cl, "content_md5").select(
+        "doc_id",
+        "cluster_size",
+        "n_chars",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )
+    return w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("cluster_size") > 1).cast("long").alias("n_in_clusters"),
+        F.round(
+            F.sum(F.col("weight").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("effective_docs"),
+        F.sum("n_chars").cast("long").alias("raw_chars"),
+        F.round(
+            F.sum((F.col("weight") * F.col("n_chars")).cast("decimal(28,6)"))
+            .cast("double"),
+            6,
+        ).alias("effective_chars"),
+    )

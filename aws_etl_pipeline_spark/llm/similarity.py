@@ -1704,3 +1704,145 @@ def sim_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(ok)).select(
         "query_id", "neighbor_id", "cosine", "pandas_ok"
     )
+
+
+#: margin-based bitext mining: neighborhood size for the margin
+#: denominator and the acceptance threshold on the margin ratio.
+MARGIN_K = 4
+MARGIN_TAU = 1.01
+
+
+@query(
+    "sim_bitext_margin_mining",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+),
+a AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+b AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+scored AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 8) AS cos
+  FROM a CROSS JOIN b
+),
+ar AS (
+  SELECT a_id, b_id, cos,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY cos DESC, b_id) AS rn_a
+  FROM scored
+),
+br AS (
+  SELECT a_id, b_id, cos,
+         row_number() OVER (PARTITION BY b_id
+                            ORDER BY cos DESC, a_id) AS rn_b
+  FROM scored
+),
+da AS (
+  SELECT a_id, CAST(sum(CAST(cos AS DECIMAL(20,8))) AS DOUBLE)
+               / {MARGIN_K} AS dena
+  FROM ar WHERE rn_a <= {MARGIN_K} GROUP BY 1
+),
+db AS (
+  SELECT b_id, CAST(sum(CAST(cos AS DECIMAL(20,8))) AS DOUBLE)
+               / {MARGIN_K} AS denb
+  FROM br WHERE rn_b <= {MARGIN_K} GROUP BY 1
+)
+SELECT ar.a_id, ar.b_id, ar.cos AS cosine,
+       round(ar.cos / ((da.dena + db.denb) / 2), 6) AS margin,
+       round(ar.cos / ((da.dena + db.denb) / 2), 6) > {MARGIN_TAU}
+         AS accepted
+FROM ar
+JOIN br ON br.a_id = ar.a_id AND br.b_id = ar.b_id AND br.rn_b = 1
+JOIN da ON da.a_id = ar.a_id
+JOIN db ON db.b_id = ar.b_id
+WHERE ar.rn_a = 1
+""",
+)
+def sim_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based mutual-nearest-neighbor mining (the Artetxe &
+    Schwenk criterion behind LASER/CCMatrix bitext mining): a
+    candidate pair survives only if each side is the other's TOP-1
+    neighbor AND the cosine beats the average of each side's
+    {MARGIN_K}-NN neighborhood by the margin ratio — the device that
+    kills hubness false positives raw cosine thresholds admit. The
+    even/odd vec_id halves stand in for the two languages' embedding
+    spaces.
+
+    This fixture scores all pairs (the correctness baseline, same
+    policy as sim_bruteforce_topk: one side broadcast, corpus streams
+    through one scoring stage); at 100 TB the candidate generation
+    swaps to the bucketed ANN paths (sim_lsh_ann multi-probe /
+    sim_ivf_* — decontaminate_semantic_lsh shows the bucket-join
+    spelling) with the SAME margin rescore on candidates. Cosines
+    round at 8 before ranking (ties then break on id identically);
+    margin denominators are averages of rounded cosines summed
+    through DECIMAL(20,8), so both engines rank, average, and flag
+    identically."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+    ).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    a = n.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    b = n.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    scored = (
+        b.crossJoin(F.broadcast(a))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                _dot(F.col("av"), F.col("bv")) / (F.col("anrm") * F.col("bnrm")),
+                8,
+            ).alias("cos"),
+        )
+        .transform(track)
+    )
+    wa = W.partitionBy("a_id").orderBy(F.desc("cos"), F.asc("b_id"))
+    wb = W.partitionBy("b_id").orderBy(F.desc("cos"), F.asc("a_id"))
+    ar = scored.withColumn("rn_a", F.row_number().over(wa))
+    br = scored.withColumn("rn_b", F.row_number().over(wb))
+    da = (
+        ar.filter(F.col("rn_a") <= MARGIN_K)
+        .groupBy("a_id")
+        .agg(
+            (F.sum(F.col("cos").cast("decimal(20,8)")).cast("double") / MARGIN_K)
+            .alias("dena")
+        )
+    )
+    db = (
+        br.filter(F.col("rn_b") <= MARGIN_K)
+        .groupBy("b_id")
+        .agg(
+            (F.sum(F.col("cos").cast("decimal(20,8)")).cast("double") / MARGIN_K)
+            .alias("denb")
+        )
+    )
+    margin = F.round(F.col("cos") / ((F.col("dena") + F.col("denb")) / 2), 6)
+    return (
+        ar.filter(F.col("rn_a") == 1)
+        .join(
+            br.filter(F.col("rn_b") == 1).select("a_id", "b_id"),
+            ["a_id", "b_id"],
+        )
+        .join(da, "a_id")
+        .join(db, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.col("cos").alias("cosine"),
+            margin.alias("margin"),
+            (margin > MARGIN_TAU).alias("accepted"),
+        )
+    )

@@ -297,6 +297,8 @@ SUITES: dict[str, list[str]] = {
         "dedup_containment",
         "dedup_containment_lsh",
         "dedup_semantic",
+        # r8 ninth batch: duplicate-aware soft sampling weights
+        "dedup_soft_weights",
     ],
     "suite_sim": [
         "sim_bruteforce_topk",
@@ -319,6 +321,8 @@ SUITES: dict[str, list[str]] = {
         # r7 second batch: embedding-training ops
         "sim_matryoshka_truncation",
         "sim_hard_negatives",
+        # r8 ninth batch: margin-criterion mutual-NN bitext mining
+        "sim_bitext_margin_mining",
     ],
     "suite_text": [
         "corpus_dataset_card",  # r7
@@ -371,6 +375,8 @@ SUITES: dict[str, list[str]] = {
         "pack_interleave_domains",  # r7
         # r7 tenth batch: frozen train/val/test split
         "sample_train_test_split",
+        # r8 ninth batch: Neyman-optimal stratified design
+        "sample_neyman_allocation",
     ],
     "suite_tpch": [
         "q2_min_cost_supplier",
