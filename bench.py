@@ -3,7 +3,7 @@
 compact JSON lines {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ..., "reps": ..., "warmup_sec": ...,
 "loadavg_start": [...], "loadavg_end": [...]} — one per frozen query
-set (HEADLINE, EXT, R8, R9), each emitted TWICE: head copies in priority
+set (HEADLINE, EXT, R8, R9, R10), each emitted TWICE: head copies in priority
 order first, tail copies ("dup":true) in reverse priority last, so the
 frozen HEADLINE line is both the first and the very last stdout line
 and survives either a head- or tail-retaining bounded capture.  Full
@@ -147,6 +147,37 @@ HEADLINE_R9 = [
 ]
 
 
+#: HEADLINE_R10 (frozen late in round 8; first recorded point
+#: BENCH_r08 — same one-ahead naming as R8/R9): the nine late-r8
+#: operator batches — interval-bucketed join, the privacy/stat
+#: guardrails, the value-histogram family (binning, rank tests,
+#: trimmed means), LPA + HITS, Holt-Winters + backtest, skyline, ABC,
+#: reconciliation checksums, FS linkage, cohort LTV, Neyman design,
+#: soft dedup. sim_bitext_margin_mining is deliberately absent (the
+#: O(n^2) pairwise-family exclusion, SCALING.md ninth-batch note).
+HEADLINE_R10 = [
+    "join_interval_bucketed",
+    "privacy_t_closeness",
+    "events_chisq_independence",
+    "feature_quantile_binning",
+    "graph_label_propagation",
+    "events_anova_f",
+    "ts_holt_winters",
+    "window_skyline_pareto",
+    "events_mannwhitney_u",
+    "events_ks_test",
+    "graph_hits",
+    "agg_trimmed_mean",
+    "agg_abc_classification",
+    "etl_partition_checksums",
+    "er_fellegi_sunter",
+    "ts_backtest_rolling",
+    "events_cohort_ltv",
+    "sample_neyman_allocation",
+    "dedup_soft_weights",
+]
+
+
 WARMUP_SF = "/root/testdata/sf0.001"
 
 
@@ -166,7 +197,7 @@ def main() -> None:
     # JIT/page-cache state differed is distinguishable after the fact.
     t_w = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9:
+    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10:
         try:
             queries[name].fn(spark, WARMUP_SF).count()
             clear_persisted()
@@ -204,6 +235,7 @@ def main() -> None:
     ext_timings, ext_spread = run_set(HEADLINE_EXT)
     r8_timings, r8_spread = run_set(HEADLINE_R8)
     r9_timings, r9_spread = run_set(HEADLINE_R9)
+    r10_timings, r10_spread = run_set(HEADLINE_R10)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -265,11 +297,18 @@ def main() -> None:
         "value": round(sum(r9_timings.values()), 3),
         "queries": r9_timings,
     }
+    r10_fields = {
+        **compact_fields,
+        "metric": "headline_r10_query_set_wall_clock",
+        "value": round(sum(r10_timings.values()), 3),
+        "queries": r10_timings,
+    }
     compact = json.dumps(compact_fields, separators=(",", ":"))
     compact_ext = json.dumps(ext_fields, separators=(",", ":"))
     compact_r8 = json.dumps(r8_fields, separators=(",", ":"))
     compact_r9 = json.dumps(r9_fields, separators=(",", ":"))
-    # stdout carries ONLY the six compact lines (round-8 fix: BENCH_r07
+    compact_r10 = json.dumps(r10_fields, separators=(",", ":"))
+    # stdout carries ONLY the compact lines (round-8 fix: BENCH_r07
     # lost the headline value because three dup lines trailed it with
     # the headline copy FIRST — the tail-retention capture cut the
     # front.  Order is now head-copies in priority order, then
@@ -283,13 +322,19 @@ def main() -> None:
     print(compact_ext, flush=True)
     print(compact_r8, flush=True)
     print(compact_r9, flush=True)
+    print(compact_r10, flush=True)
     print(json.dumps({**compact_fields, "spread": spread}), file=sys.stderr)
     print(json.dumps({**ext_fields, "spread": ext_spread}), file=sys.stderr)
     print(json.dumps({**r8_fields, "spread": r8_spread}), file=sys.stderr)
     print(json.dumps({**r9_fields, "spread": r9_spread}), file=sys.stderr)
+    print(json.dumps({**r10_fields, "spread": r10_spread}), file=sys.stderr)
     # Tail-retention copies, reverse priority (headline LAST).
     # "dup":true lets a parser that scans EVERY stdout JSON line dedup
     # them instead of double-counting.
+    print(
+        json.dumps({**r10_fields, "dup": True}, separators=(",", ":")),
+        flush=True,
+    )
     print(
         json.dumps({**r9_fields, "dup": True}, separators=(",", ":")),
         flush=True,
