@@ -643,3 +643,62 @@ def test_interval_bucketed_join_is_equi_not_nlj(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashJoin" in plan, plan  # broadcast or shuffled, both equi
+
+
+def test_quantile_binning_histogram_is_domain_bounded(spark, sf_dir):
+    """feature_quantile_binning's contract: the ONLY single-partition
+    exchange in the plan is the cumulative pass over the VALUE
+    histogram (domain-bounded); the customer scans and the bin
+    aggregate stay parallel, and the boundary row reaches the scan as
+    a broadcast, never a sort of the raw table."""
+    import re
+
+    from aws_etl_pipeline_spark.operators.features import (
+        feature_quantile_binning,
+    )
+
+    plan = _plan(feature_quantile_binning(spark, sf_dir))
+    # no global Sort over the full relation (ordered window is over
+    # the collapsed histogram only)
+    assert "CartesianProduct" not in plan, plan
+    singles = len(re.findall(r"Exchange SinglePartition", plan))
+    assert singles <= 2, plan  # histogram cumsum + 1-row total only
+
+
+def test_trimmed_mean_no_rowlevel_sort(spark, sf_dir):
+    """agg_trimmed_mean must sort only the per-(group, value)
+    HISTOGRAM (domain-bounded), never the orders rows themselves: the
+    window's child must aggregate before sorting."""
+    from aws_etl_pipeline_spark.operators.relational import agg_trimmed_mean
+
+    plan = _plan(agg_trimmed_mean(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the rank-window sort appears AFTER a HashAggregate collapse:
+    # the collapsed relation carries the count column 'c'
+    assert "Window" in plan and "HashAggregate" in plan, plan
+
+
+def test_partition_checksums_single_pass(spark, sf_dir):
+    """etl_partition_checksums is ONE map-side-combinable aggregate
+    over ONE scan — no join, no window, no second pass."""
+    import re
+
+    from aws_etl_pipeline_spark.operators.etl import etl_partition_checksums
+
+    plan = _plan(etl_partition_checksums(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    # one numbered scan node (the name also appears in the detail
+    # section, so count node headers, not substrings)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_fellegi_sunter_candidates_are_blocked_equi_join(spark, sf_dir):
+    """er_fellegi_sunter's candidate generation must be a hash
+    EQUI-join on the blocking key (never nested-loop all-pairs), with
+    the u-estimate riding a broadcast — the 100 TB ER contract."""
+    from aws_etl_pipeline_spark.operators.relational import er_fellegi_sunter
+
+    plan = _plan(er_fellegi_sunter(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan

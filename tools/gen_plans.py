@@ -59,6 +59,14 @@ SHOWCASE = {
     "feature_target_encode_loo": "5-row exact stats + global prior broadcast into a scan-fused LOO encoding pass — no per-category window shuffle",
     "scan_jdbc_partitioned": "8 stride-disjoint JDBC range queries feeding one hash agg (JDBCRelation numPartitions=8)",
     "ts_theil_sen": "O(n^2) slope pairs confined to the calendar-bounded daily rollup; events scanned once (InMemoryTableScan reuse)",
+    # round-8 ninth-wave additions
+    "join_interval_bucketed": "no-equi-key BETWEEN join as a month-bucket hash equi-join + residual filter — no nested loop on a pure range condition",
+    "feature_quantile_binning": "exact deciles sort-free: value-histogram collapse, domain-bounded cumsum, 9 boundaries broadcast into a scan-fused bin projection",
+    "events_mannwhitney_u": "rank test without a sort: average ranks from one window over the per-(type,value) histogram; tie correction from exact BIGINT sums",
+    "agg_trimmed_mean": "trimmed/winsorized means from the same histogram device: clamp arithmetic on cumulative counts, DECIMAL sums, no row-level sort",
+    "etl_partition_checksums": "order-insensitive reconciliation checksum: hash+sum fused into ONE scan pass — no join, no window",
+    "er_fellegi_sunter": "FS linkage: blocked equi-join candidates (brand+prefix+length, oversized blocks capped), u-estimate broadcast, per-record argmax window",
+    "graph_hits": "3 HITS rounds: edge-keyed join+agg per half-round, L1 norms as broadcast scalars, localCheckpoint keeps round k planning flat",
 }
 
 
