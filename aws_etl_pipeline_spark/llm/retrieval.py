@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from ..cache import track
 from ..catalog import load_spread
 from ..registry import query
+from .similarity import _as_double, _dot, _norm
 
 __all__ = ["text_bm25_topk", "sim_hybrid_rrf"]
 
@@ -483,4 +484,175 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", rn)
         .filter(F.col("rn") <= HN_TOP)
         .select("query_id", "query_label", "negative_id", "negative_label", "cosine")
+    )
+
+
+#: IR evaluation: judged depth for recall/MRR/nDCG.
+IR_EVAL_K = 5
+
+
+@query(
+    "sim_eval_ir_metrics",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+),
+q AS (SELECT * FROM n WHERE vec_id < 10),
+c AS (SELECT * FROM n WHERE vec_id >= 10),
+ranked AS (
+  SELECT q.vec_id AS query_id, q.label AS qlab, c.vec_id AS cand_id,
+         c.label AS clab,
+         row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 8)
+                      DESC, c.vec_id) AS rnk
+  FROM q CROSS JOIN c
+),
+nrel AS (
+  SELECT q.vec_id AS query_id, count(*)::BIGINT AS n_rel
+  FROM q JOIN c ON c.label = q.label GROUP BY 1
+),
+topk AS (SELECT * FROM ranked WHERE rnk <= {IR_EVAL_K}),
+perq AS (
+  SELECT query_id,
+         sum(CASE WHEN clab = qlab THEN 1 ELSE 0 END)::BIGINT AS hits,
+         coalesce(min(CASE WHEN clab = qlab THEN rnk END), 0)::BIGINT
+           AS first_rel_rank,
+         CAST(sum(CAST(CASE WHEN clab = qlab
+                            THEN 1.0 / log2(rnk + 1) ELSE 0 END
+                       AS DECIMAL(20,10))) AS DOUBLE) AS dcg
+  FROM topk GROUP BY 1
+),
+ideal AS (
+  SELECT n_rel.query_id,
+         CAST(sum(CAST(1.0 / log2(k + 1) AS DECIMAL(20,10))) AS DOUBLE)
+           AS idcg
+  FROM nrel n_rel,
+       (SELECT unnest(range(1, {IR_EVAL_K + 1})) AS k)
+  WHERE k <= least(n_rel.n_rel, {IR_EVAL_K})
+  GROUP BY 1
+)
+SELECT p.query_id, r.n_rel, p.hits,
+       round(CAST(p.hits AS DOUBLE) / least(r.n_rel, {IR_EVAL_K}), 6)
+         AS recall_at_k,
+       round(CASE WHEN p.first_rel_rank = 0 THEN 0.0
+                  ELSE 1.0 / p.first_rel_rank END, 6) AS mrr,
+       round(p.dcg / i.idcg, 6) AS ndcg_at_k
+FROM perq p JOIN nrel r USING (query_id) JOIN ideal i USING (query_id)
+""",
+)
+def sim_eval_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness: recall@k, MRR, and
+    nDCG@k for the exact top-{IR_EVAL_K} cosine retrieval, judged
+    against the embedding table's label column (same-label = relevant)
+    — the measurement layer for the whole sim_* stack, the way
+    `ts_backtest_rolling` measures the forecasting ladder. Run the
+    same metrics over any ANN variant's output to read its recall
+    price directly (SCALING.md's ANN recall tables were produced by
+    exactly this computation inline; this makes it a first-class,
+    oracle-pinned operator).
+
+    Plan: queries broadcast, corpus streams through one scoring pass
+    (the sim_bruteforce_topk shape); metrics are per-query windows +
+    tiny aggregates. The 5-term DCG sums ride DECIMAL(20,10) so the
+    reduction is order-free; log2 runs on identical integer ranks;
+    recall denominators are exact BIGINTs. nDCG's ideal ranking is
+    computed per query from min(n_rel, k) unit gains."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    ).select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlab"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = n.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("clab"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ranked = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "qlab",
+            "cand_id",
+            "clab",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm")),
+                8,
+            ).alias("cos"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc("cos"), F.asc("cand_id")
+                )
+            ),
+        )
+    )
+    nrel = (
+        c.join(F.broadcast(q.select("query_id", "qlab")), c.clab == F.col("qlab"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    rel = F.col("clab") == F.col("qlab")
+    perq = (
+        ranked.filter(F.col("rnk") <= IR_EVAL_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum(rel.cast("int")).cast("long").alias("hits"),
+            F.coalesce(
+                F.min(F.when(rel, F.col("rnk"))), F.lit(0)
+            ).cast("long").alias("first_rel_rank"),
+            F.sum(
+                F.when(rel, F.lit(1.0) / F.log2(F.col("rnk") + 1))
+                .otherwise(0.0)
+                .cast("decimal(20,10)")
+            )
+            .cast("double")
+            .alias("dcg"),
+        )
+    )
+    ks = spark.range(1, IR_EVAL_K + 1).select(F.col("id").alias("k"))
+    ideal = (
+        nrel.crossJoin(F.broadcast(ks))
+        .filter(F.col("k") <= F.least(F.col("n_rel"), F.lit(IR_EVAL_K)))
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.lit(1.0) / F.log2(F.col("k") + 1)).cast("decimal(20,10)"))
+            .cast("double")
+            .alias("idcg")
+        )
+    )
+    return (
+        perq.join(nrel, "query_id")
+        .join(ideal, "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            "hits",
+            F.round(
+                F.col("hits").cast("double")
+                / F.least(F.col("n_rel"), F.lit(IR_EVAL_K)),
+                6,
+            ).alias("recall_at_k"),
+            F.round(
+                F.when(F.col("first_rel_rank") == 0, 0.0).otherwise(
+                    F.lit(1.0) / F.col("first_rel_rank")
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+        )
     )

@@ -3446,3 +3446,159 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+#: calibration: probability-bin count and the synthetic scorer's
+#: logistic scale (a fixed, documented model under audit).
+ECE_BINS = 10
+
+
+@query(
+    "classifier_calibration_ece",
+    oracle=f"""
+WITH scored AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         round(1.0 / (1.0 + exp(-(value - 50.0) / 20.0)), 8) AS p
+  FROM events WHERE value IS NOT NULL
+),
+binned AS (
+  SELECT least(CAST(floor(p * {ECE_BINS}) AS BIGINT), {ECE_BINS - 1}) AS bin,
+         y, p
+  FROM scored
+),
+b AS (
+  SELECT bin, count(*)::BIGINT AS n,
+         sum(y)::BIGINT AS n_pos,
+         CAST(sum(CAST(p AS DECIMAL(20,8))) AS DOUBLE) AS sum_p
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT sum(n)::BIGINT AS nn FROM b)
+SELECT b.bin, b.n,
+       round(b.sum_p / b.n, 6) AS avg_conf,
+       round(CAST(b.n_pos AS DOUBLE) / b.n, 6) AS frac_pos,
+       round(abs(b.sum_p / b.n - CAST(b.n_pos AS DOUBLE) / b.n)
+             * b.n / tot.nn, 6) AS ece_term
+FROM b, tot
+""",
+)
+def classifier_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit (reliability table + Expected Calibration
+    Error terms) for a probabilistic classifier: {ECE_BINS} equal-width
+    confidence bins, each reporting predicted confidence vs observed
+    positive rate, with its weighted |gap| ECE contribution — the
+    eval-harness rung for the classifier family (train/score ship
+    elsewhere; this measures whether the scores MEAN what they say,
+    which gates using them as sampling weights in a curation
+    pipeline). The scorer under audit is a fixed logistic link on
+    `value` against the purchase outcome — deterministic, so the
+    reliability table is oracle-checkable end to end.
+
+    Plan: one scan -> score + bin in codegen -> one map-side-combined
+    aggregate to {ECE_BINS} rows; everything after is arithmetic on
+    the bin relation. Probabilities round at 8 before DECIMAL
+    summation, so avg-confidence is order-free; ECE terms are emitted
+    per bin (sum them for the scalar) to keep the row shape
+    diagnostic."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("value") - 50.0) / 20.0)), 8
+    )
+    scored = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        p.alias("p"),
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("p") * ECE_BINS).cast("long"), F.lit(ECE_BINS - 1)
+        ).alias("bin"),
+        "y",
+        "p",
+    )
+    b = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.col("p").cast("decimal(20,8)")).cast("double").alias("sum_p"),
+    )
+    tot = b.agg(F.sum("n").cast("long").alias("nn"))
+    conf = F.col("sum_p") / F.col("n")
+    acc = F.col("n_pos").cast("double") / F.col("n")
+    return b.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        F.round(conf, 6).alias("avg_conf"),
+        F.round(acc, 6).alias("frac_pos"),
+        F.round(F.abs(conf - acc) * F.col("n") / F.col("nn"), 6).alias(
+            "ece_term"
+        ),
+    )
+
+
+@query(
+    "quality_referential_integrity",
+    oracle="""
+SELECT 'orders->customer' AS relationship,
+       (SELECT count(*) FROM orders)::BIGINT AS n_child,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))::BIGINT
+         AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT count(*) FROM lineitem)::BIGINT,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT count(*) FROM lineitem)::BIGINT,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))::BIGINT
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT count(*) FROM lineitem)::BIGINT,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+""",
+)
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan counts for the
+    four fact->dimension foreign-key edges — the data-quality gate
+    `quality_expectations` (single-table constraints) cannot see, and
+    the first thing a warehouse migration validates after a load
+    (etl_partition_checksums' sibling: that one proves content
+    parity, this one proves JOIN-ability).
+
+    Plan: each edge is one LEFT ANTI join (Catalyst turns it into a
+    broadcast/shuffled hash anti join — never a per-row subquery)
+    reduced to a count; child totals are plain counts; the four
+    verdict rows union. At 100 TB each anti join shuffles on the FK,
+    exactly like the production join it certifies, and dimension
+    sides broadcast when small."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def edge(name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            parent, child[child_key] == parent[parent_key], "left_anti"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        return (
+            total.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("relationship"), "n_child", "n_orphans"
+            )
+        )
+
+    return (
+        edge("orders->customer", o, "o_custkey", cust, "c_custkey")
+        .unionAll(edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
+        .unionAll(edge("lineitem->part", li, "l_partkey", part, "p_partkey"))
+        .unionAll(
+            edge("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey")
+        )
+    )
