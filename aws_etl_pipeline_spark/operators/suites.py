@@ -323,6 +323,9 @@ SUITES: dict[str, list[str]] = {
         "sim_hard_negatives",
         # r8 ninth batch: margin-criterion mutual-NN bitext mining
         "sim_bitext_margin_mining",
+        # r8 final batch (digest-seated r9): recall@k / MRR / nDCG
+        # measurement layer over a frozen relevance set
+        "sim_eval_ir_metrics",
     ],
     "suite_text": [
         "corpus_dataset_card",  # r7
@@ -485,6 +488,10 @@ SUITES: dict[str, list[str]] = {
         "quality_benford",
         "quality_outlier_mad",
         "agg_regression_ols",
+        # r8 final batch (digest-seated r9): reliability-bin expected
+        # calibration error + cross-table orphan audit
+        "classifier_calibration_ece",
+        "quality_referential_integrity",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

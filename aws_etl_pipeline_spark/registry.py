@@ -146,6 +146,18 @@ def query(name: str, oracle: Optional[str] = None, doc: str = ""):
 #: digest (one red row should localize to a family); agg_distinct OUT
 #: (direct green r1-r7; now suite_agg digest-covered) to fund the new
 #: digest's PRIORITY slot under the 50-row budget.
+#: Round-9 rotation: join_interval_bucketed, privacy_t_closeness,
+#: events_chisq_independence, text_winnowing, graph_kcore OUT (each
+#: landed its first direct green in CORRECTNESS_r08 and is
+#: digest-covered by suite_join_misc / suite_analytics / suite_stats /
+#: suite_text); IN: the three late-r8 queries that shipped with zero
+#: driver evidence (sim_eval_ir_metrics, classifier_calibration_ece,
+#: quality_referential_integrity — direct rows in their first driver
+#: round per policy, now also digest-seated in suite_sim /
+#: suite_stats), plus sim_bitext_margin_mining and
+#: sample_neyman_allocation (r8 ninth-batch operators that have only
+#: digest coverage so far — a direct row each gives the mutual-NN
+#: margin miner and the Neyman allocator their own driver history).
 PRIORITY: tuple[str, ...] = (
     # reference-parity flagships (§2A)
     "etl_flagship",
@@ -176,11 +188,17 @@ PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct",
     "sort_multi_nulls",
     "limit_topk",
-    # rotated in r8 third rotation: first direct rows for the newest
-    # relational / analytics operators
-    "join_interval_bucketed",
-    "privacy_t_closeness",
-    "events_chisq_independence",
+    # (join_interval_bucketed, privacy_t_closeness,
+    # events_chisq_independence rotated out r9 — suite_join_misc /
+    # suite_analytics / suite_stats digests; direct green r8.)
+    # rotated in r9: first direct rows for the late-r8 queries that
+    # shipped driver-invisible (the r8 verdict's #1) plus the two
+    # digest-only r8 ninth-batch operators
+    "sim_eval_ir_metrics",
+    "classifier_calibration_ece",
+    "quality_referential_integrity",
+    "sim_bitext_margin_mining",
+    "sample_neyman_allocation",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —
@@ -219,8 +237,8 @@ PRIORITY: tuple[str, ...] = (
     # bpe_train_merges rotated out r8 — direct green r7
     # (CORRECTNESS_r07); digest-covered by suite_sim / suite_text.)
     "sim_brp_lsh_mllib",
-    "text_winnowing",  # rotated in r8: MOSS winnowing fingerprints
-    "graph_kcore",  # rotated in r8: iterative k-core peeling
+    # (text_winnowing / graph_kcore rotated out r9 — suite_text /
+    # suite_analytics digests; direct green r8.)
     # (text_stats rotated out r7 fourth rotation — suite_text digest;
     # direct green r1-r6.)
     "stream_exec_sketch_merge",  # rotated in r7: streaming sketch merge

@@ -3,13 +3,17 @@
 compact JSON lines {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ..., "reps": ..., "warmup_sec": ...,
 "loadavg_start": [...], "loadavg_end": [...]} — one per frozen query
-set (HEADLINE, EXT, R8, R9, R10), each emitted TWICE: head copies in priority
-order first, tail copies ("dup":true) in reverse priority last, so the
-frozen HEADLINE line is both the first and the very last stdout line
-and survives either a head- or tail-retaining bounded capture.  Full
-per-query spread diagnostics go to stderr only (round-8 fix: they used
-to sit on stdout between the copies and pushed the headline value out
-of BENCH_r07.json).
+set (HEADLINE, EXT, R8, R9, R10), each emitted TWICE: full head copies
+in priority order first, then a size-bounded tail block ("dup":true) —
+one ~120-byte MINIMAL line per frozen metric (value-only) followed by
+the full HEADLINE line very last — so EVERY frozen value fits inside
+the driver's ~2 KB tail-retaining capture (round-9 fix: BENCH_r08's
+tail block led with five full lines and the capture cut the R9 value
+mid-line) and the frozen HEADLINE line is both the first and the very
+last stdout line, surviving either a head- or tail-retaining bounded
+capture.  Full per-query spread diagnostics go to stderr only
+(round-8 fix: they used to sit on stdout between the copies and
+pushed the headline value out of BENCH_r07.json).
 
 Protocol (round 3, variance-aware — round 2's best-of-2 let run-order
 noise masquerade as >2x regressions): fixed query order (HEADLINE),
@@ -328,25 +332,30 @@ def main() -> None:
     print(json.dumps({**r8_fields, "spread": r8_spread}), file=sys.stderr)
     print(json.dumps({**r9_fields, "spread": r9_spread}), file=sys.stderr)
     print(json.dumps({**r10_fields, "spread": r10_spread}), file=sys.stderr)
-    # Tail-retention copies, reverse priority (headline LAST).
+    # Tail-retention copies (round-9 fix: the driver's artifact keeps
+    # only the LAST ~2 KB of stdout, and BENCH_r08 lost the R9 value
+    # because the tail block led with five FULL compact lines — the
+    # capture cut the first one mid-line. The tail block is now
+    # size-bounded: one MINIMAL line per frozen metric (metric + value
+    # + unit + sf + 1-min loadavg pair, ~120 bytes each — enough to
+    # recover every frozen "value" and adjudicate load), then the full
+    # HEADLINE compact line very last so a tail-retaining parser's
+    # "last parseable line" still carries per-query medians. Worst-case
+    # cut lands inside the FIRST minimal line; every later line still
+    # parses, so all five frozen values survive any >=1.6 KB capture.
     # "dup":true lets a parser that scans EVERY stdout JSON line dedup
     # them instead of double-counting.
-    print(
-        json.dumps({**r10_fields, "dup": True}, separators=(",", ":")),
-        flush=True,
-    )
-    print(
-        json.dumps({**r9_fields, "dup": True}, separators=(",", ":")),
-        flush=True,
-    )
-    print(
-        json.dumps({**r8_fields, "dup": True}, separators=(",", ":")),
-        flush=True,
-    )
-    print(
-        json.dumps({**ext_fields, "dup": True}, separators=(",", ":")),
-        flush=True,
-    )
+    load_pair = [LOADAVG_START[0], round(os.getloadavg()[0], 2)]
+    for f in (r10_fields, r9_fields, r8_fields, ext_fields, compact_fields):
+        minimal = {
+            "metric": f["metric"],
+            "value": f["value"],
+            "unit": "sec",
+            "sf": sf,
+            "load1": load_pair,
+            "dup": True,
+        }
+        print(json.dumps(minimal, separators=(",", ":")), flush=True)
     print(
         json.dumps({**compact_fields, "dup": True}, separators=(",", ":")),
         flush=True,

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 311  # COVERAGE.md "311 named queries total"
-DOCUMENTED_GRANULAR = 289
+DOCUMENTED_TOTAL = 314  # COVERAGE.md "314 named queries total"
+DOCUMENTED_GRANULAR = 292
 DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -47,6 +47,17 @@ def test_documented_counts_match_registry():
     assert len(suites) == DOCUMENTED_SUITES
     assert len(qs) - len(suites) == DOCUMENTED_GRANULAR
     assert sorted(rows_only) == ["gen_transactions", "stream_file_ingest"]
+    # the docs must carry the same arithmetic verbatim (r8 verdict #9:
+    # SCALING's closing state went stale silently — now both docs fail
+    # loudly together with the registry)
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    n, g, s = DOCUMENTED_TOTAL, DOCUMENTED_GRANULAR, DOCUMENTED_SUITES
+    coverage = (root / "COVERAGE.md").read_text()
+    assert f"{n} named queries total ({g} granular + {s} family digests)" in coverage
+    scaling = (root / "SCALING.md").read_text()
+    assert f"{n} registry queries ({g} granular + {s} family digests)" in scaling
 
 
 def test_priority_fits_driver_budget():
@@ -140,12 +151,9 @@ def test_rotated_out_slots_stay_digest_covered():
     # take direct slots
     for rotated_out in ("sim_ivf_truepq", "sim_ivf_truepq_rerank", "bpe_train_merges"):
         assert rotated_out in digest_covered, rotated_out
-    for rotated_in in (
-        "stream_exec_stream_join_watermarked",
-        "text_winnowing",
-        "graph_kcore",
-    ):
-        assert rotated_in in PRIORITY, rotated_in
+    # (text_winnowing / graph_kcore held direct r8 slots, then rotated
+    # out in r9 with direct green r8 history — checked below)
+    assert "stream_exec_stream_join_watermarked" in PRIORITY
     # the round-8 SECOND rotation: the two new watermarked streaming
     # forms take direct slots; the vacating queries stay digest-covered
     for rotated_out in ("sim_lsh_ann", "dedup_exact"):
@@ -163,13 +171,35 @@ def test_rotated_out_slots_stay_digest_covered():
         "multimodal_features",
     ):
         assert rotated_out in digest_covered, rotated_out
-    for rotated_in in (
-        "join_interval_bucketed",
-        "privacy_t_closeness",
-        "events_chisq_independence",
-    ):
-        assert rotated_in in PRIORITY, rotated_in
     # the round-8 FOURTH rotation: the hypothesis-test family split
     # into suite_stats; agg_distinct funds the digest's slot
     assert "suite_stats" in PRIORITY
     assert "agg_distinct" in digest_covered
+    # the round-9 rotation: the five r8 seats leave with direct green
+    # r8 history (CORRECTNESS_r08) but must stay digest-covered; the
+    # three late-r8 driver-invisible queries (r8 verdict #1) and the
+    # two digest-only ninth-batch operators take direct slots, and the
+    # three newcomers are additionally digest-seated so a future
+    # rotation can vacate them
+    for rotated_out in (
+        "join_interval_bucketed",
+        "privacy_t_closeness",
+        "events_chisq_independence",
+        "text_winnowing",
+        "graph_kcore",
+    ):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in (
+        "sim_eval_ir_metrics",
+        "classifier_calibration_ece",
+        "quality_referential_integrity",
+        "sim_bitext_margin_mining",
+        "sample_neyman_allocation",
+    ):
+        assert rotated_in in PRIORITY, rotated_in
+    for digest_seated in (
+        "sim_eval_ir_metrics",
+        "classifier_calibration_ece",
+        "quality_referential_integrity",
+    ):
+        assert digest_seated in digest_covered, digest_seated
