@@ -1,0 +1,78 @@
+"""Oracle-pinned recall floors for the ANN ladder (r8 verdict #7).
+
+SCALING.md's ANN recall tables were produced by inline computation —
+a recall regression there would only go stale in a doc. This pins each
+tier's recall@3 against the exact brute-force baseline AT sf0.01 (the
+documented measurement scale) so a regression flips a test, not a
+paragraph. Floors sit one notch below the measured values
+(lsh 0.467, ivf/sq8/rerank 0.433, truepq ADC 0.367, brp-mllib 1.0,
+r9 measurement) — loose enough to absorb corpus-regeneration jitter,
+tight enough that a bucket-geometry or quantizer bug (the r4 8-bit
+single-probe cliff measured 0.03) fails loudly.
+
+Also pins the ladder's structural invariant: full-precision reranking
+can never score below the ADC shortlist it reranks.
+"""
+
+import os
+from collections import defaultdict
+
+import pytest
+
+SF01 = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF01), reason="sf0.01 testdata not present"
+)
+
+#: (query name, recall@3 floor at sf0.01)
+FLOORS = [
+    ("sim_lsh_ann", 0.40),
+    ("sim_ivf_ann", 0.40),
+    ("sim_ivf_sq8", 0.40),
+    ("sim_ivf_sq8_rerank", 0.40),
+    ("sim_ivf_truepq", 0.30),
+    ("sim_ivf_truepq_rerank", 0.40),
+    ("sim_brp_lsh_mllib", 0.90),
+]
+
+
+@pytest.fixture(scope="module")
+def recalls(spark):
+    """One pass: exact top-3 ground truth, then every tier's recall."""
+    from aws_etl_pipeline_spark.cache import clear_persisted
+    from aws_etl_pipeline_spark.registry import all_queries
+
+    qs = all_queries()
+    rows = qs["sim_bruteforce_topk"].fn(spark, SF01).collect()
+    clear_persisted()
+    per = defaultdict(list)
+    for r in rows:
+        per[r.query_id].append((-r.cosine, r.neighbor_id))
+    exact = {(q, nid) for q, lst in per.items() for _, nid in sorted(lst)[:3]}
+    n_queries = len(per)
+    out = {}
+    for name, _ in FLOORS:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in qs[name].fn(spark, SF01).collect()
+        }
+        clear_persisted()
+        out[name] = len(got & exact) / (3 * n_queries)
+    return out
+
+
+@pytest.mark.parametrize("name,floor", FLOORS)
+def test_ann_recall_floor(recalls, name, floor):
+    assert recalls[name] >= floor, (
+        f"{name} recall@3 {recalls[name]:.3f} fell below pinned floor "
+        f"{floor} — ANN geometry or quantizer regression "
+        f"(see SCALING.md ANN recall tables)"
+    )
+
+
+def test_rerank_never_below_adc(recalls):
+    """Reranking the ADC shortlist with full-precision vectors can only
+    fix ranking mistakes inside the shortlist, never create new misses."""
+    assert recalls["sim_ivf_truepq_rerank"] >= recalls["sim_ivf_truepq"]
+    assert recalls["sim_ivf_sq8_rerank"] >= recalls["sim_ivf_sq8"]
