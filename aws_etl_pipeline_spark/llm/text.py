@@ -1964,3 +1964,288 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").cast("long").alias("fp_min"),
         F.max("h").cast("long").alias("fp_max"),
     )
+
+
+ZIPF_TOP = 50  # rank depth for the log-log slope fit
+_D38 = "decimal(38,18)"  # order-free carrier for double sums
+
+
+@query(
+    "text_zipf_hapax",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+),
+tc AS (SELECT lang, term, count(*)::BIGINT AS f FROM tok GROUP BY lang, term),
+stats AS (
+  SELECT lang,
+         sum(f)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS vocab_size,
+         sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count
+  FROM tc GROUP BY lang
+),
+top AS (
+  SELECT lang, f,
+         row_number() OVER (PARTITION BY lang ORDER BY f DESC, term ASC) AS r
+  FROM tc
+  QUALIFY r <= {ZIPF_TOP}
+),
+fit AS (
+  SELECT lang, count(*)::DOUBLE AS n,
+         CAST(sum(CAST(log2(r) AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(log2(f) AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(log2(r) * log2(f) AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(log2(r) * log2(r) AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+  FROM top GROUP BY lang
+)
+SELECT s.lang, s.n_tokens, s.vocab_size, s.hapax_count,
+       round(s.hapax_count::DOUBLE / s.vocab_size, 6) AS hapax_ratio,
+       round(s.vocab_size::DOUBLE / s.n_tokens, 6) AS type_token_ratio,
+       round((f.n * f.sxy - f.sx * f.sy) / (f.n * f.sxx - f.sx * f.sx), 6)
+         AS zipf_slope
+FROM stats s JOIN fit f USING (lang)
+""",
+)
+def text_zipf_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus vocabulary statistics: token count, vocab
+    size, hapax-legomenon count/ratio (terms occurring exactly once —
+    the classic OCR-garbage / synthetic-text early-warning signal),
+    type-token ratio, and the Zipf slope — a closed-form OLS of
+    log2(freq) on log2(rank) over the top-{ZIPF_TOP} terms (natural
+    corpora fit ~-1; a slope far from that flags templated or
+    boilerplate-heavy slices). The corpus-health dashboard row a
+    curation pipeline reads before deciding what to keep.
+
+    Plan: ONE shuffle to (lang, term) counts (map-side combined), then
+    a lang-sized aggregate plus a per-lang top-{ZIPF_TOP} window over
+    the count relation; the OLS is closed-form aggregates (the
+    agg_regression_ols discipline), log terms DECIMAL-summed so the
+    reduction is order-free. At 100 TB the term-count relation is the
+    only big intermediate and it shrinks by the vocabulary's Zipf law
+    itself; nothing is ever collected."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("lang", F.explode(_words()).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .transform(track)  # stats aggregate + top-N window both read it
+    )
+    stats = tc.groupBy("lang").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum((F.col("f") == 1).cast("int")).cast("long").alias("hapax_count"),
+    )
+    top = (
+        tc.withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.desc("f"), F.asc("term"))
+            ),
+        )
+        .where(F.col("r") <= ZIPF_TOP)
+        .select("lang", "r", "f")
+    )
+    lx, ly = F.log2("r"), F.log2("f")
+    fit = top.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(lx.cast(_D38)).cast("double").alias("sx"),
+        F.sum(ly.cast(_D38)).cast("double").alias("sy"),
+        F.sum((lx * ly).cast(_D38)).cast("double").alias("sxy"),
+        F.sum((lx * lx).cast(_D38)).cast("double").alias("sxx"),
+    )
+    return stats.join(fit, "lang").select(
+        "lang",
+        "n_tokens",
+        "vocab_size",
+        "hapax_count",
+        F.round(F.col("hapax_count") / F.col("vocab_size"), 6).alias(
+            "hapax_ratio"
+        ),
+        F.round(F.col("vocab_size") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+OOV_VOCAB_K = 100  # corpus vocabulary size for the OOV gate
+
+
+@query(
+    "text_oov_rate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+),
+tc AS (SELECT term, count(*)::BIGINT AS f FROM tok GROUP BY term),
+tot AS (SELECT sum(f)::DOUBLE AS n FROM tc),
+vocab AS (
+  SELECT term, f,
+         row_number() OVER (ORDER BY f DESC, term ASC) AS r
+  FROM tc
+  QUALIFY r <= {OOV_VOCAB_K}
+)
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS oov_rate,
+       round(CAST(sum(CAST(-log2(c.f / (SELECT n FROM tot))
+                           AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*), 6) AS mean_neglogp
+FROM tok t
+JOIN tc c USING (term)
+LEFT JOIN vocab v USING (term)
+GROUP BY t.doc_id
+""",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary-coverage scoring: the fraction of tokens
+    outside the corpus top-{OOV_VOCAB_K} vocabulary (OOV rate) and the
+    mean unigram surprisal -log2 p(term|corpus) — the two cheap
+    rarity signals curation pipelines use to separate fluent prose
+    from key-mash / codes / tables before paying for a perplexity
+    model (`corpus_ppl_buckets` is the expensive sibling).
+
+    Plan: term counts (one map-side-combined shuffle), the vocabulary
+    as a top-K window over them, then tokens joined to counts (shuffle
+    on term — skew on stopword-like terms is AQE's skew-join case at
+    scale) with the tiny vocabulary and the 1-row total broadcast.
+    Surprisal sums ride DECIMAL so the per-doc reduction is
+    order-free."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words()).alias("term"))
+    tc = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    ).transform(track)  # vocab window + token join + total all read it
+    tot = tc.agg(F.sum("f").cast("double").alias("n"))
+    vocab = (
+        tc.withColumn(
+            "r", F.row_number().over(W.orderBy(F.desc("f"), F.asc("term")))
+        )
+        .where(F.col("r") <= OOV_VOCAB_K)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(tc, "term")
+        .join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("int"))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.col("in_vocab").isNull().cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+            F.round(
+                F.sum((-F.log2(F.col("f") / F.col("n"))).cast(_D38)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_neglogp"),
+        )
+    )
+
+
+BOILER_N = 5  # word n-gram width
+BOILER_MIN_DOCS = 3  # shingle in >= this many docs of a source = boilerplate
+BOILER_KEEP_MAX = 0.5  # doc kept while boilerplate share stays below this
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(ws[i:i+{BOILER_N - 1}], ' ') AS shingle
+  FROM t, unnest(range(1, len(ws) - {BOILER_N - 2})) AS u(i)
+  WHERE len(ws) >= {BOILER_N}
+),
+boiler AS (
+  SELECT source, shingle
+  FROM sh GROUP BY source, shingle
+  HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+)
+SELECT s.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN b.shingle IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_boiler,
+       round(sum(CASE WHEN b.shingle IS NULL THEN 0 ELSE 1 END)::DOUBLE
+             / count(*), 6) AS boiler_ratio,
+       sum(CASE WHEN b.shingle IS NULL THEN 0 ELSE 1 END)::DOUBLE / count(*)
+         < {BOILER_KEEP_MAX} AS keep
+FROM sh s
+LEFT JOIN boiler b ON b.source = s.source AND b.shingle = s.shingle
+GROUP BY s.doc_id
+""",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection by repeated word {BOILER_N}-grams
+    (RefinedWeb / CCNet-style): a shingle occurring in >=
+    {BOILER_MIN_DOCS} distinct documents of the SAME source is
+    boilerplate (nav bars, license headers, templated footers); each
+    doc reports its distinct-shingle count, boilerplate share, and a
+    keep flag (share < {BOILER_KEEP_MAX}). The within-source grouping
+    is what separates template text from genuinely common phrases —
+    cross-source repetition is `dedup_substring`'s job.
+
+    Plan: per-doc shingling is a bounded explode inside the scan
+    partition; the boilerplate set is ONE count-distinct per
+    (source, shingle) — shuffle keyed by the shingle, map-side
+    combined — and the flag join is the same key. At 100 TB shingles
+    would be xxhash64-folded to 8 bytes before the shuffle (the
+    dedup_substring move; raw strings kept here so the oracle is
+    byte-exact) and hot shingles are AQE skew-join fodder."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (BOILER_N - 1)),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(ws, (i + off).cast("int")) for off in range(BOILER_N)],
+        ),
+    )
+    sh = (
+        d.where(F.size(ws) >= BOILER_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(shingles)).alias("shingle"),
+        )
+        .transform(track)  # boilerplate count + flag join both read it
+    )
+    boiler = (
+        sh.groupBy("source", "shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("source", "shingle", F.lit(True).alias("is_boiler"))
+    )
+    ratio = F.sum(F.coalesce("is_boiler", F.lit(False)).cast("int")) / F.count(
+        F.lit(1)
+    )
+    return (
+        sh.join(boiler, ["source", "shingle"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce("is_boiler", F.lit(False)).cast("int"))
+            .cast("long")
+            .alias("n_boiler"),
+            F.round(ratio, 6).alias("boiler_ratio"),
+            (ratio < BOILER_KEEP_MAX).alias("keep"),
+        )
+    )

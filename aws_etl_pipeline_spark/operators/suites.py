@@ -358,6 +358,11 @@ SUITES: dict[str, list[str]] = {
         "decontaminate_semantic",
         # r8: LSH-bucketed big-benchmark semantic decontamination
         "decontaminate_semantic_lsh",
+        # r9 first batch: corpus-curation trio — vocabulary health,
+        # OOV/surprisal scoring, within-source boilerplate n-grams
+        "text_zipf_hapax",
+        "text_oov_rate",
+        "text_boilerplate_ngrams",
     ],
     "suite_multimodal": [
         "multimodal_features",
