@@ -656,3 +656,284 @@ def sim_eval_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
         )
     )
+
+
+QLM_MU = 500.0  # Dirichlet smoothing mass (Zhai & Lafferty 2001)
+QLM_TOP = 20
+
+
+def _qlm_oracle() -> str:
+    tf = {
+        t: f"len(list_filter(ws, w -> w = '{t}'))::DOUBLE" for t in BM25_QUERY
+    }
+    cf = ", ".join(
+        f"sum({e})::DOUBLE AS cf_{t}" for t, e in tf.items()
+    )
+    summands = " + ".join(
+        f"ln(({e} + {QLM_MU} * cf_{t} / total_tokens) / (dl + {QLM_MU}))"
+        for t, e in tf.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+),
+docs AS (SELECT doc_id, ws, len(ws)::DOUBLE AS dl FROM t),
+stats AS (SELECT sum(dl)::DOUBLE AS total_tokens, {cf} FROM docs),
+scored AS (
+  SELECT doc_id, round({summands}, 8) AS qlm_score
+  FROM docs CROSS JOIN stats
+)
+SELECT doc_id, qlm_score FROM scored
+QUALIFY row_number() OVER (ORDER BY qlm_score DESC, doc_id) <= {QLM_TOP}
+"""
+
+
+@query("text_querylm_dirichlet", oracle=_qlm_oracle())
+def text_querylm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001) for the same fixed query BM25 uses:
+    score(q,d) = sum_t ln((tf + mu*p(t|C)) / (dl + mu)) — the
+    language-modeling ranker, the second classic lexical family next
+    to BM25 and the standard baseline in every IR evaluation. Having
+    both (plus RRF fusion and the dense tier) completes the ladder a
+    retrieval stack actually compares.
+
+    Plan: identical shape to `text_bm25_topk` — per-doc tf scan-fused
+    with F.filter over the token array (no explode, no shuffle),
+    collection stats (total tokens, per-term collection frequency)
+    fold to ONE broadcast row, scoring is a single codegen pass ending
+    in TakeOrdered top-{QLM_TOP}. At 100 TB this is a broadcast ⋈ scan
+    with no wide intermediate."""
+    d = load_spread(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), " ")
+    docs = d.select(
+        "doc_id", ws.alias("ws"), F.size(ws).cast("double").alias("dl")
+    ).transform(track)  # stats fold + scoring pass
+    def _tf(term: str) -> F.Column:
+        # F.filter evaluates the lambda at construction time, so the
+        # closure is bound per call (the text_bm25_topk pattern).
+        return F.size(F.filter("ws", lambda w: w == F.lit(term))).cast("double")
+
+    tf = {t: _tf(t) for t in BM25_QUERY}
+    stats = docs.agg(
+        F.sum("dl").cast("double").alias("total_tokens"),
+        *[F.sum(e).cast("double").alias(f"cf_{t}") for t, e in tf.items()],
+    )
+    total = None
+    for t, e in tf.items():
+        s = F.log(
+            (e + F.lit(QLM_MU) * F.col(f"cf_{t}") / F.col("total_tokens"))
+            / (F.col("dl") + F.lit(QLM_MU))
+        )
+        total = s if total is None else total + s
+    return (
+        docs.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(total, 8).alias("qlm_score"))
+        .orderBy(F.desc("qlm_score"), F.asc("doc_id"))
+        .limit(QLM_TOP)
+    )
+
+
+PRF_R = 10  # pseudo-relevant depth (BM25 top-R)
+PRF_E = 5  # expansion terms kept
+PRF_ALPHA = 1.0  # original-term weight
+PRF_BETA = 0.5  # total expansion mass (split by normalized RM weight)
+PRF_TOP = 20
+
+
+def _prf_oracle() -> str:
+    orig = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+),
+docs AS (SELECT doc_id, ws, len(ws)::DOUBLE AS dl FROM t),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+         {", ".join(f"sum(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END)::DOUBLE AS df_{t}" for t in BM25_QUERY)}
+  FROM docs
+),
+rel AS (
+  SELECT doc_id, dl, ws FROM (
+    SELECT d.doc_id, d.dl, d.ws,
+           round({_bm25_score_sql()}, 8) AS bm25
+    FROM docs d CROSS JOIN stats
+    QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= {PRF_R}
+  )
+),
+reltok AS (SELECT doc_id, dl, unnest(ws) AS term FROM rel),
+expansion AS (
+  SELECT term, w, 0.0 + row_number() OVER (ORDER BY w DESC, term ASC) AS r
+  FROM (
+    SELECT term,
+           round(CAST(sum(CAST(1.0 / dl AS DECIMAL(38,18))) AS DOUBLE), 8) AS w
+    FROM reltok WHERE term NOT IN ({orig}) GROUP BY term
+  )
+  QUALIFY r <= {PRF_E}
+),
+expnorm AS (
+  SELECT term, {PRF_BETA} * w / (SELECT sum(w) FROM expansion) AS wt
+  FROM expansion
+  UNION ALL
+  SELECT unnest([{orig}]) AS term, {PRF_ALPHA} AS wt
+),
+postings AS (
+  SELECT k.doc_id, k.term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM docs) k
+  JOIN expnorm e USING (term)
+  GROUP BY k.doc_id, k.term
+),
+tdf AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM postings GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         round(CAST(sum(CAST(
+           e.wt * ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                * (p.tf * ({BM25_K1} + 1.0))
+                / (p.tf + {BM25_K1} * (1.0 - {BM25_B}
+                   + {BM25_B} * d.dl / s.avgdl))
+           AS DECIMAL(38,18))) AS DOUBLE), 8) AS prf_score
+  FROM postings p
+  JOIN expnorm e USING (term)
+  JOIN tdf t USING (term)
+  JOIN (SELECT doc_id, dl FROM docs) d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, prf_score FROM scored
+QUALIFY row_number() OVER (ORDER BY prf_score DESC, doc_id) <= {PRF_TOP}
+"""
+
+
+@query("text_rocchio_prf", oracle=_prf_oracle())
+def text_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio / RM1-lite):
+    take BM25's top-{PRF_R} documents as pseudo-relevant, build a
+    relevance model over their terms (weight = sum over rel docs of
+    tf/dl — the uniform-prior RM1 estimate, DECIMAL-summed and rounded
+    so both engines pick the identical expansion set), keep the
+    top-{PRF_E} non-query terms, then re-rank the corpus with the
+    expanded weighted query (originals at {PRF_ALPHA}, expansion mass
+    {PRF_BETA} split by normalized RM weight) under per-term BM25
+    weighting. The classic recall-booster in front of every lexical
+    stack (Rocchio 1971; Lavrenko & Croft 2001).
+
+    Plan: the first BM25 pass is the broadcast-stats scan; the
+    relevance model is an aggregation over the R broadcast relevant
+    docs' tokens; final scoring joins the exploded postings against
+    the 8-row broadcast expanded query, so the only non-broadcast
+    shuffle is the (doc, term) tf aggregation RESTRICTED to expanded
+    terms — candidate-postings-sized, never corpus x vocab. At 100 TB
+    each stage stays keyed or broadcast; no all-pairs anywhere."""
+    docs = None  # reuse the BM25 scorer's docs relation via its builder
+    d = load_spread(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), " ")
+    docs = d.select(
+        "doc_id", ws.alias("ws"), F.size(ws).cast("double").alias("dl")
+    ).transform(track)  # bm25 pass + postings pass + dl join
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.array_contains("ws", t), 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{t}")
+            for t in BM25_QUERY
+        ],
+    )
+    summands = []
+    for t in BM25_QUERY:
+        tf0 = F.size(
+            F.filter("ws", lambda w: w == F.lit(t))  # noqa: B023
+        ).cast("double")
+        idf0 = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+            / (F.col(f"df_{t}") + 0.5)
+        )
+        summands.append(
+            idf0
+            * (tf0 * (BM25_K1 + 1.0))
+            / (
+                tf0
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+    bm25 = summands[0]
+    for s in summands[1:]:
+        bm25 = bm25 + s
+    rel = (
+        docs.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", "ws", F.round(bm25, 8).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(PRF_R)
+    )
+    reltok = rel.select("doc_id", "dl", F.explode("ws").alias("term"))
+    expansion = (
+        reltok.where(~F.col("term").isin(*BM25_QUERY))
+        .groupBy("term")
+        .agg(
+            F.round(
+                F.sum((F.lit(1.0) / F.col("dl")).cast("decimal(38,18)")).cast(
+                    "double"
+                ),
+                8,
+            ).alias("w")
+        )
+        .withColumn(
+            "r", F.row_number().over(W.orderBy(F.desc("w"), F.asc("term")))
+        )
+        .where(F.col("r") <= PRF_E)
+        .select("term", "w")
+        .transform(track)  # wt normalization reads it twice
+    )
+    wsum = expansion.agg(F.sum("w").alias("wsum"))
+    expnorm = (
+        expansion.crossJoin(F.broadcast(wsum))
+        .select(
+            "term", (F.lit(PRF_BETA) * F.col("w") / F.col("wsum")).alias("wt")
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(t, PRF_ALPHA) for t in BM25_QUERY], "term string, wt double"
+            )
+        )
+    )
+    postings = (
+        docs.select("doc_id", F.explode("ws").alias("term"))
+        .join(F.broadcast(expnorm.select("term")), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .transform(track)  # df aggregation + scoring both read it
+    )
+    tdf = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    summand = (
+        F.col("wt")
+        * idf
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        postings.join(F.broadcast(expnorm), "term")
+        .join(F.broadcast(tdf), "term")
+        .join(docs.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(summand.cast("decimal(38,18)")).cast("double"), 8
+            ).alias("prf_score")
+        )
+        .orderBy(F.desc("prf_score"), F.asc("doc_id"))
+        .limit(PRF_TOP)
+    )

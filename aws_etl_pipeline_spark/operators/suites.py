@@ -326,6 +326,10 @@ SUITES: dict[str, list[str]] = {
         # r8 final batch (digest-seated r9): recall@k / MRR / nDCG
         # measurement layer over a frozen relevance set
         "sim_eval_ir_metrics",
+        # r9 second batch: the lexical ladder's LM ranker and the
+        # Rocchio/RM1 pseudo-relevance-feedback expansion
+        "text_querylm_dirichlet",
+        "text_rocchio_prf",
     ],
     "suite_text": [
         "corpus_dataset_card",  # r7
