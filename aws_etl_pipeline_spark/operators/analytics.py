@@ -3602,3 +3602,116 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
             edge("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey")
         )
     )
+
+
+CROSTON_ALPHA = 0.2  # SES smoothing for both demand-size and interval
+
+
+@query(
+    "ts_croston_forecast",
+    oracle=f"""
+WITH demand AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day,
+         count(*)::DOUBLE AS q
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT user_id, day, q,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS j,
+         count(*) OVER (PARTITION BY user_id) AS m,
+         coalesce(day - lag(day) OVER (PARTITION BY user_id ORDER BY day),
+                  1)::DOUBLE AS i
+  FROM demand
+),
+weighted AS (
+  SELECT user_id, m,
+         CASE WHEN j = 1 THEN power({1 - CROSTON_ALPHA}, m - 1)
+              ELSE {CROSTON_ALPHA} * power({1 - CROSTON_ALPHA}, m - j)
+         END AS w, q, i
+  FROM seq
+),
+fit AS (
+  SELECT user_id, m::BIGINT AS n_demand_days,
+         CAST(sum(CAST(w * q AS DECIMAL(38,18))) AS DOUBLE) AS z,
+         CAST(sum(CAST(w * i AS DECIMAL(38,18))) AS DOUBLE) AS p
+  FROM weighted GROUP BY user_id, m
+)
+SELECT user_id, n_demand_days,
+       round(z, 6) AS z_level,
+       round(p, 6) AS p_interval,
+       round(z / p, 6) AS croston_forecast,
+       round((1.0 - {CROSTON_ALPHA} / 2.0) * z / p, 6) AS sba_forecast
+FROM fit
+""",
+)
+def ts_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972) plus the
+    Syntetos-Boylan bias correction (SBA, 2005): per user, SES over
+    the sizes of nonzero purchase days and SES over the intervals
+    between them; forecast = z/p (SBA scales by 1 - alpha/2). The
+    forecasting ladder's sparse rung — EWMA/DES/Holt-Winters assume a
+    dense series, but purchase-per-customer (or demand-per-SKU) series
+    are mostly zeros, where smoothing the zeros drives forecasts to
+    meaningless near-zero levels; Croston smooths WHEN and HOW MUCH
+    separately.
+
+    Both SES recursions unroll exactly: z_m = (1-a)^(m-1) q_1 +
+    sum_{{j>=2}} a (1-a)^(m-j) q_j — a per-event weighted sum by demand
+    index, so the whole operator is one daily rollup shuffle, one
+    window pass (index, interval, series length), and one
+    DECIMAL-summed aggregate; no recursion survives into the plan
+    (the events_ewma device, exact rather than truncated because the
+    weights depend only on j and m). First interval takes the
+    conventional i_1 = 1. At 100 TB state is demand-event-sized, never
+    calendar-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    demand = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("q"))
+    )
+    wspec = W.partitionBy("user_id").orderBy("day")
+    seq = demand.select(
+        "user_id",
+        "day",
+        "q",
+        F.row_number().over(wspec).alias("j"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("m"),
+        F.coalesce(
+            (F.col("day") - F.lag("day").over(wspec)).cast("double"),
+            F.lit(1.0),
+        ).alias("i"),
+    )
+    a = CROSTON_ALPHA
+    wcol = F.when(F.col("j") == 1, F.pow(F.lit(1 - a), F.col("m") - 1)).otherwise(
+        F.lit(a) * F.pow(F.lit(1 - a), F.col("m") - F.col("j"))
+    )
+    fit = (
+        seq.select("user_id", "m", wcol.alias("w"), "q", "i")
+        .groupBy("user_id", "m")
+        .agg(
+            F.sum((F.col("w") * F.col("q")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("z"),
+            F.sum((F.col("w") * F.col("i")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("p"),
+        )
+    )
+    return fit.select(
+        "user_id",
+        F.col("m").cast("long").alias("n_demand_days"),
+        F.round("z", 6).alias("z_level"),
+        F.round("p", 6).alias("p_interval"),
+        F.round(F.col("z") / F.col("p"), 6).alias("croston_forecast"),
+        F.round(F.lit(1.0 - a / 2.0) * F.col("z") / F.col("p"), 6).alias(
+            "sba_forecast"
+        ),
+    )

@@ -1785,3 +1785,109 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score") > FS_THRESHOLD).alias("is_match"),
         )
     )
+
+
+@query(
+    "join_nearest_event",
+    oracle="""
+WITH m AS (
+  SELECT *, CASE WHEN event_type = 'purchase' THEN ts END AS p_ts
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(p_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts,
+         first_value(p_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM m
+),
+pick AS (
+  SELECT event_id, user_id, ts,
+         CASE
+           WHEN prev_ts IS NULL THEN next_ts
+           WHEN next_ts IS NULL THEN prev_ts
+           WHEN date_diff('microsecond', prev_ts, ts)
+                <= date_diff('microsecond', ts, next_ts) THEN prev_ts
+           ELSE next_ts
+         END AS nearest_purchase_ts,
+         CASE
+           WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+           WHEN next_ts IS NULL THEN 'prev'
+           WHEN prev_ts IS NULL THEN 'next'
+           WHEN date_diff('microsecond', prev_ts, ts)
+                <= date_diff('microsecond', ts, next_ts) THEN 'prev'
+           ELSE 'next'
+         END AS direction
+  FROM w WHERE event_type = 'error'
+)
+SELECT event_id, user_id, ts, nearest_purchase_ts, direction,
+       abs(date_diff('microsecond', ts, nearest_purchase_ts))::BIGINT
+         AS gap_us
+FROM pick
+""",
+)
+def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join: each error event matched to the CLOSEST
+    purchase by the same user in either time direction (ties to the
+    earlier side) — the bidirectional sibling of `join_asof`, and the
+    standard enrichment shape for \"attach the nearest deploy /
+    config-change / promotion to every incident\". Like the as-of
+    join it is NOT a join at all: one window pass over the unioned
+    event stream computes the last-preceding and first-following
+    purchase timestamps, then a projection picks the nearer side.
+
+    One shuffle on user_id, zero build-side materialization, gaps in
+    exact microseconds (TIMESTAMP_NTZ has no portable epoch cast and
+    coarser diffs truncate differently across engines). At 100 TB
+    this beats the naive range-join spelling by never materializing
+    candidate pairs; both window frames ride the same sort."""
+    ev = load_table(spark, sf_dir, "events")
+    marked = ev.withColumn(
+        "p_ts", F.when(F.col("event_type") == "purchase", F.col("ts"))
+    )
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.last("p_ts", ignorenulls=True).over(
+        base.rowsBetween(W.unboundedPreceding, -1)
+    )
+    next_ts = F.first("p_ts", ignorenulls=True).over(
+        base.rowsBetween(1, W.unboundedFollowing)
+    )
+    w = marked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        prev_ts.alias("prev_ts"),
+        next_ts.alias("next_ts"),
+    ).where(F.col("event_type") == "error")
+    gap_prev = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    gap_next = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    prev_wins = F.col("next_ts").isNull() | (
+        F.col("prev_ts").isNotNull() & (gap_prev <= gap_next)
+    )
+    nearest = F.when(prev_wins, F.col("prev_ts")).otherwise(F.col("next_ts"))
+    return w.select(
+        "event_id",
+        "user_id",
+        "ts",
+        nearest.alias("nearest_purchase_ts"),
+        F.when(
+            F.col("prev_ts").isNull() & F.col("next_ts").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when(prev_wins, F.lit("prev"))
+        .otherwise(F.lit("next"))
+        .alias("direction"),
+        F.abs(
+            F.expr("timestampdiff(MICROSECOND, ts, "
+                   "if(isnull(prev_ts) and isnull(next_ts), null, "
+                   "if(isnull(next_ts) or (isnotnull(prev_ts) and "
+                   "timestampdiff(MICROSECOND, prev_ts, ts) <= "
+                   "timestampdiff(MICROSECOND, ts, next_ts)), prev_ts, next_ts)))")
+        )
+        .cast("long")
+        .alias("gap_us"),
+    )

@@ -148,6 +148,9 @@ SUITES: dict[str, list[str]] = {
         # r8 eighth batch: Fellegi-Sunter linkage scoring over the
         # same blocking as join_fuzzy_blocked
         "er_fellegi_sunter",
+        # r9 third batch: bidirectional nearest-event enrichment (the
+        # as-of join's two-sided sibling, still join-free)
+        "join_nearest_event",
     ],
     "suite_agg": [
         "agg_rollup",
@@ -479,6 +482,9 @@ SUITES: dict[str, list[str]] = {
         # r8 eighth batch: forecast backtest harness + cohort LTV
         "ts_backtest_rolling",
         "events_cohort_ltv",
+        # r9 third batch: the forecasting ladder's intermittent-demand
+        # rung (Croston + SBA, exact unrolled SES)
+        "ts_croston_forecast",
     ],
     # r8 split: the hypothesis-test / monitor family got its own
     # digest row once suite_analytics passed 45 members — one red row
