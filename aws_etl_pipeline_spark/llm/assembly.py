@@ -811,3 +811,99 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_weight"
         ),
     )
+
+
+CURRICULUM_STAGES = 4
+LONG_WORD_LEN = 7  # words longer than this count toward difficulty
+
+
+def _curriculum_oracle() -> str:
+    qs = ", ".join(
+        f"percentile_disc({k / CURRICULUM_STAGES}) WITHIN GROUP (ORDER BY difficulty) AS q{k}"
+        for k in range(1, CURRICULUM_STAGES)
+    )
+    stage = "CASE "
+    for k in range(1, CURRICULUM_STAGES):
+        stage += f"WHEN difficulty <= q{k} THEN {k} "
+    stage += f"ELSE {CURRICULUM_STAGES} END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         round(
+           list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
+           + 2.0 * len(list_filter(ws, w -> length(w) > {LONG_WORD_LEN}))::DOUBLE
+                 / len(ws),
+           6) AS difficulty
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+        FROM documents)
+),
+bounds AS (SELECT {qs} FROM scored),
+staged AS (
+  SELECT doc_id, difficulty, ({stage})::BIGINT AS stage
+  FROM scored CROSS JOIN bounds
+)
+SELECT doc_id, difficulty, stage,
+       row_number() OVER (PARTITION BY stage
+                          ORDER BY difficulty, doc_id)::BIGINT AS stage_pos
+FROM staged
+"""
+
+
+@query("pack_curriculum_order", oracle=_curriculum_oracle())
+def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning corpus ordering (Bengio et al. 2009): score
+    each document's difficulty (mean word length + 2x long-word share —
+    the cheap proxy curricula actually start from), split the corpus
+    into {CURRICULUM_STAGES} difficulty stages at exact quartile
+    boundaries, and assign a deterministic within-stage position. A
+    training loader then consumes stage 1 before stage 2, etc. —
+    the assembly-side ordering primitive next to `mix_temperature`
+    (what to sample) and `pack_interleave_domains` (how to stripe).
+
+    Stage boundaries are PERCENTILE_DISC — real data values, no
+    interpolation doubles — folded to ONE broadcast row, so staging is
+    a scan-fused comparison, never a global sort (the
+    feature_quantile_binning discipline); within-stage positions are
+    per-stage windows. At 100 TB the only full-width window is
+    partitioned by stage; swap it for a per-shard offset + prefix-sum
+    if even four partitions is too coarse."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), " ")
+    wlen = F.transform(ws, lambda w: F.length(w))
+    scored = d.select(
+        "doc_id",
+        F.round(
+            F.aggregate(wlen, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")).cast("double")
+            / F.size(ws)
+            + F.lit(2.0)
+            * F.size(F.filter(ws, lambda w: F.length(w) > LONG_WORD_LEN))
+            / F.size(ws),
+            6,
+        ).alias("difficulty"),
+    ).transform(track)  # bounds fold + staging pass
+    bounds = scored.agg(
+        *[
+            F.expr(
+                f"percentile_disc({k / CURRICULUM_STAGES}) "
+                "WITHIN GROUP (ORDER BY difficulty)"
+            ).alias(f"q{k}")
+            for k in range(1, CURRICULUM_STAGES)
+        ]
+    )
+    stage = F.lit(CURRICULUM_STAGES)
+    for k in range(CURRICULUM_STAGES - 1, 0, -1):
+        stage = F.when(
+            F.col("difficulty") <= F.col(f"q{k}"), F.lit(k)
+        ).otherwise(stage)
+    staged = scored.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "difficulty", stage.cast("long").alias("stage")
+    )
+    return staged.select(
+        "doc_id",
+        "difficulty",
+        "stage",
+        F.row_number()
+        .over(W.partitionBy("stage").orderBy("difficulty", "doc_id"))
+        .cast("long")
+        .alias("stage_pos"),
+    )

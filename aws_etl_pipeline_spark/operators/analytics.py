@@ -3715,3 +3715,90 @@ def ts_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sba_forecast"
         ),
     )
+
+
+RR_TRUTH_PCT = 75  # Warner coin: report the truth with this probability
+
+
+@query(
+    "privacy_randomized_response",
+    oracle=f"""
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS sensitive,
+         user_id % 4 AS panel
+  FROM events GROUP BY user_id
+),
+reported AS (
+  SELECT panel, sensitive,
+         CASE WHEN ('0x' || substr(md5('rr:' || user_id), 1, 8))::UBIGINT
+                   % 100 < {RR_TRUTH_PCT}
+              THEN sensitive ELSE 1 - sensitive END AS answer
+  FROM users
+)
+SELECT panel::BIGINT AS panel,
+       count(*)::BIGINT AS n_users,
+       sum(answer)::BIGINT AS n_reported_yes,
+       round(avg(answer::DOUBLE), 6) AS reported_rate,
+       round((avg(answer::DOUBLE) + {RR_TRUTH_PCT / 100.0} - 1.0)
+             / (2.0 * {RR_TRUTH_PCT / 100.0} - 1.0), 6) AS debiased_rate,
+       round(avg(sensitive::DOUBLE), 6) AS true_rate
+FROM reported GROUP BY panel
+""",
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner's randomized response (1965) — the privacy ladder's
+    local-DP rung, below the central-DP Laplace counts: each user
+    reports their sensitive bit (here: ever hit an error) truthfully
+    with p={RR_TRUTH_PCT}%, flipped otherwise, and the analyst
+    debiases the panel rate as (lambda + p - 1)/(2p - 1). Reported
+    answers satisfy epsilon = ln(p/(1-p)) local DP; no raw bit ever
+    leaves the user row. Emitted per panel with the true rate
+    alongside, so the debiasing error is auditable.
+
+    The coin is the salted-md5 device every seeded operator here uses
+    (`sample_stable_hash`, the minhash family): deterministic across
+    runs, engines, and partitionings — the property that makes the
+    mechanism oracle-checkable at all (a true RNG cannot be; the same
+    caveat as `privacy_dp_count_laplace` documents). Plan: one
+    per-user aggregate, one coin projection, one panel aggregate —
+    two map-side-combined shuffles, state panel-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("sensitive"),
+    ).select(
+        "user_id", "sensitive", (F.col("user_id") % 4).alias("panel")
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("rr:"), F.col("user_id"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+        < RR_TRUTH_PCT
+    )
+    reported = users.select(
+        "panel",
+        "sensitive",
+        F.when(coin, F.col("sensitive"))
+        .otherwise(1 - F.col("sensitive"))
+        .alias("answer"),
+    )
+    p = RR_TRUTH_PCT / 100.0
+    return reported.groupBy("panel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("answer").cast("long").alias("n_reported_yes"),
+        F.round(F.avg(F.col("answer").cast("double")), 6).alias("reported_rate"),
+        F.round(
+            (F.avg(F.col("answer").cast("double")) + p - 1.0) / (2.0 * p - 1.0),
+            6,
+        ).alias("debiased_rate"),
+        F.round(F.avg(F.col("sensitive").cast("double")), 6).alias("true_rate"),
+    ).select(
+        F.col("panel").cast("long").alias("panel"),
+        "n_users",
+        "n_reported_yes",
+        "reported_rate",
+        "debiased_rate",
+        "true_rate",
+    )

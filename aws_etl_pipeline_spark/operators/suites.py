@@ -392,6 +392,8 @@ SUITES: dict[str, list[str]] = {
         "sample_train_test_split",
         # r8 ninth batch: Neyman-optimal stratified design
         "sample_neyman_allocation",
+        # r9 fourth batch: curriculum-learning difficulty staging
+        "pack_curriculum_order",
     ],
     "suite_tpch": [
         "q2_min_cost_supplier",
@@ -485,6 +487,9 @@ SUITES: dict[str, list[str]] = {
         # r9 third batch: the forecasting ladder's intermittent-demand
         # rung (Croston + SBA, exact unrolled SES)
         "ts_croston_forecast",
+        # r9 fourth batch: the privacy ladder's local-DP rung (Warner
+        # randomized response, salted-md5 coin)
+        "privacy_randomized_response",
     ],
     # r8 split: the hypothesis-test / monitor family got its own
     # digest row once suite_analytics passed 45 members — one red row
