@@ -1846,3 +1846,69 @@ def sim_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (margin > MARGIN_TAU).alias("accepted"),
         )
     )
+
+
+@query(
+    "embed_isotropy_score",
+    oracle="""
+WITH x AS (
+  SELECT label, u.d - 1 AS dim, CAST(embedding[u.d] AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS d) u
+),
+dimvar AS (
+  SELECT label, dim,
+         CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mu,
+         CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+           - pow(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 2)
+           AS v
+  FROM x GROUP BY label, dim
+)
+SELECT label,
+       count(*)::BIGINT AS n_dims,
+       round(CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE), 6)
+         AS total_variance,
+       round(max(v) / CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE), 6)
+         AS max_dim_share,
+       round(pow(CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE), 2)
+             / CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE), 6)
+         AS effective_dims
+FROM dimvar GROUP BY label
+""",
+)
+def embed_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy audit per label: per-dimension
+    population variances folded into (a) total variance, (b) the
+    largest single dimension's share, and (c) the participation ratio
+    (sum v)^2 / sum v^2 — the \"effective dimensionality\" that equals
+    d for a perfectly isotropic space and ~1 when one rogue dimension
+    dominates. Anisotropy is the classic failure mode of contrastive
+    embedding runs (Ethayarajh 2019); a collapsed space makes every
+    cosine ANN tier above this useless, so this is the health gate a
+    pipeline runs BEFORE building indexes.
+
+    Plan: posexplode fans each vector into (label, dim, x) — a fixed
+    d-factor, never data-dependent — then TWO map-side-combined
+    aggregates: (label, dim) moment sums (DECIMAL-carried, so the
+    reduction is order-free and engine-exact) and the label-level
+    fold over d rows. State is labels x dims, independent of corpus
+    size; nothing is collected."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode(_as_double("embedding")).alias("d0", "x")
+    ).select("label", F.col("d0").alias("dim"), "x")
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+    sxx = F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)")).cast("double")
+    dimvar = x.groupBy("label", "dim").agg(
+        (sx / n).alias("mu"),
+        (sxx / n - F.pow(sx / n, 2)).alias("v"),
+    )
+    sv = F.sum(F.col("v").cast("decimal(38,18)")).cast("double")
+    svv = F.sum((F.col("v") * F.col("v")).cast("decimal(38,18)")).cast("double")
+    return dimvar.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.round(sv, 6).alias("total_variance"),
+        F.round(F.max("v") / sv, 6).alias("max_dim_share"),
+        F.round(F.pow(sv, 2) / svv, 6).alias("effective_dims"),
+    )

@@ -3802,3 +3802,85 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         "debiased_rate",
         "true_rate",
     )
+
+
+DID_CUTOVER = "2024-01-16"  # post period starts here (mid-range)
+
+
+@query(
+    "events_did_estimator",
+    oracle=f"""
+WITH cells AS (
+  SELECT user_id % 2 AS treated,
+         CASE WHEN ts >= TIMESTAMP '{DID_CUTOVER}' THEN 1 ELSE 0 END AS post,
+         value
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+means AS (
+  SELECT treated::BIGINT AS treated, post::BIGINT AS post,
+         count(*)::BIGINT AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+           AS mean_value
+  FROM cells GROUP BY 1, 2
+)
+SELECT m.treated, m.post, m.n, m.mean_value,
+       round(
+         (SELECT mean_value FROM means WHERE treated = 1 AND post = 1)
+       - (SELECT mean_value FROM means WHERE treated = 1 AND post = 0)
+       - (SELECT mean_value FROM means WHERE treated = 0 AND post = 1)
+       + (SELECT mean_value FROM means WHERE treated = 0 AND post = 0), 6)
+         AS did_effect
+FROM means m
+""",
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2x2 (treated x post) cell means
+    of purchase value around a cutover date, plus the DiD interaction
+    effect (T1P1 - T1P0) - (T0P1 - T0P0) — the workhorse causal
+    estimator when randomization isn't available and the parallel-
+    trends assumption stands in for it. Completes the experimentation
+    family next to the randomized readouts (`events_abtest_welch`,
+    `events_uplift_cuped`).
+
+    Plan: ONE map-side-combined aggregate to 4 cells (means
+    DECIMAL-summed then rounded so both engines agree bit-for-bit),
+    then the scalar effect broadcast back onto the cell rows — no
+    row-level second pass. At 100 TB this is a single scan however
+    many rows the event log has."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 2).cast("long").alias("treated"),
+        F.when(F.col("ts") >= F.lit(DID_CUTOVER).cast("timestamp_ntz"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("post"),
+        "value",
+    )
+    means = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_value"),
+    ).transform(track)  # cell rows + the 4-way effect pivot
+    cell = {
+        (t, p): F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("mean_value"),
+            )
+        )
+        for t in (0, 1)
+        for p in (0, 1)
+    }
+    effect = means.agg(
+        F.round(
+            cell[(1, 1)] - cell[(1, 0)] - cell[(0, 1)] + cell[(0, 0)], 6
+        ).alias("did_effect")
+    )
+    return means.crossJoin(F.broadcast(effect)).select(
+        "treated", "post", "n", "mean_value", "did_effect"
+    )

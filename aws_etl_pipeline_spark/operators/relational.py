@@ -1891,3 +1891,77 @@ def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_us"),
     )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_nationkey AS nation, o.o_custkey,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nation, x,
+         row_number() OVER (PARTITION BY nation
+                            ORDER BY x, o_custkey) AS i,
+         count(*) OVER (PARTITION BY nation) AS n
+  FROM rev
+)
+SELECT nation::BIGINT AS nation, max(n)::BIGINT AS n_customers,
+       round(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_revenue,
+       round(
+         2.0 * CAST(sum(CAST(i * x AS DECIMAL(38,6))) AS DOUBLE)
+           / (max(n) * CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE))
+         - (max(n) + 1.0) / max(n), 6) AS gini
+FROM ranked GROUP BY nation
+""",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — continuous-
+    value concentration via the rank formula G = 2*sum(i*x_i)/(n*sum x)
+    - (n+1)/n over ascending-sorted values (ties broken by customer
+    key so both engines rank identically). The revenue-concentration
+    twin of `agg_entropy_gini` (which measures categorical impurity);
+    this is the \"does 1% of customers carry 80% of revenue\" gate a
+    sampling or mixing policy reads before weighting a source.
+
+    Plan: one join + per-customer rollup (shuffle on custkey), one
+    rank window per nation, one DECIMAL-summed aggregate — rank sums
+    are exact integers times 2-dp decimals, so the result is
+    bit-identical across engines before the final round."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"), "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    wr = W.partitionBy("nation").orderBy("x", "o_custkey")
+    ranked = rev.select(
+        "nation",
+        "x",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy("nation")).alias("n"),
+    )
+    sx = F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+    six = F.sum((F.col("i") * F.col("x")).cast("decimal(38,6)")).cast("double")
+    return ranked.groupBy("nation").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(sx, 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * six / (F.max("n") * sx)
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini"),
+    ).select(
+        F.col("nation").cast("long").alias("nation"),
+        "n_customers",
+        "total_revenue",
+        "gini",
+    )

@@ -181,6 +181,9 @@ SUITES: dict[str, list[str]] = {
         # r8 fourth rotation: vacates its PRIORITY slot (direct green
         # r1-r7) to fund the suite_stats digest row
         "agg_distinct",
+        # r9 fifth batch: continuous-value revenue concentration (the
+        # categorical-impurity agg_entropy_gini's Lorenz twin)
+        "agg_gini_concentration",
     ],
     "suite_setops": [
         "set_union_all",
@@ -333,6 +336,8 @@ SUITES: dict[str, list[str]] = {
         # Rocchio/RM1 pseudo-relevance-feedback expansion
         "text_querylm_dirichlet",
         "text_rocchio_prf",
+        # r9 fifth batch: embedding-space isotropy health gate
+        "embed_isotropy_score",
     ],
     "suite_text": [
         "corpus_dataset_card",  # r7
@@ -512,6 +517,8 @@ SUITES: dict[str, list[str]] = {
         # calibration error + cross-table orphan audit
         "classifier_calibration_ece",
         "quality_referential_integrity",
+        # r9 fifth batch: the quasi-experimental causal estimator
+        "events_did_estimator",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",
