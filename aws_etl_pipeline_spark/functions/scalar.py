@@ -621,3 +621,44 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1 + F.col("event_id") % 4).cast("int"),
         ).alias("elem_r"),
     )
+
+
+@query(
+    "fn_datetime_advanced",
+    oracle="""
+SELECT o_orderkey,
+       o_orderdate,
+       (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus_3mo,
+       last_day(o_orderdate) AS month_end,
+       quarter(o_orderdate)::BIGINT AS qtr,
+       date_trunc('quarter', o_orderdate) AS qtr_start,
+       weekofyear(o_orderdate)::BIGINT AS iso_week,
+       dayofyear(o_orderdate)::BIGINT AS doy,
+       (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS month_index,
+       make_date(year(o_orderdate), month(o_orderdate), 1) AS month_start
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+)
+def fn_datetime_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic surface beyond `fn_date`'s basics:
+    add_months (month-clamped, both engines clamp Jan 31 + 1 mo to
+    Feb 28/29), last_day, quarter + quarter truncation, ISO week,
+    day-of-year, a portable linear month index (year*12+month — the
+    cross-engine substitute for months_between, whose fractional
+    31-day-month rule is Spark-specific), and first-of-month via
+    make_date. All Catalyst expressions inside one codegen'd
+    projection over a pushed-down key filter."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.trunc(d, "quarter").alias("qtr_start"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        (F.year(d) * 12 + F.month(d)).cast("long").alias("month_index"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_start"),
+    )

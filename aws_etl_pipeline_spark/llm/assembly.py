@@ -907,3 +907,123 @@ def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stage_pos"),
     )
+
+
+BUDGET_FRAC = 0.4  # epoch token budget as a share of corpus tokens
+BUDGET_ALPHA = 0.5  # temperature for the per-source allocation
+
+
+def _mix_budget_oracle() -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         len(string_split(lower(trim(text)), ' '))::BIGINT AS tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 1000000
+           AS shuf
+  FROM documents
+),
+src AS (
+  SELECT source, sum(tokens)::DOUBLE AS src_tokens FROM docs GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(CAST(sqrt(src_tokens) AS DECIMAL(38,18))) AS DOUBLE) AS wsum,
+         sum(src_tokens) AS total_tokens
+  FROM src
+),
+alloc AS (
+  SELECT source,
+         floor({BUDGET_FRAC} * total_tokens * sqrt(src_tokens) / wsum)::BIGINT
+           AS alloc_tokens
+  FROM src CROSS JOIN tot
+),
+ordered AS (
+  SELECT d.doc_id, d.source, d.tokens, a.alloc_tokens,
+         coalesce(sum(d.tokens) OVER (
+           PARTITION BY d.source ORDER BY d.shuf, d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM docs d JOIN alloc a USING (source)
+)
+SELECT source, max(alloc_tokens)::BIGINT AS alloc_tokens,
+       count(*) FILTER (WHERE cum_before < alloc_tokens)::BIGINT AS n_docs,
+       coalesce(sum(tokens) FILTER (WHERE cum_before < alloc_tokens), 0)::BIGINT
+         AS tokens_taken,
+       round(coalesce(sum(tokens) FILTER (WHERE cum_before < alloc_tokens), 0)
+             ::DOUBLE / max(alloc_tokens), 6) AS fill_ratio
+FROM ordered GROUP BY source
+"""
+
+
+@query("mix_token_budget", oracle=_mix_budget_oracle())
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch assembly under a global token budget: the corpus-wide
+    budget ({BUDGET_FRAC:.0%} of corpus tokens) is allocated across
+    sources by temperature weights (alpha={BUDGET_ALPHA}, the
+    `mix_temperature` scheme), then each source admits documents in
+    the deterministic md5-shuffled order until its allocation is spent
+    (a document is admitted while the tokens BEFORE it are inside the
+    budget, so the boundary doc is included — the conventional
+    greedy-fill rule). Reports per-source allocation, docs and tokens
+    admitted, and fill ratio. This is the operator that turns
+    `mix_temperature`'s TARGET distribution into an actual epoch
+    manifest — the step between policy and shards.
+
+    Plan: source stats are a sources-sized broadcast; admission is ONE
+    per-source cumulative-sum window over the md5 order (at 100 TB the
+    order key doubles as the shard key — the pack_token_budget note —
+    so each shard fills independently); the report is one aggregate.
+    sqrt weights and DECIMAL weight sums keep both engines
+    bit-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        _tokens().cast("long").alias("tokens"),
+        _md5_bucket(F.col("doc_id"), 1_000_000).alias("shuf"),
+    ).transform(track)  # src stats + ordered admission both read it
+    src = docs.groupBy("source").agg(
+        F.sum("tokens").cast("double").alias("src_tokens")
+    )
+    tot = src.agg(
+        F.sum(F.sqrt("src_tokens").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("wsum"),
+        F.sum("src_tokens").alias("total_tokens"),
+    )
+    alloc = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.lit(BUDGET_FRAC)
+            * F.col("total_tokens")
+            * F.sqrt("src_tokens")
+            / F.col("wsum")
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("shuf", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ordered = docs.join(F.broadcast(alloc), "source").select(
+        "source",
+        "tokens",
+        "alloc_tokens",
+        F.coalesce(F.sum("tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    admitted = F.col("cum_before") < F.col("alloc_tokens")
+    return ordered.groupBy("source").agg(
+        F.max("alloc_tokens").cast("long").alias("alloc_tokens"),
+        F.sum(admitted.cast("int")).cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(admitted, F.col("tokens"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("tokens_taken"),
+        F.round(
+            F.coalesce(F.sum(F.when(admitted, F.col("tokens"))), F.lit(0))
+            .cast("double")
+            / F.max("alloc_tokens"),
+            6,
+        ).alias("fill_ratio"),
+    )

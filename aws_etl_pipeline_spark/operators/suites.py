@@ -230,6 +230,8 @@ SUITES: dict[str, list[str]] = {
         "fn_bitwise",
         # r7 eleventh batch: try_* null-on-error surface
         "fn_try_arithmetic",
+        # r9 sixth batch: calendar arithmetic beyond fn_date
+        "fn_datetime_advanced",
     ],
     "suite_fn_semistructured": [
         "fn_array",
@@ -399,6 +401,9 @@ SUITES: dict[str, list[str]] = {
         "sample_neyman_allocation",
         # r9 fourth batch: curriculum-learning difficulty staging
         "pack_curriculum_order",
+        # r9 sixth batch: budget-to-manifest epoch assembly (turns
+        # mix_temperature's target distribution into an admission list)
+        "mix_token_budget",
     ],
     "suite_tpch": [
         "q2_min_cost_supplier",
