@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..cache import track
-from ..catalog import load_table
+from ..catalog import load_spread, load_table
 from ..registry import query
 
 #: tiny per-language stopword profiles for the n-gram/stopword scorer.
@@ -2209,25 +2209,33 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined — and the flag join is the same key. At 100 TB shingles
     would be xxhash64-folded to 8 bytes before the shuffle (the
     dedup_substring move; raw strings kept here so the oracle is
-    byte-exact) and hot shingles are AQE skew-join fodder."""
-    d = load_table(spark, sf_dir, "documents")
-    ws = _words()
+    byte-exact) and hot shingles are AQE skew-join fodder.
+
+    Plan lesson (r9, measured): the shingle lambda must reference a
+    MATERIALIZED token-array COLUMN, not the split() expression — an
+    expression there is re-evaluated inside every element_at call
+    (5 per position x ~36 positions ≈ 180 re-splits of the text per
+    doc: 9.8 s -> ~1 s at sf0.1 once fixed), and the single-file scan
+    needs load_spread or the whole expand runs on one core."""
+    d = load_spread(spark, sf_dir, "documents")
+    tok = d.where(F.size(_words()) >= BOILER_N).select(
+        "doc_id", "source", _words().alias("ws")
+    )
     shingles = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - (BOILER_N - 1)),
+        F.sequence(F.lit(1), F.size("ws") - (BOILER_N - 1)),
         lambda i: F.concat_ws(
             " ",
-            *[F.element_at(ws, (i + off).cast("int")) for off in range(BOILER_N)],
+            *[
+                F.element_at(F.col("ws"), (i + off).cast("int"))
+                for off in range(BOILER_N)
+            ],
         ),
     )
-    sh = (
-        d.where(F.size(ws) >= BOILER_N)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(F.array_distinct(shingles)).alias("shingle"),
-        )
-        .transform(track)  # boilerplate count + flag join both read it
-    )
+    sh = tok.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    ).transform(track)  # boilerplate count + flag join both read it
     boiler = (
         sh.groupBy("source", "shingle")
         .agg(F.countDistinct("doc_id").alias("nd"))
