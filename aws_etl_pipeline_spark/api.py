@@ -264,7 +264,11 @@ def jaccard_pairs(
     a short document quoted inside a longer one, where the union
     denominator dilutes toward 0). The score column is named after the
     measure."""
-    ws = _words(text_col)
+    # materialized token COLUMN, not the split() expression — a lambda
+    # closing over an expression re-evaluates it per element_at (the
+    # r9 text_boilerplate_ngrams lesson, ~(shingle)x re-splits per
+    # position when violated)
+    ws = F.col("_ws")
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(ws)),
         lambda i: F.concat_ws(
@@ -273,7 +277,11 @@ def jaccard_pairs(
     )
     # persist: the shingle pipeline feeds both self-join sides (Catalyst
     # does not reuse the common subtree).
-    t = df.select(id_col, block_col, F.array_distinct(shingles).alias("sh")).transform(track)
+    t = (
+        df.select(id_col, block_col, _words(text_col).alias("_ws"))
+        .select(id_col, block_col, F.array_distinct(shingles).alias("sh"))
+        .transform(track)
+    )
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     if measure == "jaccard":
@@ -340,14 +348,18 @@ def containment_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias(ia), F.col(f"b.{id_col}").alias(ib))
         .distinct()
     )
-    ws = _words(text_col)
+    ws = F.col("_ws")  # materialized column (r9 expression-closure lesson)
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(ws)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(ws, (i + off).cast("int")) for off in range(shingle)]
         ),
     )
-    sh = df.select(id_col, F.array_distinct(shingles).alias("sh")).transform(track)
+    sh = (
+        df.select(id_col, _words(text_col).alias("_ws"))
+        .select(id_col, F.array_distinct(shingles).alias("sh"))
+        .transform(track)
+    )
     ta = sh.select(F.col(id_col).alias(ia), F.col("sh").alias("sh_a"))
     tb = sh.select(F.col(id_col).alias(ib), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

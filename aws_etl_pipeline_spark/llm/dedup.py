@@ -382,7 +382,12 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents")
     exact = jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=MLLIB_DUP_TAU)
 
-    t = d.select("doc_id", _shingles_spark(_words()).alias("sh"))
+    # materialize the token array before shingling: a lambda closing
+    # over the split() EXPRESSION re-evaluates it per element_at
+    # (the r9 text_boilerplate_ngrams lesson, measured ~9x)
+    t = d.select("doc_id", _words().alias("ws")).select(
+        "doc_id", _shingles_spark(F.col("ws")).alias("sh")
+    )
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(t).filter(F.expr("size(sh) > 0"))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)

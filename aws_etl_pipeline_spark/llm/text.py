@@ -291,7 +291,10 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word bigrams across the corpus — the n-gram LM-statistics
     primitive (the 3-gram variant underlies the dedup shingles)."""
     d = load_table(spark, sf_dir, "documents")
-    ws = _words()
+    # materialized token COLUMN, not the split() expression — a lambda
+    # closing over an expression re-evaluates it per element_at (the
+    # r9 text_boilerplate_ngrams lesson)
+    ws = F.col("ws")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - 1),
         lambda i: F.concat_ws(
@@ -299,7 +302,8 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     counts = (
-        d.filter(F.size(ws) > 1)
+        d.select(_words().alias("ws"))
+        .filter(F.size(ws) > 1)
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1547,7 +1551,8 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real pipeline computes both from one pass.
     """
     d = load_table(spark, sf_dir, "documents")
-    ws = _words()
+    # materialized token COLUMN (the r9 expression-closure lesson)
+    ws = F.col("ws")
     trigrams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - 2),
         lambda i: F.concat_ws(
@@ -1558,7 +1563,8 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tg = (
-        d.filter(F.size(ws) > 2)
+        d.select("doc_id", _words().alias("ws"))
+        .filter(F.size(ws) > 2)
         .select("doc_id", F.explode(trigrams).alias("tri"))
         .distinct()
     )
