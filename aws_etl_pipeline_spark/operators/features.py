@@ -307,3 +307,59 @@ def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_bal"),
     )
+
+
+HASH_DIM = 64  # feature-vector width (buckets)
+HASH_DOC_MOD = 13  # emit vectors for the deterministic 1/13 doc sample
+
+
+@query(
+    "feature_hashing_trick",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents WHERE doc_id % {HASH_DOC_MOD} = 0
+)
+SELECT doc_id,
+       (('0x' || substr(md5(term), 1, 8))::UBIGINT % {HASH_DIM})::BIGINT
+         AS bucket,
+       count(*)::BIGINT AS tf,
+       count(DISTINCT term)::BIGINT AS n_terms
+FROM tok
+GROUP BY doc_id, bucket
+""",
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text vectorization (Weinberger et al. 2009; the
+    fastText / Vowpal Wabbit input layer): every term maps to
+    md5(term) % {HASH_DIM} — NO vocabulary is built, so the
+    vectorizer is stateless, streaming-safe, and identical across
+    training and serving (the vocabulary-drift failure mode of
+    dictionary encoders disappears). Emits each sampled document's
+    sparse (bucket, tf) features plus the per-bucket distinct-term
+    count, which IS the collision audit ({HASH_DIM} buckets over a
+    corpus vocabulary collide by design; n_terms > 1 rows quantify
+    it). MLlib's HashingTF is the same idea with murmur3 — md5 here
+    because both engines compute it bit-identically, which is what
+    makes the vectorizer oracle-checkable.
+
+    Plan: one explode + one (doc, bucket) map-side-combined aggregate
+    over the pushed-down deterministic 1/{HASH_DOC_MOD} sample; no
+    vocabulary state anywhere, which is the entire point."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % HASH_DOC_MOD == 0
+    )
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % HASH_DIM
+    )
+    return tok.select("doc_id", bucket.alias("bucket"), "term").groupBy(
+        "doc_id", "bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.countDistinct("term").cast("long").alias("n_terms"),
+    )

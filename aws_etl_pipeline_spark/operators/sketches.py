@@ -665,3 +665,107 @@ def privacy_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_n") - lapc, 6).alias("dp_n"),
         F.round(F.abs(lapc), 6).alias("noise_magnitude"),
     )
+
+
+AMS_R = 16  # independent tug-of-war estimators (mean-combined)
+
+
+def _ams_sign_sql(seed: str) -> str:
+    """±1 sign from the low bit of a salted md5 — deterministic across
+    engines (the _h60 device, folded to one bit)."""
+    return (
+        f"CASE WHEN ('0x' || substr(md5('{seed}:' || user_id), 1, 8))::UBIGINT"
+        f" % 2 = 0 THEN 1 ELSE -1 END"
+    )
+
+
+@query(
+    "sketch_ams_f2",
+    oracle=f"""
+WITH counts AS (
+  SELECT user_id, count(*)::BIGINT AS f FROM events GROUP BY user_id
+),
+expanded AS (
+  SELECT r.r, c.user_id, c.f,
+         CASE WHEN ('0x' || substr(md5(r.r::VARCHAR || ':' || c.user_id), 1, 8))::UBIGINT
+                   % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM counts c CROSS JOIN (SELECT unnest(range(0, {AMS_R})) AS r) r
+),
+est AS (
+  SELECT r, pow(sum(f * s)::DOUBLE, 2) AS x FROM expanded GROUP BY r
+),
+exact AS (SELECT sum(f * f)::DOUBLE AS f2 FROM counts)
+SELECT round(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / {AMS_R}, 2)
+         AS f2_estimate,
+       round((SELECT f2 FROM exact), 2) AS f2_exact,
+       round(abs(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / {AMS_R}
+                 - (SELECT f2 FROM exact))
+             / (SELECT f2 FROM exact), 6) AS rel_error,
+       CAST(abs(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / {AMS_R}
+                 - (SELECT f2 FROM exact))
+            / (SELECT f2 FROM exact) < 0.5 AS BOOLEAN) AS within_tolerance
+FROM est
+""",
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war sketch (Alon-Matias-Szegedy 1996) for the second
+    frequency moment F2 = sum_u f_u^2 of the per-user event counts —
+    the self-join-size estimator every streaming join optimizer and
+    skew detector is built on. {AMS_R} independent ±1 sign hashes; each
+    estimator is (sum_u f_u s_r(u))^2, an unbiased F2 estimate;
+    mean-combined here (median-of-means is the production variance
+    armor). The sketch state is {AMS_R} running sums — constant-size,
+    mergeable by addition, the same story as the KMV/theta family.
+
+    Signs come from the salted-md5 low bit (the _h60 device folded to
+    one bit), so both engines draw the identical \"random\" signs and
+    the estimate is exactly reproducible — the same determinism
+    argument as `privacy_dp_count_laplace`. Plan: one (user, count)
+    aggregate, a fixed {AMS_R}-way expand, one {AMS_R}-row aggregate;
+    the expand factor is a constant, never data-dependent. The emitted
+    row carries the estimate, the exact F2, and the relative error
+    with a generous 0.5 tolerance verdict (mean-of-16 on a skewed
+    distribution is noisy by design — the verdict pins the sketch is
+    WORKING, the exact twin documents its honest error)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    ).transform(track)  # estimator expand + exact F2 both read it
+    rs = spark.range(AMS_R).select(F.col("id").alias("r"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    est = (
+        counts.crossJoin(F.broadcast(rs))
+        .select("r", (F.col("f") * sign).alias("fs"))
+        .groupBy("r")
+        .agg(F.pow(F.sum("fs").cast("double"), 2).alias("x"))
+    )
+    exact = counts.agg(
+        F.sum(F.col("f") * F.col("f")).cast("double").alias("f2")
+    )
+    mean_x = F.sum(F.col("x").cast("decimal(38,6)")).cast("double") / AMS_R
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .agg(
+            F.round(mean_x, 2).alias("f2_estimate"),
+            F.round(F.max("f2"), 2).alias("f2_exact"),
+            F.round(F.abs(mean_x - F.max("f2")) / F.max("f2"), 6).alias(
+                "rel_error"
+            ),
+            (F.abs(mean_x - F.max("f2")) / F.max("f2") < 0.5).alias(
+                "within_tolerance"
+            ),
+        )
+    )

@@ -289,6 +289,8 @@ SUITES: dict[str, list[str]] = {
         "stream_exec_sketch_merge",
         # r7 ninth batch: CDC apply with retained DELETE tombstones
         "stream_exec_cdc",
+        # r9 seventh batch: mergeable cross-batch top-k leaderboard
+        "stream_exec_topk_merge",
     ],
     "suite_dedup": [
         "dedup_exact",
@@ -500,6 +502,8 @@ SUITES: dict[str, list[str]] = {
         # r9 fourth batch: the privacy ladder's local-DP rung (Warner
         # randomized response, salted-md5 coin)
         "privacy_randomized_response",
+        # r9 seventh batch: stateless hashing-trick vectorization
+        "feature_hashing_trick",
     ],
     # r8 split: the hypothesis-test / monitor family got its own
     # digest row once suite_analytics passed 45 members — one red row
@@ -532,6 +536,8 @@ SUITES: dict[str, list[str]] = {
         "sketch_theta_intersect",
         # r7 second batch: mergeable-bin quantiles
         "sketch_histogram_quantiles",
+        # r9 seventh batch: AMS tug-of-war F2 (self-join size)
+        "sketch_ams_f2",
     ],
     "suite_geo": [
         "geo_grid_density",

@@ -1488,3 +1488,102 @@ def stream_exec_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("op") == "U")
         .select("user_id", "last_ts", "last_value")
     )
+
+
+TOPK_LEADERBOARD_K = 5
+
+
+@query(
+    "stream_exec_topk_merge",
+    oracle=f"""
+SELECT event_type, rnk, event_id, user_id, round(value, 2) AS value
+FROM (
+  SELECT event_type, event_id, user_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events WHERE value IS NOT NULL
+) WHERE rnk <= {TOPK_LEADERBOARD_K}
+""",
+)
+def stream_exec_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming execution of a cross-micro-batch TOP-K
+    leaderboard: the K highest-value events per event type, maintained
+    over an unbounded stream. Each micro-batch folds to ITS OWN top-K
+    per type (a per-batch window, batch-sized input); foreachBatch
+    merges with the accumulated K-row state by union + re-rank + keep
+    top-K — the classic mergeable-maximum state, associative and
+    commutative, so the final board is EXACTLY the batch answer
+    regardless of micro-batch interleaving (the
+    stream_exec_sketch_merge split-invariance contract; the oracle is
+    the plain batch window query).
+
+    Why max-based and not count-based: a top-k BY FREQUENCY is not
+    mergeable with k-sized state (a globally-heavy key can be locally
+    light everywhere) — that job belongs to count-min + heap
+    (`sketch_countmin_heavyhitters`). Attribute-ranked top-k IS, and
+    is the shape of real leaderboards (largest transactions, longest
+    sessions, slowest requests). Per-trigger output is K x types
+    rows; nothing stream-sized ever crosses a batch boundary."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    stage_dir, key = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(stage_dir).schema
+    state_root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_topkstate_{_uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(state_root, exist_ok=True)
+    cur = os.path.join(state_root, "current")
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+
+    def topk(df):
+        return (
+            df.where(F.col("value").isNotNull())
+            .select("event_type", "event_id", "user_id", "value")
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= TOPK_LEADERBOARD_K)
+            .drop("rnk")
+        )
+
+    def merge_batch(batch, bid: int) -> None:
+        part = topk(batch)
+        if os.path.exists(os.path.join(cur, "_SUCCESS")):
+            prev = batch.sparkSession.read.parquet(cur)
+            merged = topk(prev.unionByName(part))
+        else:
+            merged = part
+        tmp = os.path.join(state_root, f"tmp_{bid}_{_uuid.uuid4().hex[:8]}")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = os.path.join(state_root, f"old_{bid}")
+        if os.path.exists(cur):
+            os.rename(cur, old)
+        os.rename(tmp, cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return (
+        spark.read.parquet(cur)
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "event_type",
+            "rnk",
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+        )
+    )
