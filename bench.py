@@ -3,7 +3,7 @@
 compact JSON lines {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ..., "reps": ..., "warmup_sec": ...,
 "loadavg_start": [...], "loadavg_end": [...]} — one per frozen query
-set (HEADLINE, EXT, R8, R9, R10), each emitted TWICE: full head copies
+set (HEADLINE, EXT, R8, R9, R10, R11), each emitted TWICE: full head copies
 in priority order first, then a size-bounded tail block ("dup":true) —
 one ~120-byte MINIMAL line per frozen metric (value-only) followed by
 the full HEADLINE line very last — so EVERY frozen value fits inside
@@ -182,6 +182,39 @@ HEADLINE_R10 = [
 ]
 
 
+#: HEADLINE_R11 (frozen in round 9; first recorded point BENCH_r09 —
+#: same one-ahead naming as R8/R9/R10): the round-9 surface — the
+#: three late-r8 queries that got their driver seats this round, the
+#: corpus-curation trio, the lexical-retrieval ladder rungs, the
+#: nearest-event join, Croston, local-DP randomized response,
+#: curriculum staging, DiD, revenue Gini, isotropy, budget assembly,
+#: the calendar surface, the AMS sketch, the streaming top-k
+#: leaderboard, and the hashing-trick vectorizer. All keyed-shuffle /
+#: broadcast plans (slope table in SCALING.md, flat-to-3.0x at 10x).
+HEADLINE_R11 = [
+    "sim_eval_ir_metrics",
+    "classifier_calibration_ece",
+    "quality_referential_integrity",
+    "text_zipf_hapax",
+    "text_oov_rate",
+    "text_boilerplate_ngrams",
+    "text_querylm_dirichlet",
+    "text_rocchio_prf",
+    "join_nearest_event",
+    "ts_croston_forecast",
+    "privacy_randomized_response",
+    "pack_curriculum_order",
+    "events_did_estimator",
+    "agg_gini_concentration",
+    "embed_isotropy_score",
+    "mix_token_budget",
+    "fn_datetime_advanced",
+    "sketch_ams_f2",
+    "stream_exec_topk_merge",
+    "feature_hashing_trick",
+]
+
+
 WARMUP_SF = "/root/testdata/sf0.001"
 
 
@@ -201,7 +234,7 @@ def main() -> None:
     # JIT/page-cache state differed is distinguishable after the fact.
     t_w = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10:
+    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11:
         try:
             queries[name].fn(spark, WARMUP_SF).count()
             clear_persisted()
@@ -240,6 +273,7 @@ def main() -> None:
     r8_timings, r8_spread = run_set(HEADLINE_R8)
     r9_timings, r9_spread = run_set(HEADLINE_R9)
     r10_timings, r10_spread = run_set(HEADLINE_R10)
+    r11_timings, r11_spread = run_set(HEADLINE_R11)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -307,11 +341,18 @@ def main() -> None:
         "value": round(sum(r10_timings.values()), 3),
         "queries": r10_timings,
     }
+    r11_fields = {
+        **compact_fields,
+        "metric": "headline_r11_query_set_wall_clock",
+        "value": round(sum(r11_timings.values()), 3),
+        "queries": r11_timings,
+    }
     compact = json.dumps(compact_fields, separators=(",", ":"))
     compact_ext = json.dumps(ext_fields, separators=(",", ":"))
     compact_r8 = json.dumps(r8_fields, separators=(",", ":"))
     compact_r9 = json.dumps(r9_fields, separators=(",", ":"))
     compact_r10 = json.dumps(r10_fields, separators=(",", ":"))
+    compact_r11 = json.dumps(r11_fields, separators=(",", ":"))
     # stdout carries ONLY the compact lines (round-8 fix: BENCH_r07
     # lost the headline value because three dup lines trailed it with
     # the headline copy FIRST — the tail-retention capture cut the
@@ -327,11 +368,13 @@ def main() -> None:
     print(compact_r8, flush=True)
     print(compact_r9, flush=True)
     print(compact_r10, flush=True)
+    print(compact_r11, flush=True)
     print(json.dumps({**compact_fields, "spread": spread}), file=sys.stderr)
     print(json.dumps({**ext_fields, "spread": ext_spread}), file=sys.stderr)
     print(json.dumps({**r8_fields, "spread": r8_spread}), file=sys.stderr)
     print(json.dumps({**r9_fields, "spread": r9_spread}), file=sys.stderr)
     print(json.dumps({**r10_fields, "spread": r10_spread}), file=sys.stderr)
+    print(json.dumps({**r11_fields, "spread": r11_spread}), file=sys.stderr)
     # Tail-retention copies (round-9 fix: the driver's artifact keeps
     # only the LAST ~2 KB of stdout, and BENCH_r08 lost the R9 value
     # because the tail block led with five FULL compact lines — the
@@ -346,7 +389,7 @@ def main() -> None:
     # "dup":true lets a parser that scans EVERY stdout JSON line dedup
     # them instead of double-counting.
     load_pair = [LOADAVG_START[0], round(os.getloadavg()[0], 2)]
-    for f in (r10_fields, r9_fields, r8_fields, ext_fields, compact_fields):
+    for f in (r11_fields, r10_fields, r9_fields, r8_fields, ext_fields, compact_fields):
         minimal = {
             "metric": f["metric"],
             "value": f["value"],
