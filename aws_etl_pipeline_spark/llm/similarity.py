@@ -1912,3 +1912,101 @@ def embed_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("v") / sv, 6).alias("max_dim_share"),
         F.round(F.pow(sv, 2) / svv, 6).alias("effective_dims"),
     )
+
+
+MIPS_TOP = 3  # neighbors per query by inner product
+
+
+@query(
+    "sim_mips_transform",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id >= 10),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(list_sum(list_transform(range(1, len(qv) + 1),
+                                       i -> qv[i] * cv[i])), 6) AS inner_product
+  FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, inner_product,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY inner_product DESC, neighbor_id)::BIGINT
+         AS rnk
+FROM scored
+QUALIFY rnk <= {MIPS_TOP}
+""",
+)
+def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the cosine reduction
+    (Bachrach et al. 2014 / Neyshabur-Srebro 2015): augment every
+    corpus vector with an extra coordinate sqrt(M^2 - |x|^2) (M = max
+    corpus norm, a broadcast scalar) and the query with 0 — then the
+    augmented vectors all have norm M, so augmented COSINE order is
+    exactly inner-product order and every cosine ANN tier above
+    (LSH / IVF / PQ) serves MIPS unchanged. This is how recommender
+    retrieval (user·item scores, where norms carry popularity and must
+    NOT be normalized away) rides a cosine index.
+
+    The Spark side scores through the transform — augmented cosine
+    times |q|·M recovers the inner product — and the oracle computes
+    raw inner products directly, so the hash PROVES the reduction is
+    order-and-value exact (to the 6dp round; the fp round-trip error
+    is ~1e-13). Plan: the sim_bruteforce shape — queries broadcast,
+    one scoring pass, per-query top-{MIPS_TOP} window."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", _as_double("embedding").alias("v")).select(
+        "vec_id", "v", _norm(F.col("v")).alias("nrm")
+    ).transform(track)  # max-norm fold + both scoring sides
+    mx = base.agg(F.max("nrm").alias("m"))
+    q = base.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = base.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    # augmented-cosine scoring: cos~ = <q,x> / (|q| * M) because the
+    # augmented corpus norm is EXACTLY M and the query pad is 0; the
+    # extra corpus coordinate never meets a nonzero query coordinate,
+    # so the dot product is untouched.
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qnrm") * F.col("m"))
+            ).alias("cos_aug"),
+            "qnrm",
+            "m",
+        )
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos_aug") * F.col("qnrm") * F.col("m"), 6).alias(
+                "inner_product"
+            ),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc("inner_product"), F.asc("neighbor_id")
+                )
+            )
+            .cast("long"),
+        )
+        .where(F.col("rnk") <= MIPS_TOP)
+    )

@@ -3884,3 +3884,98 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return means.crossJoin(F.broadcast(effect)).select(
         "treated", "post", "n", "mean_value", "did_effect"
     )
+
+
+SPRT_P0 = 0.28  # null conversion rate
+SPRT_P1 = 0.32  # alternative (minimum detectable) conversion rate
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.2
+
+
+def _sprt_oracle() -> str:
+    import math
+
+    la = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+    lb = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+    win = math.log(SPRT_P1 / SPRT_P0)
+    lose = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    return f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day,
+         count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+           ::BIGINT AS conv,
+         count(DISTINCT user_id)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day, conv, n,
+         sum(conv) OVER w AS cum_conv,
+         sum(n - conv) OVER w AS cum_fail
+  FROM daily WINDOW w AS (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT day, cum_conv::BIGINT AS cum_conv, cum_fail::BIGINT AS cum_fail,
+       round(cum_conv * {win!r} + cum_fail * {lose!r}, 6) AS llr,
+       CASE WHEN cum_conv * {win!r} + cum_fail * {lose!r} >= {la!r}
+              THEN 'accept_h1'
+            WHEN cum_conv * {win!r} + cum_fail * {lose!r} <= {lb!r}
+              THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum
+"""
+
+
+@query("events_sprt_sequential", oracle=_sprt_oracle())
+def events_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test (SPRT, 1945) on the
+    daily conversion stream: cumulative log-likelihood ratio of
+    H1: p={SPRT_P1} vs H0: p={SPRT_P0} over per-day distinct
+    converters / visitors, with the alpha={SPRT_ALPHA},
+    beta={SPRT_BETA} decision boundaries — the always-valid
+    peek-any-day monitor that fixed-horizon tests (`events_abtest_welch`)
+    forbid. Each day carries its running LLR and the three-way
+    decision (accept H1 / accept H0 / continue), so the readout IS the
+    sequential chart a dashboard draws.
+
+    The LLR is linear in cumulative successes and failures, so the
+    whole test is one daily-rollup aggregate plus one cumulative-sum
+    window over the CALENDAR-bounded day relation — the recursion-free
+    spelling (same reason CUSUM distributes); constants ln(p1/p0) etc.
+    are compile-time Python floats embedded identically in both
+    engines' plans."""
+    import math
+
+    la = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+    lb = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+    win = math.log(SPRT_P1 / SPRT_P0)
+    lose = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("long")
+        .alias("conv"),
+        F.countDistinct("user_id").cast("long").alias("n"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("conv").over(w).cast("long").alias("cum_conv"),
+        F.sum(F.col("n") - F.col("conv")).over(w).cast("long").alias("cum_fail"),
+    )
+    llr = F.col("cum_conv") * win + F.col("cum_fail") * lose
+    return cum.select(
+        "day",
+        "cum_conv",
+        "cum_fail",
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= la, "accept_h1")
+        .when(llr <= lb, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

@@ -854,3 +854,90 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").alias("score"),
         )
     )
+
+
+PPR_SEED = "c:1"  # personalization seed (customer 1)
+PPR_ITERS = 3
+_PPR_DEC = "decimal(30,18)"
+
+
+def _ppr_oracle() -> str:
+    head = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM edges GROUP BY a),
+r0 AS (SELECT '{PPR_SEED}' AS node, CAST(1.0 AS DOUBLE) AS r)"""
+    steps = []
+    for k in range(1, PPR_ITERS + 1):
+        steps.append(
+            f"""
+c{k} AS (
+  SELECT e.b AS node,
+         CAST(sum(CAST(p.r / d.deg AS DECIMAL(30,18))) AS DOUBLE) AS c
+  FROM edges e
+  JOIN r{k - 1} p ON e.a = p.node
+  JOIN deg d ON d.node = e.a
+  GROUP BY e.b
+),
+r{k} AS (
+  SELECT node, round(sum(v), 12) AS r FROM (
+    SELECT node, 0.85 * c AS v FROM c{k}
+    UNION ALL SELECT '{PPR_SEED}', 0.15
+  ) GROUP BY node
+)"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"\nSELECT node, r AS ppr FROM r{PPR_ITERS} WHERE r > 0"
+    )
+
+
+@query("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a single seed (customer {PPR_SEED}),
+    {PPR_ITERS} unrolled rounds, d=0.85: the teleport mass returns to
+    the SEED instead of spreading uniformly, so scores measure
+    proximity TO THE SEED — the \"similar accounts\" / local-community
+    primitive recommenders and fraud investigations run per entity
+    (global `graph_pagerank` measures importance, not affinity).
+
+    The sparse spelling is the point at scale: the rank state holds
+    ONLY nodes the seed's mass has reached (3-hop ball here), so each
+    round's contribution join is frontier-sized against the staged
+    edge relation — the `graph_bfs_reach` frontier discipline applied
+    to a weighted walk. Rounds round to 12 after DECIMAL contribution
+    sums (the graph_pagerank exactness contract). Consumes the staged
+    customer–supplier fixture; degrees come from the symmetrized edge
+    list, teleport is a 1-row union, and nothing is ever collected."""
+    pairs = _custsupp_labeled(spark, sf_dir)  # staged fixture (r9)
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).transform(track)
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).transform(track)
+    ranks = spark.createDataFrame([(PPR_SEED, 1.0)], "node string, r double")
+    teleport = spark.createDataFrame([(PPR_SEED, 0.15)], "node string, v double")
+    for _ in range(PPR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "a"), "a")
+            .join(deg.withColumnRenamed("node", "a"), "a")
+            .select(
+                F.col("b").alias("node"),
+                (F.col("r") / F.col("deg")).cast(_PPR_DEC).alias("cd"),
+            )
+            .groupBy("node")
+            .agg((F.lit(0.85) * F.sum("cd").cast("double")).alias("v"))
+        )
+        ranks = (
+            contrib.select("node", "v")
+            .unionByName(teleport)
+            .groupBy("node")
+            .agg(F.round(F.sum("v"), 12).alias("r"))
+        )
+    return ranks.where(F.col("r") > 0).select("node", F.col("r").alias("ppr"))

@@ -342,6 +342,9 @@ SUITES: dict[str, list[str]] = {
         "text_rocchio_prf",
         # r9 fifth batch: embedding-space isotropy health gate
         "embed_isotropy_score",
+        # r9 eighth batch: MIPS-to-cosine reduction (norm-completion
+        # augmentation), hash-proves inner-product order exactness
+        "sim_mips_transform",
     ],
     "suite_text": [
         "corpus_dataset_card",  # r7
@@ -499,6 +502,9 @@ SUITES: dict[str, list[str]] = {
         # r9 third batch: the forecasting ladder's intermittent-demand
         # rung (Croston + SBA, exact unrolled SES)
         "ts_croston_forecast",
+        # r9 eighth batch: seed-teleport proximity scores on the
+        # staged customer-supplier graph
+        "graph_personalized_pagerank",
         # r9 fourth batch: the privacy ladder's local-DP rung (Warner
         # randomized response, salted-md5 coin)
         "privacy_randomized_response",
@@ -528,6 +534,8 @@ SUITES: dict[str, list[str]] = {
         "quality_referential_integrity",
         # r9 fifth batch: the quasi-experimental causal estimator
         "events_did_estimator",
+        # r9 eighth batch: Wald's always-valid sequential monitor
+        "events_sprt_sequential",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",
