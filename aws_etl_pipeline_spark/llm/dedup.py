@@ -929,3 +929,118 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("effective_chars"),
     )
+
+
+def _incr_bloom_oracle() -> str:
+    from ..operators.sketches import BLOOM_J, _bloom_pos_sql
+
+    union_bits = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(j, 'fp')} AS pos FROM hist"
+        for j in range(BLOOM_J)
+    )
+    probe_all = " AND ".join(
+        f"{_bloom_pos_sql(j, 'b.fp')} IN (SELECT pos FROM bits)"
+        for j in range(BLOOM_J)
+    )
+    return f"""
+WITH hist AS (
+  SELECT md5(lower(trim(text))) AS fp FROM documents WHERE doc_id % 2 = 0
+),
+batch AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+  WHERE doc_id % 2 = 1
+),
+bits AS (
+  SELECT DISTINCT pos FROM ({union_bits})
+),
+probed AS (
+  SELECT b.doc_id, b.fp,
+         ({probe_all}) AS bloom_hit,
+         h.fp IS NOT NULL AS exact_dup
+  FROM batch b
+  LEFT JOIN (SELECT DISTINCT fp FROM hist) h ON b.fp = h.fp
+)
+SELECT
+  count(*)::BIGINT AS n_batch,
+  sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)::BIGINT AS n_suspected,
+  sum(CASE WHEN exact_dup THEN 1 ELSE 0 END)::BIGINT AS n_true_dups,
+  sum(CASE WHEN bloom_hit AND NOT exact_dup THEN 1 ELSE 0 END)::BIGINT
+    AS n_false_positives,
+  sum(CASE WHEN exact_dup AND NOT bloom_hit THEN 1 ELSE 0 END)::BIGINT
+    AS n_false_negatives,
+  round(sum(CASE WHEN bloom_hit AND NOT exact_dup THEN 1 ELSE 0 END)::DOUBLE
+        / count(*), 6) AS fp_rate
+FROM probed
+"""
+
+
+@query("dedup_incremental_bloom", oracle=_incr_bloom_oracle())
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup architecture: the HISTORY half of the
+    corpus (even doc_ids) is folded into a Bloom filter over content
+    fingerprints; the NEW batch (odd doc_ids) probes it, and bloom
+    hits are exact-verified by an equi-join against history
+    fingerprints. Emits the screen's confusion counts — suspected,
+    true dups, false positives (the bits-per-key price, honestly
+    measured), and false negatives (MUST be 0: Bloom filters have no
+    false negatives; a nonzero here is a broken filter, pinned by the
+    hash). This is how a production pipeline dedups a daily crawl drop
+    against months of history WITHOUT joining the new batch to the
+    full corpus: the filter ships to every executor (m bits, here
+    4096 bits — the real system sizes m to the history
+    cardinality), and only suspected rows pay the exact-verify join.
+
+    Shares the salted-md5 bit positions with
+    `sketch_bloom_membership`; at 100 TB the exact-verify side is a
+    bucket-pruned lookup, not a full-history scan."""
+    from ..operators.sketches import BLOOM_J, BLOOM_M, _bloom_pos_spark
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    hist = d.where(F.col("doc_id") % 2 == 0).select(fp.alias("fp")).transform(
+        track
+    )  # bit build + exact-verify join
+    batch = d.where(F.col("doc_id") % 2 == 1).select("doc_id", fp.alias("fp"))
+    bits = (
+        hist.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos_spark(j, F.col("fp")) for j in range(BLOOM_J)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .agg(F.collect_set("pos").alias("bitset"))
+    )
+    probe = None
+    for j in range(BLOOM_J):
+        hit_j = F.array_contains("bitset", _bloom_pos_spark(j, F.col("fp")))
+        probe = hit_j if probe is None else (probe & hit_j)
+    probed = (
+        batch.crossJoin(F.broadcast(bits))
+        .join(
+            F.broadcast(hist.distinct().select(F.col("fp").alias("hfp"))),
+            F.col("fp") == F.col("hfp"),
+            "left",
+        )
+        .select(
+            probe.alias("bloom_hit"),
+            F.col("hfp").isNotNull().alias("exact_dup"),
+        )
+    )
+    return probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("long").alias("n_suspected"),
+        F.sum(F.col("exact_dup").cast("int")).cast("long").alias("n_true_dups"),
+        F.sum((F.col("bloom_hit") & ~F.col("exact_dup")).cast("int"))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.sum((F.col("exact_dup") & ~F.col("bloom_hit")).cast("int"))
+        .cast("long")
+        .alias("n_false_negatives"),
+        F.round(
+            F.sum((F.col("bloom_hit") & ~F.col("exact_dup")).cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )

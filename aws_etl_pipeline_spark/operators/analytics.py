@@ -3979,3 +3979,107 @@ def events_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+FUNNEL_WINDOW_DAYS = 3  # each later step must land within this of step 1
+
+
+@query(
+    "events_window_funnel",
+    oracle=f"""
+WITH u1 AS (
+  SELECT user_id, min(ts) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+u2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN u1 ON e.user_id = u1.user_id
+  WHERE e.event_type = 'click' AND e.ts > u1.t1
+    AND e.ts <= u1.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+  GROUP BY e.user_id
+),
+u3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e
+  JOIN u2 ON e.user_id = u2.user_id
+  JOIN u1 ON e.user_id = u1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+    AND e.ts <= u1.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+  GROUP BY e.user_id
+),
+levels AS (
+  SELECT u1.user_id,
+         CASE WHEN u3.user_id IS NOT NULL THEN 3
+              WHEN u2.user_id IS NOT NULL THEN 2
+              ELSE 1 END AS funnel_level
+  FROM u1
+  LEFT JOIN u2 ON u1.user_id = u2.user_id
+  LEFT JOIN u3 ON u1.user_id = u3.user_id
+)
+SELECT funnel_level::BIGINT AS funnel_level,
+       count(*)::BIGINT AS n_users,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM u1), 6) AS pct_of_entered
+FROM levels GROUP BY funnel_level
+""",
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT time-bounded conversion funnel (the ClickHouse
+    windowFunnel semantic, earliest-greedy matching): view -> click ->
+    purchase where every later step must occur AFTER the previous
+    step's earliest match and within {FUNNEL_WINDOW_DAYS} days of the
+    FIRST step. `events_funnel` is the loose any-order-any-time form;
+    this is the one product analysts mean when they say \"the 3-day
+    funnel\" — ordering and the window both bind, so a purchase before
+    the click or a click a week later does not convert.
+
+    Plan: three user-keyed conditional-min aggregates chained by
+    user-keyed joins (earliest-greedy needs the PREVIOUS step's
+    timestamp, so the chain is inherent — but each stage is one
+    map-side-combined aggregate and every join is on the same user
+    key, so at scale all stages ride one hash partitioning with zero
+    extra shuffles); the level rollup is a 3-row aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).transform(track)  # three step passes read it
+    u1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .transform(track)  # step-2/3 joins + the entered-count scalar
+    )
+    horizon = F.col("t1") + F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAY")
+    u2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .join(u1, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    levels = (
+        u1.join(u2.select("user_id", F.lit(2).alias("l2")), "user_id", "left")
+        .join(u3.select("user_id", F.lit(3).alias("l3")), "user_id", "left")
+        .select(
+            F.coalesce("l3", "l2", F.lit(1)).cast("long").alias("funnel_level")
+        )
+    )
+    entered = u1.agg(F.count(F.lit(1)).cast("double").alias("n_entered"))
+    return (
+        levels.groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .crossJoin(F.broadcast(entered))
+        .select(
+            "funnel_level",
+            "n_users",
+            F.round(F.col("n_users") / F.col("n_entered"), 6).alias(
+                "pct_of_entered"
+            ),
+        )
+    )

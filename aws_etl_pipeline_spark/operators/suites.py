@@ -309,6 +309,8 @@ SUITES: dict[str, list[str]] = {
         "dedup_semantic",
         # r8 ninth batch: duplicate-aware soft sampling weights
         "dedup_soft_weights",
+        # r9 ninth batch: bloom-screened incremental-ingest dedup
+        "dedup_incremental_bloom",
     ],
     "suite_sim": [
         "sim_bruteforce_topk",
@@ -536,6 +538,8 @@ SUITES: dict[str, list[str]] = {
         "events_did_estimator",
         # r9 eighth batch: Wald's always-valid sequential monitor
         "events_sprt_sequential",
+        # r9 ninth batch: strict time-bounded conversion funnel
+        "events_window_funnel",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",
