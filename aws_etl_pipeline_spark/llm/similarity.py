@@ -2010,3 +2010,110 @@ def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= MIPS_TOP)
     )
+
+
+DRIFT_COS_FLOOR = 0.99  # centroid cosine below this flags drift
+
+
+@query(
+    "quality_embedding_drift",
+    oracle=f"""
+WITH x AS (
+  SELECT label, vec_id % 2 AS half, u.d AS dim,
+         CAST(embedding[u.d] AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS d) u
+),
+cent AS (
+  SELECT label, half, dim,
+         CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c
+  FROM x GROUP BY label, half, dim
+),
+pairs AS (
+  SELECT a.label, a.dim, a.c AS c0, b.c AS c1
+  FROM (SELECT * FROM cent WHERE half = 0) a
+  JOIN (SELECT * FROM cent WHERE half = 1) b
+    ON a.label = b.label AND a.dim = b.dim
+),
+sums AS (
+  SELECT label,
+         CAST(sum(CAST(c0 * c1 AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+         sqrt(CAST(sum(CAST(c0 * c0 AS DECIMAL(38,18))) AS DOUBLE)) AS n0,
+         sqrt(CAST(sum(CAST(c1 * c1 AS DECIMAL(38,18))) AS DOUBLE)) AS n1
+  FROM pairs GROUP BY label
+),
+counts AS (
+  SELECT label,
+         sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+         sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_cur
+  FROM embeddings GROUP BY label
+)
+SELECT s.label, c.n_ref, c.n_cur,
+       round(s.dot / (s.n0 * s.n1), 6) AS centroid_cosine,
+       s.dot / (s.n0 * s.n1) < {DRIFT_COS_FLOOR} AS drifted
+FROM sums s JOIN counts c ON s.label = c.label
+""",
+)
+def quality_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the cosine between the
+    REFERENCE half's centroid (even vec_ids — yesterday's index) and
+    the CURRENT half's (odd — today's re-embed or new model), plus the
+    population split. Centroid-cosine collapse is the cheap first
+    alarm that an embedding model rev or upstream text change silently
+    rotated the space — at which point every stored ANN index and
+    cached neighbor list is stale (`quality_drift_psi` watches scalar
+    distributions; this is its vector-space sibling).
+
+    Plan: one posexplode fan-out (fixed d-factor), (label, half, dim)
+    DECIMAL moment sums, then a d-row-per-label join and fold — state
+    is labels x dims, corpus touched once; the count rollup rides the
+    same scan."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(_as_double("embedding")).alias("dim", "x"),
+    )
+    cent = x.groupBy("label", "half", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    a = cent.where(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("c0")
+    )
+    b = cent.where(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("c1")
+    )
+    sums = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("c0") * F.col("c1")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("dot"),
+            F.sqrt(
+                F.sum((F.col("c0") * F.col("c0")).cast("decimal(38,18)")).cast(
+                    "double"
+                )
+            ).alias("n0"),
+            F.sqrt(
+                F.sum((F.col("c1") * F.col("c1")).cast("decimal(38,18)")).cast(
+                    "double"
+                )
+            ).alias("n1"),
+        )
+    )
+    counts = e.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("int")).cast("long").alias("n_ref"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("int")).cast("long").alias("n_cur"),
+    )
+    cosc = F.col("dot") / (F.col("n0") * F.col("n1"))
+    return sums.join(counts, "label").select(
+        "label",
+        "n_ref",
+        "n_cur",
+        F.round(cosc, 6).alias("centroid_cosine"),
+        (cosc < DRIFT_COS_FLOOR).alias("drifted"),
+    )

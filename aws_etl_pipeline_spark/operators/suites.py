@@ -347,6 +347,9 @@ SUITES: dict[str, list[str]] = {
         # r9 eighth batch: MIPS-to-cosine reduction (norm-completion
         # augmentation), hash-proves inner-product order exactness
         "sim_mips_transform",
+        # r9 tenth batch: centroid-cosine drift monitor (the vector-
+        # space sibling of quality_drift_psi)
+        "quality_embedding_drift",
     ],
     "suite_text": [
         "corpus_dataset_card",  # r7
@@ -464,6 +467,9 @@ SUITES: dict[str, list[str]] = {
         "graph_triangle_count",
         # r7: governance, decomposition, node similarity
         "quality_expectations",
+        # r9 tenth batch: exact Shapley channel attribution (the
+        # cooperative-game twin of the Markov removal effects)
+        "events_shapley_attribution",
         "privacy_l_diversity",
         "privacy_dp_count_laplace",
         "events_rfm_segmentation",  # r7
