@@ -151,6 +151,10 @@ SUITES: dict[str, list[str]] = {
         # r9 third batch: bidirectional nearest-event enrichment (the
         # as-of join's two-sided sibling, still join-free)
         "join_nearest_event",
+        # r9 second rotation: digest-seats the broadcast-join flagship
+        # so its PRIORITY slot (direct green r1-r8) can fund a new
+        # r9 direct row
+        "join_inner_broadcast",
     ],
     "suite_agg": [
         "agg_rollup",
@@ -184,6 +188,9 @@ SUITES: dict[str, list[str]] = {
         # r9 fifth batch: continuous-value revenue concentration (the
         # categorical-impurity agg_entropy_gini's Lorenz twin)
         "agg_gini_concentration",
+        # r9 second rotation: digest-seats the hash-agg flagship
+        # (direct green r1-r8) to fund a new r9 direct row
+        "agg_basic",
     ],
     "suite_setops": [
         "set_union_all",
@@ -416,6 +423,9 @@ SUITES: dict[str, list[str]] = {
         "mix_token_budget",
     ],
     "suite_tpch": [
+        # r9 second rotation: digest-seats the revenue-forecast
+        # flagship (direct green r1-r8) to fund a new r9 direct row
+        "q6_forecast_revenue",
         "q2_min_cost_supplier",
         "q3_shipping_priority",
         "q4_order_priority",

@@ -170,17 +170,20 @@ PRIORITY: tuple[str, ...] = (
     "stream_file_ingest",
     # engine flagships (§2B) — one strong granular row per area
     "q1_pricing_summary",
-    "q6_forecast_revenue",
+    # (q6_forecast_revenue rotated out r9 second rotation — suite_tpch
+    # digest; direct green r1-r8.)
     # (q18_large_volume_customer rotated out r6 — suite_tpch digest;
     # direct green r5.)
     # (q5_region_revenue rotated out r5 — suite_tpch digest; direct
     # green r4. join_fuzzy_blocked rotated out r5 — suite_join_misc
     # digest; direct green r4.)
-    "join_inner_broadcast",
+    # (join_inner_broadcast rotated out r9 second rotation —
+    # suite_join_misc digest; direct green r1-r8.)
     "join_asof",
     # (scd2_intervals rotated out r6 — suite_etl_misc digest; direct
     # green r5, r4 bench regression verified fixed at 1.05x r1.)
-    "agg_basic",
+    # (agg_basic rotated out r9 second rotation — suite_agg digest;
+    # direct green r1-r8.)
     # (agg_distinct rotated out r8 fourth rotation — suite_agg digest;
     # direct green r1-r7 — to seat the suite_stats digest row.)
     # (agg_collect and agg_approx_quantile rotated out r7 — suite_agg
@@ -199,6 +202,11 @@ PRIORITY: tuple[str, ...] = (
     "quality_referential_integrity",
     "sim_bitext_margin_mining",
     "sample_neyman_allocation",
+    # rotated in r9 second rotation: first direct rows for three r9
+    # flagships
+    "stream_exec_topk_merge",
+    "events_shapley_attribution",
+    "text_rocchio_prf",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —

@@ -203,3 +203,14 @@ def test_rotated_out_slots_stay_digest_covered():
         "quality_referential_integrity",
     ):
         assert digest_seated in digest_covered, digest_seated
+    # the round-9 SECOND rotation: three r1-flagships with direct
+    # green r1-r8 history leave (newly digest-seated so the rotation
+    # invariant holds); three r9 flagships take their first direct rows
+    for rotated_out in ("join_inner_broadcast", "agg_basic", "q6_forecast_revenue"):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in (
+        "stream_exec_topk_merge",
+        "events_shapley_attribution",
+        "text_rocchio_prf",
+    ):
+        assert rotated_in in PRIORITY, rotated_in
