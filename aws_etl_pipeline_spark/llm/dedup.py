@@ -1044,3 +1044,120 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+BBIT_B = 2  # stored bits per minhash value (Li & Koenig 2010)
+
+
+def _bbit_oracle() -> str:
+    mod = 1 << BBIT_B
+    cb = 1.0 / mod
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL.strip()}) AS sh
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents)
+),
+hashed AS (
+  SELECT doc_id, {_BASEHASH_SQL} AS hs FROM t
+),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_COLS_SQL}
+  FROM hashed
+),
+banded AS (
+  SELECT doc_id, [{", ".join(f"mh{k}" for k in range(N_MINHASH))}] AS sig,
+       {_BAND_SQL}
+  FROM sig
+),
+band_rows AS (
+  SELECT doc_id, sig, 0 AS band_idx, band0 AS band_hash FROM banded
+  UNION ALL SELECT doc_id, sig, 1, band1 FROM banded
+  UNION ALL SELECT doc_id, sig, 2, band2 FROM banded
+  UNION ALL SELECT doc_id, sig, 3, band3 FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sa, b.sig AS sb
+  FROM band_rows a JOIN band_rows b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(list_sum(list_transform(generate_series(1, {N_MINHASH}),
+               i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))
+             / {N_MINHASH}.0, 6) AS est_full,
+       round(greatest(
+         (list_sum(list_transform(generate_series(1, {N_MINHASH}),
+            i -> CASE WHEN sa[i] % {mod} = sb[i] % {mod} THEN 1 ELSE 0 END))
+          / {N_MINHASH}.0 - {cb!r}) / {1.0 - cb!r}, 0.0), 6) AS est_bbit
+FROM pairs
+"""
+
+
+@query("dedup_minhash_bbit", oracle=_bbit_oracle())
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & Koenig 2010): store only the lowest
+    {BBIT_B} bits of each minhash value and debias the agreement rate
+    by the collision floor — est = max((A - 1/2^b) / (1 - 1/2^b), 0).
+    For the same LSH candidates this emits the full-width estimate and
+    the {BBIT_B}-bit estimate side by side, which IS the storage
+    trade: a {N_MINHASH}-perm signature shrinks from {N_MINHASH}x64
+    bits to {N_MINHASH}x{BBIT_B} (a 32x index-memory cut at this
+    geometry) while the debiased estimator stays unbiased — the
+    variance price is visible in the per-pair spread between the two
+    columns. At 100 TB the b-bit signatures are what actually ship to
+    the dedup index; candidates still come from the full-width banded
+    buckets (band hashes are md5s of full values, so candidate recall
+    is unchanged).
+
+    Plan: identical to `dedup_minhash_lsh` — signature build, band
+    bucket equi-join, per-pair expression arithmetic; the b-bit fold
+    is a zip_with over the signature arrays already in flight."""
+    from ..api import _lsh_band_rows
+
+    mod = 1 << BBIT_B
+    cb = 1.0 / mod
+    d = load_spread(spark, sf_dir, "documents")
+    band_rows = _lsh_band_rows(
+        d, "doc_id", "text", N_MINHASH, N_BANDS, SHINGLE, include_sig=True
+    )
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    agree_full = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"), F.col("b.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    agree_bbit = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"), F.col("b.sig"),
+            lambda x, y: F.when(x % mod == y % mod, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(agree_full / float(N_MINHASH), 6).alias("est_full"),
+            F.round(
+                F.greatest(
+                    (agree_bbit / float(N_MINHASH) - F.lit(cb))
+                    / F.lit(1.0 - cb),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("est_bbit"),
+        )
+        .distinct()
+    )

@@ -4229,3 +4229,127 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+SES_ALPHAS = (0.2, 0.35, 0.5, 0.65, 0.8)  # grid for one-step selection
+
+
+def _ses_conv_sql(col: str, a: float) -> str:
+    terms = [f"{a!r} * {col}"] + [
+        f"{a * (1 - a) ** k!r} * coalesce(lag({col}, {k}) OVER w, 0)"
+        for k in range(1, EWMA_TERMS)
+    ]
+    return " + ".join(terms)
+
+
+def _ses_select_oracle() -> str:
+    per_alpha = []
+    for a in SES_ALPHAS:
+        per_alpha.append(
+            f"""
+SELECT event_type, {a!r} AS alpha,
+       count(*)::BIGINT AS n_days,
+       round(CAST(sum(CAST(pow(v - f, 2) AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS sse
+FROM (
+  SELECT event_type, day, v, lag(s) OVER w2 AS f
+  FROM (
+    SELECT event_type, day, v, round({_ses_conv_sql('v', a)}, 6) AS s
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+  ) WINDOW w2 AS (PARTITION BY event_type ORDER BY day)
+) WHERE f IS NOT NULL
+GROUP BY event_type"""
+        )
+    union = " UNION ALL ".join(f"({q})" for q in per_alpha)
+    return f"""
+WITH daily AS ({_DAILY_SQL}),
+grid AS ({union})
+SELECT event_type, alpha AS best_alpha, n_days, sse AS sse_best
+FROM grid
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY sse, alpha) = 1
+"""
+
+
+@query("ts_ses_alpha_select", oracle=_ses_select_oracle())
+def ts_ses_alpha_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothing-parameter SELECTION for simple exponential smoothing:
+    a {len(SES_ALPHAS)}-point alpha grid, each evaluated by one-step-
+    ahead SSE on the daily value series (forecast for day t = the
+    truncated-convolution EWMA through t-1), winner per series by
+    (sse, alpha). The model-selection rung of the forecasting ladder —
+    `ts_backtest_rolling` measures FIXED models; this picks the
+    hyperparameter the way statsmodels' SimpleExpSmoothing.fit()
+    does, except grid-exact and engine-reproducible. The truncated
+    convolution (the events_ewma device; 7 lags) IS the model on both
+    engines, so low alphas' truncation residual is consistent, not an
+    error source; smoothed values round at 6 before the error pass so
+    both engines difference identical forecasts.
+
+    Plan: ONE window pass computes all {len(SES_ALPHAS)} convolutions
+    over the calendar-bounded rollup (same frame, different constant
+    weights — Catalyst shares the sort), one aggregate per alpha, and
+    a 5-row-per-series argmin window. Cost is the rollup shuffle plus
+    per-series window work; alphas add expressions, not passes."""
+    daily = _daily_value_rollup(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("day")
+
+    def conv(a: float):
+        terms = F.lit(a) * F.col("v")
+        for k in range(1, EWMA_TERMS):
+            terms = terms + F.lit(a * (1 - a) ** k) * F.coalesce(
+                F.lag("v", k).over(w), F.lit(0.0)
+            )
+        return terms
+
+    cols = ["event_type", "day", "v"]
+    # two window layers: the convolution itself, then the one-step lag
+    # (nesting a lag of a lag-expression is illegal on both engines)
+    smoothed = daily.select(
+        *cols,
+        *[
+            F.round(conv(a), 6).alias(f"s{i}")
+            for i, a in enumerate(SES_ALPHAS)
+        ],
+    ).select(
+        *cols,
+        *[
+            F.lag(f"s{i}").over(w).alias(f"f{i}")
+            for i in range(len(SES_ALPHAS))
+        ],
+    )
+    grids = []
+    for i, a in enumerate(SES_ALPHAS):
+        f = F.col(f"f{i}")
+        grids.append(
+            smoothed.where(f.isNotNull())
+            .groupBy("event_type")
+            .agg(
+                F.lit(a).alias("alpha"),
+                F.count(F.lit(1)).cast("long").alias("n_days"),
+                F.round(
+                    F.sum(
+                        F.pow(F.col("v") - f, 2).cast("decimal(38,12)")
+                    ).cast("double"),
+                    6,
+                ).alias("sse"),
+            )
+        )
+    grid = grids[0]
+    for g in grids[1:]:
+        grid = grid.unionByName(g)
+    return (
+        grid.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy("sse", "alpha")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("alpha").alias("best_alpha"),
+            "n_days",
+            F.col("sse").alias("sse_best"),
+        )
+    )

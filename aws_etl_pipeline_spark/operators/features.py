@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..catalog import load_table
 from ..registry import query
 
@@ -362,4 +363,62 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("long").alias("tf"),
         F.countDistinct("term").cast("long").alias("n_terms"),
+    )
+
+
+RARE_MIN_SHARE = 0.01  # categories under this share collapse to __other__
+
+
+@query(
+    "feature_count_encode_rare",
+    oracle=f"""
+WITH counts AS (
+  SELECT p_type AS category, count(*)::BIGINT AS n
+  FROM part GROUP BY p_type
+),
+tot AS (SELECT sum(n)::DOUBLE AS total FROM counts),
+collapsed AS (
+  SELECT CASE WHEN n / total >= {RARE_MIN_SHARE} THEN category
+              ELSE '__other__' END AS collapsed, category, n
+  FROM counts CROSS JOIN tot
+)
+SELECT collapsed,
+       count(*)::BIGINT AS n_source_categories,
+       sum(n)::BIGINT AS n_rows,
+       round(sum(n) / (SELECT total FROM tot), 6) AS freq_encoding
+FROM collapsed GROUP BY collapsed
+""",
+)
+def feature_count_encode_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count/frequency encoding with rare-category collapse: categories
+    under {RARE_MIN_SHARE:.0%} corpus share fold into ``__other__``
+    before the frequency becomes the feature — the standard guard that
+    keeps one-row categories from minting unique (memorizable,
+    leaky, serving-time-unseen) feature values. Complements
+    `feature_target_encode_loo` (label-aware) and
+    `feature_hashing_trick` (stateless): this is the label-FREE
+    dictionary encoder with the long-tail handled.
+
+    Plan: one category count (map-side combined over however many
+    rows), a 1-row broadcast total, and a categories-sized collapse
+    aggregate — the encoder table that ships to serving is
+    category-count-sized, never data-sized."""
+    p = load_table(spark, sf_dir, "part")
+    counts = p.groupBy(F.col("p_type").alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).transform(track)  # collapse pass + total fold
+    tot = counts.agg(F.sum("n").cast("double").alias("total"))
+    collapsed = counts.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            F.col("n") / F.col("total") >= RARE_MIN_SHARE, F.col("category")
+        )
+        .otherwise("__other__")
+        .alias("collapsed"),
+        "n",
+        "total",
+    )
+    return collapsed.groupBy("collapsed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_source_categories"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.round(F.sum("n") / F.max("total"), 6).alias("freq_encoding"),
     )

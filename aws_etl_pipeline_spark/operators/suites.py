@@ -318,6 +318,9 @@ SUITES: dict[str, list[str]] = {
         "dedup_soft_weights",
         # r9 ninth batch: bloom-screened incremental-ingest dedup
         "dedup_incremental_bloom",
+        # r9 eleventh batch: b-bit minwise hashing (32x signature
+        # memory cut, debiased estimator next to the full-width one)
+        "dedup_minhash_bbit",
     ],
     "suite_sim": [
         "sim_bruteforce_topk",
@@ -523,6 +526,10 @@ SUITES: dict[str, list[str]] = {
         # r9 eighth batch: seed-teleport proximity scores on the
         # staged customer-supplier graph
         "graph_personalized_pagerank",
+        # r9 eleventh batch: SES hyperparameter selection + label-free
+        # dictionary encoding with long-tail collapse
+        "ts_ses_alpha_select",
+        "feature_count_encode_rare",
         # r9 fourth batch: the privacy ladder's local-DP rung (Warner
         # randomized response, salted-md5 coin)
         "privacy_randomized_response",
