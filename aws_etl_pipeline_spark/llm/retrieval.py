@@ -882,10 +882,10 @@ def text_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 8,
             ).alias("w")
         )
-        .withColumn(
-            "r", F.row_number().over(W.orderBy(F.desc("w"), F.asc("term")))
-        )
-        .where(F.col("r") <= PRF_E)
+        # TakeOrdered top-E, not a global row_number window (the
+        # text_oov_rate note): same rows, same deterministic ordering
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(PRF_E)
         .select("term", "w")
         .transform(track)  # wt normalization reads it twice
     )

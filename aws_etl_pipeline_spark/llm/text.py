@@ -2131,11 +2131,13 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("f")
     ).transform(track)  # vocab window + token join + total all read it
     tot = tc.agg(F.sum("f").cast("double").alias("n"))
+    # top-K via orderBy+limit (TakeOrderedAndProject — per-partition
+    # top-K merged on the driver-side reduce) instead of a global
+    # row_number window, which would sort the ENTIRE vocabulary in one
+    # partition; same rows under the same deterministic ordering.
     vocab = (
-        tc.withColumn(
-            "r", F.row_number().over(W.orderBy(F.desc("f"), F.asc("term")))
-        )
-        .where(F.col("r") <= OOV_VOCAB_K)
+        tc.orderBy(F.desc("f"), F.asc("term"))
+        .limit(OOV_VOCAB_K)
         .select("term", F.lit(True).alias("in_vocab"))
     )
     return (

@@ -4353,3 +4353,202 @@ def ts_ses_alpha_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sse").alias("sse_best"),
         )
     )
+
+
+POWER_MDE_REL = 0.05  # minimum detectable relative lift
+POWER_Z_ALPHA = 1.959963984540054  # two-sided 5%
+POWER_Z_BETA = 0.8416212335729143  # 80% power
+POWER_CONV_MIN = 20  # "converted" = at least this many purchases
+
+
+@query(
+    "events_power_analysis",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+  FROM events GROUP BY user_id
+),
+base AS (
+  SELECT sum(CASE WHEN n_purch >= {POWER_CONV_MIN} THEN 1 ELSE 0 END)::DOUBLE
+           AS conv,
+         count(*)::DOUBLE AS n
+  FROM per_user
+),
+params AS (
+  SELECT conv / n AS p1,
+         least((conv / n) * (1.0 + {POWER_MDE_REL!r}), 0.999) AS p2,
+         n
+  FROM base
+)
+SELECT round(p1, 6) AS baseline_rate,
+       round(p2, 6) AS target_rate,
+       ceil(pow({POWER_Z_ALPHA!r} * sqrt(2 * ((p1 + p2) / 2)
+                                         * (1 - (p1 + p2) / 2))
+              + {POWER_Z_BETA!r} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+            / pow(p2 - p1, 2))::BIGINT AS n_required_per_arm,
+       n::BIGINT AS n_observed,
+       n >= ceil(pow({POWER_Z_ALPHA!r} * sqrt(2 * ((p1 + p2) / 2)
+                                              * (1 - (p1 + p2) / 2))
+                   + {POWER_Z_BETA!r} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+                 / pow(p2 - p1, 2)) * 2 AS adequately_powered
+FROM params
+""",
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test power analysis — the DESIGN side of the experimentation
+    family (`events_abtest_welch` reads results; this says whether the
+    experiment was worth running): required n per arm for detecting a
+    {POWER_MDE_REL:.0%} relative lift on the observed baseline
+    power-purchaser rate (>= {POWER_CONV_MIN} purchases; the all-users
+    purchase rate is saturated at 1.0 in this corpus, where the
+    formula degenerates — the clamp on p2 guards that edge anyway) at alpha=5% two-sided / 80% power, via the
+    standard two-proportion formula n = (z_a*sqrt(2*pbar*(1-pbar)) +
+    z_b*sqrt(p1 q1 + p2 q2))^2 / (p2-p1)^2, plus an
+    adequately-powered verdict for the observed population. The
+    normal quantiles are compile-time literals (no CDF at runtime), so
+    the whole operator is ONE distinct-count aggregate and scalar
+    arithmetic — a single scan at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purch")
+    )
+    base = per_user.agg(
+        F.sum((F.col("n_purch") >= POWER_CONV_MIN).cast("int"))
+        .cast("double")
+        .alias("conv"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    p1 = F.col("conv") / F.col("n")
+    p2 = F.least(p1 * (1.0 + POWER_MDE_REL), F.lit(0.999))
+    pbar = (p1 + p2) / 2
+    n_req = F.ceil(
+        F.pow(
+            F.lit(POWER_Z_ALPHA) * F.sqrt(2 * pbar * (1 - pbar))
+            + F.lit(POWER_Z_BETA)
+            * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2)),
+            2,
+        )
+        / F.pow(p2 - p1, 2)
+    ).cast("long")
+    return base.select(
+        F.round(p1, 6).alias("baseline_rate"),
+        F.round(p2, 6).alias("target_rate"),
+        n_req.alias("n_required_per_arm"),
+        F.col("n").cast("long").alias("n_observed"),
+        (F.col("n") >= n_req * 2).alias("adequately_powered"),
+    )
+
+
+RECON_HORIZON = 7  # days forecast in the reconciliation example
+
+
+def _recon_oracle() -> str:
+    conv = _conv_sql("v")
+    return f"""
+WITH daily AS ({_DAILY_SQL}),
+fitted AS (
+  SELECT event_type, day, v,
+         round({conv}, 6) AS level
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+last_level AS (
+  SELECT event_type, level AS fc
+  FROM fitted
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY day DESC) = 1
+),
+total_fc AS (
+  SELECT CAST(sum(CAST(fc AS DECIMAL(38,6))) AS DOUBLE) AS bottom_up
+  FROM last_level
+),
+top_series AS (
+  SELECT day, CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM daily GROUP BY day
+),
+top_fitted AS (
+  SELECT day, round({conv}, 6) AS level
+  FROM top_series WINDOW w AS (ORDER BY day)
+),
+top_fc AS (
+  SELECT level AS direct FROM top_fitted
+  QUALIFY row_number() OVER (ORDER BY day DESC) = 1
+)
+SELECT l.event_type,
+       round(l.fc, 6) AS series_forecast,
+       round(l.fc * (SELECT direct FROM top_fc)
+             / (SELECT bottom_up FROM total_fc), 6) AS reconciled_forecast,
+       round((SELECT direct FROM top_fc), 6) AS total_direct,
+       round((SELECT bottom_up FROM total_fc), 6) AS total_bottom_up
+FROM last_level l
+"""
+
+
+@query("ts_forecast_reconciliation", oracle=_recon_oracle())
+def ts_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation (the coherence problem:
+    per-series forecasts never sum to the directly-forecast total):
+    per-type SES level forecasts (bottom) vs an SES forecast of the
+    aggregate series (top), reconciled by proportional top-down
+    scaling — each series forecast is rescaled by total_direct /
+    total_bottom_up so the hierarchy adds up exactly. The standard
+    first rung of the Hyndman reconciliation ladder (MinT/OLS need a
+    residual covariance — out of scope for an oracle-exact operator).
+
+    Plan: the daily rollup feeds BOTH levels (per-type windows and the
+    day-summed top series — one extra tiny aggregate), forecasts are
+    last-row window picks, and reconciliation is broadcast scalar
+    arithmetic. Nothing beyond the rollup shuffle touches the event
+    log."""
+    daily = _daily_value_rollup(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("day")
+
+    def conv(col, wspec):
+        terms = F.lit(0.5) * col
+        for k in range(1, EWMA_TERMS):
+            terms = terms + F.lit(0.5 ** (k + 1)) * F.coalesce(
+                F.lag(col, k).over(wspec), F.lit(0.0)
+            )
+        return terms
+
+    fitted = daily.select(
+        "event_type", "day", F.round(conv(F.col("v"), w), 6).alias("level")
+    )
+    last_level = (
+        fitted.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(F.desc("day"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("level").alias("fc"))
+        .transform(track)  # bottom-up total + output rows
+    )
+    total_fc = last_level.agg(
+        F.sum(F.col("fc").cast("decimal(38,6)")).cast("double").alias("bottom_up")
+    )
+    top = daily.groupBy("day").agg(
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("v")
+    )
+    wt = W.orderBy("day")
+    top_fc = (
+        top.select("day", F.round(conv(F.col("v"), wt), 6).alias("level"))
+        .withColumn("rn", F.row_number().over(W.orderBy(F.desc("day"))))
+        .where(F.col("rn") == 1)
+        .select(F.col("level").alias("direct"))
+    )
+    return (
+        last_level.crossJoin(F.broadcast(total_fc))
+        .crossJoin(F.broadcast(top_fc))
+        .select(
+            "event_type",
+            F.round("fc", 6).alias("series_forecast"),
+            F.round(
+                F.col("fc") * F.col("direct") / F.col("bottom_up"), 6
+            ).alias("reconciled_forecast"),
+            F.round("direct", 6).alias("total_direct"),
+            F.round("bottom_up", 6).alias("total_bottom_up"),
+        )
+    )

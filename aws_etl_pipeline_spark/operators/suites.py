@@ -530,6 +530,8 @@ SUITES: dict[str, list[str]] = {
         # dictionary encoding with long-tail collapse
         "ts_ses_alpha_select",
         "feature_count_encode_rare",
+        # r9 twelfth batch: proportional top-down coherence
+        "ts_forecast_reconciliation",
         # r9 fourth batch: the privacy ladder's local-DP rung (Warner
         # randomized response, salted-md5 coin)
         "privacy_randomized_response",
@@ -563,6 +565,8 @@ SUITES: dict[str, list[str]] = {
         "events_sprt_sequential",
         # r9 ninth batch: strict time-bounded conversion funnel
         "events_window_funnel",
+        # r9 twelfth batch: experiment design (required-n / power)
+        "events_power_analysis",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",
