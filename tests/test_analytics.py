@@ -342,3 +342,93 @@ def test_kcore_every_survivor_meets_degree_floor(spark, sf_dir):
     # degrees are within-subgraph, so no degree may exceed node count
     n = len(rows)
     assert all(r["deg"] < n for r in rows)
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """The Shapley values must sum EXACTLY to v(N) - v(empty): total
+    credit distributed equals the conversions attributable to having
+    all channels vs none — the efficiency axiom, and the invariant a
+    weight or coalition-join bug would break first."""
+    from aws_etl_pipeline_spark.operators.analytics import (
+        SHAPLEY_CHANNELS,
+        events_shapley_attribution,
+    )
+    from pyspark.sql import functions as F
+
+    rows = events_shapley_attribution(spark, sf_dir).collect()
+    assert {r["channel"] for r in rows} == set(SHAPLEY_CHANNELS)
+    total_credit = sum(r["shapley_value"] for r in rows)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # v(N) = all converters (every journey's touchset is contained in
+    # the full channel set); v(empty) = converters with NO touchpoints
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    pre = ev.where(F.col("event_type").isin(*SHAPLEY_CHANNELS)).select(
+        F.col("user_id").alias("uid"), "ts"
+    )
+    v_n = conv.count()
+    v_0 = (
+        conv.join(
+            pre, (F.col("uid") == F.col("user_id")) & (F.col("ts") < F.col("t")), "left_anti"
+        ).count()
+    )
+    assert abs(total_credit - (v_n - v_0)) < 1e-3, (total_credit, v_n, v_0)
+
+
+def test_sprt_llr_monotone_in_conversions(spark, sf_dir):
+    """Rows are cumulative, so cum_conv and cum_fail must both be
+    nondecreasing in day; and the decision must match the stated
+    boundary rule for every row."""
+    import math
+
+    from aws_etl_pipeline_spark.operators.analytics import (
+        SPRT_ALPHA,
+        SPRT_BETA,
+        events_sprt_sequential,
+    )
+
+    la = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+    lb = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+    rows = sorted(
+        events_sprt_sequential(spark, sf_dir).collect(), key=lambda r: r["day"]
+    )
+    assert rows
+    prev_c = prev_f = -1
+    for r in rows:
+        assert r["cum_conv"] >= prev_c and r["cum_fail"] >= prev_f
+        prev_c, prev_f = r["cum_conv"], r["cum_fail"]
+        if r["llr"] >= la:
+            assert r["decision"] == "accept_h1", r
+        elif r["llr"] <= lb:
+            assert r["decision"] == "accept_h0", r
+        else:
+            assert r["decision"] == "continue", r
+
+
+def test_window_funnel_levels_nest(spark, sf_dir):
+    """Strict-funnel levels must nest: entered >= level2 >= level3,
+    and the shares must sum to 1 over entered users."""
+    from aws_etl_pipeline_spark.operators.analytics import events_window_funnel
+
+    rows = {r["funnel_level"]: r for r in events_window_funnel(spark, sf_dir).collect()}
+    entered = sum(r["n_users"] for r in rows.values())
+    assert entered > 0
+    assert abs(sum(r["pct_of_entered"] for r in rows.values()) - 1.0) < 1e-4
+    # level counts are exclusive buckets; cumulative containment:
+    n3 = rows.get(3).n_users if 3 in rows else 0
+    n2plus = n3 + (rows.get(2).n_users if 2 in rows else 0)
+    assert n2plus <= entered and n3 <= n2plus
+
+
+def test_forecast_reconciliation_coherence(spark, sf_dir):
+    """After proportional scaling the bottom forecasts must sum to the
+    directly-forecast total exactly (to rounding)."""
+    from aws_etl_pipeline_spark.operators.analytics import ts_forecast_reconciliation
+
+    rows = ts_forecast_reconciliation(spark, sf_dir).collect()
+    assert rows
+    total_direct = rows[0]["total_direct"]
+    assert abs(sum(r["reconciled_forecast"] for r in rows) - total_direct) < 1e-3
