@@ -1027,3 +1027,84 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fill_ratio"),
     )
+
+
+LEN_BUCKETS = 10  # decile length buckets
+
+
+def _lenbucket_oracle() -> str:
+    qs = ", ".join(
+        f"percentile_disc({k / LEN_BUCKETS}) WITHIN GROUP (ORDER BY tokens) AS q{k}"
+        for k in range(1, LEN_BUCKETS)
+    )
+    bucket = "CASE "
+    for k in range(1, LEN_BUCKETS):
+        bucket += f"WHEN tokens <= q{k} THEN {k} "
+    bucket += f"ELSE {LEN_BUCKETS} END"
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         len(string_split(lower(trim(text)), ' '))::BIGINT AS tokens
+  FROM documents
+),
+bounds AS (SELECT {qs} FROM docs),
+bucketed AS (
+  SELECT doc_id, tokens, ({bucket})::BIGINT AS bucket
+  FROM docs CROSS JOIN bounds
+)
+SELECT bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(tokens)::BIGINT AS tokens_real,
+       (count(*) * max(tokens))::BIGINT AS tokens_padded,
+       round(1.0 - sum(tokens)::DOUBLE / (count(*) * max(tokens)), 6)
+         AS padding_waste
+FROM bucketed GROUP BY bucket
+"""
+
+
+@query("pack_length_buckets", oracle=_lenbucket_oracle())
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length bucketing for padded-batch training efficiency: documents
+    grouped into {LEN_BUCKETS} token-length deciles, each bucket
+    reporting real vs padded token mass (pad-to-bucket-max) and the
+    padding waste 1 - real/padded. Bucketing by length is the standard
+    alternative to `pack_token_budget`'s concatenate-then-chunk when
+    examples must stay intact (SFT, contrastive pairs, rerankers);
+    the waste column IS the decision input — compare the bucketed
+    waste against the one-bucket baseline (pad everything to global
+    max) to justify the loader complexity.
+
+    Boundaries are PERCENTILE_DISC over the token counts, folded to a
+    broadcast row (the feature_quantile_binning discipline — no global
+    sort); bucketing is a scan-fused comparison, stats one aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", _tokens().cast("long").alias("tokens")
+    ).transform(track)  # bounds fold + bucketing pass
+    bounds = docs.agg(
+        *[
+            F.expr(
+                f"percentile_disc({k / LEN_BUCKETS}) "
+                "WITHIN GROUP (ORDER BY tokens)"
+            ).alias(f"q{k}")
+            for k in range(1, LEN_BUCKETS)
+        ]
+    )
+    bucket = F.lit(LEN_BUCKETS)
+    for k in range(LEN_BUCKETS - 1, 0, -1):
+        bucket = F.when(F.col("tokens") <= F.col(f"q{k}"), F.lit(k)).otherwise(
+            bucket
+        )
+    bucketed = docs.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "tokens", bucket.cast("long").alias("bucket")
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("tokens_real"),
+        (F.count(F.lit(1)) * F.max("tokens")).cast("long").alias("tokens_padded"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("tokens") / (F.count(F.lit(1)) * F.max("tokens")),
+            6,
+        ).alias("padding_waste"),
+    )

@@ -493,3 +493,85 @@ def etl_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rh").cast("decimal(38,0)").cast("string").alias("checksum"),
         )
     )
+
+
+PSEUDO_SALT = "pseud42"  # rotation-controlled salt (a secret in prod)
+
+
+@query(
+    "etl_pseudonymize_keys",
+    oracle=f"""
+WITH c AS (
+  SELECT substr(md5('{PSEUDO_SALT}:' || c_custkey), 1, 16) AS pseud,
+         c_custkey
+  FROM customer
+),
+o AS (
+  SELECT substr(md5('{PSEUDO_SALT}:' || o_custkey), 1, 16) AS pseud,
+         o_custkey, o_totalprice
+  FROM orders
+)
+SELECT c.pseud AS customer_pseudonym,
+       count(o.o_custkey)::BIGINT AS n_orders,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_spend,
+       count(DISTINCT o.o_custkey)::BIGINT = 1 OR count(o.o_custkey) = 0
+         AS referentially_consistent
+FROM c LEFT JOIN o ON c.pseud = o.pseud
+GROUP BY c.pseud
+""",
+)
+def etl_pseudonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization with referential consistency: natural
+    customer keys are replaced by a salted-hash pseudonym in BOTH the
+    dimension and the fact table, and the join is re-run ON THE
+    PSEUDONYMS — the GDPR-style tokenization pattern where analytics
+    keep working after the identifier vault is locked away. The
+    ``referentially_consistent`` verdict pins the property that makes
+    pseudonymization usable at all: each pseudonym gathers exactly one
+    source key's rows (salted md5 at 64 bits has no collisions at any
+    plausible customer cardinality; a collision would flip the verdict
+    AND the hash). In production the salt is a managed secret and
+    rotation re-keys the lake; the plan — hash projections on both
+    scan sides, one equi-join on the pseudonym — is unchanged.
+
+    One shuffle on the 16-hex-char pseudonym; no raw key survives into
+    the output."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{PSEUDO_SALT}:"), F.col("c_custkey").cast("string"))),
+            1,
+            16,
+        ).alias("pseud"),
+        "c_custkey",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{PSEUDO_SALT}:"), F.col("o_custkey").cast("string"))),
+            1,
+            16,
+        ).alias("pseud"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    return (
+        c.join(o, "pseud", "left")
+        .groupBy("pseud")
+        .agg(
+            F.count("o_custkey").cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("total_spend"),
+            (
+                (F.countDistinct("o_custkey") == 1)
+                | (F.count("o_custkey") == 0)
+            ).alias("referentially_consistent"),
+        )
+        .select(
+            F.col("pseud").alias("customer_pseudonym"),
+            "n_orders",
+            "total_spend",
+            "referentially_consistent",
+        )
+    )

@@ -424,6 +424,9 @@ SUITES: dict[str, list[str]] = {
         # r9 sixth batch: budget-to-manifest epoch assembly (turns
         # mix_temperature's target distribution into an admission list)
         "mix_token_budget",
+        # r9 thirteenth batch: decile length bucketing with padding-
+        # waste accounting
+        "pack_length_buckets",
     ],
     "suite_tpch": [
         # r9 second rotation: digest-seats the revenue-forecast
@@ -463,6 +466,9 @@ SUITES: dict[str, list[str]] = {
         "etl_dense_surrogate_ids",
         # r8 seventh batch: order-insensitive reconciliation checksums
         "etl_partition_checksums",
+        # r9 thirteenth batch: salted-hash key tokenization with the
+        # referential-consistency verdict
+        "etl_pseudonymize_keys",
     ],
     "suite_analytics": [
         "events_funnel",
