@@ -937,3 +937,232 @@ def text_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("prf_score"), F.asc("doc_id"))
         .limit(PRF_TOP)
     )
+
+
+MMR_LAMBDA = 0.7  # relevance weight; 1-lambda penalizes redundancy
+MMR_K = 3  # diversified picks per query (greedy rounds, unrolled)
+MMR_CAND = 8  # candidate pool per query (exact top-N by relevance)
+
+
+def _mmr_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, v AS cv, nrm AS cn FROM n WHERE vec_id >= 10),
+cand AS (
+  SELECT query_id, cand_id, cv, cn,
+         round(list_dot_product(qv, cv) / (qn * cn), 8) AS rel
+  FROM q CROSS JOIN c
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY rel DESC, cand_id) <= {MMR_CAND}
+),
+p1 AS (
+  SELECT query_id, cand_id, cv, cn, rel
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY rel DESC, cand_id) = 1
+),
+s2 AS (
+  SELECT c.query_id, c.cand_id, c.cv, c.cn, c.rel,
+         round({MMR_LAMBDA!r} * c.rel - {1 - MMR_LAMBDA!r}
+               * round(list_dot_product(c.cv, p.cv) / (c.cn * p.cn), 8), 8)
+           AS mmr
+  FROM cand c JOIN p1 p ON c.query_id = p.query_id
+  WHERE c.cand_id != p.cand_id
+),
+p2 AS (
+  SELECT query_id, cand_id, cv, cn, rel, mmr
+  FROM s2
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY mmr DESC, cand_id) = 1
+),
+s3 AS (
+  SELECT c.query_id, c.cand_id, c.rel,
+         round({MMR_LAMBDA!r} * c.rel - {1 - MMR_LAMBDA!r}
+               * greatest(
+                   round(list_dot_product(c.cv, p1.cv) / (c.cn * p1.cn), 8),
+                   round(list_dot_product(c.cv, p2.cv) / (c.cn * p2.cn), 8)),
+               8) AS mmr
+  FROM cand c
+  JOIN p1 ON c.query_id = p1.query_id
+  JOIN p2 ON c.query_id = p2.query_id
+  WHERE c.cand_id != p1.cand_id AND c.cand_id != p2.cand_id
+),
+p3 AS (
+  SELECT query_id, cand_id, rel, mmr
+  FROM s3
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY mmr DESC, cand_id) = 1
+)
+SELECT query_id, 1::BIGINT AS pick, cand_id, rel, rel AS mmr_score FROM p1
+UNION ALL
+SELECT query_id, 2, cand_id, rel, mmr FROM p2
+UNION ALL
+SELECT query_id, 3, cand_id, rel, mmr FROM p3
+"""
+
+
+@query("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's exact top-{MMR_CAND} relevance pool, pick
+    {MMR_K} results greedily by lambda*rel - (1-lambda)*max-sim-to-
+    already-picked — THE standard diversity re-ranker that keeps a
+    result page from being {MMR_K} near-identical hits (directly
+    composable over the near-dup clusters `dedup_*` finds). The greedy
+    recursion is UNROLLED: pick 1 is pure relevance, each later round
+    is one join against the (tiny) previous picks plus an argmax
+    window per query — the graph_pagerank fixed-iteration discipline
+    applied to ranking. Cosines round at 8 before the MMR arithmetic
+    so both engines walk identical greedy trajectories.
+
+    Plan: one broadcast scoring pass to the candidate pool (the
+    sim_bruteforce shape), then K-1 rounds of candidate-pool-sized
+    joins — after the pool fold, every round is queries x {MMR_CAND}
+    rows regardless of corpus size."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", _as_double("embedding").alias("v")).select(
+        "vec_id", "v", _norm(F.col("v")).alias("nrm")
+    )
+    q = n.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    wq = W.partitionBy("query_id")
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "cand_id",
+            "cv",
+            "cn",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 8
+            ).alias("rel"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.desc("rel"), F.asc("cand_id"))),
+        )
+        .where(F.col("rn") <= MMR_CAND)
+        .drop("rn")
+        .transform(track)  # K greedy rounds re-read the pool
+    )
+    lam = MMR_LAMBDA
+
+    def _sim(cv_a, cn_a, cv_b, cn_b):
+        return F.round(_dot(cv_a, cv_b) / (cn_a * cn_b), 8)
+
+    p1 = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.desc("rel"), F.asc("cand_id"))),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("p1_id"),
+            F.col("cv").alias("p1_cv"),
+            F.col("cn").alias("p1_cn"),
+            F.col("rel").alias("p1_rel"),
+        )
+    )
+    s2 = (
+        cand.join(F.broadcast(p1), "query_id")
+        .where(F.col("cand_id") != F.col("p1_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "cv",
+            "cn",
+            "rel",
+            "p1_cv",
+            "p1_cn",
+            F.round(
+                F.lit(lam) * F.col("rel")
+                - F.lit(1 - lam)
+                * _sim(F.col("cv"), F.col("cn"), F.col("p1_cv"), F.col("p1_cn")),
+                8,
+            ).alias("mmr"),
+        )
+    )
+    p2 = (
+        s2.withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.desc("mmr"), F.asc("cand_id"))),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("p2_id"),
+            F.col("cv").alias("p2_cv"),
+            F.col("cn").alias("p2_cn"),
+            F.col("rel").alias("p2_rel"),
+            F.col("mmr").alias("p2_mmr"),
+        )
+    )
+    s3 = (
+        cand.join(F.broadcast(p1), "query_id")
+        .join(F.broadcast(p2), "query_id")
+        .where(
+            (F.col("cand_id") != F.col("p1_id"))
+            & (F.col("cand_id") != F.col("p2_id"))
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            "rel",
+            F.round(
+                F.lit(lam) * F.col("rel")
+                - F.lit(1 - lam)
+                * F.greatest(
+                    _sim(F.col("cv"), F.col("cn"), F.col("p1_cv"), F.col("p1_cn")),
+                    _sim(F.col("cv"), F.col("cn"), F.col("p2_cv"), F.col("p2_cn")),
+                ),
+                8,
+            ).alias("mmr"),
+        )
+    )
+    p3 = (
+        s3.withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.desc("mmr"), F.asc("cand_id"))),
+        )
+        .where(F.col("rn") == 1)
+        .select("query_id", "cand_id", "rel", F.col("mmr"))
+    )
+    out1 = p1.select(
+        "query_id",
+        F.lit(1).cast("long").alias("pick"),
+        F.col("p1_id").alias("cand_id"),
+        F.col("p1_rel").alias("rel"),
+        F.col("p1_rel").alias("mmr_score"),
+    )
+    out2 = p2.select(
+        "query_id",
+        F.lit(2).cast("long").alias("pick"),
+        F.col("p2_id").alias("cand_id"),
+        F.col("p2_rel").alias("rel"),
+        F.col("p2_mmr").alias("mmr_score"),
+    )
+    out3 = p3.select(
+        "query_id",
+        F.lit(3).cast("long").alias("pick"),
+        "cand_id",
+        "rel",
+        F.col("mmr").alias("mmr_score"),
+    )
+    return out1.unionByName(out2).unionByName(out3)

@@ -4552,3 +4552,113 @@ def ts_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("bottom_up", 6).alias("total_bottom_up"),
         )
     )
+
+
+VELO_WINDOW_MIN = 30  # sliding window (minutes) for the burst rule
+VELO_BURST_N = 5  # events within the window that trip the burst flag
+VELO_AMOUNT_Z = 3.0  # per-user amount z-score that trips the value flag
+
+
+@query(
+    "events_velocity_flags",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE value IS NOT NULL
+),
+burst AS (
+  SELECT event_id, user_id, ts, value,
+         count(*) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL {VELO_WINDOW_MIN} MINUTE PRECEDING
+                     AND CURRENT ROW) AS n_in_window
+  FROM ev
+),
+ustats AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu,
+         count(*)::BIGINT AS n_u,
+         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+           - pow(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 2) AS var
+  FROM ev GROUP BY user_id
+),
+flagged AS (
+  SELECT b.event_id, b.user_id, b.n_in_window::BIGINT AS n_in_window,
+         b.n_in_window >= {VELO_BURST_N} AS burst_flag,
+         u.n_u >= 5 AND u.var > 0
+           AND abs(b.value - u.mu) / sqrt(u.var) > {VELO_AMOUNT_Z!r}
+           AS amount_flag
+  FROM burst b JOIN ustats u USING (user_id)
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN burst_flag THEN 1 ELSE 0 END)::BIGINT AS n_burst,
+       sum(CASE WHEN amount_flag THEN 1 ELSE 0 END)::BIGINT AS n_amount,
+       sum(CASE WHEN burst_flag OR amount_flag THEN 1 ELSE 0 END)::BIGINT
+         AS n_flagged,
+       max(n_in_window)::BIGINT AS max_burst
+FROM flagged GROUP BY user_id
+""",
+)
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity-rule screening (the fraud/abuse rules-engine shape):
+    per event, (a) a BURST flag — >= {VELO_BURST_N} events by the same
+    user inside a sliding {VELO_WINDOW_MIN}-minute event-time window
+    (a true RANGE frame over timestamps, not a row frame), and (b) an
+    AMOUNT flag — the event's value more than {VELO_AMOUNT_Z} per-user
+    standard deviations from that user's own mean (n>=5 and var>0
+    guards). Rolled up per user. This is the batch twin of what a
+    streaming rules engine evaluates per event; the SQL RANGE-interval
+    frame is the operator Spark executes as a range window over the
+    user-sorted stream.
+
+    Plan: one RANGE window pass (shuffle on user_id) + one per-user
+    moment aggregate joined back — two reads of one sort; per-user
+    state is two moments, window state is the {VELO_WINDOW_MIN}-minute
+    buffer."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).select("event_id", "user_id", "ts", "value").transform(track)
+    # microsecond-exact RANGE frame: ordering on unix_micros matches
+    # DuckDB's INTERVAL comparison precision (a seconds-truncated cast
+    # can disagree on events within 1 s of the window boundary)
+    burst = ev.withColumn(
+        "n_in_window",
+        F.count(F.lit(1)).over(
+            W.partitionBy("user_id")
+            .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+            .rangeBetween(-VELO_WINDOW_MIN * 60 * 1_000_000, 0)
+        ),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    sxx = F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")).cast(
+        "double"
+    )
+    ustats = ev.groupBy("user_id").agg(
+        (sx / n).alias("mu"),
+        n.cast("long").alias("n_u"),
+        (sxx / n - F.pow(sx / n, 2)).alias("var"),
+    )
+    flagged = burst.join(ustats, "user_id").select(
+        "user_id",
+        F.col("n_in_window").cast("long").alias("n_in_window"),
+        (F.col("n_in_window") >= VELO_BURST_N).alias("burst_flag"),
+        (
+            (F.col("n_u") >= 5)
+            & (F.col("var") > 0)
+            & (
+                F.abs(F.col("value") - F.col("mu")) / F.sqrt("var")
+                > VELO_AMOUNT_Z
+            )
+        ).alias("amount_flag"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("burst_flag").cast("int")).cast("long").alias("n_burst"),
+        F.sum(F.col("amount_flag").cast("int")).cast("long").alias("n_amount"),
+        F.sum((F.col("burst_flag") | F.col("amount_flag")).cast("int"))
+        .cast("long")
+        .alias("n_flagged"),
+        F.max("n_in_window").cast("long").alias("max_burst"),
+    )

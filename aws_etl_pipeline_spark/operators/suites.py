@@ -360,6 +360,9 @@ SUITES: dict[str, list[str]] = {
         # r9 tenth batch: centroid-cosine drift monitor (the vector-
         # space sibling of quality_drift_psi)
         "quality_embedding_drift",
+        # r9 fourteenth batch: MMR diversity re-ranking (unrolled
+        # greedy, the fixed-iteration discipline applied to ranking)
+        "sim_mmr_diversify",
     ],
     "suite_text": [
         "corpus_dataset_card",  # r7
@@ -573,6 +576,9 @@ SUITES: dict[str, list[str]] = {
         "events_window_funnel",
         # r9 twelfth batch: experiment design (required-n / power)
         "events_power_analysis",
+        # r9 fourteenth batch: fraud-velocity rules (RANGE-interval
+        # burst window + per-user amount z-score)
+        "events_velocity_flags",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",
