@@ -941,3 +941,80 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum("v"), 12).alias("r"))
         )
     return ranks.where(F.col("r") > 0).select("node", F.col("r").alias("ppr"))
+
+
+BIPROJ_MIN_SHARED = 2  # supplier pairs sharing at least this many customers
+BIPROJ_TOP = 25
+
+
+@query(
+    "graph_bipartite_projection",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+proj AS (
+  SELECT a.s AS supp_a, b.s AS supp_b, count(*)::BIGINT AS shared_customers
+  FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+  HAVING count(*) >= {BIPROJ_MIN_SHARED}
+),
+deg AS (SELECT s, count(*)::BIGINT AS n_cust FROM pairs GROUP BY s)
+SELECT p.supp_a, p.supp_b, p.shared_customers,
+       round(p.shared_customers::DOUBLE
+             / (da.n_cust + db.n_cust - p.shared_customers), 6) AS overlap_jaccard
+FROM proj p
+JOIN deg da ON da.s = p.supp_a
+JOIN deg db ON db.s = p.supp_b
+QUALIFY row_number() OVER (ORDER BY p.shared_customers DESC,
+                           p.supp_a, p.supp_b) <= {BIPROJ_TOP}
+""",
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted one-mode projection of the customer-supplier bipartite
+    graph onto SUPPLIERS: suppliers sharing >= {BIPROJ_MIN_SHARED}
+    customers become adjacent, weighted by shared-customer count and
+    its Jaccard normalization — the standard move that turns a
+    bipartite interaction log into a similarity network (user-item ->
+    item-item is the same projection; `graph_jaccard_neighbors` scores
+    an EXISTING unipartite graph, this CREATES one). Top-{BIPROJ_TOP}
+    pairs reported.
+
+    Scale shape: the projection join is keyed on the shared CUSTOMER —
+    a hub customer of degree d emits d^2/2 pairs, the classic
+    projection blowup; at 100 TB the standard mitigations are a
+    degree cap / hub sampling on the join key before projecting (same
+    family as the wedge-orientation bound triangle counting uses).
+    Here the staged pair fixture bounds the input and the HAVING
+    floor collapses the pair mass immediately after the map-side
+    combine."""
+    pairs = custsupp_pairs(spark, sf_dir).transform(track)  # staged (r9)
+    a, b = pairs.alias("a"), pairs.alias("b")
+    proj = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_customers"))
+        .where(F.col("shared_customers") >= BIPROJ_MIN_SHARED)
+    )
+    deg = pairs.groupBy(F.col("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust")
+    )
+    da = deg.select(F.col("s").alias("supp_a"), F.col("n_cust").alias("deg_a"))
+    db = deg.select(F.col("s").alias("supp_b"), F.col("n_cust").alias("deg_b"))
+    return (
+        proj.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "shared_customers",
+            F.round(
+                F.col("shared_customers")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("shared_customers")),
+                6,
+            ).alias("overlap_jaccard"),
+        )
+        .orderBy(F.desc("shared_customers"), F.asc("supp_a"), F.asc("supp_b"))
+        .limit(BIPROJ_TOP)
+    )

@@ -1965,3 +1965,56 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_revenue",
         "gini",
     )
+
+
+@query(
+    "agg_pivot_multi",
+    oracle=f"""
+SELECT l_returnflag,
+       {_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS o_qty,
+       count(CASE WHEN l_linestatus = 'O' THEN 1 END)::BIGINT AS o_n,
+       round(avg(CASE WHEN l_linestatus = 'O'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+             ::DOUBLE, 6) AS o_avg_price,
+       {_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS f_qty,
+       count(CASE WHEN l_linestatus = 'F' THEN 1 END)::BIGINT AS f_n,
+       round(avg(CASE WHEN l_linestatus = 'F'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+             ::DOUBLE, 6) AS f_avg_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivoted value: sum(qty),
+    count, avg(price) for each l_linestatus — the wide-report shape
+    every BI export uses, and a surface corner `agg_pivot` (single
+    aggregate) leaves open. Spark names multi-agg pivot columns
+    '<value>_<alias>'; they are re-aliased to the fixed o_*/f_* layout
+    so the oracle's explicit conditional-aggregation spelling matches
+    column-for-column. Still one map-side-combined aggregate — pivot
+    with an explicit value list never runs the distinct-discovery
+    job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            dsum("l_quantity").alias("qty"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.avg(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("avg_price"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.col("O_qty").alias("o_qty"),
+        F.col("O_n").alias("o_n"),
+        F.col("O_avg_price").alias("o_avg_price"),
+        F.col("F_qty").alias("f_qty"),
+        F.col("F_n").alias("f_n"),
+        F.col("F_avg_price").alias("f_avg_price"),
+    )

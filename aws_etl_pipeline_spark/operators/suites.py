@@ -188,6 +188,8 @@ SUITES: dict[str, list[str]] = {
         # r9 fifth batch: continuous-value revenue concentration (the
         # categorical-impurity agg_entropy_gini's Lorenz twin)
         "agg_gini_concentration",
+        # r9 fifteenth batch: pivot with multiple aggregates per value
+        "agg_pivot_multi",
         # r9 second rotation: digest-seats the hash-agg flagship
         # (direct green r1-r8) to fund a new r9 direct row
         "agg_basic",
@@ -539,6 +541,10 @@ SUITES: dict[str, list[str]] = {
         # dictionary encoding with long-tail collapse
         "ts_ses_alpha_select",
         "feature_count_encode_rare",
+        # r9 fifteenth batch: weighted one-mode projection of the
+        # bipartite purchase graph (creates the similarity network
+        # graph_jaccard_neighbors scores)
+        "graph_bipartite_projection",
         # r9 twelfth batch: proportional top-down coherence
         "ts_forecast_reconciliation",
         # r9 fourth batch: the privacy ladder's local-DP rung (Warner
