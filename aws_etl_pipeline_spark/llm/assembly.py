@@ -815,6 +815,10 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CURRICULUM_STAGES = 4
 LONG_WORD_LEN = 7  # words longer than this count toward difficulty
+#: within-stage sub-bucket width = 1/SCALE difficulty units; keeps the
+#: (stage, dbucket) count relation tiny (~stages * difficulty_range *
+#: SCALE rows) while bounding each local sort to one bucket.
+CURRICULUM_BUCKET_SCALE = 1000
 
 
 def _curriculum_oracle() -> str:
@@ -863,10 +867,24 @@ def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage boundaries are PERCENTILE_DISC — real data values, no
     interpolation doubles — folded to ONE broadcast row, so staging is
     a scan-fused comparison, never a global sort (the
-    feature_quantile_binning discipline); within-stage positions are
-    per-stage windows. At 100 TB the only full-width window is
-    partitioned by stage; swap it for a per-shard offset + prefix-sum
-    if even four partitions is too coarse."""
+    feature_quantile_binning discipline).
+
+    Within-stage positions do NOT use a per-stage window — with only
+    {CURRICULUM_STAGES} stages that would bound parallelism at
+    {CURRICULUM_STAGES} tasks, each sorting ~1/{CURRICULUM_STAGES} of
+    the corpus (measured 22x wall at 100x data). Instead this is the
+    two-pass range-bucket + broadcast prefix-sum form
+    (etl_dense_surrogate_ids discipline, operators/etl.py): sub-bucket
+    each stage by difficulty range, count per (stage, bucket) — a
+    bucket-count-sized aggregate — prefix-sum the counts into
+    per-bucket offsets with a window over the TINY bucket relation,
+    broadcast the offsets back, and emit offset + local row_number
+    within (stage, bucket). Every data-sized stage is parallel; the
+    only per-row window partitions by (stage, bucket). Value-identical
+    to the per-stage window because bucket boundaries respect the
+    (difficulty, doc_id) order — which is exactly what the unchanged
+    oracle checks. Plan-asserted: no Window partitioned by stage alone
+    (tests/test_plans.py)."""
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.lower(F.trim(F.col("text"))), " ")
     wlen = F.transform(ws, lambda w: F.length(w))
@@ -898,14 +916,38 @@ def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = scored.crossJoin(F.broadcast(bounds)).select(
         "doc_id", "difficulty", stage.cast("long").alias("stage")
     )
-    return staged.select(
+    # Two-pass dense position: difficulty is already rounded to 6
+    # decimals, and the sub-bucket is a monotone function of
+    # difficulty, so a bucket boundary can never split a difficulty
+    # tie — (stage, dbucket, difficulty, doc_id) order equals
+    # (stage, difficulty, doc_id) order.
+    b = staged.withColumn(
+        "dbucket",
+        F.floor(F.col("difficulty") * CURRICULUM_BUCKET_SCALE).cast("long"),
+    )
+    counts = b.groupBy("stage", "dbucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    offsets = counts.select(
+        "stage",
+        "dbucket",
+        F.coalesce(
+            F.sum("cnt").over(
+                W.partitionBy("stage")
+                .orderBy("dbucket")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    local = F.row_number().over(
+        W.partitionBy("stage", "dbucket").orderBy("difficulty", "doc_id")
+    )
+    return b.join(F.broadcast(offsets), ["stage", "dbucket"]).select(
         "doc_id",
         "difficulty",
         "stage",
-        F.row_number()
-        .over(W.partitionBy("stage").orderBy("difficulty", "doc_id"))
-        .cast("long")
-        .alias("stage_pos"),
+        (F.col("offset") + local).cast("long").alias("stage_pos"),
     )
 
 

@@ -702,3 +702,24 @@ def test_fellegi_sunter_candidates_are_blocked_equi_join(spark, sf_dir):
     plan = _plan(er_fellegi_sunter(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_curriculum_order_no_stage_sized_sort(spark, sf_dir):
+    """pack_curriculum_order's per-row position must partition by
+    (stage, dbucket), never by stage alone — 4 stages would bound the
+    sort at 4 tasks (measured 22x wall at 100x before the r10 rewrite).
+    The stage-only window that remains operates on the tiny
+    (stage, dbucket) count relation, behind an aggregate; the row-level
+    window must mention dbucket, and the offsets must come back via
+    broadcast, not a second data-sized shuffle."""
+    from aws_etl_pipeline_spark.llm.assembly import pack_curriculum_order
+
+    df = pack_curriculum_order(spark, sf_dir)
+    plan = _plan(df)
+    rn_lines = [
+        ln for ln in plan.splitlines()
+        if "row_number()" in ln and "windowspecdefinition" in ln
+    ]
+    assert rn_lines, plan
+    assert all("dbucket" in ln for ln in rn_lines), rn_lines
+    assert "BroadcastHashJoin" in plan, plan
