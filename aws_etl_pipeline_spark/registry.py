@@ -194,19 +194,22 @@ PRIORITY: tuple[str, ...] = (
     # (join_interval_bucketed, privacy_t_closeness,
     # events_chisq_independence rotated out r9 — suite_join_misc /
     # suite_analytics / suite_stats digests; direct green r8.)
-    # rotated in r9: first direct rows for the late-r8 queries that
-    # shipped driver-invisible (the r8 verdict's #1) plus the two
-    # digest-only r8 ninth-batch operators
-    "sim_eval_ir_metrics",
-    "classifier_calibration_ece",
-    "quality_referential_integrity",
-    "sim_bitext_margin_mining",
-    "sample_neyman_allocation",
-    # rotated in r9 second rotation: first direct rows for three r9
-    # flagships
-    "stream_exec_topk_merge",
-    "events_shapley_attribution",
-    "text_rocchio_prf",
+    # (r9 seats rotated out r10: sim_eval_ir_metrics,
+    # classifier_calibration_ece, quality_referential_integrity,
+    # sim_bitext_margin_mining, sample_neyman_allocation,
+    # stream_exec_topk_merge, text_rocchio_prf — each landed its first
+    # direct green in CORRECTNESS_r09 and is digest-covered by
+    # suite_sim / suite_stats / suite_assembly / suite_streaming /
+    # suite_text.)
+    "events_shapley_attribution",  # r9 seat, direct green r9; one more round
+    # rotated in r10 (r9 verdict #2): first direct driver rows for the
+    # highest-value r9 operators that shipped with digest-only history
+    "dedup_minhash_bbit",
+    "graph_personalized_pagerank",
+    "dedup_incremental_bloom",
+    "sketch_ams_f2",
+    "mix_token_budget",
+    "events_window_funnel",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —

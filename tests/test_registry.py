@@ -189,14 +189,8 @@ def test_rotated_out_slots_stay_digest_covered():
         "graph_kcore",
     ):
         assert rotated_out in digest_covered, rotated_out
-    for rotated_in in (
-        "sim_eval_ir_metrics",
-        "classifier_calibration_ece",
-        "quality_referential_integrity",
-        "sim_bitext_margin_mining",
-        "sample_neyman_allocation",
-    ):
-        assert rotated_in in PRIORITY, rotated_in
+    # (the five r9 rotated-in seats held direct rows through
+    # CORRECTNESS_r09, then rotated out in r10 — checked below)
     for digest_seated in (
         "sim_eval_ir_metrics",
         "classifier_calibration_ece",
@@ -208,9 +202,27 @@ def test_rotated_out_slots_stay_digest_covered():
     # invariant holds); three r9 flagships take their first direct rows
     for rotated_out in ("join_inner_broadcast", "agg_basic", "q6_forecast_revenue"):
         assert rotated_out in digest_covered, rotated_out
-    for rotated_in in (
+    # the round-10 rotation (r9 verdict #2): the seven r9 seats leave
+    # with direct green r9 history (CORRECTNESS_r09) but must stay
+    # digest-covered; six high-value r9 operators with digest-only
+    # history take their first direct rows
+    for rotated_out in (
+        "sim_eval_ir_metrics",
+        "classifier_calibration_ece",
+        "quality_referential_integrity",
+        "sim_bitext_margin_mining",
+        "sample_neyman_allocation",
         "stream_exec_topk_merge",
-        "events_shapley_attribution",
         "text_rocchio_prf",
     ):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in (
+        "dedup_minhash_bbit",
+        "graph_personalized_pagerank",
+        "dedup_incremental_bloom",
+        "sketch_ams_f2",
+        "mix_token_budget",
+        "events_window_funnel",
+    ):
         assert rotated_in in PRIORITY, rotated_in
+        assert rotated_in in digest_covered, rotated_in  # future rotation can vacate
