@@ -1150,3 +1150,110 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("padding_waste"),
     )
+
+
+#: fixed context-window length (tokens) for harmonic best-fit packing.
+#: 256 (not the 2048 packing BUDGET) so the sf-sized corpus (10-99
+#: token docs) produces many size classes AND many windows per class —
+#: the regime where the packing logic is actually exercised.
+PACK_WINDOW = 256
+#: sub-bucket count for the two-pass within-class rank (the
+#: pack_curriculum_order / etl_dense_surrogate_ids discipline).
+PACK_SUBBUCKETS = 64
+
+
+def _bestfit_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(lower(trim(text)), ' '))::BIGINT AS tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 1000000
+           AS shuf
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tokens, ({PACK_WINDOW} // tokens)::BIGINT AS size_class,
+         shuf
+  FROM t WHERE tokens BETWEEN 1 AND {PACK_WINDOW}
+),
+r AS (
+  SELECT doc_id, tokens, size_class,
+         row_number() OVER (PARTITION BY size_class
+                            ORDER BY shuf, doc_id) - 1 AS rk
+  FROM c
+)
+SELECT doc_id, tokens, size_class,
+       (rk // size_class)::BIGINT AS window_idx,
+       (rk % size_class + 1)::BIGINT AS slot
+FROM r
+"""
+
+
+@query("pack_bestfit_windows", oracle=_bestfit_oracle())
+def pack_bestfit_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic size-class packing of documents into fixed-length
+    context windows (Lee & Lee 1985's harmonic bin packing, the
+    distributed-friendly form of best-fit-decreasing): a doc of
+    `tokens` length lands in size class k = floor(W / tokens) — the
+    largest k with k * tokens <= W — so every window of class k holds
+    EXACTLY k docs and is guaranteed not to overflow. window_idx and
+    slot follow from the within-class rank by pure arithmetic
+    (rank // k, rank % k), which is why this beats sequential
+    best-fit at 100 TB: classic BFD is a strict left-to-right fold
+    (bin state after doc i depends on all docs < i — no parallel
+    form), while the harmonic classifier is a scan-side expression
+    plus one keyed shuffle. Padding waste is bounded per class:
+    a class-k window wastes < W/(k+1) tokens (every member is
+    > W/(k+1)), the invariant pinned in tests/test_llm.py.
+
+    Docs longer than W are excluded here — they route to
+    `chunk_context_windows` (the splitting packer above) first.
+
+    Scale shape: the within-class rank does NOT use a class-sized
+    window (classes are few and huge — the pack_curriculum_order
+    lesson); it is the two-pass sub-bucket form — rank docs within
+    (class, shuf-range sub-bucket), prefix-sum the tiny
+    (class, sub-bucket) count relation into offsets, broadcast back.
+    The deterministic md5 shuffle key both mixes doc order (so
+    windows are content-diverse, not corpus-order runs) and gives
+    uniform sub-bucket balance."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        _tokens().cast("long").alias("tokens"),
+        _md5_bucket(F.col("doc_id"), 1_000_000).alias("shuf"),
+    ).filter(
+        (F.col("tokens") >= 1) & (F.col("tokens") <= PACK_WINDOW)
+    ).withColumn(
+        "size_class", F.floor(F.lit(PACK_WINDOW) / F.col("tokens")).cast("long")
+    ).withColumn(
+        # shuf is uniform on [0, 1e6); equal shuf => equal sub-bucket,
+        # so bucket boundaries never split the (shuf, doc_id) order
+        "sb", F.floor(F.col("shuf") / (1_000_000 // PACK_SUBBUCKETS)).cast("long")
+    ).transform(track)  # counts pass + rank pass
+    counts = docs.groupBy("size_class", "sb").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    offsets = counts.select(
+        "size_class",
+        "sb",
+        F.coalesce(
+            F.sum("cnt").over(
+                W.partitionBy("size_class")
+                .orderBy("sb")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    local = F.row_number().over(
+        W.partitionBy("size_class", "sb").orderBy("shuf", "doc_id")
+    )
+    rk = (F.col("offset") + local - 1).cast("long")
+    return docs.join(F.broadcast(offsets), ["size_class", "sb"]).select(
+        "doc_id",
+        "tokens",
+        "size_class",
+        F.floor(rk / F.col("size_class")).cast("long").alias("window_idx"),
+        (rk % F.col("size_class") + 1).cast("long").alias("slot"),
+    )

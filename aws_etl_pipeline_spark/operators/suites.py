@@ -432,6 +432,8 @@ SUITES: dict[str, list[str]] = {
         # r9 thirteenth batch: decile length bucketing with padding-
         # waste accounting
         "pack_length_buckets",
+        # r10: harmonic size-class packing into fixed context windows
+        "pack_bestfit_windows",
     ],
     "suite_tpch": [
         # r9 second rotation: digest-seats the revenue-forecast

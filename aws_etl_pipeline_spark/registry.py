@@ -210,6 +210,9 @@ PRIORITY: tuple[str, ...] = (
     "sketch_ams_f2",
     "mix_token_budget",
     "events_window_funnel",
+    # r10 new operator: first direct row per policy (also digest-seated
+    # in suite_assembly so a future rotation can vacate it)
+    "pack_bestfit_windows",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —

@@ -401,3 +401,40 @@ def test_semantic_lsh_decon_recall_floor(spark, sf_dir):
     recall = sum(1 for k in pos if lsh[k]) / len(pos)
     assert recall >= 0.8, recall
     assert not [k for k, v in lsh.items() if v and not exact[k]]
+
+
+def test_bestfit_windows_never_overflow(spark, sf_dir):
+    """Harmonic packing invariants: every class-k window holds exactly
+    k docs (except the last per class), sums to <= PACK_WINDOW tokens,
+    and wastes < PACK_WINDOW/(k+1) + (PACK_WINDOW - k*floor(W/(k+1)+1))
+    only via the guaranteed bound sum >= k * (W/(k+1)) for full
+    windows — i.e. fill ratio of a full window exceeds k/(k+1)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_spark.llm.assembly import (
+        PACK_WINDOW,
+        pack_bestfit_windows,
+    )
+
+    out = pack_bestfit_windows(spark, sf_dir)
+    wins = (
+        out.groupBy("size_class", "window_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tokens").alias("tok"),
+            F.max("window_idx").alias("wi"),
+        )
+        .collect()
+    )
+    assert wins
+    last = {}
+    for r in wins:
+        last[r.size_class] = max(last.get(r.size_class, -1), r.window_idx)
+    for r in wins:
+        assert r.tok <= PACK_WINDOW, r
+        if r.window_idx < last[r.size_class]:  # full window
+            assert r.n == r.size_class, r
+            # every member > W/(k+1), so fill > k/(k+1)
+            assert r.tok > r.size_class * PACK_WINDOW / (r.size_class + 1), r
+        else:
+            assert r.n <= r.size_class, r
