@@ -71,17 +71,43 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins by their starting offset (concatenate-then-chunk packing, the
     standard LM pretraining layout). Returns per-bin fill stats.
 
-    One running-sum window over a deterministic order — at 100 TB the
-    order key doubles as the shard key, so each shard packs its own
-    bins independently and the window never sees more than a shard."""
+    The global running sum is NOT a single-partition window: the
+    deterministic shuffle key sub-buckets the corpus into 64
+    uniform ranges, each sub-bucket cumsums
+    locally in parallel, and a broadcast prefix-sum over the tiny
+    per-sub-bucket totals stitches them into exact global offsets —
+    the two-pass discipline shared with etl_dense_surrogate_ids /
+    pack_curriculum_order / pack_bestfit_windows. Value-identical to
+    the textbook ORDER BY window (the oracle's spelling)."""
     d = load_table(spark, sf_dir, "documents")
+    sb_width = 1_000_000 // 64
     t = d.select(
         "doc_id",
         _tokens().alias("tokens"),
         _md5_bucket(F.col("doc_id"), 1_000_000).alias("shuf"),
+    ).withColumn(
+        # equal shuf => equal sub-bucket: boundaries never split the
+        # (shuf, doc_id) order
+        "sb", F.floor(F.col("shuf") / sb_width).cast("long")
+    ).transform(track)  # totals pass + local-cumsum pass
+    totals = t.groupBy("sb").agg(F.sum("tokens").alias("tok"))
+    offsets = totals.select(
+        "sb",
+        F.coalesce(
+            F.sum("tok").over(
+                # global-ok: sub-bucket totals relation (~64 rows)
+                W.orderBy("sb").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
     )
-    w = W.orderBy("shuf", "doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    placed = t.withColumn("start_off", F.sum("tokens").over(w) - F.col("tokens"))
+    local = W.partitionBy("sb").orderBy("shuf", "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    placed = t.join(F.broadcast(offsets), "sb").withColumn(
+        "start_off",
+        F.col("offset") + F.sum("tokens").over(local) - F.col("tokens"),
+    )
     return (
         placed.groupBy(
             F.floor(F.col("start_off") / BUDGET).cast("long").alias("bin")
@@ -579,6 +605,7 @@ def pack_interleave_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(
             "source",
+            # global-ok: distinct-source relation (a handful of rows)
             (F.row_number().over(W.orderBy("source")) - 1).alias("src_idx"),
         )
     )

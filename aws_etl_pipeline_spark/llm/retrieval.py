@@ -220,6 +220,8 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = lex_cand.select(
         "doc_id",
         F.row_number()
+        # global-ok: candidate-list-sized (top-RRF_CANDIDATES after a
+        # mergeable TakeOrdered limit), never corpus-sized
         .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
         .cast("long")
         .alias("lex_rank"),
@@ -255,6 +257,8 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = cos_cand.select(
         "doc_id",
         F.row_number()
+        # global-ok: candidate-list-sized (top-RRF_CANDIDATES after a
+        # mergeable TakeOrdered limit), never corpus-sized
         .over(W.orderBy(F.desc("cosine"), F.asc("doc_id")))
         .cast("long")
         .alias("cos_rank"),

@@ -1340,6 +1340,53 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 RFM_TILES = 5
 
 
+def _global_rank(df: DataFrame, order_cols, out: str) -> DataFrame:
+    """Exact global row_number over an arbitrary order WITHOUT a
+    single-partition window: range-repartition by the order key (the
+    scalable distributed sort Spark already has), then stitch per-range
+    local row_numbers together with a broadcast prefix-sum over the
+    tiny per-range count relation. Rank values are partition-layout
+    independent (rank = position in the total order), so the sampled
+    range boundaries affect balance only, never the result. The ranked
+    input is persisted so both branches (counts, local ranks) see one
+    spark_partition_id assignment."""
+    s = track(
+        df.repartitionByRange(*order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    counts = s.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(
+                # global-ok: per-range-partition counts (~shuffle
+                # partition count rows)
+                W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    local = F.row_number().over(W.partitionBy("_pid").orderBy(*order_cols))
+    return (
+        s.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_off") + local).cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
+def _ntile_from_rank(rank: F.Column, n: F.Column, k: int) -> F.Column:
+    """ntile(k) reconstructed from a global rank and the row count —
+    the first (n % k) tiles hold ceil(n/k) rows, the rest floor(n/k),
+    exactly Spark's and DuckDB's NTILE contract."""
+    q = F.floor(n / k)
+    rem = n % k
+    cut = (q + 1) * rem
+    return F.when(
+        rank <= cut, F.floor((rank - 1) / (q + 1)) + 1
+    ).otherwise(rem + F.floor((rank - cut - 1) / q) + 1)
+
+
 @query(
     "events_rfm_segmentation",
     oracle=f"""
@@ -1379,11 +1426,13 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties inside every ntile ordering are broken by user_id so both
     engines tile identically.
 
-    Scale shape: one user-keyed aggregation; the three ntile windows
-    are global-ORDER windows over the USER relation (already reduced),
-    which a 100 TB deployment runs as rangepartitioned sort — and the
-    corpus max date is a broadcast 1-row aggregate, not a driver
-    round-trip."""
+    Scale shape: one user-keyed aggregation reduces the event log to
+    the user relation; each quintile is then ntile ARITHMETIC over an
+    exact global rank from `_global_rank` — a range-partitioned sort
+    stitched by a broadcast prefix-sum, never a single-partition ORDER
+    BY window (the r10 sweep retired those for data-sized relations).
+    The corpus max date and row count are broadcast 1-row aggregates,
+    not driver round-trips."""
     e = load_table(spark, sf_dir, "events")
     maxd = e.agg(F.max("ts").alias("corpus_max"))
     base = (
@@ -1409,17 +1458,25 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r = F.ntile(RFM_TILES).over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
-    f = F.ntile(RFM_TILES).over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
-    m = F.ntile(RFM_TILES).over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
-    scored = base.select(
+    n1 = base.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    ranked = _global_rank(
+        base, [F.asc("recency_days"), F.asc("user_id")], "r_rk"
+    )
+    ranked = _global_rank(
+        ranked, [F.desc("frequency"), F.asc("user_id")], "f_rk"
+    )
+    ranked = _global_rank(
+        ranked, [F.desc("monetary"), F.asc("user_id")], "m_rk"
+    )
+    n = F.col("n_users")
+    scored = ranked.crossJoin(F.broadcast(n1)).select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        r.cast("long").alias("r_score"),
-        f.cast("long").alias("f_score"),
-        m.cast("long").alias("m_score"),
+        _ntile_from_rank(F.col("r_rk"), n, RFM_TILES).cast("long").alias("r_score"),
+        _ntile_from_rank(F.col("f_rk"), n, RFM_TILES).cast("long").alias("f_score"),
+        _ntile_from_rank(F.col("m_rk"), n, RFM_TILES).cast("long").alias("m_score"),
     )
     return scored.withColumn(
         "segment",
@@ -1770,6 +1827,7 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c_censored"),
     )
+    # global-ok: duration histogram, bounded by observation span in days
     w_tail = W.orderBy("duration").rowsBetween(W.currentRow, W.unboundedFollowing)
     w_head = W.orderBy("duration").rowsBetween(W.unboundedPreceding, W.currentRow)
     risk = km.withColumn(
@@ -3962,6 +4020,7 @@ def events_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("conv"),
         F.countDistinct("user_id").cast("long").alias("n"),
     )
+    # global-ok: daily rollup, calendar-bounded
     w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
     cum = daily.select(
         "day",
@@ -4532,9 +4591,10 @@ def ts_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = daily.groupBy("day").agg(
         F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("v")
     )
-    wt = W.orderBy("day")
+    wt = W.orderBy("day")  # global-ok: daily rollup, calendar-bounded
     top_fc = (
         top.select("day", F.round(conv(F.col("v"), wt), 6).alias("level"))
+        # global-ok: daily rollup, calendar-bounded
         .withColumn("rn", F.row_number().over(W.orderBy(F.desc("day"))))
         .where(F.col("rn") == 1)
         .select(F.col("level").alias("direct"))

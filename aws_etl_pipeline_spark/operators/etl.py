@@ -410,6 +410,7 @@ def etl_dense_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         (
             F.sum("cnt").over(
+                # global-ok: bucket-count relation (~n/SURROGATE_BUCKET rows)
                 W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
             )
         ).alias("offset"),

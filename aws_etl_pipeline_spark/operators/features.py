@@ -270,6 +270,7 @@ def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = hist.select(
         "v",
+        # global-ok: distinct-value histogram, domain-bounded (see doc)
         F.sum("c").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, 0))
         .cast("long")
         .alias("cum"),

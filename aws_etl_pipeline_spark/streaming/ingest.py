@@ -128,6 +128,8 @@ def _stage_events_timesliced(spark: SparkSession, sf_dir: str) -> tuple[str, str
     shutil.rmtree(stage_dir, ignore_errors=True)
     os.makedirs(stage_dir)
     ev = load_table(spark, sf_dir, "events").withColumn(
+        # global-ok: one-time sf-sized test-fixture staging (slices the
+        # events table into 4 micro-batch files), not a query path
         "slice", F.ntile(4).over(W.orderBy("ts", "event_id"))
     )
     mtime = 1_000_000_000  # fixed base: only the ORDER matters
@@ -682,7 +684,9 @@ def stream_exec_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(stage_dir, ignore_errors=True)
         os.makedirs(stage_dir)
         ev = load_table(spark, sf_dir, "events").withColumn(
-            "slice", F.ntile(4).over(W.orderBy("ts", "event_id"))
+            # global-ok: one-time sf-sized test-fixture staging (slices the
+        # events table into 4 micro-batch files), not a query path
+        "slice", F.ntile(4).over(W.orderBy("ts", "event_id"))
         )
         gm = ev.agg(F.max("ts")).collect()[0][0]
         thr = ev.filter(F.col("slice") <= 3).agg(
