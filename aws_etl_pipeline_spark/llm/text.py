@@ -2265,3 +2265,126 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio < BOILER_KEEP_MAX).alias("keep"),
         )
     )
+
+
+#: perplexity-bucket boundaries (CCNet keeps the low-perplexity head).
+PPL_HEAD = 0.33
+PPL_MIDDLE = 0.67
+
+
+def _ppl_oracle() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w, count(*)::DOUBLE AS tf FROM words GROUP BY doc_id, w
+),
+vocab AS (SELECT w, count(*)::DOUBLE AS c FROM words GROUP BY w),
+stats AS (
+  SELECT (SELECT count(*) FROM words)::DOUBLE AS tot,
+         (SELECT count(*) FROM vocab)::DOUBLE AS vsz
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS n FROM words GROUP BY doc_id),
+lp AS (
+  SELECT t.doc_id,
+         sum(CAST(t.tf * ln((v.c + 1) / (s.tot + s.vsz))
+                  AS DECIMAL(38,18))) AS lsum
+  FROM tf t JOIN vocab v USING (w) CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+scored AS (
+  SELECT d.doc_id, round(exp(-CAST(l.lsum AS DOUBLE) / d.n), 6) AS ppl
+  FROM dl d JOIN lp l USING (doc_id)
+),
+b AS (
+  SELECT percentile_disc({PPL_HEAD}) WITHIN GROUP (ORDER BY ppl) AS p33,
+         percentile_disc({PPL_MIDDLE}) WITHIN GROUP (ORDER BY ppl) AS p67
+  FROM scored
+)
+SELECT doc_id, ppl,
+       CASE WHEN ppl <= p33 THEN 'head'
+            WHEN ppl <= p67 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored CROSS JOIN b
+"""
+
+
+@query("text_perplexity_filter", oracle=_ppl_oracle())
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality bucketing (Wenzek et al. 2020):
+    score every document's perplexity under an add-one-smoothed
+    corpus unigram LM and split the corpus into head / middle / tail
+    at the {PPL_HEAD:.0%}/{PPL_MIDDLE:.0%} PERCENTILE_DISC boundaries
+    — the filter CCNet/CC100/RedPajama actually apply before
+    pretraining (keep head, sample middle, drop tail). CCNet scores
+    with an external KenLM; this uses the corpus-self unigram LM (the
+    `text_unigram_lm` model) so the query is closed over its inputs
+    and oracle-checkable.
+
+    Float discipline: each token's contribution tf * ln(p) is cast to
+    DECIMAL(38,18) BEFORE the per-doc sum, so the sum is exact and
+    merge-order-free (the Kaplan-Meier ln-term pattern) — summing
+    raw doubles under a nondeterministic shuffle order would make the
+    digest flap. exp of identical decimal sums then rounds to 6 on
+    both engines.
+
+    Scale shape: two keyed shuffles (by word for the LM counts, by
+    doc for the logprob fold), both map-side combinable; the LM stats
+    fold to ONE broadcast row; the tf->vocab join is a keyed equi-join
+    (vocab is corpus-sized — at 100 TB it stays a shuffle join, never
+    a broadcast); bucket thresholds are a broadcast row folded from
+    percentile_disc, so bucketing is scan-fused (the
+    feature_quantile_binning discipline, no global sort)."""
+    d = load_spread(spark, sf_dir, "documents")
+    words = track(
+        d.select("doc_id", F.explode(_words()).alias("w"))
+    )  # tf + vocab + dl passes
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    vocab = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    stats = vocab.agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).cast("double").alias("vsz")
+    )
+    dl = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    lp = (
+        tf.join(vocab, "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (
+                    F.col("tf")
+                    * F.log((F.col("c") + 1) / (F.col("tot") + F.col("vsz")))
+                ).cast("decimal(38,18)")
+            ).alias("lsum")
+        )
+    )
+    scored = dl.join(lp, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.exp(-F.col("lsum").cast("double") / F.col("n")), 6
+        ).alias("ppl"),
+    ).transform(track)  # threshold fold + bucketing pass
+    b = scored.agg(
+        F.expr(
+            f"percentile_disc({PPL_HEAD}) WITHIN GROUP (ORDER BY ppl)"
+        ).alias("p33"),
+        F.expr(
+            f"percentile_disc({PPL_MIDDLE}) WITHIN GROUP (ORDER BY ppl)"
+        ).alias("p67"),
+    )
+    return scored.crossJoin(F.broadcast(b)).select(
+        "doc_id",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("p33"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("p67"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

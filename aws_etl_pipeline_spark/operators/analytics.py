@@ -4722,3 +4722,79 @@ def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_flagged"),
         F.max("n_in_window").cast("long").alias("max_burst"),
     )
+
+
+@query(
+    "events_retention_triangle",
+    oracle="""
+WITH ua AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events
+),
+cohorts AS (SELECT user_id, min(d) AS cohort FROM ua GROUP BY user_id),
+joined AS (
+  SELECT c.cohort, date_diff('day', c.cohort, u.d)::BIGINT AS day_offset,
+         u.user_id
+  FROM ua u JOIN cohorts c USING (user_id)
+),
+cs AS (SELECT cohort, count(*)::BIGINT AS cohort_size FROM cohorts GROUP BY cohort)
+SELECT j.cohort AS cohort_day, j.day_offset,
+       count(DISTINCT j.user_id)::BIGINT AS n_active,
+       max(cs.cohort_size)::BIGINT AS cohort_size,
+       round(count(DISTINCT j.user_id)::DOUBLE / max(cs.cohort_size), 6)
+         AS retention
+FROM joined j JOIN cs USING (cohort)
+GROUP BY j.cohort, j.day_offset
+""",
+)
+def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the classic product-analytics
+    rollup: users are cohorted by their first active day, and each
+    (cohort, day-offset) cell reports how many of the cohort were
+    active that many days later, as a count and a rate. Extends
+    `events_retention_cohort` (weekly raw counts) with the cohort
+    SIZE denominator and the normalized retention rate at daily
+    grain — the triangle dashboards actually plot — and swaps its
+    per-event window for a dedup-first plan (below). Sits beside
+    `events_cohort_ltv` (value) and `events_survival_km` (churn
+    timing) as the activity matrix both condition on.
+
+    Scale shape: the event log reduces to the DISTINCT (user, month)
+    relation in one map-side-combinable pass (the
+    events_rolling_active_users discipline — never carry raw events
+    past the first shuffle); cohorts are a user-keyed min; the
+    cell rollup is a keyed aggregation on (cohort, offset); cohort
+    sizes live on a days-bounded relation that broadcasts. Two
+    user-keyed shuffles + one cell-keyed shuffle, no window, no
+    driver loop."""
+    ev = load_table(spark, sf_dir, "events")
+    ua = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .transform(track)  # cohort min + activity join
+    )
+    cohorts = ua.groupBy("user_id").agg(F.min("d").alias("cohort")).transform(
+        track
+    )  # activity join + cohort sizes
+    cs = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    joined = ua.join(cohorts, "user_id").select(
+        "cohort",
+        F.datediff(F.col("d"), F.col("cohort")).cast("long").alias("day_offset"),
+        "user_id",
+    )
+    return (
+        joined.groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .join(F.broadcast(cs), "cohort")
+        .select(
+            F.col("cohort").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

@@ -368,6 +368,8 @@ SUITES: dict[str, list[str]] = {
     ],
     "suite_text": [
         "corpus_dataset_card",  # r7
+        # r10: CCNet perplexity head/middle/tail bucketing
+        "text_perplexity_filter",
         "text_stats",
         "text_langid",
         "text_quality",
@@ -480,6 +482,8 @@ SUITES: dict[str, list[str]] = {
     "suite_analytics": [
         "events_funnel",
         "events_retention_cohort",
+        # r10: monthly normalized retention triangle
+        "events_retention_triangle",
         "events_sessionize",
         "profile_table",
         "mv_incremental_refresh",
