@@ -333,22 +333,28 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     n = base.select("vec_id", "v").withColumn("nrm", _norm(F.col("v"))).transform(track)
     cent_n = cent.withColumn("cnrm", _norm(F.col("cv"))).transform(track)
 
-    def ranked_cells(side: DataFrame) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(cent_n)).select(
-            "vec_id",
-            "cell",
-            (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("sim"),
-        )
-        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-        return scored.withColumn("rn", F.row_number().over(w))
-
-    assign = (
-        ranked_cells(n.filter(F.col("vec_id") >= N_QUERIES))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
+    sim = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    # corpus side: nearest cell only — two-pass hash argmin over
+    # (-sim asc, cell asc), never a window over the expanded corpus
+    # (the row_number spelling exchanged + sorted corpus x cells rows;
+    # see hash_argmin)
+    assign = hash_argmin(
+        n.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "v", "nrm"),
+        cent_n,
+        None,
+        -sim,
+        ["vec_id"],
+    ).select("vec_id", "cell")
+    # query side: top-N_PROBE cells per query — a request-sized window
+    # (N_QUERIES rows x cells)
+    q_scored = (
+        n.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent_n))
+        .select("vec_id", "cell", sim.alias("sim"))
     )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     probes = (
-        ranked_cells(n.filter(F.col("vec_id") < N_QUERIES))
+        q_scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("query_id"), "cell")
     )
@@ -704,26 +710,65 @@ def _pq_d2() -> F.Column:
     return d2
 
 
+def hash_argmin(
+    narrow: DataFrame,
+    cand: DataFrame,
+    expand_on,
+    score: F.Column,
+    keys: list[str],
+    out: str = "cell",
+) -> DataFrame:
+    """Distributed argmin over a broadcast candidate relation with
+    (score asc, cell asc) tie-break, using ONLY hash aggregates — the
+    r10 replacement for both min(struct(score, cell)) and per-key
+    row_number windows.
+
+    Why: min(STRUCT) is a DeclarativeAggregate with an immutable
+    buffer type, so Catalyst falls back to SortAggregate, whose
+    PARTIAL phase SORTS the whole expanded (narrow x candidates)
+    relation inside each task — at the 1000x replica that sort
+    spilled >60 GB and filled the disk (sim_ivf_truepq, r10). A
+    row_number window has the same shape plus an exchange of the
+    expanded relation. This helper never sorts and never shuffles
+    anything expanded: pass 1 broadcasts `cand`, expands, and
+    hash-aggregates min(score) per key (double buffer — map-side
+    combine collapses the expansion before the exchange); pass 2
+    re-expands with the per-key minimum joined on (a keyed join of
+    two NARROW relations), keeps exact-equality winners (the score
+    expression is recomputed bit-identically), and hash-aggregates
+    min(cell) for the oracle's deterministic tie-break. Two codegen
+    passes over the expansion instead of one sorted one — the classic
+    two-pass argmin trade, and the only shape whose shuffle volume is
+    one row per key at any scale."""
+    def expand(df: DataFrame) -> DataFrame:
+        j = (
+            df.join(F.broadcast(cand), expand_on)
+            if expand_on
+            else df.crossJoin(F.broadcast(cand))
+        )
+        return j.withColumn("_sc", score)
+
+    mins = expand(narrow).groupBy(*keys).agg(F.min("_sc").alias("_msc"))
+    return (
+        expand(narrow.join(mins, list(keys)))
+        .filter(F.col("_sc") == F.col("_msc"))
+        .groupBy(*keys)
+        .agg(F.min("cell").alias(out))
+    )
+
+
 def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-codeword assignment per (vec_id, sub) -> (vec_id, sub,
     cell): broadcast the (PQ_M x PQ_K)-row codebook, argmin squared
     distance within the SAME subspace, ties on cell asc — the grouped
-    twin of lloyd_assign's assignment step. The argmin is a
-    hash-aggregate min(struct(d2, cell)) — struct ordering IS
-    (d2 asc, cell asc), so it matches the oracle's row_number
-    tie-break exactly while map-side partial aggregation collapses
-    the PQ_K candidate rows per (vec_id, sub) BEFORE any exchange (a
-    row_number window here sorted corpus x PQ_K rows and dominated
-    the whole query at PQ_K=256). The corpus never shuffles for
-    assignment."""
-    return (
-        sub.join(F.broadcast(cent), "sub")
-        .select(
-            "vec_id", "sub", F.struct(_pq_d2().alias("d2"), F.col("cell")).alias("dc")
-        )
-        .groupBy("vec_id", "sub")
-        .agg(F.min("dc").alias("m"))
-        .select("vec_id", "sub", F.col("m.cell").alias("cell"))
+    twin of lloyd_assign's assignment step, via the two-pass
+    hash_argmin (the r9 min(struct) spelling fell back to
+    SortAggregate and sort-spilled corpus x PQ_K rows at the 1000x
+    replica; see hash_argmin). Matches the oracle's row_number
+    (d2 asc, cell asc) tie-break exactly; the corpus never shuffles
+    expanded for assignment."""
+    return hash_argmin(sub, cent, "sub", _pq_d2(), ["vec_id", "sub"]).select(
+        "vec_id", "sub", "cell"
     )
 
 
@@ -1333,13 +1378,16 @@ def lloyd_assign(base: DataFrame, k: int, iters: int):
     """Deterministic Lloyd's k-means over ``base`` (vec_id, v) — the
     shared cluster core under kmeans_train and dedup_semantic. Seed =
     the first k vectors; per iteration, assignment is a broadcast
-    cross-join + per-vector argmin window (ties on cell asc) and the
+    cross-join + two-pass hash argmin (ties on cell asc) and the
     update is one explode -> DECIMAL-exact-mean -> rebuild aggregation,
     so the DuckDB blocks from :func:`_kmeans_blocks` replay it exactly.
     Returns ``(assign, cent)``: final membership (vec_id, cell, v) and
     final centroids (cell, cv). At 100 TB: per iteration one broadcast
-    of k centroids + one shuffle of (cell, dim) partial sums — the
-    corpus itself never shuffles for assignment."""
+    of k centroids + one shuffle of (cell, dim) partial sums plus the
+    per-key hash argmin's one-row-per-vector exchanges — the expanded
+    corpus x k relation itself is never shuffled or sorted (the
+    row_number spelling here exchanged AND window-sorted corpus x k
+    rows per iteration; see hash_argmin)."""
     cent = base.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
@@ -1350,12 +1398,9 @@ def lloyd_assign(base: DataFrame, k: int, iters: int):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
         assign = (
-            base.crossJoin(F.broadcast(cent))
-            .withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            hash_argmin(base, cent, None, d2, ["vec_id"])
+            .join(base, "vec_id")
             .select("vec_id", "cell", "v")
         )
         dims = assign.select("cell", F.posexplode("v").alias("d0", "x"))
@@ -1384,8 +1429,8 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops — the trained coarse quantizer behind IVF indexes, and the
     engine's demonstration that ITERATIVE ML training fits the
     declarative model: per iteration, assignment is a broadcast
-    cross-join + per-vector argmin window (centroids are tiny; the
-    corpus never shuffles for assignment), and the update is one
+    cross-join + two-pass hash argmin (centroids are tiny; the
+    expanded corpus never shuffles or sorts), and the update is one
     explode->decimal-exact-mean->rebuild aggregation. Deterministic by
     construction (seed = the first k vectors, ties broken on cell id,
     means summed through DECIMAL), so the DuckDB oracle replays the

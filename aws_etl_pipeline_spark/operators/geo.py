@@ -282,12 +282,17 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hub relation is broadcast, the 25x expansion is collapsed by a
     hash aggregate keyed on c_custkey whose partial (map-side) combine
     runs BEFORE the shuffle — shuffle volume is one row per customer,
-    not 25x. Nearest = min(struct(dist_km, hub_key)): struct ordering
-    is lexicographic, so ties on the rounded distance break
-    deterministically toward the lower hub key on both engines (the
-    oracle's ORDER BY dist_km, hub_key). No grid needed: NN against a
-    small site list is the broadcast case; NN against a large site
-    list routes through geo_radius_join's grid with escalating radius.
+    not 25x. Nearest = min over the LONG-packed key
+    round(dist_km*100)*10000 + hub_key: dist_km is already quantized
+    to 2 decimals, so the packing is an exact lexicographic encoding
+    of (dist_km asc, hub_key asc) — same tie-break as the oracle's
+    ORDER BY — and, unlike min(struct(...)) (whose immutable buffer
+    forces a SortAggregate that SORTS the expanded relation inside
+    each task — the r10 1000x-replica spill lesson, see
+    llm/similarity.hash_argmin), min(LONG) stays a hash aggregate.
+    No grid needed: NN against a small site list is the broadcast
+    case; NN against a large site list routes through
+    geo_radius_join's grid with escalating radius.
     """
     pts = _customer_points(spark, sf_dir)
     hubs = _hub_points(spark, sf_dir)
@@ -295,16 +300,22 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pts.crossJoin(F.broadcast(hubs)).select(
         "c_custkey", "hub_key", dist.alias("dist_km")
     )
+    packed = (
+        F.round(F.col("dist_km") * 100, 0).cast("long") * 10000
+        + F.col("hub_key").cast("long")
+    )
     best = scored.groupBy("c_custkey").agg(
-        F.min(F.struct(F.col("dist_km"), F.col("hub_key"))).alias("m"),
+        F.min(packed).alias("k"),
         F.sum(F.when(F.col("dist_km") <= 1000.0, 1).otherwise(0))
         .cast("long")
         .alias("n_within_1000"),
     )
     return best.select(
         "c_custkey",
-        F.col("m.hub_key").alias("nearest_hub"),
-        F.col("m.dist_km").alias("nearest_km"),
+        (F.col("k") % 10000).cast(dict(scored.dtypes)["hub_key"]).alias(
+            "nearest_hub"
+        ),
+        (F.floor(F.col("k") / 10000) / 100.0).alias("nearest_km"),
         "n_within_1000",
     )
 

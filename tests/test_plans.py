@@ -750,3 +750,22 @@ def test_unpartitioned_windows_are_declared():
         "unpartitioned window specs without a '# global-ok:' marker "
         f"(verdict-sized rationale required): {offenders}"
     )
+
+
+def test_argmin_paths_never_sort_aggregate(spark, sf_dir):
+    """r10 1000x-replica lesson: min(struct(score, key)) falls back to
+    SortAggregate, whose partial phase SORTS the expanded
+    (corpus x candidates) relation inside each task — sim_ivf_truepq
+    sort-spilled >60 GB and filled the disk. Every argmin path
+    (PQ encode, lloyd k-means, IVF coarse assign, nearest-hub) must
+    plan as hash aggregates only."""
+    from aws_etl_pipeline_spark.llm.similarity import (
+        kmeans_train,
+        sim_ivf_ann,
+        sim_ivf_truepq,
+    )
+    from aws_etl_pipeline_spark.operators.geo import geo_nearest_hub
+
+    for fn in (sim_ivf_truepq, sim_ivf_ann, kmeans_train, geo_nearest_hub):
+        plan = _plan(fn(spark, sf_dir))
+        assert "SortAggregate" not in plan, fn.__name__
