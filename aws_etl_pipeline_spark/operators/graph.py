@@ -910,8 +910,13 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY nodes the seed's mass has reached (3-hop ball here), so each
     round's contribution join is frontier-sized against the staged
     edge relation — the `graph_bfs_reach` frontier discipline applied
-    to a weighted walk. Rounds round to 12 after DECIMAL contribution
-    sums (the graph_pagerank exactness contract). Consumes the staged
+    to a weighted walk. The source degree is joined onto the edge list
+    ONCE, outside the loop (the r9 spelling re-joined the node-sized
+    degree relation every round — at the 1000x replica that was the
+    dominant per-round cost), and the ball-sized rank state is
+    broadcast EXPLICITLY so no round ever shuffles the edge relation.
+    Rounds round to 12 after DECIMAL contribution sums (the
+    graph_pagerank exactness contract). Consumes the staged
     customer–supplier fixture; degrees come from the symmetrized edge
     list, teleport is a 1-row union, and nothing is ever collected."""
     pairs = _custsupp_labeled(spark, sf_dir)  # staged fixture (r9)
@@ -920,13 +925,15 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(track)
     deg = edges.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
-    ).transform(track)
+    )
+    edeg = edges.join(deg.withColumnRenamed("node", "a"), "a").transform(
+        track
+    )  # (a, b, deg): one scan per round, no per-round deg join
     ranks = spark.createDataFrame([(PPR_SEED, 1.0)], "node string, r double")
     teleport = spark.createDataFrame([(PPR_SEED, 0.15)], "node string, v double")
     for _ in range(PPR_ITERS):
         contrib = (
-            edges.join(ranks.withColumnRenamed("node", "a"), "a")
-            .join(deg.withColumnRenamed("node", "a"), "a")
+            edeg.join(F.broadcast(ranks.withColumnRenamed("node", "a")), "a")
             .select(
                 F.col("b").alias("node"),
                 (F.col("r") / F.col("deg")).cast(_PPR_DEC).alias("cd"),
