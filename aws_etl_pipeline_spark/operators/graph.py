@@ -87,11 +87,21 @@ def _source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
 
 def _stage(spark: SparkSession, dest: str, build) -> DataFrame:
     """Write ``build()`` to ``dest`` once (tmp + atomic rename; the
-    first concurrent writer wins) and return a reader DataFrame."""
+    first concurrent writer wins) and return a reader DataFrame.
+
+    The write is spread across the session's parallelism: AQE
+    coalesces the builder's final shuffle to a handful of partitions,
+    and a 4-file stage caps every downstream scan at 4 tasks — at the
+    1000x replica that 1.9 GB / 4-file custsupp fixture bounded the
+    whole pagerank loop to 4-way parallelism (r10). One explicit
+    round-robin repartition at write time gives any reader full-width
+    scans (the load_spread discipline, applied at the producer)."""
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         os.makedirs(_STAGE_ROOT, exist_ok=True)
         tmp = f"{dest}.tmp-{os.getpid()}"
-        build().write.mode("overwrite").parquet(tmp)
+        build().repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, dest)
         except OSError:
