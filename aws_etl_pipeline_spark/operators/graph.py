@@ -99,8 +99,13 @@ def _stage(spark: SparkSession, dest: str, build) -> DataFrame:
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         os.makedirs(_STAGE_ROOT, exist_ok=True)
         tmp = f"{dest}.tmp-{os.getpid()}"
-        build().repartition(
-            spark.sparkContext.defaultParallelism
+        df = build()
+        # round-robin scatters similar rows and costs ~3.5x on-disk
+        # (measured on the 1000x custsupp stage); a local sort inside
+        # each partition restores run-length locality for the encoder
+        # without any extra exchange.
+        df.repartition(spark.sparkContext.defaultParallelism).sortWithinPartitions(
+            *df.columns
         ).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, dest)
