@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..cache import track
-from ..catalog import load_table
+from ..catalog import load_spread, load_table
 from ..registry import query
 
 #: context window (tokens) for packing/chunking demos — small so the
@@ -912,7 +912,7 @@ def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (difficulty, doc_id) order — which is exactly what the unchanged
     oracle checks. Plan-asserted: no Window partitioned by stage alone
     (tests/test_plans.py)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     ws = F.split(F.lower(F.trim(F.col("text"))), " ")
     wlen = F.transform(ws, lambda w: F.length(w))
     scored = d.select(
@@ -1244,7 +1244,7 @@ def pack_bestfit_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     The deterministic md5 shuffle key both mixes doc order (so
     windows are content-diverse, not corpus-order runs) and gives
     uniform sub-bucket balance."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id",
         _tokens().cast("long").alias("tokens"),
