@@ -3,7 +3,7 @@
 compact JSON lines {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ..., "reps": ..., "warmup_sec": ...,
 "loadavg_start": [...], "loadavg_end": [...]} — one per frozen query
-set (HEADLINE, EXT, R8, R9, R10, R11), each emitted TWICE: full head copies
+set (HEADLINE, EXT, R8, R9, R10, R11, R12), each emitted TWICE: full head copies
 in priority order first, then a size-bounded tail block ("dup":true) —
 one ~120-byte MINIMAL line per frozen metric (value-only) followed by
 the full HEADLINE line very last — so EVERY frozen value fits inside
@@ -215,6 +215,25 @@ HEADLINE_R11 = [
 ]
 
 
+#: HEADLINE_R12 (frozen in round 10; first recorded point BENCH_r10 —
+#: same one-ahead naming as R8-R11): the round-10 surface — the three
+#: new operators (harmonic best-fit packing, CCNet perplexity
+#: bucketing, daily retention triangle) plus the r10 scale rewrites
+#: that had no frozen drift line of their own (two-pass packing
+#: cumsum, ntile-arithmetic RFM, long-packed nearest-hub, hash-argmin
+#: k-means). All keyed-shuffle / broadcast plans; slope tables in
+#: SCALING.md's round-10 sections. Never merged into earlier lines.
+HEADLINE_R12 = [
+    "pack_bestfit_windows",
+    "text_perplexity_filter",
+    "events_retention_triangle",
+    "pack_token_budget",
+    "events_rfm_segmentation",
+    "geo_nearest_hub",
+    "kmeans_train",
+]
+
+
 WARMUP_SF = "/root/testdata/sf0.001"
 
 
@@ -234,7 +253,7 @@ def main() -> None:
     # JIT/page-cache state differed is distinguishable after the fact.
     t_w = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11:
+    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12:
         try:
             queries[name].fn(spark, WARMUP_SF).count()
             clear_persisted()
@@ -274,6 +293,7 @@ def main() -> None:
     r9_timings, r9_spread = run_set(HEADLINE_R9)
     r10_timings, r10_spread = run_set(HEADLINE_R10)
     r11_timings, r11_spread = run_set(HEADLINE_R11)
+    r12_timings, r12_spread = run_set(HEADLINE_R12)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -347,12 +367,19 @@ def main() -> None:
         "value": round(sum(r11_timings.values()), 3),
         "queries": r11_timings,
     }
+    r12_fields = {
+        **compact_fields,
+        "metric": "headline_r12_query_set_wall_clock",
+        "value": round(sum(r12_timings.values()), 3),
+        "queries": r12_timings,
+    }
     compact = json.dumps(compact_fields, separators=(",", ":"))
     compact_ext = json.dumps(ext_fields, separators=(",", ":"))
     compact_r8 = json.dumps(r8_fields, separators=(",", ":"))
     compact_r9 = json.dumps(r9_fields, separators=(",", ":"))
     compact_r10 = json.dumps(r10_fields, separators=(",", ":"))
     compact_r11 = json.dumps(r11_fields, separators=(",", ":"))
+    compact_r12 = json.dumps(r12_fields, separators=(",", ":"))
     # stdout carries ONLY the compact lines (round-8 fix: BENCH_r07
     # lost the headline value because three dup lines trailed it with
     # the headline copy FIRST — the tail-retention capture cut the
@@ -369,12 +396,14 @@ def main() -> None:
     print(compact_r9, flush=True)
     print(compact_r10, flush=True)
     print(compact_r11, flush=True)
+    print(compact_r12, flush=True)
     print(json.dumps({**compact_fields, "spread": spread}), file=sys.stderr)
     print(json.dumps({**ext_fields, "spread": ext_spread}), file=sys.stderr)
     print(json.dumps({**r8_fields, "spread": r8_spread}), file=sys.stderr)
     print(json.dumps({**r9_fields, "spread": r9_spread}), file=sys.stderr)
     print(json.dumps({**r10_fields, "spread": r10_spread}), file=sys.stderr)
     print(json.dumps({**r11_fields, "spread": r11_spread}), file=sys.stderr)
+    print(json.dumps({**r12_fields, "spread": r12_spread}), file=sys.stderr)
     # Tail-retention copies (round-9 fix: the driver's artifact keeps
     # only the LAST ~2 KB of stdout, and BENCH_r08 lost the R9 value
     # because the tail block led with five FULL compact lines — the
@@ -389,7 +418,7 @@ def main() -> None:
     # "dup":true lets a parser that scans EVERY stdout JSON line dedup
     # them instead of double-counting.
     load_pair = [LOADAVG_START[0], round(os.getloadavg()[0], 2)]
-    for f in (r11_fields, r10_fields, r9_fields, r8_fields, ext_fields, compact_fields):
+    for f in (r12_fields, r11_fields, r10_fields, r9_fields, r8_fields, ext_fields, compact_fields):
         minimal = {
             "metric": f["metric"],
             "value": f["value"],
