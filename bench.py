@@ -34,6 +34,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+# ^ the session default is local[4]; every measurement must use the
+#   full box unless the caller explicitly says otherwise (r10 found
+#   a whole day of scale numbers silently taken at 4 cores).
+
 from aws_etl_pipeline_spark.cache import clear_persisted
 from aws_etl_pipeline_spark.registry import all_queries
 from aws_etl_pipeline_spark.session import get_spark
