@@ -1284,3 +1284,103 @@ def pack_bestfit_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(rk / F.col("size_class")).cast("long").alias("window_idx"),
         (rk % F.col("size_class") + 1).cast("long").alias("slot"),
     )
+
+
+#: UniMax: epoch budget as a share of corpus tokens, and the max
+#: number of epochs any single source may repeat (the overfit cap).
+UNIMAX_BUDGET_FRAC = 0.8
+UNIMAX_MAX_EPOCHS = 2
+
+
+def _unimax_oracle() -> str:
+    return f"""
+WITH src AS (
+  SELECT source,
+         sum(len(string_split(lower(trim(text)), ' ')))::DOUBLE AS tokens
+  FROM documents GROUP BY source
+),
+capd AS (
+  SELECT source, tokens, tokens * {UNIMAX_MAX_EPOCHS} AS cap,
+         count(*) OVER ()::BIGINT AS n,
+         row_number() OVER (ORDER BY tokens * {UNIMAX_MAX_EPOCHS}, source)
+           AS rk,
+         coalesce(sum(tokens * {UNIMAX_MAX_EPOCHS})
+             OVER (ORDER BY tokens * {UNIMAX_MAX_EPOCHS}, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS cap_before,
+         (SELECT {UNIMAX_BUDGET_FRAC} * sum(tokens) FROM src) AS budget
+  FROM src
+),
+lvl AS (
+  SELECT max((budget - cap_before) / (n - rk + 1)) AS level FROM capd
+),
+alloc AS (
+  SELECT source, tokens, cap, least(cap, (SELECT level FROM lvl))
+           AS alloc_tokens
+  FROM capd
+)
+SELECT source, tokens::BIGINT AS src_tokens,
+       round(alloc_tokens, 2) AS alloc_tokens,
+       round(alloc_tokens / tokens, 6) AS epochs,
+       (cap <= alloc_tokens + 1e-9) AS capped
+FROM alloc
+"""
+
+
+@query("mix_unimax", oracle=_unimax_oracle())
+def mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax source mixing (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): allocate an epoch token budget as UNIFORMLY as
+    possible across sources, subject to a per-source repeat cap of
+    {UNIMAX_MAX_EPOCHS} epochs — the published successor to
+    temperature sampling (`mix_temperature`) that stops head
+    languages from swamping the mix without overfitting the tails.
+
+    The water-filling recursion has a closed form once sources are
+    sorted by capacity ascending: binding is a prefix property (if a
+    cap binds, every smaller cap binds), so the water level is
+    level = max over i of (budget - sum of caps before i) /
+    (sources remaining from i), and alloc_i = min(cap_i, level) —
+    prefix sums + one max over the SOURCE relation. One corpus scan folds per-source token counts
+    (map-side combinable); everything after runs on the handful of
+    source rows. Returns per-source allocation, effective epochs,
+    and the binding-cap flag."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(_tokens().cast("long")).cast("double").alias("tokens")
+    )
+    budget = src.agg(
+        (F.lit(UNIMAX_BUDGET_FRAC) * F.sum("tokens")).alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cap = F.col("tokens") * UNIMAX_MAX_EPOCHS
+    # global-ok: source relation (a handful of rows)
+    w_rk = W.orderBy(cap, "source")
+    capd = src.select(
+        "source",
+        "tokens",
+        cap.alias("cap"),
+        F.row_number().over(w_rk).cast("long").alias("rk"),
+        F.coalesce(
+            F.sum(cap).over(
+                # global-ok: source relation (a handful of rows)
+                W.orderBy(cap, "source").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ).alias("cap_before"),
+    ).crossJoin(F.broadcast(budget))
+    lvl = capd.agg(
+        F.max(
+            (F.col("budget") - F.col("cap_before"))
+            / (F.col("n") - F.col("rk") + 1)
+        ).alias("level")
+    )
+    alloc = F.least(F.col("cap"), F.col("level"))
+    return capd.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        F.col("tokens").cast("long").alias("src_tokens"),
+        F.round(alloc, 2).alias("alloc_tokens"),
+        F.round(alloc / F.col("tokens"), 6).alias("epochs"),
+        (F.col("cap") <= alloc + 1e-9).alias("capped"),
+    )

@@ -436,6 +436,8 @@ SUITES: dict[str, list[str]] = {
         "pack_length_buckets",
         # r10: harmonic size-class packing into fixed context windows
         "pack_bestfit_windows",
+        # r10: UniMax capped-epoch water-filling source mix
+        "mix_unimax",
     ],
     "suite_tpch": [
         # r9 second rotation: digest-seats the revenue-forecast

@@ -438,3 +438,36 @@ def test_bestfit_windows_never_overflow(spark, sf_dir):
             assert r.tok > r.size_class * PACK_WINDOW / (r.size_class + 1), r
         else:
             assert r.n <= r.size_class, r
+
+
+def test_unimax_matches_sequential_water_filling(spark, sf_dir):
+    """The closed-form level (max of prefix candidates) must equal the
+    textbook sequential water-filling on the same data, and the
+    allocation must exhaust the budget unless every cap binds."""
+    from aws_etl_pipeline_spark.llm.assembly import (
+        UNIMAX_BUDGET_FRAC,
+        UNIMAX_MAX_EPOCHS,
+        mix_unimax,
+    )
+
+    rows = mix_unimax(spark, sf_dir).collect()
+    caps = sorted((r.src_tokens * UNIMAX_MAX_EPOCHS, r.source) for r in rows)
+    budget = UNIMAX_BUDGET_FRAC * sum(r.src_tokens for r in rows)
+    remaining, n = budget, len(caps)
+    expect = {}
+    for i, (cap, source) in enumerate(caps):
+        share = remaining / (n - i)
+        expect[source] = min(cap, share)
+        remaining -= expect[source]
+    for r in rows:
+        assert abs(r.alloc_tokens - expect[r.source]) < 0.02, (
+            r.source, r.alloc_tokens, expect[r.source]
+        )
+        assert r.capped == (
+            r.src_tokens * UNIMAX_MAX_EPOCHS <= r.alloc_tokens + 1e-9
+        )
+    got_total = sum(r.alloc_tokens for r in rows)
+    all_capped = all(r.capped for r in rows)
+    assert all_capped or abs(got_total - budget) < 0.05 * len(rows), (
+        got_total, budget
+    )
