@@ -232,6 +232,7 @@ HEADLINE_R12 = [
     "pack_bestfit_windows",
     "text_perplexity_filter",
     "events_retention_triangle",
+    "mix_unimax",
     "pack_token_budget",
     "events_rfm_segmentation",
     "geo_nearest_hub",
