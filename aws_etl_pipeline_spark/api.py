@@ -233,7 +233,13 @@ def minhash_lsh_pairs(
         lambda acc, x: acc + x,
     )
     return (
-        a.join(
+        # corpus x corpus candidate join: NEVER broadcast-eligible —
+        # plan-time size estimates derive from the compressed file and
+        # under-count exploded band/shingle relations by 100x+ (the r10
+        # 1000x replica broadcast a 4 GB side and blew maxResultSize);
+        # the hint pins a shuffle join regardless of estimates.
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -292,7 +298,13 @@ def jaccard_pairs(
         raise ValueError(f"unknown measure: {measure!r}")
     score = inter.cast("double") / denom
     return (
-        a.join(
+        # corpus x corpus candidate join: NEVER broadcast-eligible —
+        # plan-time size estimates derive from the compressed file and
+        # under-count exploded band/shingle relations by 100x+ (the r10
+        # 1000x replica broadcast a 4 GB side and blew maxResultSize);
+        # the hint pins a shuffle join regardless of estimates.
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -339,7 +351,13 @@ def containment_lsh_pairs(
     )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
-        a.join(
+        # corpus x corpus candidate join: NEVER broadcast-eligible —
+        # plan-time size estimates derive from the compressed file and
+        # under-count exploded band/shingle relations by 100x+ (the r10
+        # 1000x replica broadcast a 4 GB side and blew maxResultSize);
+        # the hint pins a shuffle join regardless of estimates.
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -365,7 +383,7 @@ def containment_lsh_pairs(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     score = inter.cast("double") / F.least(F.size("sh_a"), F.size("sh_b"))
     return (
-        cand.join(ta, ia)
+        cand.hint("shuffle_hash").join(ta, ia)
         .join(tb, ib)
         .filter(score >= threshold)
         .select(ia, ib, F.round(score, 6).alias("containment"))

@@ -327,7 +327,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
-        a.join(
+        # corpus x corpus candidate join: NEVER broadcast-eligible —
+        # plan-time size estimates derive from the compressed file and
+        # under-count exploded band/shingle relations by 100x+ (the r10
+        # 1000x replica broadcast a 4 GB side and blew maxResultSize);
+        # the hint pins a shuffle join regardless of estimates.
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -675,7 +681,13 @@ def semdedup_frame(
         (F.col("a.ccos") == F.col("b.ccos")) & (F.col("a.vec_id") < F.col("b.vec_id"))
     )
     pruned = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & higher_priority)
+        # corpus x corpus candidate join: NEVER broadcast-eligible —
+        # plan-time size estimates derive from the compressed file and
+        # under-count exploded band/shingle relations by 100x+ (the r10
+        # 1000x replica broadcast a 4 GB side and blew maxResultSize);
+        # the hint pins a shuffle join regardless of estimates.
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.cell") == F.col("b.cell")) & higher_priority)
         .filter(pair_cos >= tau)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
@@ -1140,7 +1152,13 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return (
-        a.join(
+        # corpus x corpus candidate join: NEVER broadcast-eligible —
+        # plan-time size estimates derive from the compressed file and
+        # under-count exploded band/shingle relations by 100x+ (the r10
+        # 1000x replica broadcast a 4 GB side and blew maxResultSize);
+        # the hint pins a shuffle join regardless of estimates.
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
