@@ -34,6 +34,27 @@ from aws_etl_pipeline_spark.session import get_spark  # noqa: E402
 WARMUP_SF = "/root/testdata/sf0.001"
 REPS = int(os.environ.get("SPARK_GRAFT_TIME_REPS", "2"))
 
+#: sink=count matches bench.py (cross-round comparable) but lets
+#: Catalyst PRUNE computed columns the row count doesn't need — a
+#: window/projection query can "finish" without evaluating its window
+#: (r10: join_asof "ran" 100M rows in 0.66 s because count() deleted
+#: the as-of column). sink=hash folds xxhash64 over every output
+#: column into one row, forcing full evaluation; use it for scale
+#: tables of projection-shaped queries.
+SINK = os.environ.get("SPARK_GRAFT_TIME_SINK", "count")
+
+
+def _drain(df) -> int:
+    if SINK == "hash":
+        from pyspark.sql import functions as F
+
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*df.columns)).alias("h"),
+        ).collect()[0]
+        return row["n"]
+    return df.count()
+
 
 def main() -> None:
     sf_dir = sys.argv[1]
@@ -49,14 +70,14 @@ def main() -> None:
     for name in names:
         q = queries[name]
         try:
-            q.fn(spark, WARMUP_SF).count()
+            _drain(q.fn(spark, WARMUP_SF))
             clear_persisted()
         except Exception as e:
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
         samples, n = [], 0
         for _ in range(REPS):
             t0 = time.time()
-            n = q.fn(spark, sf_dir).count()
+            n = _drain(q.fn(spark, sf_dir))
             samples.append(time.time() - t0)
             clear_persisted()
         out[name] = {
@@ -70,6 +91,7 @@ def main() -> None:
             {
                 "sf_dir": sf_dir,
                 "reps": REPS,
+                "sink": SINK,
                 "loadavg_start": load_start,
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "queries": out,
