@@ -384,7 +384,7 @@ def containment_lsh_pairs(
     score = inter.cast("double") / F.least(F.size("sh_a"), F.size("sh_b"))
     return (
         cand.hint("shuffle_hash").join(ta, ia)
-        .join(tb, ib)
+        .hint("shuffle_hash").join(tb, ib)
         .filter(score >= threshold)
         .select(ia, ib, F.round(score, 6).alias("containment"))
     )

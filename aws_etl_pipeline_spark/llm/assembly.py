@@ -885,7 +885,7 @@ def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning corpus ordering (Bengio et al. 2009): score
     each document's difficulty (mean word length + 2x long-word share —
     the cheap proxy curricula actually start from), split the corpus
-    into {CURRICULUM_STAGES} difficulty stages at exact quartile
+    into ``CURRICULUM_STAGES`` (= 4) difficulty stages at exact quartile
     boundaries, and assign a deterministic within-stage position. A
     training loader then consumes stage 1 before stage 2, etc. —
     the assembly-side ordering primitive next to `mix_temperature`
@@ -897,8 +897,8 @@ def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature_quantile_binning discipline).
 
     Within-stage positions do NOT use a per-stage window — with only
-    {CURRICULUM_STAGES} stages that would bound parallelism at
-    {CURRICULUM_STAGES} tasks, each sorting ~1/{CURRICULUM_STAGES} of
+    4 stages that would bound parallelism at
+    4 tasks, each sorting ~1/4 of
     the corpus (measured 22x wall at 100x data). Instead this is the
     two-pass range-bucket + broadcast prefix-sum form
     (etl_dense_surrogate_ids discipline, operators/etl.py): sub-bucket
@@ -1333,7 +1333,7 @@ def mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
     More Effective Language Sampling for Large-Scale Multilingual
     Pretraining"): allocate an epoch token budget as UNIFORMLY as
     possible across sources, subject to a per-source repeat cap of
-    {UNIMAX_MAX_EPOCHS} epochs — the published successor to
+    ``UNIMAX_MAX_EPOCHS`` (= 2) epochs — the published successor to
     temperature sampling (`mix_temperature`) that stops head
     languages from swamping the mix without overfitting the tails.
 

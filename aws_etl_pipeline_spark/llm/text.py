@@ -2316,7 +2316,7 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity quality bucketing (Wenzek et al. 2020):
     score every document's perplexity under an add-one-smoothed
     corpus unigram LM and split the corpus into head / middle / tail
-    at the {PPL_HEAD:.0%}/{PPL_MIDDLE:.0%} PERCENTILE_DISC boundaries
+    at the 33%/67% (``PPL_HEAD``/``PPL_MIDDLE``) PERCENTILE_DISC boundaries
     — the filter CCNet/CC100/RedPajama actually apply before
     pretraining (keep head, sample middle, drop tail). CCNet scores
     with an external KenLM; this uses the corpus-self unigram LM (the

@@ -4759,7 +4759,7 @@ def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     `events_cohort_ltv` (value) and `events_survival_km` (churn
     timing) as the activity matrix both condition on.
 
-    Scale shape: the event log reduces to the DISTINCT (user, month)
+    Scale shape: the event log reduces to the DISTINCT (user, day)
     relation in one map-side-combinable pass (the
     events_rolling_active_users discipline — never carry raw events
     past the first shuffle); cohorts are a user-keyed min; the

@@ -484,7 +484,7 @@ SUITES: dict[str, list[str]] = {
     "suite_analytics": [
         "events_funnel",
         "events_retention_cohort",
-        # r10: monthly normalized retention triangle
+        # r10: daily normalized retention triangle
         "events_retention_triangle",
         "events_sessionize",
         "profile_table",

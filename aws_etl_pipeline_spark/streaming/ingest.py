@@ -685,8 +685,8 @@ def stream_exec_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
         os.makedirs(stage_dir)
         ev = load_table(spark, sf_dir, "events").withColumn(
             # global-ok: one-time sf-sized test-fixture staging (slices the
-        # events table into 4 micro-batch files), not a query path
-        "slice", F.ntile(4).over(W.orderBy("ts", "event_id"))
+            # events table into 4 micro-batch files), not a query path
+            "slice", F.ntile(4).over(W.orderBy("ts", "event_id"))
         )
         gm = ev.agg(F.max("ts")).collect()[0][0]
         thr = ev.filter(F.col("slice") <= 3).agg(

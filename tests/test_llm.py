@@ -463,8 +463,11 @@ def test_unimax_matches_sequential_water_filling(spark, sf_dir):
         assert abs(r.alloc_tokens - expect[r.source]) < 0.02, (
             r.source, r.alloc_tokens, expect[r.source]
         )
+        # compare against the UNROUNDED expectation: alloc_tokens is
+        # rounded to 2 decimals, so a water level within 0.005 of the
+        # cap could flip a naive rounded comparison
         assert r.capped == (
-            r.src_tokens * UNIMAX_MAX_EPOCHS <= r.alloc_tokens + 1e-9
+            r.src_tokens * UNIMAX_MAX_EPOCHS <= expect[r.source] + 1e-9
         )
     got_total = sum(r.alloc_tokens for r in rows)
     all_capped = all(r.capped for r in rows)
