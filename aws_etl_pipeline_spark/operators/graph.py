@@ -114,6 +114,32 @@ def _stage(spark: SparkSession, dest: str, build) -> DataFrame:
     return spark.read.parquet(dest)
 
 
+def _stage_partitioned(
+    spark: SparkSession, dest: str, build, part_col: str
+) -> DataFrame:
+    """`_stage`, but the fixture is written directory-partitioned by
+    ``part_col`` so readers that filter on it get file-source
+    PARTITION PRUNING (the scan lists only matching directories —
+    `PartitionFilters` in the plan). `repartition(part_col)` keys the
+    write shuffle on the partition column, so every output directory
+    is written by exactly one task: one file per partition value, no
+    small-file fan-out. The in-file sort keeps encoder run-length
+    locality, same as `_stage`."""
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        os.makedirs(_STAGE_ROOT, exist_ok=True)
+        tmp = f"{dest}.tmp-{os.getpid()}"
+        df = build()
+        data_cols = [c for c in df.columns if c != part_col]
+        df.repartition(F.col(part_col)).sortWithinPartitions(
+            part_col, *data_cols
+        ).write.partitionBy(part_col).mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return spark.read.parquet(dest)
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oriented part co-purchase edge list ``(u, v)`` with u < v:
     parts sharing an order are adjacent. Staged once per sf_dir."""
@@ -874,6 +900,59 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPR_SEED = "c:1"  # personalization seed (customer 1)
 PPR_ITERS = 3
 _PPR_DEC = "decimal(30,18)"
+#: bucket count for the staged source-partitioned edge layout. Sized
+#: so a frontier of f nodes reads ~min(f, B)/B of the edge relation;
+#: at 100 TB you raise B until the steady-state ball << B (B only
+#: costs directories). 512 keeps the sf0.01 fixture at one small
+#: file per bucket locally.
+PPR_EDGE_BUCKETS = 512
+
+
+def _ppr_bucket(col) -> F.Column:
+    """The staged layout's bucket function — deterministic, computable
+    on both the writer and the per-round frontier (xxhash64 is a fixed
+    seed-42 hash, stable across sessions)."""
+    return F.pmod(F.xxhash64(col), F.lit(PPR_EDGE_BUCKETS)).cast("int")
+
+
+def ppr_edges_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer–supplier edge relation ``(a, b, deg)``
+    with the source degree pre-joined, staged ONCE per fixture
+    directory-partitioned by ``bkt = pmod(xxhash64(a), {B})`` — the
+    layout that makes single-seed graph walks prune: any consumer
+    whose driving side is a node frontier filters ``bkt IN
+    (frontier's buckets)`` and the file source lists ONLY those
+    directories (`PartitionFilters`, pinned by
+    tests/test_plans.py::test_ppr_edge_scan_is_bucket_pruned).
+
+    This is the production answer to 'iterative walk over edges at
+    100 TB': the edge relation is a materialized, partitioned table
+    shared by every downstream walk, the degree rides the same layout
+    so no per-query deg join or edge-sized persist exists, and
+    per-round scan cost tracks the FRONTIER's bucket count, not the
+    graph (measured: SCALING.md round-11 replica table)."""
+    key = _source_fingerprint(sf_dir, ("lineitem", "orders"))
+
+    def build() -> DataFrame:
+        pairs = _custsupp_labeled(spark, sf_dir)
+        edges = pairs.union(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = edges.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        return edges.join(deg.withColumnRenamed("node", "a"), "a").select(
+            "a", "b", "deg", _ppr_bucket(F.col("a")).alias("bkt")
+        )
+
+    return _stage_partitioned(
+        spark,
+        os.path.join(
+            _STAGE_ROOT, f"ppr_edeg_b{PPR_EDGE_BUCKETS}_{key}"
+        ),
+        build,
+        "bkt",
+    )
 
 
 def _ppr_oracle() -> str:
@@ -923,32 +1002,44 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sparse spelling is the point at scale: the rank state holds
     ONLY nodes the seed's mass has reached (3-hop ball here), so each
-    round's contribution join is frontier-sized against the staged
-    edge relation — the `graph_bfs_reach` frontier discipline applied
-    to a weighted walk. The source degree is joined onto the edge list
-    ONCE, outside the loop (the r9 spelling re-joined the node-sized
-    degree relation every round — at the 1000x replica that was the
-    dominant per-round cost), and the ball-sized rank state is
-    broadcast EXPLICITLY so no round ever shuffles the edge relation.
-    Rounds round to 12 after DECIMAL contribution sums (the
-    graph_pagerank exactness contract). Consumes the staged
-    customer–supplier fixture; degrees come from the symmetrized edge
-    list, teleport is a 1-row union, and nothing is ever collected."""
-    pairs = _custsupp_labeled(spark, sf_dir)  # staged fixture (r9)
-    edges = pairs.union(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).transform(track)
-    deg = edges.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    )
-    edeg = edges.join(deg.withColumnRenamed("node", "a"), "a").transform(
-        track
-    )  # (a, b, deg): one scan per round, no per-round deg join
+    round's contribution join is frontier-sized — and, since r11, so
+    is each round's EDGE SCAN. The loop consumes the staged
+    source-bucketed edge layout (`ppr_edges_bucketed`: (a, b, deg)
+    directory-partitioned by pmod(xxhash64(a), {PPR_EDGE_BUCKETS}),
+    degree pre-joined at stage time): each round computes the
+    frontier's bucket set — a collect bounded by PPR_EDGE_BUCKETS
+    rows, never data-sized — and filters the scan to those
+    partitions, so the file source LISTS only the frontier's
+    directories (partition pruning, plan-pinned). Round 1 reads 1
+    bucket of {PPR_EDGE_BUCKETS}; a round whose ball saturates the
+    graph reads the graph — per-round cost tracks the BALL by
+    construction, which is the 100 TB contract (at that scale raise
+    PPR_EDGE_BUCKETS until steady-state ball << B). The frontier is
+    broadcast EXPLICITLY so no round ever shuffles the edge relation,
+    and no edge-sized relation is built or persisted at query time
+    (the r10 spelling joined deg onto the full edge list and
+    persisted ~200M rows at the 1000x replica — the dominant cost,
+    MEMORY_AND_DISK spill; SCALING.md r10/r11). Rounds round to 12
+    after DECIMAL contribution sums (the graph_pagerank exactness
+    contract). Rank state is localCheckpointed per round: ball-sized,
+    truncates the growing loop lineage, and the bucket-set job plus
+    the broadcast then read materialized state instead of re-running
+    prior rounds."""
+    edeg = ppr_edges_bucketed(spark, sf_dir)  # staged layout (r11)
     ranks = spark.createDataFrame([(PPR_SEED, 1.0)], "node string, r double")
     teleport = spark.createDataFrame([(PPR_SEED, 0.15)], "node string, v double")
     for _ in range(PPR_ITERS):
+        # bounded collect: <= PPR_EDGE_BUCKETS distinct bucket ids
+        # (the frontier's directories), never node- or edge-sized.
+        bkts = [
+            row[0]
+            for row in ranks.select(_ppr_bucket(F.col("node")))
+            .distinct()
+            .collect()
+        ]
         contrib = (
-            edeg.join(F.broadcast(ranks.withColumnRenamed("node", "a")), "a")
+            edeg.where(F.col("bkt").isin(bkts))  # partition-pruned scan
+            .join(F.broadcast(ranks.withColumnRenamed("node", "a")), "a")
             .select(
                 F.col("b").alias("node"),
                 (F.col("r") / F.col("deg")).cast(_PPR_DEC).alias("cd"),
@@ -961,6 +1052,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(teleport)
             .groupBy("node")
             .agg(F.round(F.sum("v"), 12).alias("r"))
+            .localCheckpoint()
         )
     return ranks.where(F.col("r") > 0).select("node", F.col("r").alias("ppr"))
 

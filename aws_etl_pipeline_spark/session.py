@@ -27,6 +27,13 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Partitioned-layout discovery: the default threshold (32 dirs)
+    # launches a cluster job to list directories — pure task-overhead
+    # for the staged bucketed fixtures (~500 local dirs list in ms on
+    # the driver). On a real object store at 100 TB, listing is owned
+    # by the catalog/manifest layer, not per-query jobs, so raising
+    # the in-engine threshold is the right default at both ends.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "1024",
     # Null-on-error cast semantics (reference uses pandas errors='coerce';
     # ANSI would raise instead).
     "spark.sql.ansi.enabled": "false",

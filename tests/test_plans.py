@@ -769,3 +769,37 @@ def test_argmin_paths_never_sort_aggregate(spark, sf_dir):
     for fn in (sim_ivf_truepq, sim_ivf_ann, kmeans_train, geo_nearest_hub):
         plan = _plan(fn(spark, sf_dir))
         assert "SortAggregate" not in plan, fn.__name__
+
+
+def test_ppr_edge_scan_is_bucket_pruned(spark, sf_dir):
+    """r11 (r10 verdict #1): the personalized-pagerank loop must read
+    only the frontier's buckets of the staged source-partitioned edge
+    layout — the file source lists the frontier's directories, never
+    the whole edge relation. Round 1's frontier is the seed alone, so
+    its scan must prune to exactly one bucket of PPR_EDGE_BUCKETS."""
+    from aws_etl_pipeline_spark.operators.graph import (
+        PPR_SEED,
+        _ppr_bucket,
+        ppr_edges_bucketed,
+    )
+
+    edeg = ppr_edges_bucketed(spark, sf_dir)
+    seed_bkt = (
+        spark.createDataFrame([(PPR_SEED,)], "node string")
+        .select(_ppr_bucket(F.col("node")))
+        .collect()[0][0]
+    )
+    pruned = edeg.where(F.col("bkt").isin([seed_bkt]))
+    plan = _plan(pruned)
+    pf_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters:" in ln
+    ]
+    assert pf_lines and any(
+        "bkt" in ln and ("=" in ln or " IN " in ln) for ln in pf_lines
+    ), plan
+    # pruning is effective, not just present: the pruned scan reads a
+    # single directory while the full layout holds many
+    assert pruned.rdd.getNumPartitions() <= 2
+    assert edeg.rdd.getNumPartitions() > 4
+    # and the layout carries the pre-joined degree (no per-round join)
+    assert set(edeg.columns) == {"a", "b", "deg", "bkt"}
