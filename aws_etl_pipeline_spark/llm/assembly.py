@@ -850,6 +850,8 @@ CURRICULUM_BUCKET_SCALE = 1000
 
 def _curriculum_oracle() -> str:
     qs = ", ".join(
+        # pdisc-ok: DuckDB oracle twin (single-node check SQL, not a
+        # Spark plan); the Spark-side bound is stated at the F.expr site
         f"percentile_disc({k / CURRICULUM_STAGES}) WITHIN GROUP (ORDER BY difficulty) AS q{k}"
         for k in range(1, CURRICULUM_STAGES)
     )
@@ -926,6 +928,10 @@ def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("difficulty"),
     ).transform(track)  # bounds fold + staging pass
+    # pdisc-ok: percentile buffers one counter per DISTINCT value;
+    # difficulty is a 6-dp ratio in [1, ~LONG_WORD_LEN*3] (mean word
+    # length + 2x long-word share), so the buffer is value-domain-
+    # bounded (~<=5e7 counters worst case, independent of corpus size)
     bounds = scored.agg(
         *[
             F.expr(
@@ -1103,6 +1109,8 @@ LEN_BUCKETS = 10  # decile length buckets
 
 def _lenbucket_oracle() -> str:
     qs = ", ".join(
+        # pdisc-ok: DuckDB oracle twin (single-node check SQL, not a
+        # Spark plan); the Spark-side bound is stated at the F.expr site
         f"percentile_disc({k / LEN_BUCKETS}) WITHIN GROUP (ORDER BY tokens) AS q{k}"
         for k in range(1, LEN_BUCKETS)
     )
@@ -1150,6 +1158,10 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select(
         "doc_id", _tokens().cast("long").alias("tokens")
     ).transform(track)  # bounds fold + bucketing pass
+    # pdisc-ok: percentile buffers one counter per DISTINCT value;
+    # tokens is an integer bounded by the max document length (any
+    # ingest enforces one), so the buffer is value-domain-bounded
+    # (<= max_doc_tokens counters, independent of corpus size)
     bounds = docs.agg(
         *[
             F.expr(

@@ -2270,6 +2270,12 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: perplexity-bucket boundaries (CCNet keeps the low-perplexity head).
 PPL_HEAD = 0.33
 PPL_MIDDLE = 0.67
+#: coarse-locate grid for the exact percentile: cells per ln(ppl)
+#: unit. ln(ppl) for an add-one-smoothed unigram LM is bounded by
+#: ln(total_tokens + vocab) — <= ~31 for a 2e13-token (100 TB)
+#: corpus — so the cell histogram is <= ~31k rows at ANY corpus
+#: size: domain-bounded, never corpus-bounded.
+PPL_LN_GRID = 1000
 
 
 def _ppl_oracle() -> str:
@@ -2299,6 +2305,9 @@ scored AS (
   FROM dl d JOIN lp l USING (doc_id)
 ),
 b AS (
+  -- pdisc-ok: DuckDB oracle twin; the Spark side computes the same
+  -- boundaries via the two-level bounded-histogram device (no
+  -- corpus-sized percentile buffer)
   SELECT percentile_disc({PPL_HEAD}) WITHIN GROUP (ORDER BY ppl) AS p33,
          percentile_disc({PPL_MIDDLE}) WITHIN GROUP (ORDER BY ppl) AS p67
   FROM scored
@@ -2334,9 +2343,22 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc for the logprob fold), both map-side combinable; the LM stats
     fold to ONE broadcast row; the tf->vocab join is a keyed equi-join
     (vocab is corpus-sized — at 100 TB it stays a shuffle join, never
-    a broadcast); bucket thresholds are a broadcast row folded from
-    percentile_disc, so bucketing is scan-fused (the
-    feature_quantile_binning discipline, no global sort)."""
+    a broadcast). The bucket thresholds are EXACT PERCENTILE_DISC
+    values computed WITHOUT a single-group percentile buffer (r10
+    verdict: ppl rounded to 6 is near-distinct per document, so
+    `percentile_disc` — which buffers one counter per DISTINCT value
+    in ONE aggregation buffer — concentrates ~N entries in one task
+    at 100 TB doc counts). Instead, the two-level
+    feature_quantile_binning device: (1) a map-side-combinable
+    histogram over the DOMAIN-BOUNDED ln-grid cell floor(ln(ppl) *
+    {PPL_LN_GRID}) locates each quantile's boundary CELL via a
+    cumulative sum over the <=~31k-row cell relation; (2) a value
+    histogram WITHIN the located cells only (distinct 6-dp values in
+    a 0.1%-wide multiplicative band — value-domain-bounded, and
+    scan-fused via a broadcast semi filter) picks the exact boundary
+    value at the standard cume_dist >= q rank. Both windows run over
+    bounded relations; thresholds fold to one broadcast row and
+    bucketing stays a scan-fused comparison."""
     d = load_spread(spark, sf_dir, "documents")
     words = track(
         d.select("doc_id", F.explode(_words()).alias("w"))
@@ -2371,14 +2393,69 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.exp(-F.col("lsum").cast("double") / F.col("n")), 6
         ).alias("ppl"),
-    ).transform(track)  # threshold fold + bucketing pass
-    b = scored.agg(
-        F.expr(
-            f"percentile_disc({PPL_HEAD}) WITHIN GROUP (ORDER BY ppl)"
-        ).alias("p33"),
-        F.expr(
-            f"percentile_disc({PPL_MIDDLE}) WITHIN GROUP (ORDER BY ppl)"
-        ).alias("p67"),
+    ).transform(track)  # cell histogram + boundary-cell scan + bucketing
+    qs = spark.createDataFrame(
+        [("p33", PPL_HEAD), ("p67", PPL_MIDDLE)], "qname string, q double"
+    )
+    nd = scored.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    # ppl >= 1 (mean logprob <= 0), so ln(ppl) >= 0; cells bounded by
+    # ln(tot + vsz) * PPL_LN_GRID — see the PPL_LN_GRID note.
+    cellcol = F.floor(F.log("ppl") * PPL_LN_GRID).cast("long")
+    hist = scored.groupBy(cellcol.alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    # global-ok: ln-grid cell histogram, domain-bounded (<=~31k
+    # rows for any corpus up to 2e13 tokens; PPL_LN_GRID note)
+    wcell = W.orderBy("cell").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "cell",
+        F.sum("cnt").over(wcell).cast("long").alias("cum"),
+        (F.sum("cnt").over(wcell) - F.col("cnt")).cast("long").alias("nbelow"),
+    )
+    # boundary cell per quantile: smallest cell whose cume_dist >= q
+    # (the SQL-standard PERCENTILE_DISC rank, compared as a double
+    # ratio exactly like cume_dist evaluates it). nbelow is monotone
+    # in cell, so min(cell) and min(nbelow) land on the same row.
+    loc = (
+        cum.crossJoin(F.broadcast(nd))
+        .join(F.broadcast(qs), F.col("cum").cast("double") / F.col("nd") >= F.col("q"))
+        .groupBy("qname", "q")
+        .agg(F.min("cell").alias("cell"), F.min("nbelow").alias("nbelow"))
+    )
+    # exact boundary value: value histogram WITHIN the boundary cells
+    # only (broadcast semi filter — the full corpus is scanned once,
+    # non-boundary cells drop at the join)
+    vhist = (
+        scored.select(cellcol.alias("cell"), "ppl")
+        .join(F.broadcast(loc), "cell")
+        .groupBy("qname", "q", "nbelow", "ppl")
+        .agg(F.count(F.lit(1)).cast("long").alias("vc"))
+    )
+    vcum = vhist.select(
+        "qname",
+        "q",
+        "nbelow",
+        "ppl",
+        # global-ok: within-cell value histogram, bounded by distinct
+        # 6-dp values in one 1/PPL_LN_GRID-wide ln band (per qname)
+        F.sum("vc")
+        .over(
+            W.partitionBy("qname").orderBy("ppl").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        .alias("vcum"),
+    )
+    b = (
+        vcum.crossJoin(F.broadcast(nd))
+        .where(
+            (F.col("nbelow") + F.col("vcum")).cast("double") / F.col("nd")
+            >= F.col("q")
+        )
+        .agg(
+            F.min(F.when(F.col("qname") == "p33", F.col("ppl"))).alias("p33"),
+            F.min(F.when(F.col("qname") == "p67", F.col("ppl"))).alias("p67"),
+        )
     )
     return scored.crossJoin(F.broadcast(b)).select(
         "doc_id",

@@ -803,3 +803,30 @@ def test_ppr_edge_scan_is_bucket_pruned(spark, sf_dir):
     assert edeg.rdd.getNumPartitions() > 4
     # and the layout carries the pre-joined degree (no per-round join)
     assert set(edeg.columns) == {"a", "b", "deg", "bkt"}
+
+
+def test_percentile_disc_sites_are_declared():
+    """r10 verdict #2 follow-through: percentile_disc buffers one
+    counter per DISTINCT input value inside ONE aggregation buffer, so
+    any site ordering by a value set that grows with the corpus is a
+    latent single-task concentration. Every percentile_disc occurrence
+    in the package must carry a `pdisc-ok:` marker (within the 8
+    preceding lines or inline) stating why its distinct-value domain
+    is bounded — or that it is the DuckDB oracle twin, which runs
+    single-node by design. A new unbounded site lands without the
+    marker and fails here."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "aws_etl_pipeline_spark"
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        lines = py.read_text().splitlines()
+        for i, ln in enumerate(lines):
+            if "percentile_disc(" in ln:
+                ctx = "\n".join(lines[max(0, i - 8): i + 1])
+                if "pdisc-ok:" not in ctx:
+                    offenders.append(f"{py.relative_to(pkg.parent)}:{i + 1}")
+    assert offenders == [], (
+        "percentile_disc sites without a 'pdisc-ok:' bound declaration: "
+        f"{offenders}"
+    )
