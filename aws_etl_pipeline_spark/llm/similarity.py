@@ -20,6 +20,7 @@ bit-identical scores (rounded only to absorb final-ulp risk).
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -303,15 +304,16 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 2  # centroid cells probed per query
 
 
-def _ivf_parts(spark: SparkSession, sf_dir: str):
-    """Shared IVF front-end for sim_ivf_ann and sim_ivf_pq: per-label
-    coarse centroids (explode -> per-dim DECIMAL-exact mean ->
-    rebuild), the persisted norm table, the corpus-to-cell assignment,
-    and each query's {N_PROBE} probe cells. Returns ``(n, assign,
-    probes)``. n feeds four branches (corpus assignment, query
-    probing, and both rescore sides) and cent_n two; both persist so
-    the norm/centroid pipelines run once — the quantizer and the
-    vector index are build-once artifacts in a real IVF deployment."""
+def _cell_sim():
+    # centroid/query cosine used by assignment and probing — shared so
+    # the staged layout probes with the EXACT expression the build used
+    return _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+
+
+def _ivf_base(spark: SparkSession, sf_dir: str):
+    """Norm table + per-label coarse centroids (explode -> per-dim
+    DECIMAL-exact mean -> rebuild), both persisted — the shared build
+    inputs of every IVF tier and of the staged on-disk layout."""
     e = load_spread(spark, sf_dir, "embeddings")
     base = e.select("vec_id", "label", _as_double("embedding").alias("v"))
     dims = base.select(
@@ -332,8 +334,34 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     )
     n = base.select("vec_id", "v").withColumn("nrm", _norm(F.col("v"))).transform(track)
     cent_n = cent.withColumn("cnrm", _norm(F.col("cv"))).transform(track)
+    return n, cent_n
 
-    sim = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+
+def _ivf_probes(queries: DataFrame, cent_n: DataFrame) -> DataFrame:
+    """Each query's top-{N_PROBE} cells — a request-sized window
+    (requests x cells). ``queries`` is (vec_id, v, nrm)."""
+    q_scored = queries.crossJoin(F.broadcast(cent_n)).select(
+        "vec_id", "cell", _cell_sim().alias("sim")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    return (
+        q_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+
+
+def _ivf_parts(spark: SparkSession, sf_dir: str):
+    """Shared IVF front-end for sim_ivf_ann and sim_ivf_pq: per-label
+    coarse centroids (explode -> per-dim DECIMAL-exact mean ->
+    rebuild), the persisted norm table, the corpus-to-cell assignment,
+    and each query's {N_PROBE} probe cells. Returns ``(n, assign,
+    probes)``. n feeds four branches (corpus assignment, query
+    probing, and both rescore sides) and cent_n two; both persist so
+    the norm/centroid pipelines run once — the quantizer and the
+    vector index are build-once artifacts in a real IVF deployment
+    (``sim_ivf_staged`` demonstrates exactly that deployment shape)."""
+    n, cent_n = _ivf_base(spark, sf_dir)
     # corpus side: nearest cell only — two-pass hash argmin over
     # (-sim asc, cell asc), never a window over the expanded corpus
     # (the row_number spelling exchanged + sorted corpus x cells rows;
@@ -342,22 +370,10 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
         n.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "v", "nrm"),
         cent_n,
         None,
-        -sim,
+        -_cell_sim(),
         ["vec_id"],
     ).select("vec_id", "cell")
-    # query side: top-N_PROBE cells per query — a request-sized window
-    # (N_QUERIES rows x cells)
-    q_scored = (
-        n.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cent_n))
-        .select("vec_id", "cell", sim.alias("sim"))
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-    probes = (
-        q_scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell")
-    )
+    probes = _ivf_probes(n.filter(F.col("vec_id") < N_QUERIES), cent_n)
     return n, assign, probes
 
 
@@ -452,6 +468,114 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 8
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def ivf_staged_layout(spark: SparkSession, sf_dir: str):
+    """The PERSISTED IVF index the sim_ivf_ann docstring promises:
+    the encoded corpus (vec_id, v, nrm) staged ONCE per fixture,
+    directory-partitioned by its coarse cell id, plus the coarse
+    centroids staged as a tiny sibling artifact. A probe that filters
+    ``cell IN (probed cells)`` partition-prunes the file source to
+    the probed cells' directories (`PartitionFilters`, pinned by
+    tests/test_plans.py::test_ivf_staged_scan_prunes_to_probed_cells)
+    — each query reads ~n_probe/n_cells of the corpus FROM DISK, not
+    just post-scan. At 100 TB this is the deployment shape: build the
+    quantizer and the partitioned index once, serve probes against
+    the layout (the `ppr_edges_bucketed` discipline applied to the
+    vector index). Returns ``(corpus, cent_n)`` readers."""
+    from ..operators.graph import (
+        _STAGE_ROOT,
+        _source_fingerprint,
+        _stage,
+        _stage_partitioned,
+    )
+
+    key = _source_fingerprint(sf_dir, ("embeddings",))
+
+    def build_corpus() -> DataFrame:
+        n, assign, _ = _ivf_parts(spark, sf_dir)
+        return (
+            n.filter(F.col("vec_id") >= N_QUERIES)
+            .join(assign, "vec_id")
+            .select("vec_id", "v", "nrm", "cell")
+        )
+
+    def build_cent() -> DataFrame:
+        return _ivf_base(spark, sf_dir)[1]
+
+    corp = _stage_partitioned(
+        spark, os.path.join(_STAGE_ROOT, f"ivf_corpus_{key}"), build_corpus, "cell"
+    )
+    cent_n = _stage(spark, os.path.join(_STAGE_ROOT, f"ivf_cent_{key}"), build_cent)
+    return corp, cent_n
+
+
+@query(
+    "sim_ivf_staged",
+    oracle="WITH " + _IVF_CTES + f"""
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(qn.v, cn_.v) / (qn.nrm * cn_.nrm), 8) AS cosine,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY round(list_dot_product(qn.v, cn_.v) / (qn.nrm * cn_.nrm), 8) DESC,
+                    a.vec_id) AS rn
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id >= {N_QUERIES}
+  JOIN n qn  ON qn.vec_id = p.vec_id
+  JOIN n cn_ ON cn_.vec_id = a.vec_id
+) WHERE rn <= 3
+""",
+)
+def sim_ivf_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_ann served from the PERSISTED partition-by-cell index
+    (`ivf_staged_layout`) instead of an in-query corpus shuffle: the
+    probe set's cells are collected (bounded by the CELL DOMAIN —
+    ~#labels values, never corpus- or request-scaled), the staged
+    corpus scan partition-prunes to exactly those directories, and
+    the request-sized (query, cell, vector) relation broadcasts onto
+    the pruned scan for exact cosine rescoring. Same candidates, same
+    tie-break, hash-identical to sim_ivf_ann's oracle — the 100 TB
+    claim in sim_ivf_ann's docstring ('a write-time layout in
+    practice') as tested code. Quantizer artifacts round-trip through
+    parquet doubles, which is exact, so probes and scores match the
+    in-query build bit-for-bit."""
+    corp, cent_n = ivf_staged_layout(spark, sf_dir)
+    e = load_spread(spark, sf_dir, "embeddings")
+    qn0 = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .transform(track)  # probe window + rescore both read it
+    )
+    probes = _ivf_probes(qn0, cent_n)
+    # bounded collect: distinct probed cell ids, <= the cell domain
+    cells = [r[0] for r in probes.select("cell").distinct().collect()]
+    qp = probes.join(
+        qn0.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        ),
+        "query_id",
+    )
+    cand = (
+        corp.where(F.col("cell").isin(cells))  # partition-pruned scan
+        .join(F.broadcast(qp), "cell")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
             F.round(
                 _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 8
             ).alias("cosine"),

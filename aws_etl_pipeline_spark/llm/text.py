@@ -2119,47 +2119,59 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from key-mash / codes / tables before paying for a perplexity
     model (`corpus_ppl_buckets` is the expensive sibling).
 
-    Plan: term counts (one map-side-combined shuffle), the vocabulary
-    as a top-K window over them, then tokens joined to counts (shuffle
-    on term — skew on stopword-like terms is AQE's skew-join case at
-    scale) with the tiny vocabulary and the 1-row total broadcast.
-    Surprisal sums ride DECIMAL so the per-doc reduction is
-    order-free."""
+    Plan (r11 rewrite, r10 verdict #3): the raw token stream NEVER
+    crosses a term-keyed shuffle. Tokens first collapse to the
+    (doc_id, term, tf) relation — one map-side-combinable aggregate,
+    the `text_perplexity_filter` tf shape — and the term-keyed join
+    against the corpus counts moves one row per DISTINCT (doc, term),
+    not per occurrence: shuffle volume drops by the in-doc repetition
+    factor and stopword skew is bounded by document count, not token
+    count. Occurrence weights ride the tf column. The corpus term
+    counts fold from tf (sum, map-side combinable); the vocabulary is
+    top-K via orderBy+limit (TakeOrderedAndProject — per-partition
+    top-K merged on the driver-side reduce, never a global window
+    sort) and broadcasts with the 1-row total. Surprisal sums stay
+    EXACT: the per-term decimal surprisal (cast to DECIMAL(21,18) —
+    values < 1000 for any corpus under 2^999 tokens) times the
+    integral tf (DECIMAL(10,0)) is an exact decimal product of
+    precision 32 <= 38, bit-equal to the oracle's tf-fold repeated
+    addition of the same casted value."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_words()).alias("term"))
-    tc = tok.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("f")
-    ).transform(track)  # vocab window + token join + total all read it
+    tfr = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).transform(track)  # term counts + per-doc fold both read it
+    tc = tfr.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("f")
+    ).transform(track)  # vocab top-K + tf join + total all read it
     tot = tc.agg(F.sum("f").cast("double").alias("n"))
-    # top-K via orderBy+limit (TakeOrderedAndProject — per-partition
-    # top-K merged on the driver-side reduce) instead of a global
-    # row_number window, which would sort the ENTIRE vocabulary in one
-    # partition; same rows under the same deterministic ordering.
     vocab = (
         tc.orderBy(F.desc("f"), F.asc("term"))
         .limit(OOV_VOCAB_K)
         .select("term", F.lit(True).alias("in_vocab"))
     )
+    oov_tf = F.when(F.col("in_vocab").isNull(), F.col("tf")).otherwise(
+        F.lit(0)
+    )
+    surprisal = (-F.log2(F.col("f") / F.col("n"))).cast("decimal(21,18)")
     return (
-        tok.join(tc, "term")
+        # shuffle_hash pin: tc is corpus-vocabulary-sized — a shuffle
+        # join by contract (r11; the ppl-filter 1000x broadcast lesson)
+        tfr.join(tc.hint("shuffle_hash"), "term")
         .join(F.broadcast(vocab), "term", "left")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.col("in_vocab").isNull().cast("int"))
-            .cast("long")
-            .alias("n_oov"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(oov_tf).cast("long").alias("n_oov"),
+            F.round(F.sum(oov_tf) / F.sum("tf"), 6).alias("oov_rate"),
             F.round(
-                F.sum(F.col("in_vocab").isNull().cast("int"))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("oov_rate"),
-            F.round(
-                F.sum((-F.log2(F.col("f") / F.col("n"))).cast(_D38)).cast(
-                    "double"
-                )
-                / F.count(F.lit(1)),
+                F.sum(
+                    (F.col("tf").cast("decimal(10,0)") * surprisal).cast(
+                        _D38
+                    )
+                ).cast("double")
+                / F.sum("tf"),
                 6,
             ).alias("mean_neglogp"),
         )
@@ -2245,8 +2257,11 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(shingles)).alias("shingle"),
     ).transform(track)  # boilerplate count + flag join both read it
     boiler = (
+        # plain count, not countDistinct: array_distinct upstream makes
+        # (doc_id, source, shingle) unique, and countDistinct would add
+        # a second dedup exchange for rows already distinct (r11)
         sh.groupBy("source", "shingle")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        .agg(F.count(F.lit(1)).alias("nd"))
         .where(F.col("nd") >= BOILER_MIN_DOCS)
         .select("source", "shingle", F.lit(True).alias("is_boiler"))
     )
@@ -2254,7 +2269,9 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1)
     )
     return (
-        sh.join(boiler, ["source", "shingle"], "left")
+        # shuffle_hash pin: boiler is shingle-domain-sized — a shuffle
+        # join by contract (r11; the ppl-filter 1000x broadcast lesson)
+        sh.join(boiler.hint("shuffle_hash"), ["source", "shingle"], "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
@@ -2305,7 +2322,7 @@ scored AS (
   FROM dl d JOIN lp l USING (doc_id)
 ),
 b AS (
-  -- pdisc-ok: DuckDB oracle twin; the Spark side computes the same
+  -- pdisc-ok: DuckDB oracle twin. The Spark side computes the same
   -- boundaries via the two-level bounded-histogram device (no
   -- corpus-sized percentile buffer)
   SELECT percentile_disc({PPL_HEAD}) WITHIN GROUP (ORDER BY ppl) AS p33,
@@ -2375,8 +2392,14 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = words.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )
+    # shuffle_hash pins (r11, found at the 1000x replica): the vocab
+    # join and the doc-keyed fold both sit on corpus-sized relations
+    # whose plan-time size estimates derive from aggregates over a
+    # compressed scan — Catalyst broadcast BOTH (dl's 5M-row broadcast
+    # blew spark.driver.maxResultSize at 1000x). Estimate-proof, like
+    # the dedup candidate-join pins (api.py).
     lp = (
-        tf.join(vocab, "w")
+        tf.join(vocab.hint("shuffle_hash"), "w")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
@@ -2388,7 +2411,7 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lsum")
         )
     )
-    scored = dl.join(lp, "doc_id").select(
+    scored = dl.hint("shuffle_hash").join(lp, "doc_id").select(
         "doc_id",
         F.round(
             F.exp(-F.col("lsum").cast("double") / F.col("n")), 6

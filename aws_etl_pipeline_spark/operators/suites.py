@@ -365,6 +365,8 @@ SUITES: dict[str, list[str]] = {
         # r9 fourteenth batch: MMR diversity re-ranking (unrolled
         # greedy, the fixed-iteration discipline applied to ranking)
         "sim_mmr_diversify",
+        # r11: IVF served from the persisted partition-by-cell layout
+        "sim_ivf_staged",
     ],
     "suite_text": [
         "corpus_dataset_card",  # r7

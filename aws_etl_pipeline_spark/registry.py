@@ -201,18 +201,28 @@ PRIORITY: tuple[str, ...] = (
     # direct green in CORRECTNESS_r09 and is digest-covered by
     # suite_sim / suite_stats / suite_assembly / suite_streaming /
     # suite_text.)
-    "events_shapley_attribution",  # r9 seat, direct green r9; one more round
-    # rotated in r10 (r9 verdict #2): first direct driver rows for the
-    # highest-value r9 operators that shipped with digest-only history
-    "dedup_minhash_bbit",
+    # (r10 seats rotated out r11: dedup_minhash_bbit,
+    # dedup_incremental_bloom, sketch_ams_f2, mix_token_budget,
+    # events_window_funnel, events_shapley_attribution — each direct
+    # green in CORRECTNESS_r10 (shapley also r9) and digest-covered by
+    # suite_dedup / suite_sketches / suite_assembly / suite_analytics.)
+    # graph_personalized_pagerank KEEPS its seat: the r11
+    # bucketed-edge-layout rewrite deserves in-round direct history
+    # for the changed plan (direct green r10 for the old plan).
     "graph_personalized_pagerank",
-    "dedup_incremental_bloom",
-    "sketch_ams_f2",
-    "mix_token_budget",
-    "events_window_funnel",
-    # r10 new operator: first direct row per policy (also digest-seated
-    # in suite_assembly so a future rotation can vacate it)
+    # r10 new operator: first direct row landed r10 (digest-seated in
+    # suite_assembly); one more round while its family settles
     "pack_bestfit_windows",
+    # rotated in r11 (r10 verdict #6): first direct rows for the r10
+    # additions that shipped with digest-only driver history
+    "mix_unimax",
+    "text_perplexity_filter",
+    "events_retention_triangle",
+    # r11 rewrite re-seat: the tf-collapsed plan gets in-round history
+    "text_oov_rate",
+    # r11 new operator: first direct row per policy (also digest-seated
+    # in suite_sim so a future rotation can vacate it)
+    "sim_ivf_staged",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —

@@ -240,6 +240,18 @@ HEADLINE_R12 = [
 ]
 
 
+#: HEADLINE_R13 (frozen in round 11; first recorded point BENCH_r11 —
+#: same one-ahead naming as R8-R12): the round-11 surface — the new
+#: staged-IVF operator (ANN served from the persisted partition-by-
+#: cell index) and the bucketed-edge personalized-pagerank rewrite,
+#: which previously had NO frozen drift line (it was measured only in
+#: SCALING.md replica tables). Never merged into earlier lines.
+HEADLINE_R13 = [
+    "sim_ivf_staged",
+    "graph_personalized_pagerank",
+]
+
+
 WARMUP_SF = "/root/testdata/sf0.001"
 
 
@@ -259,7 +271,7 @@ def main() -> None:
     # JIT/page-cache state differed is distinguishable after the fact.
     t_w = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12:
+    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12 + HEADLINE_R13:
         try:
             queries[name].fn(spark, WARMUP_SF).count()
             clear_persisted()
@@ -300,6 +312,7 @@ def main() -> None:
     r10_timings, r10_spread = run_set(HEADLINE_R10)
     r11_timings, r11_spread = run_set(HEADLINE_R11)
     r12_timings, r12_spread = run_set(HEADLINE_R12)
+    r13_timings, r13_spread = run_set(HEADLINE_R13)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -379,6 +392,12 @@ def main() -> None:
         "value": round(sum(r12_timings.values()), 3),
         "queries": r12_timings,
     }
+    r13_fields = {
+        **compact_fields,
+        "metric": "headline_r13_query_set_wall_clock",
+        "value": round(sum(r13_timings.values()), 3),
+        "queries": r13_timings,
+    }
     compact = json.dumps(compact_fields, separators=(",", ":"))
     compact_ext = json.dumps(ext_fields, separators=(",", ":"))
     compact_r8 = json.dumps(r8_fields, separators=(",", ":"))
@@ -386,6 +405,7 @@ def main() -> None:
     compact_r10 = json.dumps(r10_fields, separators=(",", ":"))
     compact_r11 = json.dumps(r11_fields, separators=(",", ":"))
     compact_r12 = json.dumps(r12_fields, separators=(",", ":"))
+    compact_r13 = json.dumps(r13_fields, separators=(",", ":"))
     # stdout carries ONLY the compact lines (round-8 fix: BENCH_r07
     # lost the headline value because three dup lines trailed it with
     # the headline copy FIRST — the tail-retention capture cut the
@@ -403,6 +423,7 @@ def main() -> None:
     print(compact_r10, flush=True)
     print(compact_r11, flush=True)
     print(compact_r12, flush=True)
+    print(compact_r13, flush=True)
     print(json.dumps({**compact_fields, "spread": spread}), file=sys.stderr)
     print(json.dumps({**ext_fields, "spread": ext_spread}), file=sys.stderr)
     print(json.dumps({**r8_fields, "spread": r8_spread}), file=sys.stderr)
@@ -410,6 +431,7 @@ def main() -> None:
     print(json.dumps({**r10_fields, "spread": r10_spread}), file=sys.stderr)
     print(json.dumps({**r11_fields, "spread": r11_spread}), file=sys.stderr)
     print(json.dumps({**r12_fields, "spread": r12_spread}), file=sys.stderr)
+    print(json.dumps({**r13_fields, "spread": r13_spread}), file=sys.stderr)
     # Tail-retention copies (round-9 fix: the driver's artifact keeps
     # only the LAST ~2 KB of stdout, and BENCH_r08 lost the R9 value
     # because the tail block led with five FULL compact lines — the
@@ -424,7 +446,7 @@ def main() -> None:
     # "dup":true lets a parser that scans EVERY stdout JSON line dedup
     # them instead of double-counting.
     load_pair = [LOADAVG_START[0], round(os.getloadavg()[0], 2)]
-    for f in (r12_fields, r11_fields, r10_fields, r9_fields, r8_fields, ext_fields, compact_fields):
+    for f in (r13_fields, r12_fields, r11_fields, r10_fields, r9_fields, r8_fields, ext_fields, compact_fields):
         minimal = {
             "metric": f["metric"],
             "value": f["value"],

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 353  # COVERAGE.md "353 named queries total"
-DOCUMENTED_GRANULAR = 331
+DOCUMENTED_TOTAL = 354  # COVERAGE.md "354 named queries total"
+DOCUMENTED_GRANULAR = 332
 DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -216,13 +216,41 @@ def test_rotated_out_slots_stay_digest_covered():
         "text_rocchio_prf",
     ):
         assert rotated_out in digest_covered, rotated_out
-    for rotated_in in (
+    # (five of the six r10 rotated-in seats held direct rows through
+    # CORRECTNESS_r10, then rotated out in r11 — checked below;
+    # graph_personalized_pagerank keeps its seat for the r11 rewrite)
+    for r10_seat in (
         "dedup_minhash_bbit",
         "graph_personalized_pagerank",
         "dedup_incremental_bloom",
         "sketch_ams_f2",
         "mix_token_budget",
         "events_window_funnel",
+    ):
+        assert r10_seat in digest_covered, r10_seat
+    # the round-11 rotation (r10 verdict #6): the r10 seats leave with
+    # direct green r10 history (CORRECTNESS_r10) and stay
+    # digest-covered; the three r10 additions with digest-only history
+    # take their first direct rows, the two r11 scale rewrites get
+    # in-round direct history for their changed plans, and the new
+    # staged-IVF operator takes its first-round row (digest-seated in
+    # suite_sim so a future rotation can vacate it)
+    for rotated_out in (
+        "dedup_minhash_bbit",
+        "dedup_incremental_bloom",
+        "sketch_ams_f2",
+        "mix_token_budget",
+        "events_window_funnel",
+        "events_shapley_attribution",
+    ):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in (
+        "mix_unimax",
+        "text_perplexity_filter",
+        "events_retention_triangle",
+        "text_oov_rate",
+        "sim_ivf_staged",
+        "graph_personalized_pagerank",  # kept seat: r11 plan rewrite
     ):
         assert rotated_in in PRIORITY, rotated_in
         assert rotated_in in digest_covered, rotated_in  # future rotation can vacate
