@@ -1546,21 +1546,67 @@ def stream_exec_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
 
     def topk(df):
+        base = df.where(F.col("value").isNotNull()).select(
+            "event_type", "event_id", "user_id", "value"
+        )
+        # two-phase exact top-K (r11, 1000x replica lesson): a single
+        # window partitioned by event_type alone bounds parallelism at
+        # #types and sorts batch_size/#types rows in ONE task. Phase 1
+        # keeps each INPUT partition's top-K per type — window keyed
+        # by (type, spark_partition_id), partition-local sorts at full
+        # parallelism; the global top-K per type is a subset of the
+        # per-partition top-Ks, so phase 2's re-rank over the
+        # types x partitions x K survivors (verdict-sized by
+        # construction) is exact.
+        local = (
+            base.withColumn("pid", F.spark_partition_id())
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    W.partitionBy("event_type", "pid").orderBy(
+                        F.desc("value"), F.asc("event_id")
+                    )
+                ),
+            )
+            .where(F.col("rnk") <= TOPK_LEADERBOARD_K)
+            .drop("pid", "rnk")
+        )
         return (
-            df.where(F.col("value").isNotNull())
-            .select("event_type", "event_id", "user_id", "value")
-            .withColumn("rnk", F.row_number().over(w))
+            local.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= TOPK_LEADERBOARD_K)
             .drop("rnk")
         )
 
     def merge_batch(batch, bid: int) -> None:
-        part = topk(batch)
         if os.path.exists(os.path.join(cur, "_SUCCESS")):
             prev = batch.sparkSession.read.parquet(cur)
-            merged = topk(prev.unionByName(part))
+            # threshold pruning (r11, the classic streaming-top-K
+            # move): once a type's board holds K entries, any row
+            # whose value is strictly below the board's K-th value
+            # can never enter — prune it IN THE SCAN PROJECTION,
+            # before the fold's exchange. The threshold relation is
+            # K x types rows (broadcast); >= keeps boundary ties for
+            # the event_id tie-break; types with fewer than K
+            # entries prune nothing. At 1000x this collapses the
+            # per-batch exchange from batch-sized to
+            # above-threshold-sized once the first batch seeds the
+            # board.
+            thr = prev.groupBy("event_type").agg(
+                F.min("value").alias("_thr"),
+                F.count(F.lit(1)).alias("_k"),
+            )
+            pruned = (
+                batch.join(F.broadcast(thr), "event_type", "left")
+                .where(
+                    F.col("_thr").isNull()
+                    | (F.col("_k") < TOPK_LEADERBOARD_K)
+                    | (F.col("value") >= F.col("_thr"))
+                )
+                .drop("_thr", "_k")
+            )
+            merged = topk(prev.unionByName(topk(pruned)))
         else:
-            merged = part
+            merged = topk(batch)
         tmp = os.path.join(state_root, f"tmp_{bid}_{_uuid.uuid4().hex[:8]}")
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         old = os.path.join(state_root, f"old_{bid}")
