@@ -7,11 +7,14 @@ fixed number of join → re-aggregate rounds where each round's state is
 a (node, rank) table two columns wide.
 
 100 TB design: the per-iteration state is node-count-sized, never
-edge-count-sized; the contribution join shuffles edges by source node
-once per round (at scale, pre-partition `edges` by `src` and the
-shuffle amortizes to zero across rounds — the degree table rides the
-same partitioning). Ranks sum through DECIMAL so the result is
-bit-equal to the oracle regardless of partition-merge order.
+edge-count-sized; since r11 the 'pre-partition edges by src' claim is
+CODE, not prose, in two layout grades — `pagerank_edges_table`
+(bucketed TABLE: every global round's contribution join consumes the
+on-disk partitioning with zero edge-side exchange, degree riding the
+layout) and `ppr_edges_bucketed` (directory-partitioned: single-seed
+walks partition-prune each round's scan to the frontier's buckets).
+Ranks sum through DECIMAL so the result is bit-equal to the oracle
+regardless of partition-merge order.
 
 Oracle: the same three rounds UNROLLED as chained CTEs — an exact
 fixed-iteration twin, no recursion needed.
@@ -202,6 +205,67 @@ _ITERS = 3
 #: exact-sum carrier for double contributions.
 _DEC = "decimal(30,18)"
 
+#: bucket count for the global-pagerank edge TABLE. Matches the
+#: engine's shuffle parallelism so the rank side's aggregate
+#: partitioning aligns bucket-for-bucket; a session with different
+#: shuffle.partitions only re-exchanges the NODE-sized rank relation,
+#: never the edges.
+PR_EDGE_BUCKETS = 32
+
+
+def pagerank_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetrized (a, b, deg) edge relation as a Spark BUCKETED
+    TABLE — ``CLUSTERED BY (a) SORTED BY (a) INTO {B} BUCKETS`` over an
+    external parquet location staged once per fixture. A bucketed scan
+    reports HashPartitioning(a, {B}), so EVERY round's contribution
+    join consumes the on-disk layout with ZERO edge-side exchange —
+    the 'pre-partition edges by src and the shuffle amortizes to zero
+    across rounds' claim in this module's header, as code
+    (plan-pinned: tests/test_plans.py::
+    test_pagerank_round_join_never_exchanges_edges). Degrees ride the
+    layout, and the degree fold itself (groupBy a) is exchange-free
+    for the same reason.
+
+    Sibling of `ppr_edges_bucketed` (directory-partitioned, for
+    FRONTIER pruning): single-seed walks want partition PRUNING,
+    whole-graph iterations want partition ALIGNMENT — two layouts,
+    one staged relation each, both build-once artifacts.
+
+    Data files write once per fixture content (``_SUCCESS`` guard); a
+    fresh session (in-memory catalog) just re-registers the external
+    table over the existing files."""
+    key = _source_fingerprint(sf_dir, ("lineitem", "orders"))
+    tbl = f"pr_edges_b{PR_EDGE_BUCKETS}_{key}"
+    dest = os.path.join(_STAGE_ROOT, tbl)
+    if not spark.catalog.tableExists(tbl):
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+            spark.sql(
+                f"""CREATE TABLE IF NOT EXISTS {tbl}
+                    (a STRING, b STRING, deg BIGINT)
+                    USING parquet
+                    CLUSTERED BY (a) SORTED BY (a)
+                    INTO {PR_EDGE_BUCKETS} BUCKETS
+                    LOCATION '{dest}'"""
+            )
+        else:
+            pairs = _custsupp_labeled(spark, sf_dir)
+            edges = pairs.union(
+                pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            deg = edges.groupBy(F.col("a").alias("node")).agg(
+                F.count(F.lit(1)).cast("long").alias("deg")
+            )
+            (
+                edges.join(deg.withColumnRenamed("node", "a"), "a")
+                .select("a", "b", "deg")
+                .write.bucketBy(PR_EDGE_BUCKETS, "a")
+                .sortBy("a")
+                .option("path", dest)
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+    return spark.table(tbl)
+
 
 def _oracle() -> str:
     head = """
@@ -243,19 +307,26 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank (d=0.85, 3 rounds) on the undirected
     customer–supplier graph; ranks rounded to 12 decimals per round so
     every engine's partial-sum order yields the identical fixpoint
-    trajectory."""
-    pairs = _custsupp_labeled(spark, sf_dir)  # staged fixture (r9)
-    # persist both relations every round reuses: without it each of the
-    # 3 iterations (plus deg/tot) re-runs the edge build — a ~7x hidden
-    # recompute that turned the 100x replica run from ~linear into a
-    # stall (SCALING.md). Iterative DataFrame loops must pin their
-    # invariant inputs; rank state itself stays unpersisted (each
-    # round's plan is shallow once edges/deg are materialized).
-    edges = pairs.union(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).transform(track)
-    deg = edges.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
+    trajectory.
+
+    r11 layout rewrite: the loop consumes the BUCKETED edge table
+    (`pagerank_edges_table` — (a, b, deg) clustered by a into
+    {PR_EDGE_BUCKETS} buckets, degree pre-joined at stage time), so
+    the edge relation NEVER crosses an exchange: the degree fold
+    groups on the bucket key, and each round's contribution join
+    aligns the node-sized rank relation to the edges' on-disk
+    partitioning (shuffle-hash build on the rank side — no in-task
+    sort of edges either). The only per-round shuffle is the
+    map-side-combined contribution aggregate, which is the
+    algorithm's irreducible data movement. The r10 spelling built,
+    degree-joined, and persisted the edge relation in-query (the
+    MEMORY_AND_DISK spill at the 1000x replica) and re-exchanged it
+    every round."""
+    edeg = pagerank_edges_table(spark, sf_dir)  # bucketed layout (r11)
+    # degree fold is exchange-free (grouped on the bucket key); deg is
+    # node-sized and read by every round + the init, so persist it.
+    deg = edeg.groupBy(F.col("a").alias("node")).agg(
+        F.min("deg").alias("deg")  # constant per source node
     ).transform(track)
     # node count as a broadcast scalar — no driver-side collect
     tot = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
@@ -263,8 +334,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "deg", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(_ITERS):
-        contrib = edges.join(
-            ranks.withColumnRenamed("node", "a"), "a"
+        contrib = edeg.join(
+            # shuffle_hash: build the node-sized rank map per bucket —
+            # never broadcast (estimate-proof) and never sort edges
+            ranks.select(
+                F.col("node").alias("a"), "rank"
+            ).hint("shuffle_hash"),
+            "a",
         ).select(
             F.col("b").alias("node"),
             (F.col("rank") / F.col("deg")).cast(_DEC).alias("c"),

@@ -853,3 +853,35 @@ def test_ivf_staged_scan_prunes_to_probed_cells(spark, sf_dir):
     assert probe.rdd.getNumPartitions() < corp.rdd.getNumPartitions()
     # and the layout carries vector, norm, and cell — no re-derivation
     assert set(corp.columns) == {"vec_id", "v", "nrm", "cell"}
+
+
+def test_pagerank_round_join_never_exchanges_edges(spark, sf_dir):
+    """r11: the global-pagerank round consumes the bucketed edge
+    TABLE, so the edge relation must reach the contribution join
+    straight from its bucketed scan — no Exchange, no Sort — and the
+    only hash exchange in a round is the contribution aggregate's.
+    This is the 'pre-partition edges by src and the per-round shuffle
+    amortizes to zero' claim as a plan contract."""
+    from aws_etl_pipeline_spark.operators.graph import pagerank_edges_table
+
+    edeg = pagerank_edges_table(spark, sf_dir)
+    ranks = edeg.groupBy(F.col("a").alias("node")).agg(
+        F.min("deg").alias("deg")
+    ).select("node", (F.lit(1.0) / F.col("deg")).alias("rank"))
+    contrib = edeg.join(
+        ranks.select(F.col("node").alias("a"), "rank").hint("shuffle_hash"),
+        "a",
+    ).select(
+        F.col("b").alias("node"),
+        (F.col("rank") / F.col("deg")).cast("decimal(30,18)").alias("c"),
+    )
+    summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+    plan = _plan(summed)
+    assert "Bucketed: true" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    # exactly ONE hash exchange: the contribution aggregate (keyed by
+    # the destination node); the edge scan and the join have none
+    # (formatted mode prints each Exchange's spec as an Arguments line)
+    n_exchanges = plan.count("Arguments: hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert summed.count() > 0
