@@ -99,7 +99,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = d.filter(~is_bench).select("doc_id", "source")
     return (
-        train.join(contaminated, "doc_id", "left")
+        train.join(contaminated.hint("shuffle_hash"), "doc_id", "left")  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_train"),
@@ -349,7 +349,7 @@ def decontaminate_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n.filter(~is_bench)
         .select("vec_id", "label")
-        .join(mx, ["vec_id", "label"], "left")
+        .join(mx.hint("shuffle_hash"), ["vec_id", "label"], "left")  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
         .select(
             "vec_id",
             "label",

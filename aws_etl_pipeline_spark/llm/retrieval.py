@@ -265,7 +265,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     fused = (
-        lex.join(dense, "doc_id", "full_outer")
+        lex.hint("shuffle_hash").join(dense, "doc_id", "full_outer")  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
         .select(
             "doc_id",
             "lex_rank",
@@ -930,7 +930,7 @@ def text_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         postings.join(F.broadcast(expnorm), "term")
         .join(F.broadcast(tdf), "term")
-        .join(docs.select("doc_id", "dl"), "doc_id")
+        .join(docs.select("doc_id", "dl").hint("shuffle_hash"), "doc_id")  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(

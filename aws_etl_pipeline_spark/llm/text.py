@@ -514,7 +514,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = words.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
     scored = (
-        words.join(vocab, "term")
+        words.join(vocab.hint("shuffle_hash"), "term")  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
         .crossJoin(F.broadcast(total))
         .select("doc_id", F.log(F.col("cnt") / F.col("n")).alias("lp"))
     )
@@ -585,7 +585,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_docs")
         )
     )
-    return stats.join(heads, "term")
+    return stats.hint("shuffle_hash").join(heads, "term")  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
 
 
 @query(
@@ -742,7 +742,7 @@ def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("lang").orderBy(F.asc("unigram_ppl"), F.asc("doc_id"))
     tercile = F.ntile(3).over(w)
     return (
-        ppl.join(d, "doc_id")
+        ppl.hint("shuffle_hash").join(d, "doc_id")  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
         .select(
             "doc_id",
             "lang",
@@ -880,7 +880,7 @@ def classifier_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, lab, w, z_of = _logreg_train(spark, sf_dir)
     pred_ok = (
         z_of(w)
-        .join(lab, "doc_id")
+        .join(lab.hint("shuffle_hash"), "doc_id")  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
         .select(
             (
                 (F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 12) >= 0.5)
@@ -907,7 +907,7 @@ def _logreg_train(spark: SparkSession, sf_dir: str):
     )
     n_per_doc = feats.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
     x = (
-        feats.join(n_per_doc, "doc_id")
+        feats.join(n_per_doc.hint("shuffle_hash"), "doc_id")  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
         .select("doc_id", "b", (F.col("cnt") / F.col("n")).alias("x"))
         .transform(track)  # reused twice per iteration + final accuracy pass
     )
@@ -937,8 +937,8 @@ def _logreg_train(spark: SparkSession, sf_dir: str):
             "doc_id", F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 12).alias("p")
         )
         g = (
-            x.join(p, "doc_id")
-            .join(lab, "doc_id")
+            x.join(p.hint("shuffle_hash"), "doc_id")  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
+            .join(lab.hint("shuffle_hash"), "doc_id")
             .groupBy("b")
             .agg(
                 F.sum(
@@ -991,7 +991,7 @@ def classifier_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select("doc_id")
-        .join(z_of(w), "doc_id", "left")
+        .join(z_of(w).hint("shuffle_hash"), "doc_id", "left")  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
         .select(
             "doc_id",
             score.alias("en_score"),
@@ -1571,7 +1571,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tg.groupBy("tri").agg(F.count(F.lit(1)).cast("long").alias("df"))
     novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long")
     return (
-        tg.join(dfreq, "tri")
+        tg.join(dfreq.hint("shuffle_hash"), "tri")  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_trigrams"),
@@ -1842,14 +1842,14 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         12,
     )
     model = (
-        bi.join(ctx, "w1")
-        .join(cont, "w2")
+        bi.join(ctx.hint("shuffle_hash"), "w1")  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
+        .join(cont.hint("shuffle_hash"), "w2")
         .crossJoin(F.broadcast(btot))
         .select("w1", "w2", F.round(F.log(p), 8).alias("logp"))
     )
     ll = F.sum(F.col("logp").cast("decimal(20,8)")).cast("double")
     return (
-        inst.join(model, ["w1", "w2"])
+        inst.join(model.hint("shuffle_hash"), ["w1", "w2"])  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
