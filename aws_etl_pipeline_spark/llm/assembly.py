@@ -1396,3 +1396,108 @@ def mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alloc / F.col("tokens"), 6).alias("epochs"),
         (F.col("cap") <= alloc + 1e-9).alias("capped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality-quantile selection
+# ---------------------------------------------------------------------------
+
+#: keep documents at or above their source's QT_Q quality quantile.
+QT_Q = 0.7
+
+#: threshold grid resolution: quality scores live in [0, 1], so
+#: rounding to 3 decimals bounds the per-source score histogram at
+#: 1001 rows regardless of corpus size — the value-histogram quantile
+#: device (feature_quantile_binning) applied to a score column.
+QT_GRID_DECIMALS = 3
+
+
+def _topq_oracle() -> str:
+    from .text import QUALITY_SCORE_SQL
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS ws
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         {QUALITY_SCORE_SQL} AS qscore,
+         round({QUALITY_SCORE_SQL}, {QT_GRID_DECIMALS}) AS g
+  FROM t
+),
+hist AS (
+  SELECT source, g, count(*)::BIGINT AS cnt FROM scored GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, g, cnt,
+         sum(cnt) OVER (PARTITION BY source ORDER BY g
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS c,
+         sum(cnt) OVER (PARTITION BY source)::BIGINT AS n
+  FROM hist
+),
+thr AS (
+  SELECT source, min(g) AS threshold
+  FROM cum WHERE c >= {QT_Q!r} * n GROUP BY source
+)
+SELECT s.doc_id, s.source, s.qscore, thr.threshold
+FROM scored s JOIN thr ON thr.source = s.source
+WHERE s.g >= thr.threshold
+"""
+
+
+@query("mix_quality_topq", oracle=_topq_oracle())
+def mix_quality_topq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-quantile gate (the Ask-LLM / classifier-
+    threshold selection pattern, Sachdeva et al. 2024): keep each
+    document whose quality score reaches its OWN source's {QT_Q}
+    quantile, so every source contributes its best (1 - {QT_Q})
+    tail instead of one global threshold draining low-scoring
+    sources entirely — the selection step a mixture pipeline runs
+    before `mix_sources`/`mix_unimax` rebalance what survives.
+
+    The per-source threshold is exact PERCENTILE_DISC semantics on
+    the score GRID (scores round to {QT_GRID_DECIMALS} decimals):
+    the smallest grid value whose cumulative count reaches
+    {QT_Q} * n_source. A data-sized ORDER BY per source would not
+    distribute; the grid histogram is one map-side-combined
+    aggregate to <= sources x 1001 rows, thresholds fold on that
+    bounded relation, and selection is a broadcast join back into
+    the scan — the same two-pass value-histogram shape as
+    `feature_quantile_binning`, applied to corpus curation.
+
+    100 TB shape: two scans of documents (score+histogram, then
+    score+filter) and zero data-sized shuffles — the document text
+    itself never moves."""
+    from .text import quality_score_col
+
+    d = load_table(spark, sf_dir, "documents")
+    score = quality_score_col()
+    scored = d.select(
+        "doc_id",
+        "source",
+        score.alias("qscore"),
+        F.round(score, QT_GRID_DECIMALS).alias("g"),
+    )
+    hist = scored.groupBy("source", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        W.partitionBy("source").orderBy("g").rowsBetween(W.unboundedPreceding, 0)
+    )
+    wsrc = W.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "g",
+        F.sum("cnt").over(wcum).cast("long").alias("c"),
+        F.sum("cnt").over(wsrc).cast("long").alias("n"),
+    )
+    thr = (
+        cum.filter(F.col("c") >= QT_Q * F.col("n"))
+        .groupBy("source")
+        .agg(F.min("g").alias("threshold"))
+    )
+    return scored.join(F.broadcast(thr), "source").filter(
+        F.col("g") >= F.col("threshold")
+    ).select("doc_id", "source", "qscore", "threshold")

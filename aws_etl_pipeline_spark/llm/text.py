@@ -131,6 +131,45 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("predicted_lang", pred)
 
 
+def quality_score_col() -> F.Column:
+    """The heuristic quality score as a reusable Catalyst expression
+    (length band, word-length band, stopword ratio, lexical
+    diversity; rounded to 6) — shared by `text_quality` and the
+    per-source quantile gate `mix_quality_topq` so "quality" means
+    the same number everywhere in the pipeline."""
+    ws = _words()
+    stop_arr = F.array(*[F.lit(s) for s in LANG_PROFILES["en"]])
+    n_words = F.size(ws)
+    awl = (
+        F.aggregate(F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x)
+        .cast("double")
+        / n_words
+    )
+    stop_ratio = (
+        F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))).cast("double")
+        / n_words
+    )
+    ttr = F.size(F.array_distinct(ws)).cast("double") / n_words
+    return F.round(
+        0.25 * F.when(n_words.between(20, 400), 1.0).otherwise(0.0)
+        + 0.25 * F.when(awl.between(3.0, 8.0), 1.0).otherwise(0.0)
+        + 0.25 * F.least(stop_ratio * 10, F.lit(1.0))
+        + 0.25 * ttr,
+        6,
+    )
+
+
+#: DuckDB twin of `quality_score_col` over a CTE exposing ``ws`` =
+#: string_split(lower(trim(text)), ' ').
+QUALITY_SCORE_SQL = """round(
+         0.25 * CASE WHEN len(ws) BETWEEN 20 AND 400 THEN 1.0 ELSE 0.0 END
+       + 0.25 * CASE WHEN list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                          / len(ws) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END
+       + 0.25 * least(len(list_filter(ws, w -> list_contains(
+                    ['the','a','of','and','to'], w)))::DOUBLE / len(ws) * 10, 1.0)
+       + 0.25 * len(list_distinct(ws))::DOUBLE / len(ws), 6)"""
+
+
 @query(
     "text_quality",
     oracle="""
@@ -159,31 +198,14 @@ SELECT doc_id,
 FROM m
 """,
 )
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score (length band, word-length band, stopword
     ratio, lexical diversity) — the filter stage of a pretraining data
     pipeline, as one fused expression."""
     d = load_table(spark, sf_dir, "documents")
-    ws = _words()
-    stop_arr = F.array(*[F.lit(s) for s in LANG_PROFILES["en"]])
-    n_words = F.size(ws)
-    awl = (
-        F.aggregate(F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x)
-        .cast("double")
-        / n_words
-    )
-    stop_ratio = (
-        F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))).cast("double")
-        / n_words
-    )
-    ttr = F.size(F.array_distinct(ws)).cast("double") / n_words
-    score = F.round(
-        0.25 * F.when(n_words.between(20, 400), 1.0).otherwise(0.0)
-        + 0.25 * F.when(awl.between(3.0, 8.0), 1.0).otherwise(0.0)
-        + 0.25 * F.least(stop_ratio * 10, F.lit(1.0))
-        + 0.25 * ttr,
-        6,
-    )
+    score = quality_score_col()
     return d.select(
         "doc_id",
         score.alias("quality_score"),

@@ -4798,3 +4798,457 @@ def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bayesian A/B readout (grid posterior)
+# ---------------------------------------------------------------------------
+
+#: posterior grid resolution. The grid is the DOMAIN-BOUNDED device
+#: this repo uses wherever an exact data-sized order-by would not
+#: distribute (feature_quantile_binning, sketch_histogram_quantiles):
+#: every relation below is exactly BAYES_GRID rows regardless of data
+#: volume, so the whole readout after the one counting aggregate is
+#: O(1) work on O(1) rows at any scale.
+BAYES_GRID = 2048
+
+#: ship decision threshold on the posterior probability.
+BAYES_SHIP = 0.95
+
+
+@query(
+    "events_bayesian_ab",
+    oracle=f"""
+WITH s AS (
+  SELECT count(*) FILTER (user_id % 2 = 0)::BIGINT AS n0,
+         count(*) FILTER (user_id % 2 = 0 AND event_type = 'purchase')::BIGINT AS c0,
+         count(*) FILTER (user_id % 2 = 1)::BIGINT AS n1,
+         count(*) FILTER (user_id % 2 = 1 AND event_type = 'purchase')::BIGINT AS c1
+  FROM events
+),
+grid AS (
+  SELECT j, (j + 0.5) / {BAYES_GRID} AS p,
+         n0, c0, n1, c1,
+         c0 * ln((j + 0.5) / {BAYES_GRID})
+           + (n0 - c0) * ln(1.0 - (j + 0.5) / {BAYES_GRID}) AS la,
+         c1 * ln((j + 0.5) / {BAYES_GRID})
+           + (n1 - c1) * ln(1.0 - (j + 0.5) / {BAYES_GRID}) AS lb
+  FROM range({BAYES_GRID}) t(j) CROSS JOIN s
+),
+w AS (
+  SELECT j, p, n0, c0, n1, c1,
+         exp(la - max(la) OVER ()) AS wa,
+         exp(lb - max(lb) OVER ()) AS wb
+  FROM grid
+),
+cum AS (
+  SELECT j, p, n0, c0, n1, c1, wa, wb,
+         coalesce(sum(wa) OVER (ORDER BY j
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cwa,
+         coalesce(sum(wa) OVER (ORDER BY j
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0.0) AS swa_gt,
+         coalesce(sum(wa * p) OVER (ORDER BY j
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0.0) AS s1a_gt
+  FROM w
+),
+tot AS (
+  SELECT n0, c0, n1, c1,
+         sum(wa) OVER () AS za,
+         sum(wb) OVER () AS zb,
+         sum(wb * cwa + 0.5 * wa * wb) OVER () AS num_p,
+         sum(wb * (s1a_gt - p * swa_gt)) OVER () AS num_loss,
+         j
+  FROM cum
+)
+SELECT n0, c0, n1, c1,
+       round(c0::DOUBLE / n0, 6) AS rate_a,
+       round(c1::DOUBLE / n1, 6) AS rate_b,
+       round(num_p / (za * zb), 6) AS prob_b_beats_a,
+       round(num_loss / (za * zb), 8) AS exp_loss_choose_b,
+       CASE WHEN round(num_p / (za * zb), 6) >= {BAYES_SHIP} THEN 'ship_b'
+            WHEN round(num_p / (za * zb), 6) <= {1 - BAYES_SHIP} THEN 'ship_a'
+            ELSE 'continue' END AS decision
+FROM tot WHERE j = {BAYES_GRID} - 1
+""",
+)
+def events_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B experiment readout: Beta(1,1)-prior posterior of the
+    per-variant purchase rate (variants = user_id parity, the same
+    stable split as `events_abtest_welch`), evaluated on a fixed
+    {BAYES_GRID}-point grid — P(p_B > p_A), the expected loss of
+    shipping B (E[max(p_A - p_B, 0)]), and the
+    ship_b / ship_a / continue decision at the {BAYES_SHIP} posterior
+    threshold. The Bayesian twin of the Welch/SPRT readouts: a
+    probability a product owner can read directly instead of a t
+    statistic.
+
+    Numerics: the posterior density needs no closed-form normalizer —
+    unnormalized log-densities are shifted by their grid max and
+    exponentiated, and every sum is a ratio in which the normalizers
+    cancel, so only elementary exp/ln arithmetic appears (lgamma,
+    which Spark SQL lacks, never does). P(B>A) folds over the grid as
+    sum_j wB_j * cumA_{{<j}} + half the same-cell mass; the expected
+    loss folds the reverse cumulative sums of wA and wA*p. At large n
+    the posterior concentrates inside one grid cell and the decision
+    saturates to 0/1 — exactly the regime where the grid answer and
+    the exact answer agree to every printed digit.
+
+    100 TB shape: ONE conditional counting aggregate (4 exact BIGINTs,
+    map-side combined) touches the data; everything after runs on a
+    {BAYES_GRID}-row compile-time grid (the value-histogram discipline
+    of feature_quantile_binning). The unpartitioned windows below
+    operate on that fixed grid, never on data-sized relations."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("user_id") % 2
+    purchase = F.col("event_type") == "purchase"
+    s = ev.agg(
+        F.count(F.when(v == 0, 1)).cast("long").alias("n0"),
+        F.count(F.when((v == 0) & purchase, 1)).cast("long").alias("c0"),
+        F.count(F.when(v == 1, 1)).cast("long").alias("n1"),
+        F.count(F.when((v == 1) & purchase, 1)).cast("long").alias("c1"),
+    )
+    g = BAYES_GRID
+    p = (F.col("j") + 0.5) / g
+    grid = (
+        spark.range(g)
+        .select(F.col("id").alias("j"))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "j", "n0", "c0", "n1", "c1", p.alias("p"),
+            (F.col("c0") * F.log(p) + (F.col("n0") - F.col("c0")) * F.log(1.0 - p)).alias("la"),
+            (F.col("c1") * F.log(p) + (F.col("n1") - F.col("c1")) * F.log(1.0 - p)).alias("lb"),
+        )
+    )
+    # global-ok: all windows below run on the fixed BAYES_GRID-row
+    # grid relation (compile-time bound, never data-sized).
+    full = W.orderBy("j").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    # global-ok: fixed BAYES_GRID-row grid relation
+    before = W.orderBy("j").rowsBetween(W.unboundedPreceding, -1)
+    # global-ok: fixed BAYES_GRID-row grid relation
+    after = W.orderBy("j").rowsBetween(1, W.unboundedFollowing)
+    w = grid.select(
+        "j", "p", "n0", "c0", "n1", "c1",
+        F.exp(F.col("la") - F.max("la").over(full)).alias("wa"),
+        F.exp(F.col("lb") - F.max("lb").over(full)).alias("wb"),
+    )
+    cum = w.select(
+        "j", "p", "n0", "c0", "n1", "c1", "wa", "wb",
+        F.coalesce(F.sum("wa").over(before), F.lit(0.0)).alias("cwa"),
+        F.coalesce(F.sum("wa").over(after), F.lit(0.0)).alias("swa_gt"),
+        F.coalesce(F.sum(F.col("wa") * F.col("p")).over(after), F.lit(0.0)).alias("s1a_gt"),
+    )
+    tot = cum.select(
+        "j", "n0", "c0", "n1", "c1",
+        F.sum("wa").over(full).alias("za"),
+        F.sum("wb").over(full).alias("zb"),
+        F.sum(F.col("wb") * F.col("cwa") + 0.5 * F.col("wa") * F.col("wb"))
+        .over(full)
+        .alias("num_p"),
+        F.sum(F.col("wb") * (F.col("s1a_gt") - F.col("p") * F.col("swa_gt")))
+        .over(full)
+        .alias("num_loss"),
+    ).filter(F.col("j") == g - 1)
+    prob = F.round(F.col("num_p") / (F.col("za") * F.col("zb")), 6)
+    return tot.select(
+        "n0", "c0", "n1", "c1",
+        F.round(F.col("c0").cast("double") / F.col("n0"), 6).alias("rate_a"),
+        F.round(F.col("c1").cast("double") / F.col("n1"), 6).alias("rate_b"),
+        prob.alias("prob_b_beats_a"),
+        F.round(F.col("num_loss") / (F.col("za") * F.col("zb")), 8).alias(
+            "exp_loss_choose_b"
+        ),
+        F.when(prob >= BAYES_SHIP, "ship_b")
+        .when(prob <= 1 - BAYES_SHIP, "ship_a")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+#: bootstrap replicate count. A compile-time constant: the expansion
+#: factor of the one data-sized stage and the denominator of the CI
+#: ranks below.
+PB_REPS = 32
+
+#: order statistics for the 80% percentile CI over PB_REPS replicate
+#: means — percentile_disc semantics (smallest value whose cumulative
+#: fraction reaches q): ceil(0.1 * 32) = 4, ceil(0.9 * 32) = 29.
+PB_LO_RANK = 4
+PB_HI_RANK = 29
+
+
+def _poisson1_cdf() -> list[float]:
+    import math
+
+    e = math.exp(-1.0)
+    out, term, acc = [], e, 0.0
+    for k in range(8):
+        acc += term
+        out.append(acc)
+        term = term / (k + 1)
+    return out
+
+
+def _pb_oracle() -> str:
+    cdf = _poisson1_cdf()
+    cases = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(cdf)
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_type, event_id, CAST(value AS DECIMAL(18,6)) AS y
+  FROM events WHERE value IS NOT NULL
+),
+drawn AS (
+  SELECT event_type, y, b,
+         ('0x' || substr(md5('pb:' || event_id || ':' || b), 1, 8))::UBIGINT
+           / 4294967296.0 AS u
+  FROM pts CROSS JOIN range({PB_REPS}) r(b)
+),
+weighted AS (
+  SELECT event_type, y, b,
+         CASE {cases} ELSE 8 END AS w
+  FROM drawn
+),
+reps AS (
+  SELECT event_type, b,
+         CAST(sum(w * y) AS DOUBLE) / sum(w)::BIGINT AS mean_b
+  FROM weighted GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, mean_b,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY mean_b, b) AS rn
+  FROM reps
+),
+base AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_value
+  FROM pts GROUP BY 1
+)
+SELECT base.event_type, base.n, base.mean_value,
+       round(lo.mean_b, 6) AS boot_lo,
+       round(hi.mean_b, 6) AS boot_hi,
+       round(hi.mean_b - lo.mean_b, 6) AS ci_width
+FROM base
+JOIN (SELECT event_type, mean_b FROM ranked WHERE rn = {PB_LO_RANK}) lo
+  ON lo.event_type = base.event_type
+JOIN (SELECT event_type, mean_b FROM ranked WHERE rn = {PB_HI_RANK}) hi
+  ON hi.event_type = base.event_type
+"""
+
+
+@query("sample_poisson_bootstrap", oracle=_pb_oracle())
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 80% confidence interval for the per-event-type
+    mean of `value` (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012 — the standard way to bootstrap
+    when the data cannot be resampled centrally): each row enters
+    replicate b with weight ~ Poisson(1), drawn by inverse-CDF from a
+    deterministic md5 uniform of (event_id, b), so every replicate is
+    an independent approximate resample computable IN ONE PASS, with
+    no global resampling step and identical results on any cluster
+    layout. Replicate means are ranked per group; the
+    {PB_LO_RANK}th/{PB_HI_RANK}th of {PB_REPS} (percentile_disc
+    semantics) are the 10%/90% bounds.
+
+    Numerics: replicate sums are exact (integer weights x
+    DECIMAL(18,6) values), so each replicate mean is one double
+    division of exact quantities — bit-identical across engines and
+    partitionings, which makes the rank order (ties broken by b)
+    deterministic, not merely tolerant.
+
+    100 TB shape: the only data-sized stage is the {PB_REPS}x
+    compile-time replicate expansion feeding a map-side-combinable
+    exact aggregate; the shuffle carries groups x {PB_REPS} partial
+    rows, and everything after (ranking, CI extraction) runs on that
+    bounded relation. Compute scales with B*N but data movement with
+    groups*B — the property that makes the Poisson bootstrap the
+    at-scale choice over resample-and-recompute."""
+    cdf = _poisson1_cdf()
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pts = ev.select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    drawn = pts.select(
+        "event_type",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(PB_REPS - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "y",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pb:"),
+                            F.col("event_id").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    w = F.lit(8)
+    for k in range(len(cdf) - 1, -1, -1):
+        w = F.when(F.col("u") < cdf[k], F.lit(k)).otherwise(w)
+    reps = (
+        drawn.select("event_type", "y", "b", w.cast("long").alias("w"))
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("y")).cast("double")
+                / F.sum("w").cast("long")
+            ).alias("mean_b")
+        )
+    )
+    rw = W.partitionBy("event_type").orderBy("mean_b", "b")
+    ranked = reps.select(
+        "event_type", "mean_b", F.row_number().over(rw).alias("rn")
+    )
+    base = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_value"
+        ),
+    )
+    lo = ranked.filter(F.col("rn") == PB_LO_RANK).select(
+        "event_type", F.col("mean_b").alias("lo")
+    )
+    hi = ranked.filter(F.col("rn") == PB_HI_RANK).select(
+        "event_type", F.col("mean_b").alias("hi")
+    )
+    return (
+        base.join(F.broadcast(lo), "event_type")
+        .join(F.broadcast(hi), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "mean_value",
+            F.round("lo", 6).alias("boot_lo"),
+            F.round("hi", 6).alias("boot_hi"),
+            F.round(F.col("hi") - F.col("lo"), 6).alias("ci_width"),
+        )
+    )
+
+
+#: score-band resolution of the gains chart (5%-wide probability
+#: bands). Equal-WIDTH bands rather than exact deciles on purpose:
+#: banding is one map-side-combined aggregate at any scale, while
+#: exact deciles of a continuous score need a data-sized order-by —
+#: and a production targeting gate ships score THRESHOLDS, which is
+#: what bands are.
+LIFT_BINS = 20
+
+
+@query(
+    "classifier_lift_gains",
+    oracle=f"""
+WITH scored AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         round(1.0 / (1.0 + exp(-(value - 50.0) / 20.0)), 8) AS p
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT least(CAST(floor(p * {LIFT_BINS}) AS BIGINT), {LIFT_BINS - 1}) AS bin,
+         count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT bin, n, n_pos,
+         sum(n) OVER w::BIGINT AS cum_n,
+         sum(n_pos) OVER w::BIGINT AS cum_pos,
+         sum(n) OVER ()::BIGINT AS tot_n,
+         sum(n_pos) OVER ()::BIGINT AS tot_pos
+  FROM b
+  WINDOW w AS (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT bin, n, n_pos, cum_n, cum_pos,
+       round(cum_n::DOUBLE / tot_n, 6) AS frac_targeted,
+       round(cum_pos::DOUBLE / tot_pos, 6) AS capture_rate,
+       round((cum_pos::DOUBLE / cum_n) / (tot_pos::DOUBLE / tot_n), 6) AS lift
+FROM cum
+""",
+)
+def classifier_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift chart for the classifier family's fixed
+    logistic scorer (the same model `classifier_calibration_ece`
+    audits): {LIFT_BINS} equal-width score bands, walked from the most
+    confident down — each row says "targeting everything scored in
+    this band or higher reaches frac_targeted of the population,
+    captures capture_rate of all positives, at `lift` times the base
+    rate". Calibration answers "do the scores mean what they say";
+    this answers the campaign-planning question "how much do I gain
+    by using them" — the two standard eval charts next to ECE.
+
+    Every number is derived from exact BIGINT band counts: one scan
+    folds (score band, n, n_pos) map-side-combined; the cumulative
+    walk and ratios run on the {LIFT_BINS}-row relation. The
+    unpartitioned windows below are band-relation-sized by
+    construction."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("value") - 50.0) / 20.0)), 8
+    )
+    scored = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        p.alias("p"),
+    )
+    b = scored.groupBy(
+        F.least(
+            F.floor(F.col("p") * LIFT_BINS).cast("long"), F.lit(LIFT_BINS - 1)
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    # global-ok: windows over the LIFT_BINS-row band relation
+    # (compile-time bound, never data-sized).
+    wcum = W.orderBy(F.desc("bin")).rowsBetween(W.unboundedPreceding, 0)
+    # global-ok: fixed LIFT_BINS-row band relation
+    wall = W.orderBy(F.desc("bin")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = b.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(wcum).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(wcum).cast("long").alias("cum_pos"),
+        F.sum("n").over(wall).cast("long").alias("tot_n"),
+        F.sum("n_pos").over(wall).cast("long").alias("tot_pos"),
+    )
+    return cum.select(
+        "bin",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        F.round(F.col("cum_n").cast("double") / F.col("tot_n"), 6).alias(
+            "frac_targeted"
+        ),
+        F.round(F.col("cum_pos").cast("double") / F.col("tot_pos"), 6).alias(
+            "capture_rate"
+        ),
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            / (F.col("tot_pos").cast("double") / F.col("tot_n")),
+            6,
+        ).alias("lift"),
+    )

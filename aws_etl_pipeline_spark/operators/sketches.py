@@ -769,3 +769,184 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private quantile (exponential mechanism)
+# ---------------------------------------------------------------------------
+
+#: declared public domain of c_acctbal (TPC-H spec: [-999.99, 9999.99])
+#: and the grid over it. 11000 / 64 = 171.875 is exactly representable
+#: in binary, so bin arithmetic is identical on both engines.
+DPQ_LO = -1000.0
+DPQ_HI = 10000.0
+DPQ_BINS = 64
+DPQ_WIDTH = (DPQ_HI - DPQ_LO) / DPQ_BINS
+DPQ_EPS = 1.0  # privacy budget
+DPQ_Q = 0.5  # target quantile (median)
+
+
+@query(
+    "privacy_dp_quantile",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_mktsegment AS seg,
+         least(greatest(CAST(floor((CAST(c_acctbal AS DOUBLE) - {DPQ_LO!r})
+                                   / {DPQ_WIDTH!r}) AS BIGINT), 0),
+               {DPQ_BINS - 1}) AS bin
+  FROM customer
+),
+hist AS (
+  SELECT seg, bin, count(*)::BIGINT AS cnt FROM pts GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.seg, g.i, coalesce(h.cnt, 0)::BIGINT AS cnt
+  FROM (SELECT DISTINCT seg FROM pts) s
+  CROSS JOIN range({DPQ_BINS}) g(i)
+  LEFT JOIN hist h ON h.seg = s.seg AND h.bin = g.i
+),
+cum AS (
+  SELECT seg, i, cnt,
+         sum(cnt) OVER (PARTITION BY seg ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS c,
+         sum(cnt) OVER (PARTITION BY seg)::BIGINT AS n
+  FROM grid
+),
+scored AS (
+  SELECT seg, i, c, n,
+         {DPQ_EPS!r} * (-abs(c - {DPQ_Q!r} * n)) / 2.0
+           - ln(-ln((('0x' || substr(md5('dpq:' || seg || ':' || i), 1, 8))
+                       ::UBIGINT + 0.5) / 4294967296.0)) AS score
+  FROM cum
+),
+winner AS (
+  SELECT seg, n, i AS dp_bin
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY seg ORDER BY score DESC, i) = 1
+),
+truth AS (
+  SELECT seg, min(i) AS true_bin
+  FROM cum WHERE c >= {DPQ_Q!r} * n GROUP BY seg
+)
+SELECT w.seg, w.n, w.dp_bin,
+       round({DPQ_LO!r} + (w.dp_bin + 0.5) * {DPQ_WIDTH!r}, 4) AS dp_quantile_est,
+       t.true_bin,
+       round({DPQ_LO!r} + (t.true_bin + 0.5) * {DPQ_WIDTH!r}, 4) AS true_bin_mid,
+       abs(w.dp_bin - t.true_bin)::BIGINT AS bin_error
+FROM winner w JOIN truth t ON t.seg = w.seg
+""",
+)
+def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private median of account balance per market
+    segment via the EXPONENTIAL MECHANISM (McSherry-Talwar 2007) over
+    a {DPQ_BINS}-bin grid on the DECLARED domain [{DPQ_LO}, {DPQ_HI}]:
+    each bin's utility is the (negative) rank distance
+    -|cum_count(bin) - q*N| (sensitivity 1), and the released bin is
+    the Gumbel-max draw argmax_i(eps * u_i / 2 + g_i) — the standard
+    equivalence that turns exponential-mechanism sampling into one
+    deterministic argmax over perturbed scores. Completes the privacy
+    ladder: k-anonymity / l-diversity / t-closeness audit the data,
+    `privacy_dp_count_laplace` releases counts, this releases an
+    order statistic.
+
+    Same SECURITY NOTE as the Laplace query, prominently: the Gumbel
+    draws are seeded from md5(segment, bin) so both engines (and every
+    rerun) sample identically — a fixed PUBLIC seed demonstrates the
+    mechanism's arithmetic but provides NO privacy; production swaps
+    the seed for secret randomness, nothing else changes.
+
+    100 TB shape: one scan folds the data into a (segments x
+    {DPQ_BINS}) exact histogram (map-side combined); utilities,
+    Gumbel scores, the argmax, and the true-bin comparison all run on
+    that bounded relation. The grid is the same value-histogram
+    device as `sketch_histogram_quantiles` — the released value is a
+    bin midpoint, which is exactly the granularity the declared
+    domain/grid promises."""
+    c = load_table(spark, sf_dir, "customer")
+    bin_col = F.least(
+        F.greatest(
+            F.floor(
+                (F.col("c_acctbal").cast("double") - DPQ_LO) / DPQ_WIDTH
+            ).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(DPQ_BINS - 1),
+    )
+    pts = c.select(F.col("c_mktsegment").alias("seg"), bin_col.alias("bin"))
+    hist = pts.groupBy("seg", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    segs = pts.select("seg").distinct()
+    grid = (
+        segs.crossJoin(
+            F.broadcast(spark.range(DPQ_BINS).select(F.col("id").alias("i")))
+        )
+        .join(
+            hist.withColumnRenamed("bin", "i"),
+            ["seg", "i"],
+            "left",
+        )
+        .select("seg", "i", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+    wcum = W.partitionBy("seg").orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+    wseg = W.partitionBy("seg")
+    cum = grid.select(
+        "seg",
+        "i",
+        F.sum("cnt").over(wcum).cast("long").alias("c"),
+        F.sum("cnt").over(wseg).cast("long").alias("n"),
+    )
+    u01 = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dpq:"),
+                        F.col("seg"),
+                        F.lit(":"),
+                        F.col("i").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    scored = cum.select(
+        "seg",
+        "i",
+        "c",
+        "n",
+        (
+            DPQ_EPS * (-F.abs(F.col("c") - DPQ_Q * F.col("n"))) / 2.0
+            - F.log(-F.log(u01))
+        ).alias("score"),
+    )
+    rw = W.partitionBy("seg").orderBy(F.desc("score"), F.asc("i"))
+    winner = (
+        scored.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("seg", "n", F.col("i").alias("dp_bin"))
+    )
+    truth = (
+        cum.filter(F.col("c") >= DPQ_Q * F.col("n"))
+        .groupBy("seg")
+        .agg(F.min("i").alias("true_bin"))
+    )
+    return winner.join(F.broadcast(truth), "seg").select(
+        "seg",
+        "n",
+        "dp_bin",
+        F.round(DPQ_LO + (F.col("dp_bin") + 0.5) * DPQ_WIDTH, 4).alias(
+            "dp_quantile_est"
+        ),
+        "true_bin",
+        F.round(DPQ_LO + (F.col("true_bin") + 0.5) * DPQ_WIDTH, 4).alias(
+            "true_bin_mid"
+        ),
+        F.abs(F.col("dp_bin") - F.col("true_bin")).cast("long").alias("bin_error"),
+    )

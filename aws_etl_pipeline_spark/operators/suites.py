@@ -193,6 +193,9 @@ SUITES: dict[str, list[str]] = {
         # r9 second rotation: digest-seats the hash-agg flagship
         # (direct green r1-r8) to fund a new r9 direct row
         "agg_basic",
+        # r11 continuation: digest-seats the HLL++ flagship (direct
+        # green r1-r10) to fund a new direct row
+        "agg_approx_distinct",
     ],
     "suite_setops": [
         "set_union_all",
@@ -213,6 +216,10 @@ SUITES: dict[str, list[str]] = {
         "fn_unpivot",
         "sql_session_variables",
         "sql_lateral_join",  # r7
+        # r11 continuation: digest-seats the multi-key nulls-first/last
+        # sort flagship so its PRIORITY slot (direct green r1-r10) can
+        # fund a new direct row
+        "sort_multi_nulls",
     ],
     "suite_window": [
         "window_gaps_islands",  # r7
@@ -225,6 +232,9 @@ SUITES: dict[str, list[str]] = {
         "topk_per_group",
         # r8: domain-collapsed 2-D Pareto frontier
         "window_skyline_pareto",
+        # r11 continuation: digest-seats the TakeOrderedAndProject
+        # flagship (direct green r1-r10) to fund a new direct row
+        "limit_topk",
     ],
     "suite_fn_scalar": [
         "fn_url",  # r7
@@ -440,6 +450,8 @@ SUITES: dict[str, list[str]] = {
         "pack_bestfit_windows",
         # r10: UniMax capped-epoch water-filling source mix
         "mix_unimax",
+        # r11 continuation: per-source quality-quantile gate
+        "mix_quality_topq",
     ],
     "suite_tpch": [
         # r9 second rotation: digest-seats the revenue-forecast
@@ -595,6 +607,13 @@ SUITES: dict[str, list[str]] = {
         # r9 fourteenth batch: fraud-velocity rules (RANGE-interval
         # burst window + per-user amount z-score)
         "events_velocity_flags",
+        # r11 continuation batch: Bayesian grid-posterior A/B readout,
+        # Poisson-bootstrap CI, exponential-mechanism DP quantile, and
+        # the gains/lift chart next to calibration
+        "events_bayesian_ab",
+        "sample_poisson_bootstrap",
+        "privacy_dp_quantile",
+        "classifier_lift_gains",
     ],
     "suite_sketches": [
         "sketch_countmin_heavyhitters",

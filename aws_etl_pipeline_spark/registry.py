@@ -188,9 +188,10 @@ PRIORITY: tuple[str, ...] = (
     # direct green r1-r7 — to seat the suite_stats digest row.)
     # (agg_collect and agg_approx_quantile rotated out r7 — suite_agg
     # digest; direct green r1–r6.)
-    "agg_approx_distinct",
-    "sort_multi_nulls",
-    "limit_topk",
+    # (agg_approx_distinct, sort_multi_nulls, limit_topk rotated out in
+    # the r11 continuation — direct green r1-r10; each newly
+    # digest-seated in suite_agg / suite_sql_surface / suite_window to
+    # fund the five r11-continuation direct rows below.)
     # (join_interval_bucketed, privacy_t_closeness,
     # events_chisq_independence rotated out r9 — suite_join_misc /
     # suite_analytics / suite_stats digests; direct green r8.)
@@ -210,9 +211,15 @@ PRIORITY: tuple[str, ...] = (
     # bucketed-edge-layout rewrite deserves in-round direct history
     # for the changed plan (direct green r10 for the old plan).
     "graph_personalized_pagerank",
-    # r10 new operator: first direct row landed r10 (digest-seated in
-    # suite_assembly); one more round while its family settles
-    "pack_bestfit_windows",
+    # (pack_bestfit_windows rotated out in the r11 continuation —
+    # direct green r10; suite_assembly digest.)
+    # r11-continuation new operators: first direct rows per policy
+    # (each also digest-seated: suite_stats x4, suite_assembly x1)
+    "events_bayesian_ab",
+    "sample_poisson_bootstrap",
+    "privacy_dp_quantile",
+    "classifier_lift_gains",
+    "mix_quality_topq",
     # rotated in r11 (r10 verdict #6): first direct rows for the r10
     # additions that shipped with digest-only driver history
     "mix_unimax",
@@ -250,7 +257,8 @@ PRIORITY: tuple[str, ...] = (
     # green r5. dedup_minhash_lsh rotated out in the second r7
     # rotation — suite_dedup digest; direct green r1-r6.)
     "dedup_minhash_mllib",
-    "dedup_connected_components",
+    # (dedup_connected_components rotated out in the r11 continuation —
+    # direct green r1-r10; suite_dedup digest has carried it since r7.)
     # (dedup_semantic / dedup_containment_lsh rotated out r7 —
     # suite_dedup digest; direct green r6. sim_ivf_pq renamed to
     # sim_ivf_sq8 in r7 and digest-covered by suite_sim.)

@@ -245,10 +245,19 @@ HEADLINE_R12 = [
 #: staged-IVF operator (ANN served from the persisted partition-by-
 #: cell index) and the bucketed-edge personalized-pagerank rewrite,
 #: which previously had NO frozen drift line (it was measured only in
-#: SCALING.md replica tables). Never merged into earlier lines.
+#: SCALING.md replica tables), plus the r11-continuation batch
+#: (Bayesian A/B grid posterior, Poisson-bootstrap CI, DP quantile,
+#: gains/lift chart, per-source quality gate — added before BENCH_r11
+#: recorded its first point, so the line was still mutable under the
+#: freeze policy). Never merged into earlier lines.
 HEADLINE_R13 = [
     "sim_ivf_staged",
     "graph_personalized_pagerank",
+    "events_bayesian_ab",
+    "sample_poisson_bootstrap",
+    "privacy_dp_quantile",
+    "classifier_lift_gains",
+    "mix_quality_topq",
 ]
 
 

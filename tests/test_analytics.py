@@ -432,3 +432,103 @@ def test_forecast_reconciliation_coherence(spark, sf_dir):
     assert rows
     total_direct = rows[0]["total_direct"]
     assert abs(sum(r["reconciled_forecast"] for r in rows) - total_direct) < 1e-3
+
+
+def test_bayesian_ab_coheres_with_counts(spark, sf_dir):
+    """Grid-posterior sanity: the probability is a probability, the
+    decision matches the thresholded rounded probability, and the
+    direction agrees with the observed rates (with both arms in the
+    thousands of trials, P(B>A) must land on the same side of 0.5 as
+    the empirical rate difference)."""
+    from aws_etl_pipeline_spark.operators.analytics import (
+        BAYES_SHIP,
+        events_bayesian_ab,
+    )
+
+    r = events_bayesian_ab(spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert 0.0 <= row["prob_b_beats_a"] <= 1.0
+    assert row["exp_loss_choose_b"] >= 0.0
+    if row["rate_b"] > row["rate_a"]:
+        assert row["prob_b_beats_a"] > 0.5
+    elif row["rate_b"] < row["rate_a"]:
+        assert row["prob_b_beats_a"] < 0.5
+    p = row["prob_b_beats_a"]
+    want = (
+        "ship_b" if p >= BAYES_SHIP else "ship_a" if p <= 1 - BAYES_SHIP else "continue"
+    )
+    assert row["decision"] == want
+
+
+def test_bayesian_ab_grid_matches_closed_form(spark, sf_dir):
+    """The 2048-point grid P(B>A) must agree with the exact
+    closed-form Beta comparison (scipy-free: evaluated by the standard
+    recurrence via log-gamma in Python) to well under the rounding
+    grain."""
+    import math
+
+    from aws_etl_pipeline_spark.operators.analytics import events_bayesian_ab
+
+    row = events_bayesian_ab(spark, sf_dir).collect()[0]
+    a1, b1 = row["c0"] + 1, row["n0"] - row["c0"] + 1
+    a2, b2 = row["c1"] + 1, row["n1"] - row["c1"] + 1
+
+    # exact: P(p2 > p1) = sum_{i=0}^{a2-1} B(a1+i, b1+b2) / ((b2+i) B(1+i, b2) B(a1, b1))
+    def lbeta(x, y):
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    total = 0.0
+    for i in range(int(a2)):
+        total += math.exp(
+            lbeta(a1 + i, b1 + b2) - math.log(b2 + i) - lbeta(1 + i, b2) - lbeta(a1, b1)
+        )
+    assert abs(row["prob_b_beats_a"] - total) < 5e-3, (row["prob_b_beats_a"], total)
+
+
+def test_poisson_bootstrap_interval_brackets_mean(spark, sf_dir):
+    """The 80% bootstrap CI must be ordered, positive-width, and with
+    thousands of rows per group it must bracket the exact mean."""
+    from aws_etl_pipeline_spark.operators.analytics import sample_poisson_bootstrap
+
+    rows = sample_poisson_bootstrap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["boot_lo"] <= r["boot_hi"], r
+        assert r["ci_width"] >= 0.0
+        assert r["boot_lo"] <= r["mean_value"] <= r["boot_hi"], r
+
+
+def test_poisson_weights_have_unit_mean_rate(spark, sf_dir):
+    """The inverse-CDF thresholds are a valid Poisson(1) CDF prefix:
+    increasing, bounded by 1, first value e^-1."""
+    import math
+
+    from aws_etl_pipeline_spark.operators.analytics import _poisson1_cdf
+
+    cdf = _poisson1_cdf()
+    assert abs(cdf[0] - math.exp(-1)) < 1e-15
+    assert all(b > a for a, b in zip(cdf, cdf[1:]))
+    assert cdf[-1] < 1.0
+    # mass beyond the CASE ladder's cap (w=8) is negligible
+    assert 1.0 - cdf[-1] < 2e-5
+
+
+def test_lift_gains_walk_is_coherent(spark, sf_dir):
+    """Cumulative gains must be monotone in the walk, end at exactly
+    (1.0, 1.0, lift 1.0), and cum counts must telescope."""
+    from aws_etl_pipeline_spark.operators.analytics import classifier_lift_gains
+
+    rows = sorted(
+        classifier_lift_gains(spark, sf_dir).collect(), key=lambda r: -r["bin"]
+    )
+    assert rows
+    prev_n, prev_pos = 0, 0
+    for r in rows:
+        assert r["cum_n"] == prev_n + r["n"], r
+        assert r["cum_pos"] == prev_pos + r["n_pos"], r
+        prev_n, prev_pos = r["cum_n"], r["cum_pos"]
+    last = rows[-1]
+    assert last["frac_targeted"] == 1.0
+    assert last["capture_rate"] == 1.0
+    assert abs(last["lift"] - 1.0) < 1e-9

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 354  # COVERAGE.md "354 named queries total"
-DOCUMENTED_GRANULAR = 332
+DOCUMENTED_TOTAL = 359  # COVERAGE.md "354 named queries total"
+DOCUMENTED_GRANULAR = 337
 DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
