@@ -4992,20 +4992,35 @@ def _poisson1_cdf() -> list[float]:
     return out
 
 
+def _pb_hex_thresholds() -> list[str]:
+    """Poisson(1) CDF thresholds as 4-char lowercase hex: a 16-bit
+    uniform h satisfies h/65536 < cdf_k iff its hex form sorts
+    lexicographically below hex(ceil(cdf_k * 65536)) — fixed-width
+    hex is order-preserving, so the whole inverse-CDF ladder becomes
+    string comparisons (no hex->int parse per replicate)."""
+    import math
+
+    return [format(math.ceil(c * 65536), "04x") for c in _poisson1_cdf()]
+
+
 def _pb_oracle() -> str:
-    cdf = _poisson1_cdf()
+    hexes = _pb_hex_thresholds()
     cases = " ".join(
-        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(cdf)
+        f"WHEN u4 < '{h}' THEN {k}" for k, h in enumerate(hexes)
+    )
+    hsel = " ".join(f"WHEN {r} THEN h{r}" for r in range(PB_REPS // 8))
+    hashes = ",\n         ".join(
+        f"md5('pb:' || event_id || ':{r}') AS h{r}" for r in range(PB_REPS // 8)
     )
     return f"""
 WITH pts AS (
-  SELECT event_type, event_id, CAST(value AS DECIMAL(18,6)) AS y
+  SELECT event_type, event_id, CAST(value AS DECIMAL(18,6)) AS y,
+         {hashes}
   FROM events WHERE value IS NOT NULL
 ),
 drawn AS (
   SELECT event_type, y, b,
-         ('0x' || substr(md5('pb:' || event_id || ':' || b), 1, 8))::UBIGINT
-           / 4294967296.0 AS u
+         substr(CASE b // 8 {hsel} END, (b % 8) * 4 + 1, 4) AS u4
   FROM pts CROSS JOIN range({PB_REPS}) r(b)
 ),
 weighted AS (
@@ -5068,45 +5083,48 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded relation. Compute scales with B*N but data movement with
     groups*B — the property that makes the Poisson bootstrap the
     at-scale choice over resample-and-recompute."""
-    cdf = _poisson1_cdf()
+    hexes = _pb_hex_thresholds()
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     pts = ev.select(
         "event_type",
         "event_id",
         F.col("value").cast("decimal(18,6)").alias("y"),
     )
-    drawn = pts.select(
+    hashed = pts.select(
         "event_type",
         "y",
-        F.explode(F.sequence(F.lit(0), F.lit(PB_REPS - 1))).alias("b"),
-        "event_id",
-    ).select(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit("pb:"),
+                    F.col("event_id").cast("string"),
+                    F.lit(f":{r}"),
+                )
+            ).alias(f"h{r}")
+            for r in range(PB_REPS // 8)
+        ],
+    )
+    # eight 16-bit uniforms per md5: 4 hashes per ROW instead of one
+    # per (row, replicate) — an 8x cut in the dominant hash cost at
+    # scale. 16-bit resolution (1/65536) resolves every CDF threshold
+    # to ~1 grid unit (P(w>=8) ~ 1e-5, the coarsest edge, documented).
+    # The inverse-CDF ladder compares the 4-char hex slice directly
+    # against hex thresholds (fixed-width hex is order-preserving), so
+    # no per-replicate hex->int parse ever runs.
+    u4 = [
+        F.substring(F.col(f"h{b // 8}"), (b % 8) * 4 + 1, 4).alias(f"u{b}")
+        for b in range(PB_REPS)
+    ]
+    drawn = hashed.select("event_type", "y", *u4).select(
         "event_type",
         "y",
-        "b",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("pb:"),
-                            F.col("event_id").cast("string"),
-                            F.lit(":"),
-                            F.col("b").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            / F.lit(4294967296.0)
-        ).alias("u"),
+        F.posexplode(F.array(*[F.col(f"u{b}") for b in range(PB_REPS)])).alias(
+            "b", "u4"
+        ),
     )
     w = F.lit(8)
-    for k in range(len(cdf) - 1, -1, -1):
-        w = F.when(F.col("u") < cdf[k], F.lit(k)).otherwise(w)
+    for k in range(len(hexes) - 1, -1, -1):
+        w = F.when(F.col("u4") < hexes[k], F.lit(k)).otherwise(w)
     reps = (
         drawn.select("event_type", "y", "b", w.cast("long").alias("w"))
         .groupBy("event_type", "b")

@@ -310,6 +310,9 @@ SUITES: dict[str, list[str]] = {
         "stream_exec_cdc",
         # r9 seventh batch: mergeable cross-batch top-k leaderboard
         "stream_exec_topk_merge",
+        # r11 continuation: streaming as-of join (interval join +
+        # per-fact keyed-argmax merge in foreachBatch)
+        "stream_exec_asof_join",
     ],
     "suite_dedup": [
         "dedup_exact",
@@ -631,6 +634,9 @@ SUITES: dict[str, list[str]] = {
         "geo_nearest_hub",
         # r7 ninth batch: grid-DBSCAN hotspot clustering
         "geo_hotspot_clusters",
+        # r11 continuation: Watts-Strogatz local clustering coefficient
+        # (graph family rides this digest, like jaccard/triangles)
+        "graph_clustering_coefficient",
     ],
 }
 

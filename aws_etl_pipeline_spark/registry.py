@@ -245,10 +245,16 @@ PRIORITY: tuple[str, ...] = (
     "stream_exec_stream_join",
     # rotated in r8: the watermarked production form, first direct row
     "stream_exec_stream_join_watermarked",
-    # r8 second rotation: the left-outer watermarked form and the
-    # bounded-state dedup, first direct rows
-    "stream_exec_stream_join_outer_watermarked",
-    "stream_exec_dedup_watermarked",
+    # (stream_exec_stream_join_outer_watermarked and
+    # stream_exec_dedup_watermarked rotated out in the r11
+    # continuation — direct green r8-r10; suite_streaming digest — to
+    # fund the two new direct rows below.)
+    # r11-continuation new operators: the streaming as-of join
+    # (feature-store enrichment under incremental execution) and the
+    # clustering-coefficient graph readout, first direct rows per
+    # policy (digest-seated in suite_streaming / suite_geo)
+    "stream_exec_asof_join",
+    "graph_clustering_coefficient",
     # LLM-pipeline flagships
     # (dedup_exact rotated out r8 second rotation — suite_dedup
     # digest; direct green r1-r7. sketch_countmin_heavyhitters rotated

@@ -1637,3 +1637,118 @@ def stream_exec_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
     )
+
+
+@query(
+    "stream_exec_asof_join",
+    oracle="""
+SELECT a.event_id AS evt_id, a.user_id, a.ts AS evt_ts,
+       b.event_id AS prior_id, b.ts AS prior_ts
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+ AND b.ts BETWEEN a.ts - INTERVAL '6 hours' AND a.ts
+QUALIFY row_number() OVER (PARTITION BY a.event_id
+                           ORDER BY b.ts DESC, b.event_id DESC) = 1
+""",
+)
+def stream_exec_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL STREAMING AS-OF JOIN — the feature-store enrichment shape
+    (each fact gets the LATEST candidate state at-or-before its event
+    time, within a 6-hour tolerance) executed incrementally: the
+    staged files feed two streaming sources (even event_ids = facts,
+    odd = candidate states, the `stream_exec_stream_join` split); the
+    stream-stream interval join emits every in-window pairing in
+    append mode, and ``foreachBatch`` reduces each micro-batch to its
+    per-fact best candidate and MERGEs it into a parquet target
+    keeping the max (prior_ts, prior_id) per fact — the
+    `stream_exec_upsert` keyed-merge discipline pointed at join
+    output. "Latest within window" is an associative, idempotent
+    reduction, so the target is batching-invariant and replay-safe,
+    and must hash-equal the batch as-of oracle (QUALIFY row_number
+    = 1) regardless of how the four micro-batches interleave — the
+    exact contract `join_asof_tolerance` verifies in batch, held
+    under incremental execution.
+
+    Structured Streaming has no native as-of join; this is the
+    documented composition a production feature pipeline runs:
+    bounded-lookback interval join (state sized by the tolerance
+    window once watermarks are on) + per-key argmax compaction in the
+    sink. No watermark here ON PURPOSE, same as
+    `stream_exec_stream_join`: replayed fixture files are not
+    time-ordered, so a watermark would drop legitimately-matchable
+    rows nondeterministically; the production form watermarks both
+    sides at the 6-hour tolerance, bounding join state by the window.
+    Inner semantics (facts with no candidate in window are absent) —
+    the left-outer protocol under streaming lives with
+    `stream_exec_stream_join_outer_watermarked`."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    stage_dir, key = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(stage_dir).schema
+
+    target_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_streamasof_{key}"
+    )
+    shutil.rmtree(target_dir, ignore_errors=True)
+
+    def best_per_fact(batch_df):
+        # normalize to the keyed-merge column protocol: key=user_id
+        # (the FACT id here), winner order = (last_ts, event_id) =
+        # (prior_ts, prior_id); evt_user/evt_ts ride as payload.
+        w = W.partitionBy("user_id").orderBy(
+            F.col("last_ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            batch_df.select(
+                F.col("evt_id").alias("user_id"),
+                F.col("prior_ts").alias("last_ts"),
+                F.col("prior_id").alias("event_id"),
+                "evt_user",
+                "evt_ts",
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    merge_batch = _keyed_merge_batch_fn(target_dir, best_per_fact)
+
+    def side(parity: int, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+            .filter(F.col("event_id") % 2 == parity)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user"),
+            )
+        )
+
+    joined = side(0, "evt").join(
+        side(1, "prior"),
+        F.expr(
+            "evt_user = prior_user AND "
+            "prior_ts BETWEEN evt_ts - INTERVAL 6 HOURS AND evt_ts"
+        ),
+    ).select("evt_id", "evt_ts", "evt_user", "prior_id", "prior_ts")
+    q = (
+        joined.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.read.parquet(target_dir).select(
+        F.col("user_id").alias("evt_id"),
+        F.col("evt_user").alias("user_id"),
+        "evt_ts",
+        F.col("event_id").alias("prior_id"),
+        F.col("last_ts").alias("prior_ts"),
+    )

@@ -258,6 +258,7 @@ HEADLINE_R13 = [
     "privacy_dp_quantile",
     "classifier_lift_gains",
     "mix_quality_topq",
+    "graph_clustering_coefficient",
 ]
 
 

@@ -368,3 +368,21 @@ def test_bfs_bipartite_parity_and_frontier(spark, sf_dir):
             assert r.dist % 2 == 0
         else:
             assert r.dist % 2 == 1
+
+
+def test_clustering_coefficient_bounds(spark, sf_dir):
+    """cc(v) in [0, 1]; the reported triangles can't exceed the
+    neighborhood pair count; the network average matches the
+    coefficient definition's range."""
+    from aws_etl_pipeline_spark.operators.graph import (
+        CC_MIN_DEG,
+        graph_clustering_coefficient,
+    )
+
+    rows = graph_clustering_coefficient(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["deg"] >= CC_MIN_DEG
+        assert 0.0 <= r["clustering_coeff"] <= 1.0, r
+        assert 2 * r["n_triangles"] <= r["deg"] * (r["deg"] - 1), r
+        assert 0.0 <= r["avg_clustering"] <= 1.0

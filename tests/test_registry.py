@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 359  # COVERAGE.md "354 named queries total"
-DOCUMENTED_GRANULAR = 337
+DOCUMENTED_TOTAL = 361  # COVERAGE.md "361 named queries total"
+DOCUMENTED_GRANULAR = 339
 DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -158,10 +158,16 @@ def test_rotated_out_slots_stay_digest_covered():
     # forms take direct slots; the vacating queries stay digest-covered
     for rotated_out in ("sim_lsh_ann", "dedup_exact"):
         assert rotated_out in digest_covered, rotated_out
-    for rotated_in in (
+    # (the two r8-second-rotation watermarked forms held direct slots
+    # through CORRECTNESS_r10, then rotated out in the r11
+    # continuation — they must stay digest-covered, and their seats
+    # fund the r11-continuation streaming/graph direct rows)
+    for rotated_out in (
         "stream_exec_stream_join_outer_watermarked",
         "stream_exec_dedup_watermarked",
     ):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in ("stream_exec_asof_join", "graph_clustering_coefficient"):
         assert rotated_in in PRIORITY, rotated_in
     # the round-8 THIRD rotation: the three newest r8 operators take
     # direct slots; the vacating queries stay digest-covered
@@ -251,6 +257,31 @@ def test_rotated_out_slots_stay_digest_covered():
         "text_oov_rate",
         "sim_ivf_staged",
         "graph_personalized_pagerank",  # kept seat: r11 plan rewrite
+    ):
+        assert rotated_in in PRIORITY, rotated_in
+        assert rotated_in in digest_covered, rotated_in  # future rotation can vacate
+    # the r11-CONTINUATION rotations: seven new operators take
+    # first-round direct rows (each also digest-seated so future
+    # rotations can vacate them); the vacating queries leave with
+    # direct green history and stay digest-covered — three flagships
+    # (agg_approx_distinct, sort_multi_nulls, limit_topk) were NEWLY
+    # digest-seated to make their departure legal
+    for rotated_out in (
+        "pack_bestfit_windows",
+        "dedup_connected_components",
+        "agg_approx_distinct",
+        "sort_multi_nulls",
+        "limit_topk",
+    ):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in (
+        "events_bayesian_ab",
+        "sample_poisson_bootstrap",
+        "privacy_dp_quantile",
+        "classifier_lift_gains",
+        "mix_quality_topq",
+        "stream_exec_asof_join",
+        "graph_clustering_coefficient",
     ):
         assert rotated_in in PRIORITY, rotated_in
         assert rotated_in in digest_covered, rotated_in  # future rotation can vacate

@@ -196,3 +196,22 @@ def test_cdc_tombstone_blocks_resurrection(spark, tmp_path):
     )
     after = sorted(map(tuple, spark.read.parquet(target).collect()))
     assert before == after
+
+
+def test_stream_asof_join_semantics(spark, sf_dir):
+    """The streaming as-of target must hold exactly one row per fact,
+    each pairing a fact (even id) with an odd-id candidate of the same
+    user inside the 6-hour lookback — and that candidate must be the
+    LATEST such (the as-of contract). Cross-batch hash equality with
+    the batch oracle is the driver's job; this pins the row shape."""
+    from aws_etl_pipeline_spark.streaming.ingest import stream_exec_asof_join
+
+    rows = stream_exec_asof_join(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["evt_id"] % 2 == 0 and r["prior_id"] % 2 == 1, r
+        assert r["evt_id"] not in seen
+        seen.add(r["evt_id"])
+        delta = (r["evt_ts"] - r["prior_ts"]).total_seconds()
+        assert 0 <= delta <= 6 * 3600, r
