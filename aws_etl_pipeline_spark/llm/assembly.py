@@ -1472,7 +1472,12 @@ def mix_quality_topq(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself never moves."""
     from .text import quality_score_col
 
-    d = load_table(spark, sf_dir, "documents")
+    # load_spread: the quality expression is compute-bound per row
+    # (word split + four array folds); a single-file documents table
+    # would otherwise run the whole corpus on one core (the r10
+    # under-splitting lesson, re-measured here at the 100x replica:
+    # 2 partitions -> full width).
+    d = load_spread(spark, sf_dir, "documents")
     score = quality_score_col()
     scored = d.select(
         "doc_id",

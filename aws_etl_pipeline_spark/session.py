@@ -208,6 +208,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # SPARK_GRAFT_STATE_STORE=rocksdb swaps streaming state off-heap —
+    # the production backend for row-buffering stateful operators
+    # (stream-stream joins). The default HDFSBacked store keeps state
+    # as in-heap Java objects, which is faster at fixture scale but
+    # OOMs the 12 GiB protocol heap when a 1000x-replica micro-batch
+    # buffers ~25M rows/side of join state; the same query completes
+    # under RocksDB (measured: SCALING.md round-11 continuation).
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     # s3a auto-wire: env credentials present -> the session can read

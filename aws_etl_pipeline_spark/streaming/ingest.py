@@ -146,9 +146,16 @@ def _stage_events_timesliced(spark: SparkSession, sf_dir: str) -> tuple[str, str
     return stage_dir, key
 
 
-def _drain(q: StreamingQuery, timeout_s: int = 300) -> None:
+def _drain(q: StreamingQuery, timeout_s: int | None = None) -> None:
     """Block until the availableNow drain finishes; a hung stream must
-    FAIL loudly, not fall through to reading a partial sink."""
+    FAIL loudly, not fall through to reading a partial sink. The 300 s
+    default guards the sf0.001-0.01 fixtures; scale-replica
+    measurement runs override via $SPARK_GRAFT_STREAM_DRAIN_S (a
+    1000x replica legitimately drains for tens of minutes)."""
+    import os
+
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("SPARK_GRAFT_STREAM_DRAIN_S", "300"))
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(

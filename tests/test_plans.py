@@ -885,3 +885,29 @@ def test_pagerank_round_join_never_exchanges_edges(spark, sf_dir):
     n_exchanges = plan.count("Arguments: hashpartitioning")
     assert n_exchanges == 1, plan
     assert summed.count() > 0
+
+
+def test_quality_topq_thresholds_broadcast(spark, sf_dir):
+    """mix_quality_topq's per-source thresholds must come back via a
+    broadcast join (the bounded histogram side), never a data-sized
+    shuffle join — and the plan must contain no cartesian product."""
+    from aws_etl_pipeline_spark.llm.assembly import mix_quality_topq
+
+    plan = _plan(mix_quality_topq(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bayesian_ab_single_data_aggregate(spark, sf_dir):
+    """events_bayesian_ab may touch the data exactly once (the
+    conditional counting aggregate); everything else runs on the
+    compile-time grid. One parquet scan in the plan, and the grid side
+    joins in via broadcast."""
+    from aws_etl_pipeline_spark.operators.analytics import events_bayesian_ab
+
+    plan = _plan(events_bayesian_ab(spark, sf_dir))
+    # formatted plans print each node in the tree AND the detail list,
+    # so one physical scan == 2 textual occurrences
+    assert plan.count("Scan parquet") == 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

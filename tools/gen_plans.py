@@ -67,6 +67,11 @@ SHOWCASE = {
     "etl_partition_checksums": "order-insensitive reconciliation checksum: hash+sum fused into ONE scan pass — no join, no window",
     "er_fellegi_sunter": "FS linkage: blocked equi-join candidates (brand+prefix+length, oversized blocks capped), u-estimate broadcast, per-record argmax window",
     "graph_hits": "3 HITS rounds: edge-keyed join+agg per half-round, L1 norms as broadcast scalars, localCheckpoint keeps round k planning flat",
+    # round-11-continuation additions
+    "events_bayesian_ab": "Bayesian A/B: ONE conditional counting aggregate touches the data; posterior grid, cumsums, and decision all on a 2048-row compile-time relation",
+    "sample_poisson_bootstrap": "Poisson bootstrap: 4 md5s/row -> 32-way array posexplode -> map-side-combined exact aggregate; shuffle carries groups x 32 partials",
+    "mix_quality_topq": "per-source quality gate: bounded score-histogram thresholds broadcast back into a scan-fused filter — two scans, no data-sized shuffle",
+    "graph_clustering_coefficient": "clustering coefficient on the oriented wedge-close; degree table broadcast; average folded from rounded DECIMAL terms",
 }
 
 
