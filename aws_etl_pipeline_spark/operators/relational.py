@@ -2018,3 +2018,168 @@ def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F_n").alias("f_n"),
         F.col("F_avg_price").alias("f_avg_price"),
     )
+
+
+@query(
+    "er_transitive_clusters",
+    oracle=f"""
+WITH RECURSIVE blocks AS (
+  SELECT length(p_name) AS bl, substr(p_name, 1, 8) AS bp, p_brand AS bb
+  FROM part GROUP BY 1, 2, 3
+  HAVING count(*) BETWEEN 2 AND {FS_BLOCK_CAP}
+),
+cand AS (
+  SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+         CASE WHEN a.p_name = b.p_name THEN 1 ELSE 0 END AS an,
+         CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS at,
+         CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS asz
+  FROM part a
+  JOIN part b
+    ON length(a.p_name) = length(b.p_name)
+   AND substr(a.p_name, 1, 8) = substr(b.p_name, 1, 8)
+   AND a.p_brand = b.p_brand
+   AND a.p_partkey < b.p_partkey
+  JOIN blocks k
+    ON k.bl = length(a.p_name) AND k.bp = substr(a.p_name, 1, 8)
+   AND k.bb = a.p_brand
+),
+u AS (
+  SELECT CAST(sum(an) AS DOUBLE) / count(*) AS un,
+         CAST(sum(at) AS DOUBLE) / count(*) AS ut,
+         CAST(sum(asz) AS DOUBLE) / count(*) AS us
+  FROM cand
+),
+matches AS (
+  SELECT pa, pb
+  FROM cand c, u
+  WHERE round(CASE WHEN c.an = 1 THEN ln({FS_M_NAME} / u.un)
+                   ELSE ln((1 - {FS_M_NAME}) / (1 - u.un)) END
+            + CASE WHEN c.at = 1 THEN ln({FS_M_TYPE} / u.ut)
+                   ELSE ln((1 - {FS_M_TYPE}) / (1 - u.ut)) END
+            + CASE WHEN c.asz = 1 THEN ln({FS_M_SIZE} / u.us)
+                   ELSE ln((1 - {FS_M_SIZE}) / (1 - u.us)) END, 6)
+        > {FS_THRESHOLD}
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM matches
+  UNION ALL SELECT pb, pa FROM matches
+),
+reach(node, r) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (
+  SELECT node AS p_partkey, min(r) AS entity_id FROM reach GROUP BY node
+)
+SELECT p_partkey::BIGINT AS p_partkey, entity_id::BIGINT AS entity_id,
+       (count(*) OVER (PARTITION BY entity_id))::BIGINT AS cluster_size,
+       (p_partkey = entity_id) AS is_canonical
+FROM comp
+QUALIFY count(*) OVER (PARTITION BY entity_id) > 1
+""",
+)
+def er_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-cluster resolution — the step that COMPLETES the ER
+    ladder (join_fuzzy_blocked / er_sorted_neighborhood block,
+    er_fellegi_sunter scores; this clusters): same-block part pairs
+    are FS-scored over (name, type, size) agreements with the
+    candidate-population u-estimate, pairs above the
+    {FS_THRESHOLD} log-likelihood threshold become undirected MATCH
+    EDGES, and transitive closure (iterative min-label propagation,
+    `api.connected_components`) assigns every linked record its
+    entity id = the smallest member key — the canonical-record rule.
+    Emits the non-singleton entities: (record, entity_id,
+    cluster_size, is_canonical) — the Splink-style
+    threshold-then-cluster output a downstream MERGE consumes.
+    Pairwise match decisions are NOT transitive; the closure is what
+    turns them into a consistent entity partition, which is why this
+    is its own operator and not a flag on the scorer.
+
+    Scale shape: candidates come from the same capped blocking
+    equi-join as the FS scorer (2..{FS_BLOCK_CAP}-record blocks;
+    singleton blocks can't pair, oversized blocks are degenerate
+    keys — both pruned BEFORE the self-join), u folds from one exact
+    aggregate broadcast back, and components converge in
+    O(diameter) rounds of the propagation loop — match graphs are
+    shallow (clusters are near-cliques), so rounds stay single-digit
+    at any corpus size. The oracle's recursive-CTE closure is
+    small-SF-only; the propagation loop is the 100 TB path (same
+    split as `dedup_connected_components`)."""
+    from ..api import connected_components
+    from pyspark.sql import Window as W2
+
+    part = load_table(spark, sf_dir, "part")
+    bl = F.length("p_name")
+    bp = F.substring("p_name", 1, 8)
+    blocks = (
+        part.groupBy(
+            bl.alias("bl"), bp.alias("bp"), F.col("p_brand").alias("bb")
+        )
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= FS_BLOCK_CAP))
+        .drop("bn")
+    )
+    keyed = part.select(
+        "p_partkey", "p_name", "p_type", "p_size", "p_brand",
+        bl.alias("bl"), bp.alias("bp"),
+    ).join(
+        F.broadcast(blocks.withColumnRenamed("bb", "p_brand")),
+        ["bl", "bp", "p_brand"],
+    )
+    keyed = track(keyed)  # both self-join arms
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bl") == F.col("b.bl"))
+            & (F.col("a.bp") == F.col("b.bp"))
+            & (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("pa"),
+            F.col("b.p_partkey").alias("pb"),
+            (F.col("a.p_name") == F.col("b.p_name")).cast("int").alias("an"),
+            (F.col("a.p_type") == F.col("b.p_type")).cast("int").alias("at"),
+            (F.col("a.p_size") == F.col("b.p_size")).cast("int").alias("asz"),
+        )
+        .transform(track)  # u-estimate + scored filter both consume it
+    )
+    u = cand.agg(
+        (F.sum("an").cast("double") / F.count(F.lit(1))).alias("un"),
+        (F.sum("at").cast("double") / F.count(F.lit(1))).alias("ut"),
+        (F.sum("asz").cast("double") / F.count(F.lit(1))).alias("us"),
+    )
+
+    def w(agree, m, ucol):
+        return F.when(
+            agree == 1, F.log(F.lit(m) / F.col(ucol))
+        ).otherwise(F.log(F.lit(1 - m) / (1 - F.col(ucol))))
+
+    score = F.round(
+        w(F.col("an"), FS_M_NAME, "un")
+        + w(F.col("at"), FS_M_TYPE, "ut")
+        + w(F.col("asz"), FS_M_SIZE, "us"),
+        6,
+    )
+    matches = (
+        cand.crossJoin(F.broadcast(u))
+        .filter(score > FS_THRESHOLD)
+        .select("pa", "pb")
+    )
+    comp = connected_components(matches, "pa", "pb")
+    sized = comp.select(
+        F.col("node").alias("p_partkey"),
+        F.col("component_id").alias("entity_id"),
+        F.count(F.lit(1))
+        .over(W2.partitionBy("component_id"))
+        .cast("long")
+        .alias("cluster_size"),
+    )
+    return sized.filter(F.col("cluster_size") > 1).select(
+        "p_partkey",
+        "entity_id",
+        "cluster_size",
+        (F.col("p_partkey") == F.col("entity_id")).alias("is_canonical"),
+    )

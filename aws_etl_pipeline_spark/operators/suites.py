@@ -155,6 +155,9 @@ SUITES: dict[str, list[str]] = {
         # so its PRIORITY slot (direct green r1-r8) can fund a new
         # r9 direct row
         "join_inner_broadcast",
+        # r11 continuation: the ER ladder's clustering step
+        # (threshold-then-transitive-closure entity partition)
+        "er_transitive_clusters",
     ],
     "suite_agg": [
         "agg_rollup",

@@ -255,6 +255,10 @@ PRIORITY: tuple[str, ...] = (
     # policy (digest-seated in suite_streaming / suite_geo)
     "stream_exec_asof_join",
     "graph_clustering_coefficient",
+    # r11-continuation third wave: the ER clustering step, first
+    # direct row per policy (digest-seated in suite_join_misc); takes
+    # the block's one free slot, so no rotation was needed
+    "er_transitive_clusters",
     # LLM-pipeline flagships
     # (dedup_exact rotated out r8 second rotation — suite_dedup
     # digest; direct green r1-r7. sketch_countmin_heavyhitters rotated

@@ -259,6 +259,7 @@ HEADLINE_R13 = [
     "classifier_lift_gains",
     "mix_quality_topq",
     "graph_clustering_coefficient",
+    "er_transitive_clusters",
 ]
 
 

@@ -357,3 +357,27 @@ def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
     }
     # day 14 replaced wholesale by the backfill batch; day 15 untouched
     assert got == {("2024-03-14", 1): 11.0, ("2024-03-15", 3): 30.0}
+
+
+def test_er_clusters_are_consistent_partitions(spark, sf_dir):
+    """Transitive clustering must emit a consistent entity partition:
+    every record appears once, entity_id is the cluster minimum (the
+    canonical rule), exactly one canonical per entity, and every
+    cluster has >= 2 members (singletons are suppressed)."""
+    from collections import Counter
+
+    from aws_etl_pipeline_spark.operators.relational import er_transitive_clusters
+
+    # sf0.001's 200-part fixture yields no above-threshold same-block
+    # pairs; the invariants need a populated partition, so this test
+    # pins the sf0.01 fixture explicitly (same one the oracle gate uses)
+    rows = er_transitive_clusters(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert len({r["p_partkey"] for r in rows}) == len(rows)
+    by_entity = Counter(r["entity_id"] for r in rows)
+    for r in rows:
+        assert r["cluster_size"] == by_entity[r["entity_id"]] >= 2, r
+        assert r["entity_id"] <= r["p_partkey"], r
+        assert r["is_canonical"] == (r["p_partkey"] == r["entity_id"])
+    canon = Counter(r["entity_id"] for r in rows if r["is_canonical"])
+    assert set(canon) == set(by_entity) and all(v == 1 for v in canon.values())
