@@ -521,6 +521,21 @@ def ivf_staged_layout(spark: SparkSession, sf_dir: str):
     return corp, cent_n
 
 
+def ivf_staged_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Just the staged coarse-centroid artifact of `ivf_staged_layout`
+    (same path, same build — callers that serve a different index body
+    over the same coarse quantizer, e.g. the staged-PQ layout, reuse
+    it without also staging the full-precision corpus)."""
+    from ..operators.graph import _STAGE_ROOT, _source_fingerprint, _stage
+
+    key = _source_fingerprint(sf_dir, ("embeddings",))
+
+    def build_cent() -> DataFrame:
+        return _ivf_base(spark, sf_dir)[1]
+
+    return _stage(spark, os.path.join(_STAGE_ROOT, f"ivf_cent_{key}"), build_cent)
+
+
 @query(
     "sim_ivf_staged",
     oracle="WITH " + _IVF_CTES + f"""
@@ -2285,4 +2300,140 @@ def quality_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         F.round(cosc, 6).alias("centroid_cosine"),
         (cosc < DRIFT_COS_FLOOR).alias("drifted"),
+    )
+
+
+def ivf_pq_staged_layout(spark: SparkSession, sf_dir: str):
+    """The staged-PQ index: per-subspace codebooks as a tiny artifact
+    plus the corpus's 8-byte PQ codes directory-partitioned by COARSE
+    cell — `ivf_staged_layout`'s deployment shape with the
+    full-precision corpus replaced by codes (the 32x-smaller body a
+    memory-bound 100 TB index actually serves). Codebooks stage FIRST
+    and the code build reads them back, so training runs once per
+    fixture; parquet round-trips doubles and ints exactly, so staged
+    scoring is bit-identical to the in-query build. Returns
+    ``(codes, cent)`` readers: codes = (neighbor_id, sub, code, cell),
+    cent = (sub, cell, cv)."""
+    from ..operators.graph import (
+        _STAGE_ROOT,
+        _source_fingerprint,
+        _stage,
+        _stage_partitioned,
+    )
+
+    key = _source_fingerprint(sf_dir, ("embeddings",))
+
+    def build_cent() -> DataFrame:
+        n, _, _ = _ivf_parts(spark, sf_dir)
+        sub = _pq_subvectors(
+            n.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "v")
+        )
+        return _pq_train(
+            sub.filter(F.col("vec_id") < N_QUERIES + PQ_TRAIN_SAMPLE)
+        )
+
+    cent = _stage(spark, os.path.join(_STAGE_ROOT, f"ivfpq_cent_{key}"), build_cent)
+
+    def build_codes() -> DataFrame:
+        n, assign, _ = _ivf_parts(spark, sf_dir)
+        sub = _pq_subvectors(
+            n.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "v")
+        )
+        codes = _pq_assign(sub, cent).select(
+            "vec_id", "sub", F.col("cell").alias("code")
+        )
+        return codes.join(assign, "vec_id").select(
+            F.col("vec_id").alias("neighbor_id"), "sub", "code", "cell"
+        )
+
+    codes = _stage_partitioned(
+        spark, os.path.join(_STAGE_ROOT, f"ivfpq_codes_{key}"), build_codes, "cell"
+    )
+    return codes, cent
+
+
+@query(
+    "sim_ivf_staged_pq",
+    oracle="WITH " + _IVF_CTES + "," + _pq_ctes() + """
+SELECT query_id, neighbor_id, approx_cosine FROM (
+  SELECT query_id, neighbor_id, approx_cosine,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY approx_cosine DESC, neighbor_id) AS rn
+  FROM pqscored
+) WHERE rn <= 3
+""",
+)
+def sim_ivf_staged_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sim_ivf_truepq` served from the PERSISTED index — the two
+    demonstrated scale devices composed into the production ANN
+    shape: PQ codes (8 bytes/vector, `ivf_pq_staged_layout`)
+    directory-partitioned by coarse cell, so a probe partition-prunes
+    the file source to n_probe/n_cells of an index that is ALSO 32x
+    smaller than the fp corpus — pruning multiplies with compression.
+    Query time reads NO full-precision corpus vector at all: the
+    probed cells' code files stream against two broadcast tables (the
+    per-query ADC lookup table and the codeword sqnorm table), and
+    the approximate cosine folds through the same DECIMAL-exact sums
+    as the in-query build — hash-identical to `sim_ivf_truepq`'s
+    oracle, so the driver verdict proves the staged path returns
+    bit-equal answers to the transient one. The fp rerank stage
+    (sim_ivf_truepq_rerank) composes on top unchanged: at 100 TB the
+    shortlist's full vectors come from the fp layout
+    (`ivf_staged_layout`), also cell-pruned.
+
+    100 TB shape: index build (train + encode + partitioned write) is
+    the one-time ingest cost; per query the scan is bounded by probed
+    partitions x 8 bytes/vector, both join sides are broadcast
+    constants (8x256 LUT, 8x256 sqnorms), and the only shuffle is the
+    map-side-combined (query, neighbor) ADC sum."""
+    codes, cent = ivf_pq_staged_layout(spark, sf_dir)
+    cent_n = ivf_staged_centroids(spark, sf_dir)
+    e = load_spread(spark, sf_dir, "embeddings")
+    qn0 = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .transform(track)  # probe window + LUT + norms all read it
+    )
+    probes = _ivf_probes(qn0, cent_n)
+    # bounded collect: distinct probed cell ids, <= the cell domain
+    cells = [r[0] for r in probes.select("cell").distinct().collect()]
+    qsub = _pq_subvectors(qn0.select("vec_id", "v"))
+    lut = qsub.join(cent, "sub").select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        F.col("cell").alias("code"),
+        _dot(F.col("sv"), F.col("cv")).alias("pdot"),
+    )
+    sq = F.aggregate(
+        F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    cw = cent.select("sub", F.col("cell").alias("code"), sq.alias("csq"))
+    qnrm = qn0.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qnrm"))
+    scored = (
+        codes.where(F.col("cell").isin(cells))  # partition-pruned scan
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .join(F.broadcast(cw), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("pdot").cast("decimal(28,12)")).cast("double").alias("num"),
+            F.sum(F.col("csq").cast("decimal(28,12)")).cast("double").alias("csqs"),
+        )
+        .join(F.broadcast(qnrm), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("num") / (F.col("qnrm") * F.sqrt(F.col("csqs"))), 8
+            ).alias("approx_cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "approx_cosine")
     )

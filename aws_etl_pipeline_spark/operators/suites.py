@@ -383,6 +383,8 @@ SUITES: dict[str, list[str]] = {
         "sim_mmr_diversify",
         # r11: IVF served from the persisted partition-by-cell layout
         "sim_ivf_staged",
+        # r11 continuation: PQ codes from the partitioned layout
+        "sim_ivf_staged_pq",
     ],
     "suite_text": [
         "corpus_dataset_card",  # r7

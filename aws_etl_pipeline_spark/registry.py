@@ -230,6 +230,11 @@ PRIORITY: tuple[str, ...] = (
     # r11 new operator: first direct row per policy (also digest-seated
     # in suite_sim so a future rotation can vacate it)
     "sim_ivf_staged",
+    # r11-continuation fourth wave: PQ codes served from the
+    # partition-by-cell layout (the two demonstrated scale devices
+    # composed), first direct row per policy (digest-seated in
+    # suite_sim); funded by stream_exec_sketch_merge's seat
+    "sim_ivf_staged_pq",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —
@@ -283,7 +288,9 @@ PRIORITY: tuple[str, ...] = (
     # suite_analytics digests; direct green r8.)
     # (text_stats rotated out r7 fourth rotation — suite_text digest;
     # direct green r1-r6.)
-    "stream_exec_sketch_merge",  # rotated in r7: streaming sketch merge
+    # (stream_exec_sketch_merge rotated out in the r11 continuation —
+    # direct green r7-r10; suite_streaming digest — to fund the
+    # staged-PQ direct row above.)
     # (corpus_curation_pipeline / multimodal_features rotated out r8
     # third rotation — suite_text / suite_multimodal digests; direct
     # green r2-r7.)

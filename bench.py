@@ -260,6 +260,7 @@ HEADLINE_R13 = [
     "mix_quality_topq",
     "graph_clustering_coefficient",
     "er_transitive_clusters",
+    "sim_ivf_staged_pq",
 ]
 
 

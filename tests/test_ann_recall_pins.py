@@ -76,3 +76,24 @@ def test_rerank_never_below_adc(recalls):
     fix ranking mistakes inside the shortlist, never create new misses."""
     assert recalls["sim_ivf_truepq_rerank"] >= recalls["sim_ivf_truepq"]
     assert recalls["sim_ivf_sq8_rerank"] >= recalls["sim_ivf_sq8"]
+
+
+def test_staged_pq_equals_inquery_truepq(spark, sf_dir):
+    """The staged-PQ index must return BIT-EQUAL answers to the
+    transient in-query build — codes and codebooks round-trip through
+    parquet ints/doubles exactly, so any divergence is a staging bug,
+    not quantization noise."""
+    from aws_etl_pipeline_spark.llm.similarity import (
+        sim_ivf_staged_pq,
+        sim_ivf_truepq,
+    )
+
+    a = {
+        (r["query_id"], r["neighbor_id"]): r["approx_cosine"]
+        for r in sim_ivf_truepq(spark, sf_dir).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"]): r["approx_cosine"]
+        for r in sim_ivf_staged_pq(spark, sf_dir).collect()
+    }
+    assert a == b and a

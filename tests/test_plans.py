@@ -911,3 +911,28 @@ def test_bayesian_ab_single_data_aggregate(spark, sf_dir):
     # so one physical scan == 2 textual occurrences
     assert plan.count("Scan parquet") == 2, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_staged_pq_codes_prune_to_probed_cells(spark, sf_dir):
+    """The staged-PQ index must compose both scale devices: the code
+    files partition-prune by coarse cell exactly like the fp layout
+    (the `test_ivf_staged_scan_prunes_to_probed_cells` contract), and
+    the body being pruned is CODES — integer columns only, no
+    full-precision vector on the index side."""
+    from aws_etl_pipeline_spark.llm.similarity import ivf_pq_staged_layout
+
+    codes, cent = ivf_pq_staged_layout(spark, sf_dir)
+    cells = [r[0] for r in codes.select("cell").distinct().collect()]
+    assert len(cells) >= 4
+    probe = codes.where(F.col("cell").isin(cells[:2]))
+    plan = _plan(probe)
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert pf_lines and any(
+        "cell" in ln and ("=" in ln or " IN " in ln) for ln in pf_lines
+    ), plan
+    assert probe.rdd.getNumPartitions() < codes.rdd.getNumPartitions()
+    assert set(codes.columns) == {"neighbor_id", "sub", "code", "cell"}
+    # codes are 8 integer cells per vector — no fp vector column
+    assert all(
+        t[1] in ("bigint", "int") for t in codes.dtypes if t[0] != "cell"
+    ), codes.dtypes
