@@ -441,6 +441,25 @@ def connected_components(
         if label_sum == prev_sum:
             break
         prev_sum = label_sum
+    else:
+        # exhausted max_iter without the label sum going flat: the
+        # graph's diameter exceeds the round budget, and returning the
+        # un-converged labels would be a SILENT wrong answer (labels
+        # above the component minimum, canonical-rule violations
+        # downstream). Verify with one more neighbor pass and fail
+        # loudly if any label could still shrink.
+        nbr = (
+            sym.join(lbl.select(F.col("n").alias("m"), "cid"), "m")
+            .groupBy("n")
+            .agg(F.min("cid").alias("nbr_cid"))
+        )
+        if not lbl.join(nbr, "n").filter(F.col("nbr_cid") < F.col("cid")).isEmpty():
+            raise RuntimeError(
+                f"connected_components: not converged after {max_iter} "
+                "rounds (component diameter exceeds the round budget); "
+                "raise max_iter or use connected_components_star, whose "
+                "star rounds square the propagation distance"
+            )
     return lbl.select(F.col("n").alias("node"), F.col("cid").alias("component_id"))
 
 

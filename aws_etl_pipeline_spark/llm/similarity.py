@@ -956,6 +956,53 @@ def _pq_train(sub: DataFrame) -> DataFrame:
     return cent
 
 
+def _adc_tables(cent: DataFrame, qsub: DataFrame):
+    """The two broadcast-sized ADC relations shared by every PQ
+    consumer (in-query and staged): the per-query lookup table
+    lut = (query_id, sub, code, dot(q_sub, codeword)) and the codeword
+    sqnorm table cw = (sub, code, |codeword|^2)."""
+    lut = qsub.join(cent, "sub").select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        F.col("cell").alias("code"),
+        _dot(F.col("sv"), F.col("cv")).alias("pdot"),
+    )
+    sq = F.aggregate(
+        F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    cw = cent.select("sub", F.col("cell").alias("code"), sq.alias("csq"))
+    return lut, cw
+
+
+def _adc_fold(cand_codes: DataFrame, lut: DataFrame, cw: DataFrame, qnrm: DataFrame) -> DataFrame:
+    """ADC scoring: (query_id, neighbor_id, sub, code) candidates fold
+    against the broadcast lut/cw tables into (query_id, neighbor_id,
+    approx_cosine) — partial dots and sqnorms sum through DECIMAL so
+    the cross-subspace order cannot flip the hash, the reconstructed
+    norm is sqrt of the summed codeword sqnorms. ONE spelling of the
+    scoring arithmetic, consumed by sim_ivf_truepq (transient build)
+    and sim_ivf_staged_pq (persisted index) — the bit-equality
+    contract between them holds because this is literally the same
+    code."""
+    return (
+        cand_codes.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .join(F.broadcast(cw), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("pdot").cast("decimal(28,12)")).cast("double").alias("num"),
+            F.sum(F.col("csq").cast("decimal(28,12)")).cast("double").alias("csqs"),
+        )
+        .join(F.broadcast(qnrm), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("num") / (F.col("qnrm") * F.sqrt(F.col("csqs"))), 8
+            ).alias("approx_cosine"),
+        )
+    )
+
+
 def _truepq_scored(spark: SparkSession, sf_dir: str):
     """Shared true-PQ scoring stage under sim_ivf_truepq and
     sim_ivf_truepq_rerank: IVF front-end from ``_ivf_parts``, per-
@@ -979,44 +1026,21 @@ def _truepq_scored(spark: SparkSession, sf_dir: str):
     codes = _pq_assign(sub, cent).select(
         F.col("vec_id").alias("neighbor_id"), "sub", F.col("cell").alias("code")
     )
-    sq = F.aggregate(
-        F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-    )
-    cw = cent.select("sub", F.col("cell").alias("code"), sq.alias("csq"))
     qsub = _pq_subvectors(
         n.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "v")
     )
-    lut = qsub.join(cent, "sub").select(
-        F.col("vec_id").alias("query_id"),
-        "sub",
-        F.col("cell").alias("code"),
-        _dot(F.col("sv"), F.col("cv")).alias("pdot"),
-    )
+    lut, cw = _adc_tables(cent, qsub)
     qn = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
-    scored = (
+    cand_codes = (
         probes.join(assign, "cell")
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .join(codes, "neighbor_id")
-        .join(F.broadcast(lut), ["query_id", "sub", "code"])
-        .join(F.broadcast(cw), ["sub", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.sum(F.col("pdot").cast("decimal(28,12)")).cast("double").alias("num"),
-            F.sum(F.col("csq").cast("decimal(28,12)")).cast("double").alias("csqs"),
-        )
-        .join(F.broadcast(qn.select("query_id", "qnrm")), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.col("num") / (F.col("qnrm") * F.sqrt(F.col("csqs"))), 8
-            ).alias("approx_cosine"),
-        )
     )
+    scored = _adc_fold(cand_codes, lut, cw, qn.select("query_id", "qnrm"))
     return n, qn, scored
 
 
@@ -2335,14 +2359,17 @@ def ivf_pq_staged_layout(spark: SparkSession, sf_dir: str):
     cent = _stage(spark, os.path.join(_STAGE_ROOT, f"ivfpq_cent_{key}"), build_cent)
 
     def build_codes() -> DataFrame:
-        n, assign, _ = _ivf_parts(spark, sf_dir)
-        sub = _pq_subvectors(
-            n.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "v")
-        )
+        # derive codes FROM the staged fp layout (the realistic ingest
+        # pipeline: fp index first, PQ body derived) — its (vec_id,
+        # cell) column IS the coarse assignment, so the corpus x cells
+        # hash_argmin does not run a second time (r11-continuation
+        # review finding)
+        corp, _ = ivf_staged_layout(spark, sf_dir)
+        sub = _pq_subvectors(corp.select("vec_id", "v"))
         codes = _pq_assign(sub, cent).select(
             "vec_id", "sub", F.col("cell").alias("code")
         )
-        return codes.join(assign, "vec_id").select(
+        return codes.join(corp.select("vec_id", "cell"), "vec_id").select(
             F.col("vec_id").alias("neighbor_id"), "sub", "code", "cell"
         )
 
@@ -2399,36 +2426,12 @@ def sim_ivf_staged_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded collect: distinct probed cell ids, <= the cell domain
     cells = [r[0] for r in probes.select("cell").distinct().collect()]
     qsub = _pq_subvectors(qn0.select("vec_id", "v"))
-    lut = qsub.join(cent, "sub").select(
-        F.col("vec_id").alias("query_id"),
-        "sub",
-        F.col("cell").alias("code"),
-        _dot(F.col("sv"), F.col("cv")).alias("pdot"),
-    )
-    sq = F.aggregate(
-        F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-    )
-    cw = cent.select("sub", F.col("cell").alias("code"), sq.alias("csq"))
+    lut, cw = _adc_tables(cent, qsub)
     qnrm = qn0.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qnrm"))
-    scored = (
-        codes.where(F.col("cell").isin(cells))  # partition-pruned scan
-        .join(F.broadcast(probes), "cell")
-        .join(F.broadcast(lut), ["query_id", "sub", "code"])
-        .join(F.broadcast(cw), ["sub", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.sum(F.col("pdot").cast("decimal(28,12)")).cast("double").alias("num"),
-            F.sum(F.col("csq").cast("decimal(28,12)")).cast("double").alias("csqs"),
-        )
-        .join(F.broadcast(qnrm), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.col("num") / (F.col("qnrm") * F.sqrt(F.col("csqs"))), 8
-            ).alias("approx_cosine"),
-        )
+    cand_codes = codes.where(F.col("cell").isin(cells)).join(  # pruned scan
+        F.broadcast(probes), "cell"
     )
+    scored = _adc_fold(cand_codes, lut, cw, qnrm)
     w = W.partitionBy("query_id").orderBy(
         F.desc("approx_cosine"), F.asc("neighbor_id")
     )

@@ -198,8 +198,6 @@ SELECT doc_id,
 FROM m
 """,
 )
-
-
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score (length band, word-length band, stopword
     ratio, lexical diversity) — the filter stage of a pretraining data

@@ -4973,11 +4973,13 @@ def events_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ranks below.
 PB_REPS = 32
 
-#: order statistics for the 80% percentile CI over PB_REPS replicate
-#: means — percentile_disc semantics (smallest value whose cumulative
-#: fraction reaches q): ceil(0.1 * 32) = 4, ceil(0.9 * 32) = 29.
-PB_LO_RANK = 4
-PB_HI_RANK = 29
+#: the 80% CI picks the ceil(R/10)-th and ceil(9R/10)-th of the R
+#: SURVIVING replicate means (percentile_disc semantics, integer
+#: arithmetic only). R is normally PB_REPS, but a replicate whose
+#: Poisson weights are ALL zero (probability e^-n per replicate — real
+#: for 1-3-row groups) has no mean and is dropped on both engines;
+#: ranking a NULL mean instead would be engine-dependent (Spark sorts
+#: NULLs first ascending, DuckDB last).
 
 
 def _poisson1_cdf() -> list[float]:
@@ -5032,11 +5034,13 @@ reps AS (
   SELECT event_type, b,
          CAST(sum(w * y) AS DOUBLE) / sum(w)::BIGINT AS mean_b
   FROM weighted GROUP BY 1, 2
+  HAVING sum(w) > 0
 ),
 ranked AS (
   SELECT event_type, mean_b,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY mean_b, b) AS rn
+                            ORDER BY mean_b, b) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
   FROM reps
 ),
 base AS (
@@ -5049,9 +5053,11 @@ SELECT base.event_type, base.n, base.mean_value,
        round(hi.mean_b, 6) AS boot_hi,
        round(hi.mean_b - lo.mean_b, 6) AS ci_width
 FROM base
-JOIN (SELECT event_type, mean_b FROM ranked WHERE rn = {PB_LO_RANK}) lo
+JOIN (SELECT event_type, mean_b FROM ranked
+      WHERE rn = (cnt + 9) // 10) lo
   ON lo.event_type = base.event_type
-JOIN (SELECT event_type, mean_b FROM ranked WHERE rn = {PB_HI_RANK}) hi
+JOIN (SELECT event_type, mean_b FROM ranked
+      WHERE rn = (9 * cnt + 9) // 10) hi
   ON hi.event_type = base.event_type
 """
 
@@ -5067,8 +5073,11 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     an independent approximate resample computable IN ONE PASS, with
     no global resampling step and identical results on any cluster
     layout. Replicate means are ranked per group; the
-    {PB_LO_RANK}th/{PB_HI_RANK}th of {PB_REPS} (percentile_disc
-    semantics) are the 10%/90% bounds.
+    ceil(R/10)-th / ceil(9R/10)-th of the R surviving replicates
+    (percentile_disc semantics) are the 10%/90% bounds — a replicate
+    whose weights are all zero has no mean and is dropped identically
+    on both engines (a NULL would rank first on Spark, last on
+    DuckDB).
 
     Numerics: replicate sums are exact (integer weights x
     DECIMAL(18,6) values), so each replicate mean is one double
@@ -5129,15 +5138,23 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         drawn.select("event_type", "y", "b", w.cast("long").alias("w"))
         .groupBy("event_type", "b")
         .agg(
-            (
-                F.sum(F.col("w") * F.col("y")).cast("double")
-                / F.sum("w").cast("long")
-            ).alias("mean_b")
+            F.sum(F.col("w") * F.col("y")).alias("swy"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            (F.col("swy").cast("double") / F.col("sw")).alias("mean_b"),
         )
     )
     rw = W.partitionBy("event_type").orderBy("mean_b", "b")
+    cw = W.partitionBy("event_type")
     ranked = reps.select(
-        "event_type", "mean_b", F.row_number().over(rw).alias("rn")
+        "event_type",
+        "mean_b",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
     )
     base = pts.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -5145,12 +5162,12 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_value"
         ),
     )
-    lo = ranked.filter(F.col("rn") == PB_LO_RANK).select(
-        "event_type", F.col("mean_b").alias("lo")
-    )
-    hi = ranked.filter(F.col("rn") == PB_HI_RANK).select(
-        "event_type", F.col("mean_b").alias("hi")
-    )
+    lo = ranked.filter(
+        F.col("rn") == F.floor((F.col("cnt") + 9) / 10)
+    ).select("event_type", F.col("mean_b").alias("lo"))
+    hi = ranked.filter(
+        F.col("rn") == F.floor((9 * F.col("cnt") + 9) / 10)
+    ).select("event_type", F.col("mean_b").alias("hi"))
     return (
         base.join(F.broadcast(lo), "event_type")
         .join(F.broadcast(hi), "event_type")
