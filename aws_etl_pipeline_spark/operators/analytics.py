@@ -4999,10 +4999,25 @@ def _pb_hex_thresholds() -> list[str]:
     uniform h satisfies h/65536 < cdf_k iff its hex form sorts
     lexicographically below hex(ceil(cdf_k * 65536)) — fixed-width
     hex is order-preserving, so the whole inverse-CDF ladder becomes
-    string comparisons (no hex->int parse per replicate)."""
+    string comparisons (no hex->int parse per replicate).
+
+    A threshold whose ceil reaches 65536 cannot be represented on the
+    16-bit grid (it would format to 5 hex chars, '10000', and break
+    the fixed-width ordering — 'f000' < '10000' is FALSE
+    lexicographically). Such thresholds are dropped: the first
+    dropped weight becomes the ladder's ELSE branch and everything
+    beyond it is unreachable at this resolution (the merged tail is
+    P(w > 6) ~ 8e-5 mapped onto w=7 — a documented grid-resolution
+    tail merge, identical on both engines)."""
     import math
 
-    return [format(math.ceil(c * 65536), "04x") for c in _poisson1_cdf()]
+    out: list[str] = []
+    for c in _poisson1_cdf():
+        v = math.ceil(c * 65536)
+        if v >= 65536:
+            break
+        out.append(format(v, "04x"))
+    return out
 
 
 def _pb_oracle() -> str:
@@ -5010,6 +5025,7 @@ def _pb_oracle() -> str:
     cases = " ".join(
         f"WHEN u4 < '{h}' THEN {k}" for k, h in enumerate(hexes)
     )
+    w_else = len(hexes)
     hsel = " ".join(f"WHEN {r} THEN h{r}" for r in range(PB_REPS // 8))
     hashes = ",\n         ".join(
         f"md5('pb:' || event_id || ':{r}') AS h{r}" for r in range(PB_REPS // 8)
@@ -5027,7 +5043,7 @@ drawn AS (
 ),
 weighted AS (
   SELECT event_type, y, b,
-         CASE {cases} ELSE 8 END AS w
+         CASE {cases} ELSE {w_else} END AS w
   FROM drawn
 ),
 reps AS (
@@ -5115,11 +5131,13 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # eight 16-bit uniforms per md5: 4 hashes per ROW instead of one
     # per (row, replicate) — an 8x cut in the dominant hash cost at
-    # scale. 16-bit resolution (1/65536) resolves every CDF threshold
-    # to ~1 grid unit (P(w>=8) ~ 1e-5, the coarsest edge, documented).
-    # The inverse-CDF ladder compares the 4-char hex slice directly
-    # against hex thresholds (fixed-width hex is order-preserving), so
-    # no per-replicate hex->int parse ever runs.
+    # scale. 16-bit resolution (1/65536) resolves every representable
+    # CDF threshold to ~1 grid unit; thresholds that round up to
+    # 65536 are dropped by _pb_hex_thresholds (tail mass P(w > 6)
+    # ~ 8e-5 merges into the ELSE weight, identically on both
+    # engines). The inverse-CDF ladder compares the 4-char hex slice
+    # directly against hex thresholds (fixed-width hex is
+    # order-preserving), so no per-replicate hex->int parse ever runs.
     u4 = [
         F.substring(F.col(f"h{b // 8}"), (b % 8) * 4 + 1, 4).alias(f"u{b}")
         for b in range(PB_REPS)
@@ -5131,7 +5149,7 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b", "u4"
         ),
     )
-    w = F.lit(8)
+    w = F.lit(len(hexes))
     for k in range(len(hexes) - 1, -1, -1):
         w = F.when(F.col("u4") < hexes[k], F.lit(k)).otherwise(w)
     reps = (

@@ -510,8 +510,31 @@ def test_poisson_weights_have_unit_mean_rate(spark, sf_dir):
     assert abs(cdf[0] - math.exp(-1)) < 1e-15
     assert all(b > a for a, b in zip(cdf, cdf[1:]))
     assert cdf[-1] < 1.0
-    # mass beyond the CASE ladder's cap (w=8) is negligible
+    # mass beyond the CASE ladder's cap is negligible
     assert 1.0 - cdf[-1] < 2e-5
+
+
+def test_poisson_hex_thresholds_fixed_width(spark, sf_dir):
+    """Every emitted threshold must be exactly 4 hex chars (the
+    order-preserving invariant the lexicographic ladder relies on)
+    and strictly increasing; thresholds that would round up to 65536
+    ('10000', 5 chars — lexicographically BELOW 'f000') are dropped,
+    merging the un-representable tail into the ELSE weight."""
+    from aws_etl_pipeline_spark.operators.analytics import (
+        _pb_hex_thresholds,
+        _poisson1_cdf,
+    )
+
+    hexes = _pb_hex_thresholds()
+    assert all(len(h) == 4 for h in hexes), hexes
+    assert all(b > a for a, b in zip(hexes, hexes[1:]))
+    # the drop is real on the current CDF: at least one raw threshold
+    # saturates the 16-bit grid, so the ladder is strictly shorter
+    import math
+
+    raw = [math.ceil(c * 65536) for c in _poisson1_cdf()]
+    assert any(v >= 65536 for v in raw)
+    assert len(hexes) == sum(1 for v in raw if v < 65536)
 
 
 def test_lift_gains_walk_is_coherent(spark, sf_dir):

@@ -368,10 +368,18 @@ def test_er_clusters_are_consistent_partitions(spark, sf_dir):
 
     from aws_etl_pipeline_spark.operators.relational import er_transitive_clusters
 
+    import os
+
+    import pytest
+
     # sf0.001's 200-part fixture yields no above-threshold same-block
     # pairs; the invariants need a populated partition, so this test
-    # pins the sf0.01 fixture explicitly (same one the oracle gate uses)
-    rows = er_transitive_clusters(spark, "/root/testdata/sf0.01").collect()
+    # pins the sf0.01 fixture (same one the oracle gate uses), derived
+    # from the sf_dir fixture's root so relocated checkouts still work
+    sf001 = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf001):
+        pytest.skip(f"populated fixture {sf001} not present")
+    rows = er_transitive_clusters(spark, sf001).collect()
     assert rows
     assert len({r["p_partkey"] for r in rows}) == len(rows)
     by_entity = Counter(r["entity_id"] for r in rows)
