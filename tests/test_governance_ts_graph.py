@@ -386,3 +386,51 @@ def test_clustering_coefficient_bounds(spark, sf_dir):
         assert 0.0 <= r["clustering_coeff"] <= 1.0, r
         assert 2 * r["n_triangles"] <= r["deg"] * (r["deg"] - 1), r
         assert 0.0 <= r["avg_clustering"] <= 1.0
+
+
+def test_doulion_estimator_contract(spark, sf_dir):
+    """r12: the DOULION schema must carry its own estimator contract —
+    est_* columns are exactly the 1/p^3 scale-ups of the sampled
+    counts, the sd column is sqrt(est_total * (1/p^3 - 1)) under the
+    stated independence approximation, and the sampled per-node top-K
+    is internally consistent (no node exceeds the total)."""
+    import math
+
+    from aws_etl_pipeline_spark.operators.graph import (
+        TRI_SAMPLE_INV3,
+        graph_triangle_doulion,
+    )
+
+    rows = graph_triangle_doulion(spark, sf_dir).collect()
+    assert rows
+    tot = rows[0].sampled_total
+    assert tot > 0  # the p=1/16 coin keeps triangles even at sf0.001
+    for r in rows:
+        assert r.est_triangles == r.sampled_triangles * TRI_SAMPLE_INV3
+        assert r.est_total == tot * TRI_SAMPLE_INV3
+        assert r.sampled_triangles <= tot
+        expect_sd = round(
+            math.sqrt(tot * TRI_SAMPLE_INV3 * (TRI_SAMPLE_INV3 - 1)), 3
+        )
+        assert abs(r.est_total_sd - expect_sd) < 1e-9
+    counts = [r.sampled_triangles for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_doulion_estimate_within_error_band(spark, sf_dir):
+    """The scaled estimate must land within 3 sd of the EXACT count
+    (computed by the exact sibling's oracle semantics) — a real check
+    that the coin, the scale-up, and the wedge-close compose into an
+    estimator of the right quantity, not just a deterministic number."""
+    from aws_etl_pipeline_spark.operators.graph import (
+        graph_triangle_count,
+        graph_triangle_doulion,
+    )
+
+    est_row = graph_triangle_doulion(spark, sf_dir).collect()[0]
+    exact_total = graph_triangle_count(spark, sf_dir).collect()[0].total_triangles
+    assert abs(est_row.est_total - exact_total) <= 3 * est_row.est_total_sd, (
+        est_row.est_total,
+        exact_total,
+        est_row.est_total_sd,
+    )

@@ -936,3 +936,47 @@ def test_ivf_staged_pq_codes_prune_to_probed_cells(spark, sf_dir):
     assert all(
         t[1] in ("bigint", "int") for t in codes.dtypes if t[0] != "cell"
     ), codes.dtypes
+
+
+def test_doulion_sample_filter_is_scan_side(spark, sf_dir):
+    """r12 (r11 verdict #1): DOULION's whole value is that the md5
+    sampling coin lands on the EDGE SCAN — both legs of every wedge
+    join then see only the p-sampled relation, cutting wedge volume
+    by p^2 before any exchange. If the filter drifted above a join
+    the plan would pay full exact-count shuffle volume and merely
+    discard triangles afterwards, silently reverting to the plan
+    whose 100x run spills past local disk."""
+    import re
+
+    from aws_etl_pipeline_spark.operators.graph import graph_triangle_doulion
+
+    plan = _plan(graph_triangle_doulion(spark, sf_dir))
+    lines = plan.splitlines()
+    scan_side_ids = []
+    for i, ln in enumerate(lines):
+        m = re.search(r"\* Filter \((\d+)\)", ln)
+        if m and i + 2 < len(lines):
+            if (
+                "ColumnarToRow" in lines[i + 1]
+                and "Scan parquet" in lines[i + 2]
+            ):
+                scan_side_ids.append(m.group(1))
+    assert scan_side_ids, plan
+    def _detail(fid: str) -> str:
+        m = re.search(
+            rf"^\({fid}\) Filter.*?(?=^\(\d+\) |\Z)", plan, re.S | re.M
+        )
+        return m.group(0) if m else ""
+    assert any("md5" in _detail(fid) for fid in scan_side_ids), plan
+    # and no md5 filter sits anywhere EXCEPT directly over the scan:
+    # every Filter detail mentioning md5 must be a scan-side node
+    md5_filter_ids = re.findall(
+        r"^\((\d+)\) Filter", 
+        "\n".join(
+            blk for blk in re.split(r"(?=^\(\d+\) )", plan, flags=re.M)
+            if blk.startswith("(") and "Filter" in blk.split("\n")[0]
+            and "md5" in blk
+        ),
+        re.M,
+    )
+    assert all(fid in scan_side_ids for fid in md5_filter_ids), plan

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 363  # COVERAGE.md "363 named queries total"
-DOCUMENTED_GRANULAR = 341
+DOCUMENTED_TOTAL = 364  # COVERAGE.md "363 named queries total"
+DOCUMENTED_GRANULAR = 342
 DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
