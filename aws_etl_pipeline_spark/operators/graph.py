@@ -1128,6 +1128,21 @@ _PPR_DEC = "decimal(30,18)"
 #: costs directories). 512 keeps the sf0.01 fixture at one small
 #: file per bucket locally.
 PPR_EDGE_BUCKETS = 512
+#: dense-ball saturation guard (r12): once a round's frontier covers
+#: more than this fraction of PPR_EDGE_BUCKETS, pruning buys almost
+#: nothing and the frontier broadcast is approaching node size (the
+#: measured round-3 saturation here is 487/512), so the round switches
+#: to the aligned bucketed-TABLE join. 0.5 is conservative: at half
+#: coverage the pruned scan still skips half the edge files, but the
+#: broadcast side is already ball-sized, and the ball at half-coverage
+#: of a power-law graph is most of the mass.
+PPR_DENSE_FRACTION = 0.5
+
+#: test-introspection only: (regime, n_buckets) per round of the most
+#: recent graph_personalized_pagerank run in this process — the guard
+#: decision is driver-side control flow, invisible in any single
+#: round's physical plan, so tests read it here.
+PPR_LAST_REGIMES: list[tuple[str, int]] = []
 
 
 def _ppr_bucket(col) -> F.Column:
@@ -1246,8 +1261,26 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract). Rank state is localCheckpointed per round: ball-sized,
     truncates the growing loop lineage, and the bucket-set job plus
     the broadcast then read materialized state instead of re-running
-    prior rounds."""
+    prior rounds.
+
+    r12 dense-ball guard (r11 verdict #2): on a DENSE graph the ball
+    saturates — round 3 here covers 487/{PPR_EDGE_BUCKETS} buckets —
+    and the broadcast-frontier device inverts: the scan prunes
+    almost nothing while the broadcast side approaches node size
+    (multi-GB at 100 TB, the one unguarded failure mode left in
+    r11's plan). Each round therefore checks the bucket count it
+    just collected: past PPR_DENSE_FRACTION x {PPR_EDGE_BUCKETS}
+    buckets, THAT ROUND switches to the whole-graph layout —
+    `pagerank_edges_table`'s aligned bucketed TABLE with a
+    shuffle_hash rank-side build, the zero-edge-exchange plan global
+    pagerank already owns — so no near-node-sized relation is ever
+    broadcast. Sparse rounds keep the pruned-scan broadcast plan;
+    the contribution arithmetic is identical in both regimes, so the
+    fixpoint (and the oracle hash) is unchanged. Both regimes are
+    plan-pinned (tests/test_plans.py::test_ppr_dense_round_*)."""
     edeg = ppr_edges_bucketed(spark, sf_dir)  # staged layout (r11)
+    dense_edges = None  # whole-graph bucketed TABLE, staged on demand
+    PPR_LAST_REGIMES.clear()  # test introspection: regime per round
     ranks = spark.createDataFrame([(PPR_SEED, 1.0)], "node string, r double")
     teleport = spark.createDataFrame([(PPR_SEED, 0.15)], "node string, v double")
     for _ in range(PPR_ITERS):
@@ -1259,10 +1292,25 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .collect()
         ]
+        if len(bkts) > PPR_DENSE_FRACTION * PPR_EDGE_BUCKETS:
+            # saturated round: aligned bucketed-table join, rank side
+            # shuffled to the edges' on-disk partitioning — bounded
+            # exchange of the BALL, zero exchange and zero broadcast
+            # of anything node- or edge-sized.
+            if dense_edges is None:
+                dense_edges = pagerank_edges_table(spark, sf_dir)
+            joined = dense_edges.join(
+                ranks.withColumnRenamed("node", "a").hint("shuffle_hash"),
+                "a",
+            )
+            PPR_LAST_REGIMES.append(("dense", len(bkts)))
+        else:
+            joined = edeg.where(
+                F.col("bkt").isin(bkts)  # partition-pruned scan
+            ).join(F.broadcast(ranks.withColumnRenamed("node", "a")), "a")
+            PPR_LAST_REGIMES.append(("sparse", len(bkts)))
         contrib = (
-            edeg.where(F.col("bkt").isin(bkts))  # partition-pruned scan
-            .join(F.broadcast(ranks.withColumnRenamed("node", "a")), "a")
-            .select(
+            joined.select(
                 F.col("b").alias("node"),
                 (F.col("r") / F.col("deg")).cast(_PPR_DEC).alias("cd"),
             )

@@ -980,3 +980,61 @@ def test_doulion_sample_filter_is_scan_side(spark, sf_dir):
         re.M,
     )
     assert all(fid in scan_side_ids for fid in md5_filter_ids), plan
+
+
+def test_ppr_dense_round_plan_is_aligned_no_broadcast(spark, sf_dir):
+    """r12 (r11 verdict #2): a saturated PPR round must use the
+    whole-graph bucketed TABLE with a shuffle_hash rank-side build —
+    edges consumed straight off the bucketed scan (no Exchange), the
+    ball exchanged once into alignment, and NOTHING broadcast — so a
+    dense graph can never push a near-node-sized broadcast."""
+    from aws_etl_pipeline_spark.operators.graph import pagerank_edges_table
+
+    edeg = pagerank_edges_table(spark, sf_dir)
+    # a saturated-round rank relation: every node has rank (worst case)
+    ranks = edeg.groupBy(F.col("a").alias("node")).agg(
+        (F.lit(1.0) / F.min("deg")).alias("r")
+    )
+    joined = edeg.join(
+        ranks.withColumnRenamed("node", "a").hint("shuffle_hash"), "a"
+    ).select(
+        F.col("b").alias("node"),
+        (F.col("r") / F.col("deg")).cast("decimal(30,18)").alias("cd"),
+    )
+    contrib = joined.groupBy("node").agg(F.sum("cd").alias("s"))
+    plan = _plan(contrib)
+    assert "Bucketed: true" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_ppr_guard_switches_regimes_on_the_dense_fixture(spark, sf_dir):
+    """The guard itself (driver-side control flow): on the sf0.01
+    fixture the 3-round ball saturates (round 3 covers 487/512
+    buckets, the measured r11 number), so the run must use BOTH
+    regimes — sparse pruned-scan rounds early, the aligned dense plan
+    once coverage passes PPR_DENSE_FRACTION — and every recorded
+    decision must match the threshold arithmetic."""
+    import os
+
+    import pytest
+
+    from aws_etl_pipeline_spark.operators.graph import (
+        PPR_DENSE_FRACTION,
+        PPR_EDGE_BUCKETS,
+        PPR_ITERS,
+        PPR_LAST_REGIMES,
+        graph_personalized_pagerank,
+    )
+
+    sf001 = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf001):
+        pytest.skip(f"dense fixture {sf001} not present")
+    rows = graph_personalized_pagerank(spark, sf001).count()
+    assert rows > 0
+    assert len(PPR_LAST_REGIMES) == PPR_ITERS
+    for regime, n in PPR_LAST_REGIMES:
+        expect = "dense" if n > PPR_DENSE_FRACTION * PPR_EDGE_BUCKETS else "sparse"
+        assert regime == expect, PPR_LAST_REGIMES
+    regimes = [r for r, _ in PPR_LAST_REGIMES]
+    assert "sparse" in regimes and "dense" in regimes, PPR_LAST_REGIMES
