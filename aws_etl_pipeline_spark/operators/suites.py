@@ -316,6 +316,9 @@ SUITES: dict[str, list[str]] = {
         # r11 continuation: streaming as-of join (interval join +
         # per-fact keyed-argmax merge in foreachBatch)
         "stream_exec_asof_join",
+        # r12: the watermarked production form of the as-of join
+        # (bounded state; closed-form late-drop set in the oracle)
+        "stream_exec_asof_join_watermarked",
     ],
     "suite_dedup": [
         "dedup_exact",

@@ -207,34 +207,37 @@ PRIORITY: tuple[str, ...] = (
     # events_window_funnel, events_shapley_attribution — each direct
     # green in CORRECTNESS_r10 (shapley also r9) and digest-covered by
     # suite_dedup / suite_sketches / suite_assembly / suite_analytics.)
-    # graph_personalized_pagerank KEEPS its seat: the r11
-    # bucketed-edge-layout rewrite deserves in-round direct history
-    # for the changed plan (direct green r10 for the old plan).
+    # graph_personalized_pagerank KEEPS its seat again in r12: the
+    # dense-ball saturation guard changed the saturated rounds' plan
+    # (aligned bucketed-TABLE join past PPR_DENSE_FRACTION), and a
+    # changed plan deserves in-round direct history (direct green
+    # r10 old plan, r11 bucketed layout).
     "graph_personalized_pagerank",
     # (pack_bestfit_windows rotated out in the r11 continuation —
     # direct green r10; suite_assembly digest.)
-    # r11-continuation new operators: first direct rows per policy
-    # (each also digest-seated: suite_stats x4, suite_assembly x1)
-    "events_bayesian_ab",
-    "sample_poisson_bootstrap",
-    "privacy_dp_quantile",
-    "classifier_lift_gains",
-    "mix_quality_topq",
-    # rotated in r11 (r10 verdict #6): first direct rows for the r10
-    # additions that shipped with digest-only driver history
-    "mix_unimax",
-    "text_perplexity_filter",
-    "events_retention_triangle",
-    # r11 rewrite re-seat: the tf-collapsed plan gets in-round history
-    "text_oov_rate",
-    # r11 new operator: first direct row per policy (also digest-seated
-    # in suite_sim so a future rotation can vacate it)
-    "sim_ivf_staged",
-    # r11-continuation fourth wave: PQ codes served from the
-    # partition-by-cell layout (the two demonstrated scale devices
-    # composed), first direct row per policy (digest-seated in
-    # suite_sim); funded by stream_exec_sketch_merge's seat
-    "sim_ivf_staged_pq",
+    # (the nine r11-continuation seats — events_bayesian_ab,
+    # sample_poisson_bootstrap, privacy_dp_quantile,
+    # classifier_lift_gains, mix_quality_topq, stream_exec_asof_join,
+    # graph_clustering_coefficient, er_transitive_clusters,
+    # sim_ivf_staged_pq — and the five r11 first-wave seats
+    # (mix_unimax, text_perplexity_filter, events_retention_triangle,
+    # text_oov_rate, sim_ivf_staged) rotated out in r12: each landed
+    # its first direct green in CORRECTNESS_r11 and is digest-covered
+    # by suite_stats / suite_assembly / suite_streaming / suite_geo /
+    # suite_join_misc / suite_sim / suite_text / suite_analytics.)
+    # r12 rotation (r11 verdict #6): direct in-round rows for the r11
+    # plan rewrites that shipped with digest-only coverage of the NEW
+    # plan — the bucketed-TABLE global pagerank, the threshold-pruned
+    # streaming top-K merge, and the exchange-trimmed boilerplate
+    # n-gram filter
+    "graph_pagerank",
+    "stream_exec_topk_merge",
+    "text_boilerplate_ngrams",
+    # r12 new operators: first direct rows per policy (each also
+    # digest-seated in suite_analytics / suite_streaming so a future
+    # rotation can vacate them)
+    "graph_triangle_doulion",
+    "stream_exec_asof_join_watermarked",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —
@@ -252,18 +255,11 @@ PRIORITY: tuple[str, ...] = (
     "stream_exec_stream_join_watermarked",
     # (stream_exec_stream_join_outer_watermarked and
     # stream_exec_dedup_watermarked rotated out in the r11
-    # continuation — direct green r8-r10; suite_streaming digest — to
-    # fund the two new direct rows below.)
-    # r11-continuation new operators: the streaming as-of join
-    # (feature-store enrichment under incremental execution) and the
-    # clustering-coefficient graph readout, first direct rows per
-    # policy (digest-seated in suite_streaming / suite_geo)
-    "stream_exec_asof_join",
-    "graph_clustering_coefficient",
-    # r11-continuation third wave: the ER clustering step, first
-    # direct row per policy (digest-seated in suite_join_misc); takes
-    # the block's one free slot, so no rotation was needed
-    "er_transitive_clusters",
+    # continuation — direct green r8-r10; suite_streaming digest.
+    # stream_exec_asof_join, graph_clustering_coefficient and
+    # er_transitive_clusters rotated out in r12 — direct green r11;
+    # digest-covered by suite_streaming / suite_geo /
+    # suite_join_misc.)
     # LLM-pipeline flagships
     # (dedup_exact rotated out r8 second rotation — suite_dedup
     # digest; direct green r1-r7. sketch_countmin_heavyhitters rotated

@@ -1759,3 +1759,140 @@ def stream_exec_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("prior_id"),
         F.col("last_ts").alias("prior_ts"),
     )
+
+
+@query(
+    "stream_exec_asof_join_watermarked",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, ts, user_id,
+         ntile(4) OVER (ORDER BY ts, event_id) AS slice
+  FROM events
+),
+wm AS (
+  SELECT least(
+    (SELECT max(ts) FROM events WHERE event_id % 2 = 0),
+    (SELECT max(ts) FROM events WHERE event_id % 2 = 1)
+  ) - INTERVAL '6 hours' AS w
+),
+kept AS (
+  SELECT r.event_id, r.ts, r.user_id
+  FROM ranked r, wm
+  WHERE r.slice > 1 OR r.ts >= wm.w
+)
+SELECT a.event_id AS evt_id, a.user_id, a.ts AS evt_ts,
+       b.event_id AS prior_id, b.ts AS prior_ts
+FROM kept a JOIN kept b
+  ON b.user_id = a.user_id
+ AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+ AND b.ts BETWEEN a.ts - INTERVAL '6 hours' AND a.ts
+QUALIFY row_number() OVER (PARTITION BY a.event_id
+                           ORDER BY b.ts DESC, b.event_id DESC) = 1
+""",
+)
+def stream_exec_asof_join_watermarked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION form of `stream_exec_asof_join` — the form its
+    docstring promises: both sides carry ``withWatermark(ts, 6
+    hours)`` sized to the as-of tolerance, so join state is bounded
+    by the tolerance window instead of the stream history (the
+    unwatermarked twin is exact but its state grows forever — the
+    measured 1000x boundary in SCALING.md).
+
+    Composition = the two proven devices, unchanged: the
+    ``_stage_events_timesliced`` replay makes the watermark
+    trajectory deterministic (time-ordered quarters 2, 3, 4, then
+    quarter 1 LAST — on the monotone prefix no on-time row falls
+    behind the watermark and no needed candidate is evicted, because
+    a surviving fact's candidates sit >= WM - 6h, exactly the
+    eviction threshold; the straggler quarter is dropped IFF ts <
+    min(max even ts, max odd ts) - 6h, the closed-form `kept`
+    predicate the oracle states — Spark's query watermark is the MIN
+    across watermarked inputs of max-seen minus delay), and the
+    ``foreachBatch`` keyed-merge argmax sink reduces every
+    micro-batch's join output to its per-fact latest candidate
+    ("latest within window" is associative and idempotent, so the
+    target is batching-invariant and replay-safe). The oracle is
+    therefore the batch as-of (QUALIFY row_number = 1) over the kept
+    set: one hash pins watermark semantics, state retention, AND
+    as-of compaction at once.
+
+    Scale shape: per-side state in steady state is the 6 h tolerance
+    window of rows — the only as-of form that survives an unbounded
+    100 TB stream; on replica scale runs the RocksDB state store
+    carries the in-batch join state (SPARK_GRAFT_STATE_STORE=rocksdb,
+    the measured r11 boundary)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    stage_dir, key = _stage_events_timesliced(spark, sf_dir)
+    schema = spark.read.parquet(stage_dir).schema
+
+    target_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_streamasofwm_{key}"
+    )
+    shutil.rmtree(target_dir, ignore_errors=True)
+
+    def best_per_fact(batch_df):
+        # keyed-merge column protocol: key=user_id (the FACT id),
+        # winner order = (last_ts, event_id) = (prior_ts, prior_id).
+        w = W.partitionBy("user_id").orderBy(
+            F.col("last_ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            batch_df.select(
+                F.col("evt_id").alias("user_id"),
+                F.col("prior_ts").alias("last_ts"),
+                F.col("prior_id").alias("event_id"),
+                "evt_user",
+                "evt_ts",
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    merge_batch = _keyed_merge_batch_fn(target_dir, best_per_fact)
+
+    def side(parity: int, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+            .filter(F.col("event_id") % 2 == parity)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                # withWatermark rejects TIMESTAMP_NTZ; the session TZ
+                # is pinned UTC so the cast preserves the instant.
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user"),
+            )
+            .withWatermark(f"{prefix}_ts", "6 hours")
+        )
+
+    joined = side(0, "evt").join(
+        side(1, "prior"),
+        F.expr(
+            "evt_user = prior_user AND "
+            "prior_ts BETWEEN evt_ts - INTERVAL 6 HOURS AND evt_ts"
+        ),
+    ).select("evt_id", "evt_ts", "evt_user", "prior_id", "prior_ts")
+    q = (
+        joined.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.read.parquet(target_dir).select(
+        F.col("user_id").alias("evt_id"),
+        F.col("evt_user").alias("user_id"),
+        # back to the events table's NTZ type for oracle comparability
+        F.col("evt_ts").cast("timestamp_ntz").alias("evt_ts"),
+        F.col("event_id").alias("prior_id"),
+        F.col("last_ts").cast("timestamp_ntz").alias("prior_ts"),
+    )

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 364  # COVERAGE.md "363 named queries total"
-DOCUMENTED_GRANULAR = 342
+DOCUMENTED_TOTAL = 365  # COVERAGE.md "363 named queries total"
+DOCUMENTED_GRANULAR = 343
 DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -167,8 +167,11 @@ def test_rotated_out_slots_stay_digest_covered():
         "stream_exec_dedup_watermarked",
     ):
         assert rotated_out in digest_covered, rotated_out
-    for rotated_in in ("stream_exec_asof_join", "graph_clustering_coefficient"):
-        assert rotated_in in PRIORITY, rotated_in
+    # (stream_exec_asof_join / graph_clustering_coefficient held
+    # direct rows through CORRECTNESS_r11, then rotated out in r12 —
+    # checked below)
+    for rotated_out in ("stream_exec_asof_join", "graph_clustering_coefficient"):
+        assert rotated_out in digest_covered, rotated_out
     # the round-8 THIRD rotation: the three newest r8 operators take
     # direct slots; the vacating queries stay digest-covered
     for rotated_out in (
@@ -250,16 +253,19 @@ def test_rotated_out_slots_stay_digest_covered():
         "events_shapley_attribution",
     ):
         assert rotated_out in digest_covered, rotated_out
-    for rotated_in in (
+    # (the r11 first-wave seats held direct rows through
+    # CORRECTNESS_r11, then rotated out in r12 — checked below;
+    # graph_personalized_pagerank keeps its seat again for the r12
+    # dense-ball-guard plan change)
+    for r11_seat in (
         "mix_unimax",
         "text_perplexity_filter",
         "events_retention_triangle",
         "text_oov_rate",
         "sim_ivf_staged",
-        "graph_personalized_pagerank",  # kept seat: r11 plan rewrite
     ):
-        assert rotated_in in PRIORITY, rotated_in
-        assert rotated_in in digest_covered, rotated_in  # future rotation can vacate
+        assert r11_seat in digest_covered, r11_seat
+    assert "graph_personalized_pagerank" in PRIORITY
     # the r11-CONTINUATION rotations: seven new operators take
     # first-round direct rows (each also digest-seated so future
     # rotations can vacate them); the vacating queries leave with
@@ -274,7 +280,10 @@ def test_rotated_out_slots_stay_digest_covered():
         "limit_topk",
     ):
         assert rotated_out in digest_covered, rotated_out
-    for rotated_in in (
+    # (the nine r11-continuation seats held direct rows through
+    # CORRECTNESS_r11, then rotated out in r12 — they must stay
+    # digest-covered)
+    for rotated_out in (
         "events_bayesian_ab",
         "sample_poisson_bootstrap",
         "privacy_dp_quantile",
@@ -284,6 +293,18 @@ def test_rotated_out_slots_stay_digest_covered():
         "graph_clustering_coefficient",
         "er_transitive_clusters",
         "sim_ivf_staged_pq",
+    ):
+        assert rotated_out in digest_covered, rotated_out
+    # the round-12 rotation (r11 verdict #6): direct in-round rows for
+    # the r11 plan rewrites that had only digest coverage of the NEW
+    # plan, plus first-round rows for the r12 operators (each
+    # digest-seated so a future rotation can vacate them)
+    for rotated_in in (
+        "graph_pagerank",
+        "stream_exec_topk_merge",
+        "text_boilerplate_ngrams",
+        "graph_triangle_doulion",
+        "stream_exec_asof_join_watermarked",
     ):
         assert rotated_in in PRIORITY, rotated_in
         assert rotated_in in digest_covered, rotated_in  # future rotation can vacate

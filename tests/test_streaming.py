@@ -215,3 +215,73 @@ def test_stream_asof_join_semantics(spark, sf_dir):
         seen.add(r["evt_id"])
         delta = (r["evt_ts"] - r["prior_ts"]).total_seconds()
         assert 0 <= delta <= 6 * 3600, r
+
+
+def test_stream_asof_watermarked_drop_set_is_exact(spark, sf_dir):
+    """r12 (r11 verdict #3): the watermarked as-of twin's result must
+    equal the batch as-of computed over the closed-form KEPT set —
+    rows of the straggler quarter survive IFF ts >= min(max even ts,
+    max odd ts) - 6h — and the fixture must actually exercise the
+    drop (some quarter-1 rows fall below the threshold and at least
+    one fact changes or loses its match vs the unwatermarked twin's
+    input set)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_spark.catalog import load_table
+    from aws_etl_pipeline_spark.streaming.ingest import (
+        stream_exec_asof_join_watermarked,
+    )
+
+    got = stream_exec_asof_join_watermarked(spark, sf_dir)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(W.orderBy("ts", "event_id"))
+    )
+    wm = (
+        ev.agg(
+            F.least(
+                F.max(F.when(F.col("event_id") % 2 == 0, F.col("ts"))),
+                F.max(F.when(F.col("event_id") % 2 == 1, F.col("ts"))),
+            ).alias("m")
+        ).collect()[0]["m"]
+    )
+    import datetime as dt
+
+    thresh = wm - dt.timedelta(hours=6)
+    kept = sliced.filter(
+        (F.col("slice") > 1) | (F.col("ts") >= F.lit(thresh))
+    ).drop("slice")
+    n_dropped = ev.count() - kept.count()
+    assert n_dropped > 0, "fixture must exercise the late drop"
+
+    facts = kept.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("evt_id"),
+        F.col("ts").alias("evt_ts"),
+        "user_id",
+    )
+    cands = kept.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("prior_id"),
+        F.col("ts").alias("prior_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    w = W.partitionBy("evt_id").orderBy(
+        F.col("prior_ts").desc(), F.col("prior_id").desc()
+    )
+    expect = (
+        facts.join(
+            cands,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("prior_ts") >= F.col("evt_ts") - F.expr("INTERVAL 6 HOURS"))
+            & (F.col("prior_ts") <= F.col("evt_ts")),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("evt_id", "user_id", "evt_ts", "prior_id", "prior_ts")
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    exp_set = {tuple(r) for r in expect.collect()}
+    assert got_set == exp_set, (
+        f"{len(got_set - exp_set)} extra, {len(exp_set - got_set)} missing"
+    )
