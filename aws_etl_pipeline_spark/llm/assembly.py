@@ -1506,3 +1506,430 @@ def mix_quality_topq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(F.broadcast(thr), "source").filter(
         F.col("g") >= F.col("threshold")
     ).select("doc_id", "source", "qscore", "threshold")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus assembly (r12, r11 verdict #5): the composed run
+# ---------------------------------------------------------------------------
+
+#: benchmark split for the contamination screen (decontaminate_ngram's
+#: convention: doc_id % mod == 0 plays the held-out eval suite).
+PIPE_BENCH_MOD = 37
+#: contamination shingle width (words).
+PIPE_GRAM_N = 4
+#: near-dup edge threshold on the minhash agreement estimate.
+PIPE_TAU = 0.5
+#: epoch token budget as a share of the CLEAN corpus's tokens.
+PIPE_BUDGET_FRAC = 0.5
+#: UniMax per-source repeat cap (epochs).
+PIPE_MAX_EPOCHS = 2
+#: packed context-window length (tokens).
+PIPE_CTX = 512
+#: deterministic shuffle-order modulus for the greedy fill.
+PIPE_SHUF_MOD = 1_000_000
+
+
+def _assembly_pipeline_oracle() -> str:
+    from .dedup import (
+        N_BANDS,
+        N_MINHASH,
+        _BAND_SQL,
+        _BASEHASH_SQL,
+        _MINHASH_COLS_SQL,
+        _SHINGLES_SQL,
+    )
+    from .text import QUALITY_SCORE_SQL
+
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band_idx, band{b} AS band_hash FROM banded"
+        for b in range(N_BANDS)
+    )
+    sig_list = ", ".join(f"mh{k}" for k in range(N_MINHASH))
+    g = PIPE_GRAM_N
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS ws
+  FROM documents WHERE doc_id % {PIPE_BENCH_MOD} <> 0
+),
+scored AS (
+  SELECT doc_id, source, ws, len(ws)::BIGINT AS n_words,
+         round({QUALITY_SCORE_SQL}, {QT_GRID_DECIMALS}) AS g
+  FROM docs
+),
+hist AS (SELECT source, g, count(*)::BIGINT AS cnt FROM scored GROUP BY 1, 2),
+cum AS (
+  SELECT source, g,
+         sum(cnt) OVER (PARTITION BY source ORDER BY g
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS c,
+         sum(cnt) OVER (PARTITION BY source)::BIGINT AS n
+  FROM hist
+),
+thr AS (
+  SELECT source, min(g) AS threshold
+  FROM cum WHERE c >= {QT_Q!r} * n GROUP BY source
+),
+kept AS (
+  SELECT s.doc_id, s.source, s.ws, s.n_words
+  FROM scored s JOIN thr ON thr.source = s.source
+  WHERE s.g >= thr.threshold
+),
+sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL.strip()}) AS sh FROM kept
+),
+hashed AS (SELECT doc_id, {_BASEHASH_SQL} AS hs FROM sh),
+sig AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM hashed),
+banded AS (
+  SELECT doc_id, [{sig_list}] AS sig, {_BAND_SQL} FROM sig
+),
+band_rows AS (
+  {band_rows}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_rows a JOIN band_rows b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  WHERE list_sum(list_transform(generate_series(1, {N_MINHASH}),
+          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+        / {N_MINHASH}.0 >= {PIPE_TAU}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM kept
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node AS doc_id, min(r) AS canon FROM reach GROUP BY node),
+dedup AS (
+  SELECT k.* FROM kept k JOIN comp c USING (doc_id) WHERE c.canon = k.doc_id
+),
+bgrams AS (
+  SELECT DISTINCT array_to_string(list_slice(ws, p, p + {g - 1}), ' ') AS ngram
+  FROM (SELECT ws, unnest(generate_series(1, len(ws) - {g - 1})) AS p
+        FROM (SELECT string_split(lower(trim(text)), ' ') AS ws
+              FROM documents WHERE doc_id % {PIPE_BENCH_MOD} = 0))
+),
+dgrams AS (
+  SELECT doc_id, array_to_string(list_slice(ws, p, p + {g - 1}), ' ') AS ngram
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - {g - 1})) AS p
+        FROM dedup)
+),
+contaminated AS (
+  SELECT DISTINCT d.doc_id FROM dgrams d JOIN bgrams USING (ngram)
+),
+clean AS (
+  SELECT * FROM dedup
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+srctok AS (
+  SELECT source, sum(n_words)::DOUBLE AS tokens FROM clean GROUP BY source
+),
+bud AS (
+  SELECT {PIPE_BUDGET_FRAC} * sum(tokens) AS budget,
+         count(*)::BIGINT AS n
+  FROM srctok
+),
+capd AS (
+  SELECT source, tokens, tokens * {PIPE_MAX_EPOCHS} AS cap,
+         row_number() OVER (ORDER BY tokens * {PIPE_MAX_EPOCHS}, source)
+           ::BIGINT AS rk,
+         coalesce(sum(tokens * {PIPE_MAX_EPOCHS}) OVER (
+           ORDER BY tokens * {PIPE_MAX_EPOCHS}, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cap_before
+  FROM srctok
+),
+lvl AS (
+  SELECT max((budget - cap_before) / (n - rk + 1)) AS level
+  FROM capd CROSS JOIN bud
+),
+alloc AS (
+  SELECT source, tokens,
+         floor(least(cap, level))::BIGINT AS alloc_tokens,
+         (floor(least(cap, level))::BIGINT >= (tokens * {PIPE_MAX_EPOCHS})::BIGINT)
+           AS capped
+  FROM capd CROSS JOIN lvl
+),
+ordered AS (
+  SELECT c.source, c.n_words, a.alloc_tokens,
+         coalesce(sum(c.n_words) OVER (
+           PARTITION BY c.source
+           ORDER BY ('0x' || substr(md5(c.doc_id::VARCHAR), 1, 8))::UBIGINT
+                      % {PIPE_SHUF_MOD}, c.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM clean c JOIN alloc a USING (source)
+),
+packed AS (
+  SELECT source,
+         count(*) FILTER (WHERE cum_before < alloc_tokens)::BIGINT
+           AS docs_packed,
+         coalesce(sum(n_words) FILTER (WHERE cum_before < alloc_tokens), 0)
+           ::BIGINT AS tokens_packed
+  FROM ordered GROUP BY source
+),
+c0 AS (SELECT source, count(*)::BIGINT AS docs_in FROM scored GROUP BY source),
+c1 AS (SELECT source, count(*)::BIGINT AS docs_quality_kept
+       FROM kept GROUP BY source),
+c2 AS (SELECT source, count(*)::BIGINT AS docs_after_dedup
+       FROM dedup GROUP BY source),
+c3 AS (SELECT source, count(*)::BIGINT AS docs_clean,
+              sum(n_words)::BIGINT AS tokens_clean
+       FROM clean GROUP BY source)
+SELECT c0.source, docs_in, docs_quality_kept,
+       (docs_quality_kept - docs_after_dedup)::BIGINT AS dups_removed,
+       (docs_after_dedup - docs_clean)::BIGINT AS contaminated_removed,
+       docs_clean, tokens_clean,
+       a.alloc_tokens,
+       round(a.alloc_tokens::DOUBLE / a.tokens, 6) AS epochs,
+       a.capped,
+       p.docs_packed, p.tokens_packed,
+       ceil(p.tokens_packed::DOUBLE / {PIPE_CTX})::BIGINT AS n_windows,
+       CASE WHEN p.tokens_packed = 0 THEN 0.0
+            ELSE round(p.tokens_packed::DOUBLE
+                       / (ceil(p.tokens_packed::DOUBLE / {PIPE_CTX})
+                          * {PIPE_CTX}), 6) END AS pack_efficiency
+FROM c0
+JOIN c1 USING (source) JOIN c2 USING (source) JOIN c3 USING (source)
+JOIN alloc a USING (source) JOIN packed p USING (source)
+"""
+
+
+@query("corpus_assembly_pipeline", oracle=_assembly_pipeline_oracle())
+def corpus_assembly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-corpus assembly run, composed from the
+    already-verified stage operators into one query (r11 verdict #5 —
+    the query a 100 TB training-data user actually runs, previously
+    five separate stages): per-source quality-quantile gate
+    (`mix_quality_topq`'s bounded-histogram thresholds at q={QT_Q}) ->
+    near-dup dedup among survivors (`dedup_minhash_lsh` banded
+    candidates at agreement >= {PIPE_TAU}, closed into entity
+    clusters by `connected_components` min-label propagation, keep
+    the smallest doc_id per cluster) -> benchmark decontamination
+    (`decontaminate_ngram`'s {PIPE_GRAM_N}-gram screen against the
+    doc_id % {PIPE_BENCH_MOD} == 0 eval split) -> UniMax allocation
+    over the clean corpus (`mix_unimax`'s closed-form water filling,
+    budget {PIPE_BUDGET_FRAC:.0%} of clean tokens, cap
+    {PIPE_MAX_EPOCHS} epochs) -> greedy window packing
+    (`mix_token_budget`'s md5-shuffled admission until each source's
+    allocation is spent, reported as {PIPE_CTX}-token concat-packed
+    windows). One row per source: stage-by-stage yields, the UniMax
+    plan, and the packed-epoch manifest.
+
+    100 TB shape, stage by stage (each inherits its parent
+    operator's measured discipline): the quality gate is two scans +
+    a sources x 1001 histogram (document text never shuffles); the
+    dedup stage shuffles band-hash keys only (candidates track
+    duplicate density, `shuffle_hash`-pinned inside
+    `minhash_lsh_pairs` against the misestimated-broadcast class),
+    and CC state is two longs per KEPT doc; the contamination screen
+    explodes grams on dedup SURVIVORS only and probes a broadcast
+    benchmark set (eval suites are MBs); UniMax and the final report
+    run on source-sized relations; packing is one per-source cumsum
+    window over the md5 order (the shard key at scale, so shards
+    fill independently). Every verdict column is exact-integer or
+    round-pinned, so the composed result is bit-equal to the
+    recursive-CTE DuckDB twin."""
+    from ..api import connected_components, minhash_lsh_pairs
+    from .dedup import N_BANDS, N_MINHASH, SHINGLE
+    from .text import quality_score_col
+
+    d = load_spread(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % PIPE_BENCH_MOD != 0)
+    score = quality_score_col()
+    scored = train.select(
+        "doc_id",
+        "source",
+        "text",
+        _tokens().cast("long").alias("n_words"),
+        F.round(score, QT_GRID_DECIMALS).alias("g"),
+    ).transform(track)  # histogram + gate both read it
+    hist = scored.groupBy("source", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        W.partitionBy("source").orderBy("g").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "source",
+        "g",
+        F.sum("cnt").over(wcum).cast("long").alias("c"),
+        F.sum("cnt").over(W.partitionBy("source")).cast("long").alias("n"),
+    )
+    thr = (
+        cum.filter(F.col("c") >= QT_Q * F.col("n"))
+        .groupBy("source")
+        .agg(F.min("g").alias("threshold"))
+    )
+    kept = (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("g") >= F.col("threshold"))
+        .select("doc_id", "source", "text", "n_words")
+        .transform(track)  # minhash arms + grams + counts consume it
+    )
+    pairs = minhash_lsh_pairs(
+        kept, "doc_id", "text", n_hashes=N_MINHASH, n_bands=N_BANDS,
+        shingle=SHINGLE,
+    ).filter(F.col("est_jaccard") >= PIPE_TAU)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    dedup = (
+        kept.join(comp, kept.doc_id == comp.node, "left")
+        .filter(
+            F.coalesce(F.col("component_id"), kept.doc_id) == kept.doc_id
+        )
+        .select("doc_id", "source", "text", "n_words")
+        .transform(track)  # grams + counts + clean consume it
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        tok = df.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.trim("text")), " ")).alias(
+                "pos", "w"
+            ),
+        )
+        win = W.partitionBy("doc_id").orderBy("pos")
+        leads = [F.col("w")] + [
+            F.lead("w", k).over(win) for k in range(1, PIPE_GRAM_N)
+        ]
+        return tok.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("ngram"),
+            leads[-1].alias("_tail"),
+        ).filter(F.col("_tail").isNotNull()).drop("_tail")
+
+    bench = grams(
+        d.filter(F.col("doc_id") % PIPE_BENCH_MOD == 0)
+    ).select("ngram").distinct()
+    contaminated = (
+        grams(dedup)
+        .join(F.broadcast(bench), "ngram")  # eval suites are MBs
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dedup.join(
+        contaminated.hint("shuffle_hash"), "doc_id", "left_anti"  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
+    ).transform(track)  # srctok + packing + counts consume it
+
+    srctok = clean.groupBy("source").agg(
+        F.sum("n_words").cast("double").alias("tokens")
+    )
+    bud = srctok.agg(
+        (F.lit(PIPE_BUDGET_FRAC) * F.sum("tokens")).alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cap = F.col("tokens") * PIPE_MAX_EPOCHS
+    # global-ok: source relation (a handful of rows)
+    w_rk = W.orderBy(cap, "source")
+    capd = srctok.select(
+        "source",
+        "tokens",
+        cap.alias("cap"),
+        F.row_number().over(w_rk).cast("long").alias("rk"),
+        F.coalesce(
+            F.sum(cap).over(
+                # global-ok: source relation (a handful of rows)
+                W.orderBy(cap, "source").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ).alias("cap_before"),
+    ).crossJoin(F.broadcast(bud))
+    lvl = capd.agg(
+        F.max(
+            (F.col("budget") - F.col("cap_before"))
+            / (F.col("n") - F.col("rk") + 1)
+        ).alias("level")
+    )
+    alloc_l = F.floor(F.least(F.col("cap"), F.col("level"))).cast("long")
+    alloc = capd.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        "tokens",
+        alloc_l.alias("alloc_tokens"),
+        (alloc_l >= (cap).cast("long")).alias("capped"),
+    )
+    wpack = (
+        W.partitionBy("source")
+        .orderBy("shuf", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ordered = (
+        clean.select(
+            "doc_id",
+            "source",
+            "n_words",
+            _md5_bucket(F.col("doc_id"), PIPE_SHUF_MOD).alias("shuf"),
+        )
+        .join(F.broadcast(alloc.select("source", "alloc_tokens")), "source")
+        .select(
+            "source",
+            "n_words",
+            "alloc_tokens",
+            F.coalesce(F.sum("n_words").over(wpack), F.lit(0)).alias(
+                "cum_before"
+            ),
+        )
+    )
+    admitted = F.col("cum_before") < F.col("alloc_tokens")
+    packed = ordered.groupBy("source").agg(
+        F.sum(admitted.cast("int")).cast("long").alias("docs_packed"),
+        F.coalesce(F.sum(F.when(admitted, F.col("n_words"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_packed"),
+    )
+
+    c0 = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_in")
+    )
+    c1 = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_quality_kept")
+    )
+    c2 = dedup.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_after_dedup")
+    )
+    c3 = clean.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_clean"),
+        F.sum("n_words").cast("long").alias("tokens_clean"),
+    )
+    n_windows = F.ceil(F.col("tokens_packed") / F.lit(float(PIPE_CTX))).cast(
+        "long"
+    )
+    return (
+        c0.join(c1, "source")
+        .join(c2, "source")
+        .join(c3, "source")
+        .join(alloc, "source")
+        .join(packed, "source")
+        .select(
+            "source",
+            "docs_in",
+            "docs_quality_kept",
+            (F.col("docs_quality_kept") - F.col("docs_after_dedup"))
+            .cast("long")
+            .alias("dups_removed"),
+            (F.col("docs_after_dedup") - F.col("docs_clean"))
+            .cast("long")
+            .alias("contaminated_removed"),
+            "docs_clean",
+            "tokens_clean",
+            "alloc_tokens",
+            F.round(
+                F.col("alloc_tokens").cast("double") / F.col("tokens"), 6
+            ).alias("epochs"),
+            "capped",
+            "docs_packed",
+            "tokens_packed",
+            n_windows.alias("n_windows"),
+            F.when(F.col("tokens_packed") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("tokens_packed").cast("double")
+                    / (n_windows * PIPE_CTX),
+                    6,
+                )
+            )
+            .alias("pack_efficiency"),
+        )
+    )

@@ -463,6 +463,10 @@ SUITES: dict[str, list[str]] = {
         "mix_unimax",
         # r11 continuation: per-source quality-quantile gate
         "mix_quality_topq",
+        # r12: the composed end-to-end assembly run (quality gate ->
+        # minhash+CC dedup -> n-gram decontamination -> UniMax ->
+        # greedy window packing), one recursive-CTE oracle
+        "corpus_assembly_pipeline",
     ],
     "suite_tpch": [
         # r9 second rotation: digest-seats the revenue-forecast

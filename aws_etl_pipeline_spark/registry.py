@@ -238,6 +238,7 @@ PRIORITY: tuple[str, ...] = (
     # rotation can vacate them)
     "graph_triangle_doulion",
     "stream_exec_asof_join_watermarked",
+    "corpus_assembly_pipeline",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —

@@ -474,3 +474,51 @@ def test_unimax_matches_sequential_water_filling(spark, sf_dir):
     assert all_capped or abs(got_total - budget) < 0.05 * len(rows), (
         got_total, budget
     )
+
+
+def test_corpus_assembly_pipeline_stage_arithmetic(spark, sf_dir):
+    """r12: the composed assembly run's per-source row must be
+    internally consistent — stage counts telescope (in >= quality-kept
+    >= after-dedup >= clean), removal columns are the exact stage
+    deltas, packing never exceeds the clean corpus, and the window
+    accounting matches ceil(tokens/CTX)."""
+    import math
+
+    from aws_etl_pipeline_spark.llm.assembly import (
+        PIPE_CTX,
+        corpus_assembly_pipeline,
+    )
+
+    rows = corpus_assembly_pipeline(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        kept = r.docs_quality_kept
+        after_dedup = kept - r.dups_removed
+        clean = after_dedup - r.contaminated_removed
+        assert 0 <= kept <= r.docs_in, r
+        assert 0 <= r.dups_removed and 0 <= r.contaminated_removed, r
+        assert clean == r.docs_clean, r
+        assert r.docs_packed <= r.docs_clean, r
+        assert r.tokens_packed <= r.tokens_clean, r
+        assert r.n_windows == math.ceil(r.tokens_packed / PIPE_CTX), r
+        if r.tokens_packed:
+            assert 0.0 < r.pack_efficiency <= 1.0, r
+        assert r.epochs >= 0.0, r
+
+
+def test_corpus_assembly_pipeline_exercises_every_stage(spark, sf_dir):
+    """The fixture must actually flow loss through each screen
+    globally: the quality gate keeps a strict subset, and the
+    contamination screen removes at least one document somewhere (the
+    benchmark split shares grams with the tiny-vocabulary corpus by
+    construction). Dedup loss depends on near-dup density and may be
+    zero at the smallest fixture; assert it is non-negative and that
+    the pipeline reports it per source."""
+    from aws_etl_pipeline_spark.llm.assembly import corpus_assembly_pipeline
+
+    rows = corpus_assembly_pipeline(spark, sf_dir).collect()
+    tot_in = sum(r.docs_in for r in rows)
+    tot_kept = sum(r.docs_quality_kept for r in rows)
+    tot_contam = sum(r.contaminated_removed for r in rows)
+    assert tot_kept < tot_in
+    assert tot_contam > 0

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 365  # COVERAGE.md "363 named queries total"
-DOCUMENTED_GRANULAR = 343
+DOCUMENTED_TOTAL = 366  # COVERAGE.md "366 named queries total"
+DOCUMENTED_GRANULAR = 344
 DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -305,6 +305,7 @@ def test_rotated_out_slots_stay_digest_covered():
         "text_boilerplate_ngrams",
         "graph_triangle_doulion",
         "stream_exec_asof_join_watermarked",
+        "corpus_assembly_pipeline",
     ):
         assert rotated_in in PRIORITY, rotated_in
         assert rotated_in in digest_covered, rotated_in  # future rotation can vacate
