@@ -27,7 +27,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..cache import track
@@ -38,6 +38,7 @@ __all__ = [
     "graph_pagerank",
     "graph_triangle_count",
     "graph_triangle_doulion",
+    "graph_triangle_capped",
     "graph_jaccard_neighbors",
     "graph_bfs_reach",
     "graph_label_propagation",
@@ -589,6 +590,128 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_total_sd",
         )
         .orderBy(F.desc("sampled_triangles"), F.asc("node"))
+        .limit(TRIANGLE_TOP)
+    )
+
+
+#: out-adjacency cap for the degree-capped triangle count: each node
+#: keeps only its TRI_DEGREE_CAP smallest-id out-neighbors before the
+#: wedge-close, bounding wedge generation at n * cap^2 regardless of
+#: hub degree.
+TRI_DEGREE_CAP = 8
+
+
+@query(
+    "graph_triangle_capped",
+    oracle=f"""
+WITH edges AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+capped AS (
+  SELECT u, v FROM edges
+  QUALIFY row_number() OVER (PARTITION BY u ORDER BY v)
+          <= {TRI_DEGREE_CAP}
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM capped e1
+  JOIN capped e2 ON e2.u = e1.v
+  JOIN capped e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+per_node AS (
+  SELECT node, count(*)::BIGINT AS n_triangles_capped
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node
+)
+SELECT node, n_triangles_capped,
+       (SELECT count(*)::BIGINT FROM tri) AS total_capped,
+       (SELECT count(*)::BIGINT FROM capped) AS edges_kept,
+       (SELECT count(*)::BIGINT FROM edges) AS edges_in
+FROM per_node
+QUALIFY row_number() OVER (ORDER BY n_triangles_capped DESC, node)
+        <= {TRIANGLE_TOP}
+""",
+)
+def graph_triangle_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-capped triangle count — the OTHER production-standard
+    bounded variant next to `graph_triangle_doulion`'s edge sampling:
+    cap every node's ORIENTED out-adjacency at its
+    {TRI_DEGREE_CAP} smallest-id neighbors, then run the exact
+    wedge-close on the capped subgraph. The result is EXACT on a
+    well-defined subgraph (the contract is in the schema: per-node
+    and total counts are `*_capped`, with `edges_kept` / `edges_in`
+    stating how much adjacency the cap removed), and the cap turns
+    the wedge bound from sum-of-out-deg^2 — which one hub can
+    dominate — into n * cap^2, a LINEAR bound no degree distribution
+    can break. Real 100 TB pipelines run exactly this on hub-heavy
+    graphs (the mitigation SURVEY's bipartite-projection row already
+    documents for the d^2 projection blowup); where DOULION gives an
+    unbiased estimate of the TRUE count with sampling variance, the
+    cap gives a deterministic lower-bound count with a stated
+    adjacency contract — complementary failure modes, both shipped.
+
+    Plan shape: the cap itself is one row_number window PARTITIONED
+    by source node (never global), collapsing before any join; the
+    two wedge joins then see only capped adjacency, so shuffle
+    volume is bounded by kept-edges + capped wedges. The deterministic
+    smallest-id rule (not a random k-sample) keeps the subgraph — and
+    therefore the oracle hash — a pure function of the input."""
+    edges = copurchase_edges(spark, sf_dir)  # staged fixture (r9)
+    wcap = W.partitionBy("u").orderBy("v")
+    kept = (
+        edges.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= TRI_DEGREE_CAP)
+        .drop("_rn")
+        .transform(track)  # three self-join arms consume the capped list
+    )
+    e1, e2, e3 = kept.alias("e1"), kept.alias("e2"), kept.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+        .transform(track)  # per-node explode AND the totals
+    )
+    totals = (
+        tri.agg(F.count(F.lit(1)).cast("long").alias("total_capped"))
+        .crossJoin(
+            F.broadcast(
+                kept.agg(F.count(F.lit(1)).cast("long").alias("edges_kept"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                edges.agg(F.count(F.lit(1)).cast("long").alias("edges_in"))
+            )
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles_capped"))
+    )
+    return (
+        per_node.crossJoin(F.broadcast(totals))  # 1-row verdict scalars
+        .select(
+            "node",
+            "n_triangles_capped",
+            "total_capped",
+            "edges_kept",
+            "edges_in",
+        )
+        .orderBy(F.desc("n_triangles_capped"), F.asc("node"))
         .limit(TRIANGLE_TOP)
     )
 

@@ -526,9 +526,12 @@ SUITES: dict[str, list[str]] = {
         "privacy_k_anonymity",
         "events_ewma",
         "graph_triangle_count",
-        # r12: the triangle family's at-scale member (DOULION
-        # md5-coin edge sampling, estimator contract in the schema)
+        # r12: the triangle family's at-scale members (DOULION
+        # md5-coin edge sampling with the estimator contract in the
+        # schema; degree-capped exact-on-subgraph with the adjacency
+        # contract in the schema)
         "graph_triangle_doulion",
+        "graph_triangle_capped",
         # r7: governance, decomposition, node similarity
         "quality_expectations",
         # r9 tenth batch: exact Shapley channel attribution (the

@@ -434,3 +434,33 @@ def test_doulion_estimate_within_error_band(spark, sf_dir):
         exact_total,
         est_row.est_total_sd,
     )
+
+
+def test_capped_triangles_are_a_lower_bound(spark, sf_dir):
+    """r12: the degree-capped subgraph is a subset of the graph, so
+    its exact triangle total must lower-bound the true total, the
+    kept adjacency must respect both the cap arithmetic and the
+    n * cap bound, and the per-node top-K must be internally
+    consistent."""
+    from aws_etl_pipeline_spark.operators.graph import (
+        TRI_DEGREE_CAP,
+        graph_triangle_capped,
+        graph_triangle_count,
+    )
+
+    rows = graph_triangle_capped(spark, sf_dir).collect()
+    assert rows
+    exact_total = graph_triangle_count(spark, sf_dir).collect()[0].total_triangles
+    r0 = rows[0]
+    assert 0 < r0.total_capped <= exact_total
+    assert r0.edges_kept <= r0.edges_in
+    # the linear bound the cap buys: kept edges <= (#source nodes) * cap,
+    # and under id-orientation #source nodes < #nodes
+    from aws_etl_pipeline_spark.operators.graph import copurchase_edges
+
+    n_src = copurchase_edges(spark, sf_dir).select("u").distinct().count()
+    assert r0.edges_kept <= n_src * TRI_DEGREE_CAP
+    counts = [r.n_triangles_capped for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.n_triangles_capped <= r.total_capped

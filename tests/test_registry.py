@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 366  # COVERAGE.md "366 named queries total"
-DOCUMENTED_GRANULAR = 344
+DOCUMENTED_TOTAL = 367  # COVERAGE.md "367 named queries total"
+DOCUMENTED_GRANULAR = 345
 DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
