@@ -954,11 +954,16 @@ def test_doulion_sample_filter_is_scan_side(spark, sf_dir):
     lines = plan.splitlines()
     scan_side_ids = []
     for i, ln in enumerate(lines):
-        m = re.search(r"\* Filter \((\d+)\)", ln)
-        if m and i + 2 < len(lines):
+        # a previously-run graph test may have left the staged edge
+        # fixture cached (track/persist), in which case the coin sits
+        # directly over an InMemoryTableScan instead of the parquet
+        # scan — still scan-side, still before every join
+        m = re.search(r"\*? ?Filter \((\d+)\)", ln)
+        if m and i + 1 < len(lines):
+            nxt2 = "\n".join(lines[i + 1 : i + 3])
             if (
-                "ColumnarToRow" in lines[i + 1]
-                and "Scan parquet" in lines[i + 2]
+                ("ColumnarToRow" in nxt2 and "Scan parquet" in nxt2)
+                or "InMemoryTableScan" in lines[i + 1]
             ):
                 scan_side_ids.append(m.group(1))
     assert scan_side_ids, plan
