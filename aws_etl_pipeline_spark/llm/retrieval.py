@@ -37,7 +37,7 @@ from ..catalog import load_spread
 from ..registry import query
 from .similarity import _as_double, _dot, _norm
 
-__all__ = ["text_bm25_topk", "sim_hybrid_rrf"]
+__all__ = ["text_bm25_topk", "sim_hybrid_rrf", "sim_mmr_rerank"]
 
 #: the fixed lexical query (mid-frequency corpus terms).
 BM25_QUERY = ("join", "window", "slow")
@@ -1170,3 +1170,193 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mmr").alias("mmr_score"),
     )
     return out1.unionByName(out2).unionByName(out3)
+
+
+# ------------------------------------------------ diversified re-ranking
+#: MMR trade-off: score = LAMBDA * relevance - (1-LAMBDA) * max
+#: similarity to the already-selected set.
+MMR_LAMBDA = 0.7
+#: relevance-ranked candidate pool fed into the greedy selection.
+MMR_CANDIDATES = 24
+#: diversified results returned.
+MMR_TOP = 8
+
+
+def _mmr_oracle() -> str:
+    lam, om = MMR_LAMBDA, round(1.0 - MMR_LAMBDA, 10)
+    steps = []
+    sel_union = "SELECT vec_id FROM s1"
+    for k in range(2, MMR_TOP + 1):
+        steps.append(f"""
+sel{k - 1} AS MATERIALIZED ({sel_union}),
+t{k} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel, max(p.sim) AS pen
+  FROM cand c JOIN pairs p
+    ON p.ia = c.vec_id AND p.ib IN (SELECT vec_id FROM sel{k - 1})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+  GROUP BY c.vec_id, c.rel
+),
+s{k} AS MATERIALIZED (
+  SELECT vec_id, rel, pen,
+         CAST(rel::DECIMAL(18,8) * {lam}::DECIMAL(2,1)
+              - pen::DECIMAL(18,8) * {om}::DECIMAL(2,1) AS DOUBLE) AS mmr
+  FROM t{k}
+  QUALIFY row_number() OVER (ORDER BY mmr DESC, vec_id) = 1
+)""")
+        sel_union += f" UNION ALL SELECT vec_id FROM s{k}"
+    out = "\nUNION ALL ".join(
+        f"SELECT {k}::BIGINT AS rank, vec_id, rel AS relevance, "
+        f"pen AS max_sim_selected, mmr AS mmr_score FROM s{k}"
+        for k in range(1, MMR_TOP + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+),
+q AS (SELECT v, nrm FROM n WHERE vec_id = {RRF_QUERY_VEC}),
+scored AS (
+  SELECT n.vec_id, n.v, n.nrm,
+         round(list_dot_product(n.v, q.v) / (n.nrm * q.nrm), 8) AS rel
+  FROM n CROSS JOIN q
+  WHERE n.vec_id <> {RRF_QUERY_VEC}
+),
+cand AS MATERIALIZED (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= {MMR_CANDIDATES}
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 8) AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, rel, CAST(NULL AS DOUBLE) AS pen, rel AS mmr
+  FROM cand
+  QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) = 1
+),{",".join(steps)}
+{out}
+"""
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    Goldstein, SIGIR 1998) — the standard answer to "the top-k are
+    all near-duplicates of each other": greedily select
+    {MMR_TOP} results from the top-{MMR_CANDIDATES} relevance
+    candidates, each step maximizing
+    mmr = {MMR_LAMBDA} * rel(c) - {1 - MMR_LAMBDA:.1f} * max sim(c, selected),
+    with all cosines rounded to 8 before any arithmetic and the
+    weighted combination computed in exact DECIMAL (8-decimal scores
+    x 1-decimal weights = exact scale-9 values — a double-rounded
+    spelling hit a half-ULP tie at the 8th decimal that rounded
+    differently across engines), so the greedy trajectory (and
+    therefore the oracle hash) is deterministic; ties break by
+    vec_id. Output carries the selection contract per row:
+    rank, relevance, the diversity penalty actually paid
+    (NULL for the seed pick), and the winning mmr score.
+
+    100 TB shape: MMR is inherently sequential in k, so the scale
+    design is to make everything the loop touches CANDIDATE-sized
+    before it starts: one corpus pass scores relevance and folds to
+    the top-{MMR_CANDIDATES} via a mergeable TakeOrdered (the same
+    fold every sim_* query uses — at scale the ANN index serves
+    this), the candidate x candidate similarity matrix is
+    {MMR_CANDIDATES}^2 bounded rows built from a broadcast
+    self-join, and each of the {MMR_TOP} greedy rounds runs on those
+    bounded relations only (the per-round argmax collect reads ONE
+    row from a <= {MMR_CANDIDATES}-row relation — bounded by
+    construction, never corpus-sized). The corpus is read exactly
+    once regardless of K."""
+    e = load_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    q = n.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cand = (
+        n.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.round(
+                _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")),
+                8,
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_CANDIDATES)
+        .transform(track)  # pairs build + every greedy round read it
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(
+            F.broadcast(b),  # candidate-list-sized: <= MMR_CANDIDATES rows
+            F.col("a.vec_id") != F.col("b.vec_id"),
+        )
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                8,
+            ).alias("sim"),
+        )
+        .transform(track)  # every greedy round filters it
+    )
+    lam, om = MMR_LAMBDA, round(1.0 - MMR_LAMBDA, 10)
+    selected: list[tuple] = []
+    sel_ids: list[int] = []
+    for k in range(1, MMR_TOP + 1):
+        if not sel_ids:
+            scored = cand.select(
+                "vec_id",
+                "rel",
+                F.lit(None).cast("double").alias("pen"),
+                F.col("rel").alias("mmr"),
+            )
+        else:
+            pen = (
+                pairs.filter(F.col("ib").isin(sel_ids))
+                .groupBy(F.col("ia").alias("vec_id"))
+                .agg(F.max("sim").alias("pen"))
+            )
+            scored = (
+                cand.filter(~F.col("vec_id").isin(sel_ids))
+                .join(pen, "vec_id")
+                .select(
+                    "vec_id",
+                    "rel",
+                    "pen",
+                    (
+                        F.col("rel").cast("decimal(18,8)")
+                        * F.lit(str(lam)).cast("decimal(2,1)")
+                        - F.col("pen").cast("decimal(18,8)")
+                        * F.lit(str(om)).cast("decimal(2,1)")
+                    )
+                    .cast("double")
+                    .alias("mmr"),
+                )
+            )
+        # bounded collect: ONE row from a <= MMR_CANDIDATES-row cached
+        # relation per greedy round (MMR is sequential in k by
+        # definition); never corpus-sized.
+        row = (
+            scored.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1).collect()[0]
+        )
+        selected.append((k, row["vec_id"], row["rel"], row["pen"], row["mmr"]))
+        sel_ids.append(row["vec_id"])
+    return spark.createDataFrame(
+        selected,
+        "rank bigint, vec_id bigint, relevance double, "
+        "max_sim_selected double, mmr_score double",
+    )

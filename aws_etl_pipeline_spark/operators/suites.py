@@ -361,6 +361,8 @@ SUITES: dict[str, list[str]] = {
         # r7: hybrid retrieval (BM25 + dense fused with RRF)
         "text_bm25_topk",
         "sim_hybrid_rrf",
+        # r12: MMR diversified re-ranking (greedy, candidate-bounded)
+        "sim_mmr_rerank",
         # r7 second batch: embedding-training ops
         "sim_matryoshka_truncation",
         "sim_hard_negatives",

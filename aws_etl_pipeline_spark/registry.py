@@ -239,6 +239,8 @@ PRIORITY: tuple[str, ...] = (
     "graph_triangle_doulion",
     "stream_exec_asof_join_watermarked",
     "corpus_assembly_pipeline",
+    "graph_triangle_capped",
+    "sim_mmr_rerank",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 367  # COVERAGE.md "367 named queries total"
-DOCUMENTED_GRANULAR = 345
+DOCUMENTED_TOTAL = 368  # COVERAGE.md "368 named queries total"
+DOCUMENTED_GRANULAR = 346
 DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -306,6 +306,8 @@ def test_rotated_out_slots_stay_digest_covered():
         "graph_triangle_doulion",
         "stream_exec_asof_join_watermarked",
         "corpus_assembly_pipeline",
+        "graph_triangle_capped",
+        "sim_mmr_rerank",
     ):
         assert rotated_in in PRIORITY, rotated_in
         assert rotated_in in digest_covered, rotated_in  # future rotation can vacate

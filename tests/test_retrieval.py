@@ -86,3 +86,27 @@ def test_hard_negatives_never_share_label(spark, sf_dir):
     for scores in per.values():
         assert scores == sorted(scores, reverse=True)
         assert len(scores) == 5
+
+
+def test_mmr_selection_contract(spark, sf_dir):
+    """r12: the MMR result must be a valid greedy trajectory — unique
+    ranks 1..K and vec_ids, the seed pick is the pure-relevance argmax
+    with a NULL penalty, every later pick pays a real penalty, and
+    winning mmr scores are non-increasing from rank 2 on (candidate
+    sets shrink and penalties only grow, so each winner's score
+    bounds the next)."""
+    from aws_etl_pipeline_spark.llm.retrieval import (
+        MMR_TOP,
+        sim_mmr_rerank,
+    )
+
+    rows = sorted(sim_mmr_rerank(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, MMR_TOP + 1))
+    assert len({r.vec_id for r in rows}) == MMR_TOP
+    assert rows[0].max_sim_selected is None
+    assert rows[0].mmr_score == rows[0].relevance
+    assert rows[0].relevance == max(r.relevance for r in rows)
+    for r in rows[1:]:
+        assert r.max_sim_selected is not None, r
+    for a, b in zip(rows[1:], rows[2:]):
+        assert a.mmr_score >= b.mmr_score, (a, b)
