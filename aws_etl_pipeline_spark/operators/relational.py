@@ -2183,3 +2183,188 @@ def er_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("p_partkey") == F.col("entity_id")).alias("is_canonical"),
     )
+
+
+def _golden_oracle() -> str:
+    return f"""
+WITH RECURSIVE blocks AS (
+  SELECT length(p_name) AS bl, substr(p_name, 1, 8) AS bp, p_brand AS bb
+  FROM part GROUP BY 1, 2, 3
+  HAVING count(*) BETWEEN 2 AND {FS_BLOCK_CAP}
+),
+cand AS (
+  SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+         CASE WHEN a.p_name = b.p_name THEN 1 ELSE 0 END AS an,
+         CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS at,
+         CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS asz
+  FROM part a
+  JOIN part b
+    ON length(a.p_name) = length(b.p_name)
+   AND substr(a.p_name, 1, 8) = substr(b.p_name, 1, 8)
+   AND a.p_brand = b.p_brand
+   AND a.p_partkey < b.p_partkey
+  JOIN blocks k
+    ON k.bl = length(a.p_name) AND k.bp = substr(a.p_name, 1, 8)
+   AND k.bb = a.p_brand
+),
+u AS (
+  SELECT CAST(sum(an) AS DOUBLE) / count(*) AS un,
+         CAST(sum(at) AS DOUBLE) / count(*) AS ut,
+         CAST(sum(asz) AS DOUBLE) / count(*) AS us
+  FROM cand
+),
+matches AS (
+  SELECT pa, pb
+  FROM cand c, u
+  WHERE round(CASE WHEN c.an = 1 THEN ln({FS_M_NAME} / u.un)
+                   ELSE ln((1 - {FS_M_NAME}) / (1 - u.un)) END
+            + CASE WHEN c.at = 1 THEN ln({FS_M_TYPE} / u.ut)
+                   ELSE ln((1 - {FS_M_TYPE}) / (1 - u.ut)) END
+            + CASE WHEN c.asz = 1 THEN ln({FS_M_SIZE} / u.us)
+                   ELSE ln((1 - {FS_M_SIZE}) / (1 - u.us)) END, 6)
+        > {FS_THRESHOLD}
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM matches
+  UNION ALL SELECT pb, pa FROM matches
+),
+reach(node, r) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (
+  SELECT node AS p_partkey, min(r) AS entity_id FROM reach GROUP BY node
+),
+members AS (
+  SELECT c.entity_id, p.p_partkey, p.p_name, p.p_type, p.p_size,
+         p.p_retailprice
+  FROM comp c JOIN part p USING (p_partkey)
+  QUALIFY count(*) OVER (PARTITION BY entity_id) > 1
+),
+name_mode AS (
+  SELECT entity_id, p_name AS golden_name, count(*)::BIGINT AS name_support
+  FROM members GROUP BY entity_id, p_name
+  QUALIFY row_number() OVER (PARTITION BY entity_id
+                             ORDER BY count(*) DESC, p_name) = 1
+),
+type_mode AS (
+  SELECT entity_id, p_type AS golden_type
+  FROM members GROUP BY entity_id, p_type
+  QUALIFY row_number() OVER (PARTITION BY entity_id
+                             ORDER BY count(*) DESC, p_type) = 1
+),
+size_med AS (
+  SELECT entity_id, p_size::BIGINT AS golden_size
+  FROM (SELECT entity_id, p_size, p_partkey,
+               row_number() OVER (PARTITION BY entity_id
+                                  ORDER BY p_size, p_partkey) AS rn,
+               count(*) OVER (PARTITION BY entity_id) AS n
+        FROM members)
+  WHERE rn = (n + 1) // 2
+),
+base AS (
+  SELECT entity_id, count(*)::BIGINT AS n_members,
+         max(p_retailprice) AS max_retailprice
+  FROM members GROUP BY entity_id
+)
+SELECT b.entity_id::BIGINT AS entity_id, b.n_members, nm.golden_name,
+       nm.name_support,
+       round(nm.name_support::DOUBLE / b.n_members, 6) AS name_agreement,
+       tm.golden_type, sm.golden_size, b.max_retailprice
+FROM base b
+JOIN name_mode nm USING (entity_id)
+JOIN type_mode tm USING (entity_id)
+JOIN size_med sm USING (entity_id)
+"""
+
+
+@query("er_golden_record", oracle=_golden_oracle())
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the MERGE step that finishes the
+    ER ladder (block -> score -> cluster -> merge): each entity from
+    `er_transitive_clusters` collapses to ONE master record by the
+    standard MDM survivorship rules, all spelled deterministically so
+    the merged record is a pure function of the cluster: most
+    frequent value wins for name and type (ties -> lexicographically
+    smallest — the `agg_mode` device per entity), the exact lower
+    median for the numeric size (rank (n+1)//2 in (value, record-key)
+    order), max for retail price (the completeness proxy), plus
+    merge provenance (member count, winning-name support and
+    agreement share) so a steward can audit every golden value.
+
+    Scale shape: everything after clustering is per-entity
+    aggregation — the mode and median run as windows PARTITIONED BY
+    entity over cluster-sized groups (clusters are near-cliques of
+    blocked candidates, bounded by the {FS_BLOCK_CAP}-record block
+    cap upstream, never corpus-sized partitions), and the final
+    report is entities-sized. The cluster step's own scale story
+    (capped blocking self-join, O(diameter) propagation) is
+    inherited unchanged; this operator adds one shuffle keyed on
+    entity_id."""
+    clusters = er_transitive_clusters(spark, sf_dir).select(
+        "p_partkey", "entity_id"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_type", "p_size", "p_retailprice"
+    )
+    members = clusters.join(part, "p_partkey").transform(track)
+    wname = W.partitionBy("entity_id").orderBy(
+        F.desc("name_support"), F.asc("p_name")
+    )
+    name_mode = (
+        members.groupBy("entity_id", "p_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("name_support"))
+        .withColumn("_rn", F.row_number().over(wname))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "entity_id",
+            F.col("p_name").alias("golden_name"),
+            "name_support",
+        )
+    )
+    wtype = W.partitionBy("entity_id").orderBy(
+        F.desc("_tc"), F.asc("p_type")
+    )
+    type_mode = (
+        members.groupBy("entity_id", "p_type")
+        .agg(F.count(F.lit(1)).alias("_tc"))
+        .withColumn("_rn", F.row_number().over(wtype))
+        .filter(F.col("_rn") == 1)
+        .select("entity_id", F.col("p_type").alias("golden_type"))
+    )
+    wmed = W.partitionBy("entity_id").orderBy("p_size", "p_partkey")
+    went = W.partitionBy("entity_id")
+    size_med = (
+        members.select(
+            "entity_id",
+            "p_size",
+            F.row_number().over(wmed).alias("_rn"),
+            F.count(F.lit(1)).over(went).alias("_n"),
+        )
+        .filter(
+            F.col("_rn") == F.floor((F.col("_n") + 1) / 2).cast("long")
+        )
+        .select("entity_id", F.col("p_size").cast("long").alias("golden_size"))
+    )
+    base = members.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("p_retailprice").alias("max_retailprice"),
+    )
+    return (
+        base.join(name_mode, "entity_id")
+        .join(type_mode, "entity_id")
+        .join(size_med, "entity_id")
+        .select(
+            "entity_id",
+            "n_members",
+            "golden_name",
+            "name_support",
+            F.round(
+                F.col("name_support").cast("double") / F.col("n_members"), 6
+            ).alias("name_agreement"),
+            "golden_type",
+            "golden_size",
+            "max_retailprice",
+        )
+    )

@@ -158,6 +158,8 @@ SUITES: dict[str, list[str]] = {
         # r11 continuation: the ER ladder's clustering step
         # (threshold-then-transitive-closure entity partition)
         "er_transitive_clusters",
+        # r12: the ladder's final rung — golden-record survivorship
+        "er_golden_record",
     ],
     "suite_agg": [
         "agg_rollup",

@@ -241,6 +241,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_assembly_pipeline",
     "graph_triangle_capped",
     "sim_mmr_rerank",
+    "er_golden_record",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —

@@ -389,3 +389,37 @@ def test_er_clusters_are_consistent_partitions(spark, sf_dir):
         assert r["is_canonical"] == (r["p_partkey"] == r["entity_id"])
     canon = Counter(r["entity_id"] for r in rows if r["is_canonical"])
     assert set(canon) == set(by_entity) and all(v == 1 for v in canon.values())
+
+
+def test_golden_record_survivorship_rules(spark, sf_dir):
+    """r12: every golden record must be derivable from its cluster by
+    the declared survivorship rules — one row per entity, support
+    within [1, n_members], agreement = support/n, golden values drawn
+    from member attribute domains (checked against the populated
+    sf0.01 fixture's clusters)."""
+    import os
+
+    import pytest
+
+    from aws_etl_pipeline_spark.operators.relational import (
+        er_golden_record,
+        er_transitive_clusters,
+    )
+
+    sf001 = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf001):
+        pytest.skip(f"populated fixture {sf001} not present")
+    rows = er_golden_record(spark, sf001).collect()
+    assert rows
+    clusters = er_transitive_clusters(spark, sf001).collect()
+    by_entity = {}
+    for c in clusters:
+        by_entity.setdefault(c["entity_id"], []).append(c["p_partkey"])
+    assert {r["entity_id"] for r in rows} == set(by_entity)
+    for r in rows:
+        assert r["n_members"] == len(by_entity[r["entity_id"]])
+        assert 1 <= r["name_support"] <= r["n_members"]
+        assert abs(
+            r["name_agreement"] - round(r["name_support"] / r["n_members"], 6)
+        ) < 1e-12
+        assert r["golden_size"] >= 0 and r["max_retailprice"] > 0
