@@ -30,10 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import track as _track
 from ..catalog import load_spread
 from ..registry import query
 
-__all__ = ["decontaminate_ngram"]
+__all__ = ["decontaminate_ngram", "decontaminate_fractional"]
 
 #: documents with doc_id % _BENCH_MOD == 0 play the held-out benchmark.
 _BENCH_MOD = 37
@@ -357,5 +358,111 @@ def decontaminate_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("m") >= SEM_DECON_TAU, F.lit(False)).alias(
                 "contaminated"
             ),
+        )
+    )
+
+
+#: fractional-overlap flag threshold (the PaLM/GPT-3-style data-card
+#: rule: a training doc is contaminated when >= this share of its
+#: distinct n-grams appears in the eval set; the binary any-gram
+#: screen above is the strict/conservative variant).
+FRAC_DECON_TAU = 0.7
+
+
+@query(
+    "decontaminate_fractional",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ws, g, g + {_N - 1}), ' ') AS ngram
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - {_N - 1})) AS g
+        FROM docs)
+),
+bench AS (
+  SELECT DISTINCT ngram FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+),
+overlap AS (
+  SELECT g.doc_id,
+         count(*)::BIGINT AS n_grams,
+         count(b.ngram)::BIGINT AS n_hit
+  FROM grams g LEFT JOIN bench b USING (ngram)
+  WHERE g.doc_id % {_BENCH_MOD} <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.source,
+       count(*)::BIGINT AS n_train,
+       count(*) FILTER (WHERE o.n_hit > 0)::BIGINT AS n_any_overlap,
+       count(*) FILTER (WHERE o.n_hit::DOUBLE / o.n_grams
+                              >= {FRAC_DECON_TAU})::BIGINT AS n_flagged,
+       round(avg(o.n_hit::DOUBLE / o.n_grams), 6) AS avg_overlap_frac
+FROM documents d JOIN overlap o ON o.doc_id = d.doc_id
+WHERE d.doc_id % {_BENCH_MOD} <> 0
+GROUP BY d.source
+""",
+)
+def decontaminate_fractional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-overlap decontamination — the published data-card
+    rule (the PaLM / GPT-3 family's "flag a document when a large
+    share of its n-grams overlaps the eval set" procedure, here
+    >= {FRAC_DECON_TAU:.0%} of DISTINCT {_N}-grams) next to
+    `decontaminate_ngram`'s strict any-gram screen: the binary screen
+    maximizes recall against verbatim leaks but flags every document
+    quoting one common phrase; the fractional rule tolerates
+    incidental overlap and flags only documents that are mostly eval
+    content. Per-source report: train docs, any-overlap count,
+    flagged count, and the mean overlap fraction (the drift signal a
+    data steward tracks release over release).
+
+    Plan shape: identical cost model to the strict screen — grams
+    explode scan-side, the benchmark set stays a broadcast (eval
+    suites are MBs), and the per-doc overlap collapses in one
+    map-side-combinable aggregate keyed by doc before the
+    source-level rollup; the document text itself never shuffles."""
+    d = load_spread(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), " ")).alias("pos", "w"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, _N)]
+    grams = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("ngram"),
+            leads[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "ngram")
+        .distinct()
+        .transform(_track)  # bench set + probe side both read it
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = grams.filter(is_bench).select("ngram").distinct()
+    overlap = (
+        grams.filter(~is_bench)
+        .join(
+            F.broadcast(bench.withColumn("hit", F.lit(1))), "ngram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_hit"),
+        )
+    )
+    frac = F.col("n_hit").cast("double") / F.col("n_grams")
+    train = d.filter(~is_bench).select("doc_id", "source")
+    return (
+        train.join(overlap.hint("shuffle_hash"), "doc_id")  # shuffle_hash pin: corpus-scaled side, never broadcast (r11 sweep)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.count_if(F.col("n_hit") > 0).cast("long").alias("n_any_overlap"),
+            F.count_if(frac >= FRAC_DECON_TAU).cast("long").alias("n_flagged"),
+            F.round(F.avg(frac), 6).alias("avg_overlap_frac"),
         )
     )

@@ -409,6 +409,8 @@ SUITES: dict[str, list[str]] = {
         "text_unigram_logprob",
         "text_inverted_index",
         "decontaminate_ngram",
+        # r12: the fractional-overlap (PaLM-rule) decon sibling
+        "decontaminate_fractional",
         "text_repetition",
         "corpus_ppl_buckets",
         "classifier_train_logreg",

@@ -522,3 +522,22 @@ def test_corpus_assembly_pipeline_exercises_every_stage(spark, sf_dir):
     tot_contam = sum(r.contaminated_removed for r in rows)
     assert tot_kept < tot_in
     assert tot_contam > 0
+
+
+def test_fractional_decon_is_weaker_than_binary_screen(spark, sf_dir):
+    """r12: the fractional rule must be a relaxation of the strict
+    any-gram screen — per source, flagged <= any_overlap <= n_train,
+    the any_overlap count must equal the strict screen's contaminated
+    count, and the mean overlap fraction is a valid [0, 1] share."""
+    from aws_etl_pipeline_spark.llm.decontaminate import (
+        decontaminate_fractional,
+        decontaminate_ngram,
+    )
+
+    frac = {r.source: r for r in decontaminate_fractional(spark, sf_dir).collect()}
+    strict = {r.source: r for r in decontaminate_ngram(spark, sf_dir).collect()}
+    assert set(frac) == set(strict)
+    for src, f in frac.items():
+        assert 0 <= f.n_flagged <= f.n_any_overlap <= f.n_train, f
+        assert f.n_any_overlap == strict[src].n_contaminated, (f, strict[src])
+        assert 0.0 <= f.avg_overlap_frac <= 1.0, f

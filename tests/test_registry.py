@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 369  # COVERAGE.md "369 named queries total"
-DOCUMENTED_GRANULAR = 347
+DOCUMENTED_TOTAL = 370  # COVERAGE.md "370 named queries total"
+DOCUMENTED_GRANULAR = 348
 DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -309,6 +309,7 @@ def test_rotated_out_slots_stay_digest_covered():
         "graph_triangle_capped",
         "sim_mmr_rerank",
         "er_golden_record",
+        "decontaminate_fractional",
     ):
         assert rotated_in in PRIORITY, rotated_in
         assert rotated_in in digest_covered, rotated_in  # future rotation can vacate
