@@ -30,7 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..cache import track as _track
 from ..catalog import load_spread
 from ..registry import query
 
@@ -377,7 +376,7 @@ WITH docs AS (
   FROM documents
 ),
 grams AS (
-  SELECT DISTINCT doc_id,
+  SELECT doc_id,
          array_to_string(list_slice(ws, g, g + {_N - 1}), ' ') AS ngram
   FROM (SELECT doc_id, ws,
                unnest(generate_series(1, len(ws) - {_N - 1})) AS g
@@ -388,8 +387,9 @@ bench AS (
 ),
 overlap AS (
   SELECT g.doc_id,
-         count(*)::BIGINT AS n_grams,
-         count(b.ngram)::BIGINT AS n_hit
+         count(DISTINCT g.ngram)::BIGINT AS n_grams,
+         count(DISTINCT CASE WHEN b.ngram IS NOT NULL
+                             THEN g.ngram END)::BIGINT AS n_hit
   FROM grams g LEFT JOIN bench b USING (ngram)
   WHERE g.doc_id % {_BENCH_MOD} <> 0
   GROUP BY g.doc_id
@@ -420,9 +420,13 @@ def decontaminate_fractional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: identical cost model to the strict screen — grams
     explode scan-side, the benchmark set stays a broadcast (eval
-    suites are MBs), and the per-doc overlap collapses in one
-    map-side-combinable aggregate keyed by doc before the
-    source-level rollup; the document text itself never shuffles."""
+    suites are MBs), and the per-doc DISTINCT folds INSIDE the
+    overlap aggregate (two countDistincts over the raw gram stream)
+    before the source-level rollup; the document text itself never
+    shuffles, and nothing gram-sized is ever persisted — the first
+    spelling cached a corpus x grams DISTINCT relation and died
+    AGGREGATE_OUT_OF_MEMORY at the 1000x replica under its own cache
+    pressure."""
     d = load_spread(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
@@ -438,8 +442,6 @@ def decontaminate_fractional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_tail").isNotNull())
         .select("doc_id", "ngram")
-        .distinct()
-        .transform(_track)  # bench set + probe side both read it
     )
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench = grams.filter(is_bench).select("ngram").distinct()
@@ -450,8 +452,12 @@ def decontaminate_fractional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.count("hit").cast("long").alias("n_hit"),
+            F.count_distinct(F.col("ngram")).cast("long").alias("n_grams"),
+            F.count_distinct(
+                F.when(F.col("hit").isNotNull(), F.col("ngram"))
+            )
+            .cast("long")
+            .alias("n_hit"),
         )
     )
     frac = F.col("n_hit").cast("double") / F.col("n_grams")

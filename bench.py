@@ -264,6 +264,25 @@ HEADLINE_R13 = [
 ]
 
 
+#: HEADLINE_R14 (frozen in round 12; first recorded point BENCH_r12 —
+#: same one-ahead-capable naming as R8-R13, though this one lands
+#: in-round): the round-12 surface — the triangle family's two bounded
+#: at-scale variants (DOULION md5-coin sampling, degree-capped exact),
+#: the watermarked streaming as-of join, the composed end-to-end
+#: corpus assembly run, MMR diversified re-ranking, golden-record
+#: survivorship, and the fractional-overlap decontamination rule.
+#: Never merged into earlier lines.
+HEADLINE_R14 = [
+    "graph_triangle_doulion",
+    "graph_triangle_capped",
+    "stream_exec_asof_join_watermarked",
+    "corpus_assembly_pipeline",
+    "sim_mmr_rerank",
+    "er_golden_record",
+    "decontaminate_fractional",
+]
+
+
 WARMUP_SF = "/root/testdata/sf0.001"
 
 
@@ -283,7 +302,7 @@ def main() -> None:
     # JIT/page-cache state differed is distinguishable after the fact.
     t_w = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12 + HEADLINE_R13:
+    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12 + HEADLINE_R13 + HEADLINE_R14:
         try:
             queries[name].fn(spark, WARMUP_SF).count()
             clear_persisted()
@@ -325,6 +344,7 @@ def main() -> None:
     r11_timings, r11_spread = run_set(HEADLINE_R11)
     r12_timings, r12_spread = run_set(HEADLINE_R12)
     r13_timings, r13_spread = run_set(HEADLINE_R13)
+    r14_timings, r14_spread = run_set(HEADLINE_R14)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -410,6 +430,12 @@ def main() -> None:
         "value": round(sum(r13_timings.values()), 3),
         "queries": r13_timings,
     }
+    r14_fields = {
+        **compact_fields,
+        "metric": "headline_r14_query_set_wall_clock",
+        "value": round(sum(r14_timings.values()), 3),
+        "queries": r14_timings,
+    }
     compact = json.dumps(compact_fields, separators=(",", ":"))
     compact_ext = json.dumps(ext_fields, separators=(",", ":"))
     compact_r8 = json.dumps(r8_fields, separators=(",", ":"))
@@ -418,6 +444,7 @@ def main() -> None:
     compact_r11 = json.dumps(r11_fields, separators=(",", ":"))
     compact_r12 = json.dumps(r12_fields, separators=(",", ":"))
     compact_r13 = json.dumps(r13_fields, separators=(",", ":"))
+    compact_r14 = json.dumps(r14_fields, separators=(",", ":"))
     # stdout carries ONLY the compact lines (round-8 fix: BENCH_r07
     # lost the headline value because three dup lines trailed it with
     # the headline copy FIRST — the tail-retention capture cut the
@@ -436,6 +463,7 @@ def main() -> None:
     print(compact_r11, flush=True)
     print(compact_r12, flush=True)
     print(compact_r13, flush=True)
+    print(compact_r14, flush=True)
     print(json.dumps({**compact_fields, "spread": spread}), file=sys.stderr)
     print(json.dumps({**ext_fields, "spread": ext_spread}), file=sys.stderr)
     print(json.dumps({**r8_fields, "spread": r8_spread}), file=sys.stderr)
@@ -444,6 +472,7 @@ def main() -> None:
     print(json.dumps({**r11_fields, "spread": r11_spread}), file=sys.stderr)
     print(json.dumps({**r12_fields, "spread": r12_spread}), file=sys.stderr)
     print(json.dumps({**r13_fields, "spread": r13_spread}), file=sys.stderr)
+    print(json.dumps({**r14_fields, "spread": r14_spread}), file=sys.stderr)
     # Tail-retention copies (round-9 fix: the driver's artifact keeps
     # only the LAST ~2 KB of stdout, and BENCH_r08 lost the R9 value
     # because the tail block led with five FULL compact lines — the
@@ -458,7 +487,7 @@ def main() -> None:
     # "dup":true lets a parser that scans EVERY stdout JSON line dedup
     # them instead of double-counting.
     load_pair = [LOADAVG_START[0], round(os.getloadavg()[0], 2)]
-    for f in (r13_fields, r12_fields, r11_fields, r10_fields, r9_fields, r8_fields, ext_fields, compact_fields):
+    for f in (r14_fields, r13_fields, r12_fields, r11_fields, r10_fields, r9_fields, r8_fields, ext_fields, compact_fields):
         minimal = {
             "metric": f["metric"],
             "value": f["value"],
