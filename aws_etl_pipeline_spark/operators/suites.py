@@ -551,6 +551,8 @@ SUITES: dict[str, list[str]] = {
         "graph_jaccard_neighbors",
         # r7 eighth batch: frontier-pruned multi-source BFS
         "graph_bfs_reach",
+        # r12: HyperBall-style neighborhood function (KMV ball sketches)
+        "graph_neighborhood_function",
         "events_survival_km",
         # r8 sixth batch: HITS hubs/authorities
         "graph_hits",

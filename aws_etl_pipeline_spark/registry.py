@@ -243,6 +243,7 @@ PRIORITY: tuple[str, ...] = (
     "sim_mmr_rerank",
     "er_golden_record",
     "decontaminate_fractional",
+    "graph_neighborhood_function",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —

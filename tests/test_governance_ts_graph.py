@@ -464,3 +464,30 @@ def test_capped_triangles_are_a_lower_bound(spark, sf_dir):
     assert counts == sorted(counts, reverse=True)
     for r in rows:
         assert r.n_triangles_capped <= r.total_capped
+
+
+def test_neighborhood_function_grows_monotonically(spark, sf_dir):
+    """r12: N(r) is monotone — balls only grow with radius — so both
+    the per-node average and the total must be non-decreasing across
+    the three radii, the node count must be constant, and the radius-1
+    average ball must exceed 1 (every node sees itself plus at least
+    one neighbor on this connected bipartite fixture). Sketch
+    estimates of nested sets built from the SAME hash universe
+    preserve containment (k-min of a superset is elementwise <=), so
+    monotonicity holds for the estimates exactly, not just in
+    expectation."""
+    from aws_etl_pipeline_spark.operators.graph import (
+        NF_ROUNDS,
+        graph_neighborhood_function,
+    )
+
+    rows = sorted(
+        graph_neighborhood_function(spark, sf_dir).collect(),
+        key=lambda r: r.radius,
+    )
+    assert [r.radius for r in rows] == list(range(1, NF_ROUNDS + 1))
+    assert len({r.n_nodes for r in rows}) == 1
+    assert rows[0].avg_ball_est > 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b.nf_est >= a.nf_est, (a, b)
+        assert b.avg_ball_est >= a.avg_ball_est, (a, b)
