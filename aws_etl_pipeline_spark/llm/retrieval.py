@@ -1350,9 +1350,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounded collect: ONE row from a <= MMR_CANDIDATES-row cached
         # relation per greedy round (MMR is sequential in k by
         # definition); never corpus-sized.
-        row = (
-            scored.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1).collect()[0]
-        )
+        picked = scored.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1).collect()
+        if not picked:
+            # candidate pool exhausted before K picks (tiny corpus) —
+            # the oracle's unrolled steps go empty from the same rank
+            # on, so stopping here preserves exact parity
+            break
+        row = picked[0]
         selected.append((k, row["vec_id"], row["rel"], row["pen"], row["mmr"]))
         sel_ids.append(row["vec_id"])
     return spark.createDataFrame(
