@@ -72,6 +72,13 @@ SHOWCASE = {
     "sample_poisson_bootstrap": "Poisson bootstrap: 4 md5s/row -> 32-way array posexplode -> map-side-combined exact aggregate; shuffle carries groups x 32 partials",
     "mix_quality_topq": "per-source quality gate: bounded score-histogram thresholds broadcast back into a scan-fused filter — two scans, no data-sized shuffle",
     "graph_clustering_coefficient": "clustering coefficient on the oriented wedge-close; degree table broadcast; average folded from rounded DECIMAL terms",
+    # round-12 additions
+    "graph_triangle_doulion": "DOULION: md5 sampling coin ON THE EDGE SCAN — both wedge-join legs see only the p=1/16 sample, wedge volume drops p^2 before any exchange",
+    "graph_triangle_capped": "degree cap as a per-source row_number window collapsing BEFORE the wedge joins — n*cap^2 wedge bound, no hub blowup",
+    "corpus_assembly_pipeline": "five curation stages in one plan: bounded histogram thresholds + band-hash candidates + broadcast bench grams + source-sized UniMax/packing — document text never shuffles",
+    "sim_mmr_rerank": "greedy MMR: one corpus relevance scan folds to top-C via TakeOrdered; every loop relation is candidate-bounded (C-row cache, C^2 broadcast pair matrix)",
+    "er_golden_record": "survivorship after clustering: mode/median as entity-partitioned windows over cluster-bounded groups; one entity-keyed shuffle",
+    "decontaminate_fractional": "fractional screen: broadcast bench grams; per-doc DISTINCT folded inside the overlap aggregate — nothing gram-sized persisted or shuffled twice",
 }
 
 
