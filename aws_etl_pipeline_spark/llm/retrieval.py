@@ -37,7 +37,7 @@ from ..catalog import load_spread
 from ..registry import query
 from .similarity import _as_double, _dot, _norm
 
-__all__ = ["text_bm25_topk", "sim_hybrid_rrf", "sim_mmr_rerank"]
+__all__ = ["text_bm25_topk", "sim_hybrid_rrf", "sim_mmr_rerank", "sim_late_interaction"]
 
 #: the fixed lexical query (mid-frequency corpus terms).
 BM25_QUERY = ("join", "window", "slow")
@@ -1363,4 +1363,97 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected,
         "rank bigint, vec_id bigint, relevance double, "
         "max_sim_selected double, mmr_score double",
+    )
+
+
+# ------------------------------------------------ late interaction
+#: token vectors per pseudo-document (vec_id // LI_DOC_SIZE groups the
+#: flat embedding table into multi-vector documents).
+LI_DOC_SIZE = 8
+#: documents returned.
+LI_TOP = 10
+
+
+@query(
+    "sim_late_interaction",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, vec_id // {LI_DOC_SIZE} AS doc_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, doc_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+),
+q AS (SELECT vec_id AS q_tok, v, nrm FROM n WHERE doc_id = 0),
+pairs AS (
+  SELECT c.doc_id, q.q_tok,
+         max(round(list_dot_product(c.v, q.v) / (c.nrm * q.nrm), 8))
+           AS best_cos
+  FROM n c CROSS JOIN q
+  WHERE c.doc_id <> 0
+  GROUP BY c.doc_id, q.q_tok
+)
+SELECT doc_id,
+       CAST(sum(CAST(best_cos AS DECIMAL(12,8))) AS DOUBLE) AS li_score,
+       count(*)::BIGINT AS n_query_tokens
+FROM pairs GROUP BY doc_id
+QUALIFY row_number() OVER (ORDER BY li_score DESC, doc_id) <= {LI_TOP}
+""",
+)
+def sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (the ColBERT scoring rule,
+    Khattab & Zaharia, SIGIR 2020): documents and the query are BAGS
+    of token vectors (here the flat embedding table grouped into
+    {LI_DOC_SIZE}-vector pseudo-documents, query = document 0), and
+    score(d) = sum over query tokens of max over document tokens of
+    cosine — finer-grained than single-vector retrieval because each
+    query token independently finds its best match. Per-pair cosines
+    round to 8 and the per-token maxima sum through DECIMAL, so the
+    ranking is bit-equal across engines. Top-{LI_TOP} documents with
+    the token-count provenance.
+
+    100 TB shape: the corpus-sized stage is ONE scan expanded by
+    |Q| = {LI_DOC_SIZE} query tokens (a broadcast), immediately
+    collapsed by a map-side-combinable max keyed on
+    (doc, query-token) — corpus x |Q| compute but only
+    docs x |Q| rows ever cross the exchange, then a docs-sized sum
+    and a mergeable TakeOrdered. A production ColBERT additionally
+    prunes candidates with an ANN index per query token before
+    exact MaxSim (the `sim_ivf_*` family serves that stage); this
+    operator is the exact-scoring tier those candidates feed."""
+    e = load_spread(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") / LI_DOC_SIZE).cast("long").alias("doc_id"),
+        _as_double("embedding").alias("v"),
+    )
+    n = e.select(
+        "vec_id", "doc_id", "v", _norm(F.col("v")).alias("nrm")
+    )
+    q = n.filter(F.col("doc_id") == 0).select(
+        F.col("vec_id").alias("q_tok"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = F.round(
+        _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 8
+    )
+    per_tok = (
+        n.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q))  # |Q| rows — the query bag
+        .groupBy("doc_id", "q_tok")
+        .agg(F.max(cos).alias("best_cos"))
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("best_cos").cast("decimal(12,8)"))
+            .cast("double")
+            .alias("li_score"),
+            F.count(F.lit(1)).cast("long").alias("n_query_tokens"),
+        )
+        .orderBy(F.desc("li_score"), F.asc("doc_id"))
+        .limit(LI_TOP)
     )

@@ -365,6 +365,8 @@ SUITES: dict[str, list[str]] = {
         "sim_hybrid_rrf",
         # r12: MMR diversified re-ranking (greedy, candidate-bounded)
         "sim_mmr_rerank",
+        # r12: ColBERT-style late-interaction MaxSim scoring
+        "sim_late_interaction",
         # r7 second batch: embedding-training ops
         "sim_matryoshka_truncation",
         "sim_hard_negatives",

@@ -280,6 +280,10 @@ HEADLINE_R14 = [
     "sim_mmr_rerank",
     "er_golden_record",
     "decontaminate_fractional",
+    # added before BENCH_r12 recorded the line's first driver point
+    # (the quiet-box r12 bench note predates this member — same
+    # mutability note as sim_ivf_staged_pq in R13)
+    "sim_late_interaction",
 ]
 
 

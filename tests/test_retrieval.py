@@ -110,3 +110,24 @@ def test_mmr_selection_contract(spark, sf_dir):
         assert r.max_sim_selected is not None, r
     for a, b in zip(rows[1:], rows[2:]):
         assert a.mmr_score >= b.mmr_score, (a, b)
+
+
+def test_late_interaction_scoring_contract(spark, sf_dir):
+    """r12: MaxSim output must be a coherent scoring — every row sums
+    exactly the full query bag (n_query_tokens == LI_DOC_SIZE), the
+    query document itself is excluded, scores are bounded by the bag
+    size (each per-token max is a cosine in [-1, 1]), and the list is
+    sorted by score with the id tie-break."""
+    from aws_etl_pipeline_spark.llm.retrieval import (
+        LI_DOC_SIZE,
+        sim_late_interaction,
+    )
+
+    rows = sim_late_interaction(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id != 0
+        assert r.n_query_tokens == LI_DOC_SIZE, r
+        assert -LI_DOC_SIZE <= r.li_score <= LI_DOC_SIZE, r
+    scores = [(r.li_score, -r.doc_id) for r in rows]
+    assert scores == sorted(scores, reverse=True)
