@@ -2440,3 +2440,175 @@ def sim_ivf_staged_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "approx_cosine")
     )
+
+
+# ---------------------------------------------------------- binary quantization
+#: Hamming candidate pool and final reranked size for the binary-
+#: quantized search tier.
+BQ_CANDIDATES = 50
+BQ_TOP = 10
+#: query-by-example vector (the retrieval family's convention).
+BQ_QUERY_VEC = 0
+
+
+def _bq_pack_sql(half: int) -> str:
+    lo = half * 32
+    return (
+        f"list_sum(list_transform(generate_series(0, 31), i -> "
+        f"CASE WHEN v[i + {lo + 1}] > 0 THEN (1::BIGINT << i) "
+        f"ELSE 0 END))"
+    )
+
+
+@query(
+    "sim_binary_quantized",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+packed AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         {_bq_pack_sql(0)} AS blo,
+         {_bq_pack_sql(1)} AS bhi
+  FROM e
+),
+q AS (SELECT v, nrm, blo, bhi FROM packed WHERE vec_id = {BQ_QUERY_VEC}),
+ham AS (
+  SELECT p.vec_id, p.v, p.nrm,
+         (bit_count(xor(p.blo, q.blo)) + bit_count(xor(p.bhi, q.bhi)))
+           ::BIGINT AS hamming
+  FROM packed p CROSS JOIN q
+  WHERE p.vec_id <> {BQ_QUERY_VEC}
+),
+cand AS (
+  SELECT * FROM ham
+  QUALIFY row_number() OVER (ORDER BY hamming, vec_id) <= {BQ_CANDIDATES}
+),
+rer AS (
+  SELECT c.vec_id, c.hamming,
+         round(list_dot_product(c.v, q.v) / (c.nrm * q.nrm), 8) AS cosine
+  FROM cand c CROSS JOIN q
+  QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= {BQ_TOP}
+),
+exact AS (
+  SELECT p.vec_id
+  FROM packed p CROSS JOIN q
+  WHERE p.vec_id <> {BQ_QUERY_VEC}
+  QUALIFY row_number() OVER (
+    ORDER BY round(list_dot_product(p.v, q.v) / (p.nrm * q.nrm), 8) DESC,
+             p.vec_id) <= {BQ_TOP}
+),
+rec AS (
+  SELECT round(count(*)::DOUBLE / {BQ_TOP}, 4) AS recall_at_k
+  FROM rer JOIN exact USING (vec_id)
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id)::BIGINT AS rank,
+       vec_id, hamming, cosine,
+       (SELECT recall_at_k FROM rec) AS recall_at_k
+FROM rer
+""",
+)
+def sim_binary_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized embedding search — the modern serving stack's
+    cheapest tier (sign-bit quantization with Hamming-distance
+    candidate generation and float rerank, the scheme production
+    vector stores ship as "binary quantization"): each 64-d vector
+    packs to TWO 32-bit sign masks (two BIGINT halves, so neither
+    engine's signed arithmetic can overflow), candidates are the
+    {BQ_CANDIDATES} nearest by Hamming distance — one xor+bit_count
+    per comparison, a 32x memory cut and branch-free integer math —
+    and the final top-{BQ_TOP} is exact cosine over the candidates.
+    The result carries its own quality verdict: recall_at_k against
+    the exact full-precision top-{BQ_TOP}, computed identically on
+    both engines, so the driver hash pins the packing, the Hamming
+    tier, the rerank, AND the measured recall in one row set.
+
+    100 TB shape: the corpus pass for candidates touches only
+    (vec_id, two longs) — the packed index is ~1/32 the fp corpus
+    and scan-speed bound; the TakeOrdered candidate fold is
+    mergeable; rerank and recall run on candidate-sized relations
+    against the one broadcast query row. The sign masks would be a
+    persisted index column at ingest (the `sim_ivf_staged` layout
+    precedent); here they are computed in the scan projection so the
+    oracle pins the packing arithmetic itself."""
+    e = load_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+
+    def pack(half: int) -> F.Column:
+        lo = half * 32
+        return F.expr(
+            f"aggregate(sequence(0, 31), 0L, (acc, i) -> "
+            f"acc + IF(element_at(v, i + {lo + 1}) > CAST(0 AS DOUBLE), "
+            f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+        )
+
+    packed = e.select(
+        "vec_id",
+        "v",
+        _norm(F.col("v")).alias("nrm"),
+        pack(0).alias("blo"),
+        pack(1).alias("bhi"),
+    ).transform(track)  # query row + Hamming scan + exact pass read it
+    q = packed.filter(F.col("vec_id") == BQ_QUERY_VEC).select(
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("blo").alias("qlo"),
+        F.col("bhi").alias("qhi"),
+    )
+    ham = (
+        packed.filter(F.col("vec_id") != BQ_QUERY_VEC)
+        .crossJoin(F.broadcast(q))  # one query row
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            "qv",
+            "qnrm",
+            (
+                F.bit_count(F.col("blo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("bhi").bitwiseXOR(F.col("qhi")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    cand = ham.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(BQ_CANDIDATES)
+    cos = F.round(
+        _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 8
+    )
+    rer = (
+        cand.select("vec_id", "hamming", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(BQ_TOP)
+        .transform(track)  # rank window + recall join both read it
+    )
+    exact = (
+        packed.filter(F.col("vec_id") != BQ_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(BQ_TOP)
+        .select("vec_id")
+    )
+    rec = rer.join(exact, "vec_id").agg(
+        F.round(F.count(F.lit(1)).cast("double") / BQ_TOP, 4).alias(
+            "recall_at_k"
+        )
+    )
+    # global-ok: candidate-list-sized (top-BQ_TOP after a mergeable
+    # TakeOrdered limit), never corpus-sized
+    wrank = W.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rer.select(
+            # (rank window runs over the BQ_TOP-row reranked list)
+            # mergeable TakeOrdered limit), never corpus-sized
+            F.row_number().over(wrank).cast("long").alias("rank"),
+            "vec_id",
+            "hamming",
+            "cosine",
+        )
+        .crossJoin(F.broadcast(rec))  # 1-row verdict scalar
+    )

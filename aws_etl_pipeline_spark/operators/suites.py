@@ -367,6 +367,8 @@ SUITES: dict[str, list[str]] = {
         "sim_mmr_rerank",
         # r12: ColBERT-style late-interaction MaxSim scoring
         "sim_late_interaction",
+        # r12: binary quantization (sign masks -> Hamming -> rerank)
+        "sim_binary_quantized",
         # r7 second batch: embedding-training ops
         "sim_matryoshka_truncation",
         "sim_hard_negatives",

@@ -284,6 +284,7 @@ HEADLINE_R14 = [
     # (the quiet-box r12 bench note predates this member — same
     # mutability note as sim_ivf_staged_pq in R13)
     "sim_late_interaction",
+    "sim_binary_quantized",
 ]
 
 
