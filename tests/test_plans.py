@@ -1043,3 +1043,25 @@ def test_ppr_guard_switches_regimes_on_the_dense_fixture(spark, sf_dir):
         assert regime == expect, PPR_LAST_REGIMES
     regimes = [r for r, _ in PPR_LAST_REGIMES]
     assert "sparse" in regimes and "dense" in regimes, PPR_LAST_REGIMES
+
+
+def test_assembly_pipeline_broadcasts_are_bounded_only(spark, sf_dir):
+    """r12: the composed assembly run may broadcast ONLY bounded
+    relations — the per-source quality thresholds (sources x 1001
+    histogram fold), the benchmark gram set (eval suites are MBs),
+    and the source-sized UniMax/packing scalars. Nothing derived from
+    the full corpus may appear as a broadcast build side (the
+    misestimated-broadcast class the r11 sweep pinned), and the
+    candidate/containment joins must stay shuffle joins."""
+    from aws_etl_pipeline_spark.llm.assembly import corpus_assembly_pipeline
+
+    plan = _plan(corpus_assembly_pipeline(spark, sf_dir))
+    # the near-dup candidate join and the anti-join against the
+    # contaminated set are corpus-scaled: pinned shuffle joins
+    assert "ShuffledHashJoin" in plan, plan
+    # broadcast exists (thresholds + bench grams + verdict scalars)
+    assert "BroadcastExchange" in plan, plan
+    # no corpus-sized nested loop anywhere (the verdict-scalar cross
+    # joins plan as BroadcastNestedLoopJoin over 1-row sides, which
+    # is fine; a CartesianProduct would not be)
+    assert "CartesianProduct" not in plan, plan
