@@ -19,7 +19,7 @@ encodings are identical doubles before the final round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..cache import track
@@ -422,4 +422,101 @@ def feature_count_encode_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_source_categories"),
         F.sum("n").cast("long").alias("n_rows"),
         F.round(F.sum("n") / F.max("total"), 6).alias("freq_encoding"),
+    )
+
+
+@query(
+    "feature_quantile_normalize",
+    oracle="""
+WITH daily AS (
+  SELECT l_shipdate AS d,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
+         count(*)::DOUBLE AS n_items
+  FROM lineitem GROUP BY l_shipdate
+),
+longf AS (
+  SELECT d, 'qty' AS metric, qty AS value FROM daily
+  UNION ALL SELECT d, 'revenue', revenue FROM daily
+  UNION ALL SELECT d, 'n_items', n_items FROM daily
+),
+ranked AS (
+  SELECT d, metric, value,
+         row_number() OVER (PARTITION BY metric
+                            ORDER BY value, d)::BIGINT AS rk
+  FROM longf
+),
+ref AS (
+  SELECT rk,
+         round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*),
+               6) AS qn_value
+  FROM ranked GROUP BY rk
+)
+SELECT r.metric, r.d, round(r.value, 6) AS orig_value, r.rk,
+       f.qn_value
+FROM ranked r JOIN ref f USING (rk)
+""",
+)
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization — the cross-feature distribution
+    equalizer (the genomics/ML preprocessing standard, Bolstad et al.
+    2003): each feature's values are replaced by the cross-feature
+    MEAN of the order statistics at their rank, so afterwards every
+    feature carries the IDENTICAL value distribution while
+    preserving each feature's internal ordering. Normalizes the
+    three daily lineitem metrics (quantity, revenue, item count —
+    wildly different scales) against each other; emits the long-form
+    (metric, day, original, rank, normalized) relation.
+
+    Scale shape: exact QN needs a total order PER FEATURE, so the
+    honest domain is the calendar-bounded daily rollup (the ts_*
+    family's device — ranks run over ~thousands of day rows per
+    metric, never over raw lineitem; pdisc-class discipline). At raw
+    100 TB row counts production QN swaps the exact ranks for a
+    quantile-grid approximation (the feature_quantile_binning
+    histogram device applied per feature) — stated, not needed, on
+    the bounded rollup. Rank means sum through DECIMAL so the
+    reference distribution is bit-equal across engines; rank ties
+    break on the day key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    longf = daily.selectExpr(
+        "d",
+        "stack(3, 'qty', qty, 'revenue', revenue, 'n_items', n_items) "
+        "AS (metric, value)",
+    )
+    # global-ok per metric: calendar-bounded daily rollup (~2.4k rows
+    # per metric at any SF), the ts_* family's bounded-domain device
+    wrk = W.partitionBy("metric").orderBy("value", "d")
+    ranked = longf.select(
+        "d",
+        "metric",
+        "value",
+        F.row_number().over(wrk).cast("long").alias("rk"),
+    ).transform(track)  # reference fold + join-back both read it
+    ref = ranked.groupBy("rk").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("qn_value")
+    )
+    return (
+        ranked.join(F.broadcast(ref), "rk")  # rank-domain-sized side
+        .select(
+            "metric",
+            "d",
+            F.round("value", 6).alias("orig_value"),
+            "rk",
+            "qn_value",
+        )
     )

@@ -607,6 +607,9 @@ SUITES: dict[str, list[str]] = {
         "privacy_randomized_response",
         # r9 seventh batch: stateless hashing-trick vectorization
         "feature_hashing_trick",
+        # r12: cross-feature quantile normalization on the bounded
+        # daily rollup
+        "feature_quantile_normalize",
     ],
     # r8 split: the hypothesis-test / monitor family got its own
     # digest row once suite_analytics passed 45 members — one red row

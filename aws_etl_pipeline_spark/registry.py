@@ -246,6 +246,7 @@ PRIORITY: tuple[str, ...] = (
     "graph_neighborhood_function",
     "sim_late_interaction",
     "sim_binary_quantized",
+    "feature_quantile_normalize",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —

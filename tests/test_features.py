@@ -66,3 +66,31 @@ def test_encodings_avoid_category_shuffle(spark, sf_dir):
         for m in re.finditer(r"Exchange hashpartitioning\(o_orderpriority", plan):
             ctx = plan[max(0, m.start() - 400) : m.start()]
             assert "HashAggregate" in ctx
+
+
+def test_quantile_normalize_equalizes_distributions(spark, sf_dir):
+    """r12: after QN every metric must carry the IDENTICAL value
+    multiset (the definition of quantile normalization), each
+    metric's internal ordering must be preserved (qn is monotone in
+    the original value), and every rank's reference value is the
+    cross-metric mean at that rank."""
+    from aws_etl_pipeline_spark.operators.features import (
+        feature_quantile_normalize,
+    )
+
+    rows = feature_quantile_normalize(spark, sf_dir).collect()
+    assert rows
+    by_metric = {}
+    for r in rows:
+        by_metric.setdefault(r.metric, []).append(r)
+    assert set(by_metric) == {"qty", "revenue", "n_items"}
+    dists = {
+        m: sorted(r.qn_value for r in rs) for m, rs in by_metric.items()
+    }
+    vals = list(dists.values())
+    assert vals[0] == vals[1] == vals[2]
+    for m, rs in by_metric.items():
+        rs = sorted(rs, key=lambda r: r.rk)
+        for a, b in zip(rs, rs[1:]):
+            assert a.orig_value <= b.orig_value, (m, a, b)
+            assert a.qn_value <= b.qn_value, (m, a, b)

@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 373  # COVERAGE.md "373 named queries total"
-DOCUMENTED_GRANULAR = 351
+DOCUMENTED_TOTAL = 374  # COVERAGE.md "374 named queries total"
+DOCUMENTED_GRANULAR = 352
 DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -313,6 +313,7 @@ def test_rotated_out_slots_stay_digest_covered():
         "graph_neighborhood_function",
         "sim_late_interaction",
         "sim_binary_quantized",
+        "feature_quantile_normalize",
     ):
         assert rotated_in in PRIORITY, rotated_in
         assert rotated_in in digest_covered, rotated_in  # future rotation can vacate
