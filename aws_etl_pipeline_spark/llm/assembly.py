@@ -1650,7 +1650,7 @@ lvl AS (
 alloc AS (
   SELECT source, tokens,
          floor(least(cap, level))::BIGINT AS alloc_tokens,
-         (floor(least(cap, level))::BIGINT >= (tokens * {PIPE_MAX_EPOCHS})::BIGINT)
+         (floor(least(cap, level))::BIGINT >= floor(tokens * {PIPE_MAX_EPOCHS})::BIGINT)
            AS capped
   FROM capd CROSS JOIN lvl
 ),
@@ -1848,7 +1848,12 @@ def corpus_assembly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "tokens",
         alloc_l.alias("alloc_tokens"),
-        (alloc_l >= (cap).cast("long")).alias("capped"),
+        # explicit floor on BOTH engines (oracle spells
+        # floor(...)::BIGINT) so the flag is truncation-mode
+        # independent — cast('long') truncates toward zero while
+        # DuckDB ::BIGINT rounds half-even, and they agreed only
+        # while the cap happened to be integer-valued (r12 advice).
+        (alloc_l >= F.floor(cap).cast("long")).alias("capped"),
     )
     wpack = (
         W.partitionBy("source")

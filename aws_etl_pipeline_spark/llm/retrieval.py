@@ -1426,7 +1426,11 @@ def sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator is the exact-scoring tier those candidates feed."""
     e = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id",
-        (F.col("vec_id") / LI_DOC_SIZE).cast("long").alias("doc_id"),
+        # floor-division in integer terms, matching DuckDB's `//`
+        # exactly for every sign/magnitude (the old double-divide
+        # + cast('long') truncated toward zero and relied on vec_id
+        # being non-negative and < 2^53 — r12 advice).
+        F.floor(F.col("vec_id") / LI_DOC_SIZE).cast("long").alias("doc_id"),
         _as_double("embedding").alias("v"),
     )
     n = e.select(

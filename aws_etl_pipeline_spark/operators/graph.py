@@ -1774,12 +1774,26 @@ def graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heap at the 100x replica. Disk-staged state is the HyperBall
     # practice anyway — the sketch file IS the round's output. The
     # state root is pid-keyed (no cross-session clash); stale roots
-    # from dead runs are swept on entry.
+    # from DEAD runs are swept on entry — the owning pid is parsed
+    # exactly from the dir-name suffix and the dir is removed only
+    # when that process no longer exists (os.kill(pid, 0) probe), so
+    # a concurrent live session can never lose its state mid-run
+    # (r12 advice: the old substring test could).
     for stale in glob.glob(
         os.path.join(tempfile.gettempdir(), "spark_graft_nfstate_*")
     ):
-        if f"_{os.getpid()}" not in stale:
+        try:
+            owner = int(os.path.basename(stale).rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        if owner == os.getpid():
+            continue
+        try:
+            os.kill(owner, 0)
+        except ProcessLookupError:
             shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
     root = os.path.join(
         tempfile.gettempdir(), f"spark_graft_nfstate_{os.getpid()}"
     )
@@ -1833,14 +1847,18 @@ def graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         # once the round's state is on parquet, the previous round's
         # shuffle files are garbage — but Spark's ContextCleaner only
         # reclaims them after a DRIVER GC notices the dropped refs. An
-        # explicit collect per round bounds on-disk transients to ONE
-        # round's shuffle instead of all {NF_ROUNDS} (the 3-round
-        # pile-up filled local disk at the 100x replica; on a cluster
-        # the same files spread across executor disks).
+        # explicit GC nudge (Python gc + a JVM System.gc via the
+        # classic-session _jvm handle, absent under Spark Connect)
+        # per round bounds on-disk transients to ONE round's shuffle
+        # instead of all {NF_ROUNDS} (the 3-round pile-up filled
+        # local disk at the 100x replica; on a cluster the same
+        # files spread across executor disks).
         import gc as _gc
 
         _gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        _jvm = getattr(getattr(spark, "sparkContext", None), "_jvm", None)
+        if _jvm is not None:
+            _jvm.System.gc()
         per = sk.groupBy("node").agg(
             F.count(F.lit(1)).alias("kk"), F.max("h").alias("hk")
         )
