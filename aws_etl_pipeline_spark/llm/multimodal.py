@@ -2,19 +2,28 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-
 batched pandas UDFs over ``mapInPandas``.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub (``decode_image`` raises NotImplementedError unless
-PIL is importable); everything around it — binary columns, schema,
-batch iteration, partitioning, frame sampling — is real and verified
-against a DuckDB oracle computing the same bytes with SQL blob
+Image decode is REAL for uncompressed 24-bit BMP (round 13): a pure-
+numpy BI_RGB parser (``decode_bmp24``) — no PIL, no codecs — drives
+``multimodal_decode_bmp``, whose payloads are genuine BMP files
+synthesized from a closed-form pixel formula, so a DuckDB oracle can
+recompute the decoded statistics from the formula and hash-verify the
+decoder end-to-end. ``decode_image`` first tries the BMP parser, then
+PIL (for compressed formats on environments that ship codecs), and
+only then raises NotImplementedError — the stub is now the FALLBACK,
+not the path. Everything else — binary columns, schema, batch
+iteration, partitioning, frame sampling — is likewise verified
+against DuckDB oracles computing the same bytes with SQL blob
 functions.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
+from typing import NamedTuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,20 +43,84 @@ except ImportError:
     _PIL = False
 
 
-def decode_image(data: bytes):
-    """Decode an image payload. STUB: the real decoder needs PIL/libvips,
-    which this environment does not ship; the Spark-side plumbing
-    (binary column in, typed features out) is exercised with
-    deterministic byte-level features instead (see image_features).
+class DecodedImage(NamedTuple):
+    """Decoded raster: what the pure-numpy BMP parser returns. Exposes
+    the same ``width``/``height``/``mode`` surface PIL images carry so
+    the downstream feature extractors are decoder-agnostic."""
 
-    Standing probe: ``tests/test_multimodal_decode.py`` probes for PIL
-    each session (the spark-avro / delta / protobuf pattern) and, on
-    any environment that ships codecs, drives THIS function through
-    the real ``decoded_image_features`` mapInPandas plan below — no
-    edits needed to light the real path up."""
+    width: int
+    height: int
+    mode: str
+    pixels: "np.ndarray"  # (height, width, 3) uint8, RGB
+
+
+#: BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40).
+_BMP_HEADER_BYTES = 54
+
+
+def encode_bmp24(rgb: "np.ndarray") -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as a REAL uncompressed
+    24-bit BMP file (BI_RGB, bottom-up rows, BGR byte order, rows
+    padded to 4-byte boundaries) — byte-identical to what any paint
+    program would write, openable by PIL/browsers. Pure numpy +
+    struct; vectorized row packing, no per-pixel Python."""
+    h, w, _ = rgb.shape
+    row_raw = w * 3
+    row_bytes = (row_raw + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", _BMP_HEADER_BYTES + img_size, 0, 0, _BMP_HEADER_BYTES
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    # bottom-up row order, BGR channel order — the BMP on-disk layout
+    rows[:, :row_raw] = rgb[::-1, :, ::-1].reshape(h, row_raw)
+    return header + rows.tobytes()
+
+
+def decode_bmp24(data: bytes) -> DecodedImage:
+    """REAL image decode without any codec library: parse the BMP
+    headers with struct, unpack the padded bottom-up BGR pixel rows
+    with one numpy ``frombuffer``/reshape/slice (no per-pixel loop),
+    and return top-down RGB pixels. Handles both bottom-up (positive
+    biHeight) and top-down (negative) files; rejects anything that is
+    not uncompressed 24-bit BI_RGB."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    _hdr, w, h_signed = struct.unpack_from("<Iii", data, 14)
+    _planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB is supported")
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=row_bytes * h, offset=offset
+    ).reshape(h, row_bytes)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage -> flip to top-down
+        bgr = bgr[::-1]
+    return DecodedImage(width=w, height=h, mode="RGB", pixels=bgr[:, :, ::-1])
+
+
+def decode_image(data: bytes):
+    """Decode an image payload. Uncompressed 24-bit BMP decodes for
+    REAL via the pure-numpy parser above (round 13 — no codec library
+    needed); other formats fall back to PIL when the environment ships
+    it; only when BOTH paths are unavailable does this raise — the
+    NotImplementedError is now the fallback for compressed formats on
+    codec-less containers, not the decode path itself.
+
+    Standing probe: ``tests/test_multimodal_decode.py`` drives the BMP
+    path unconditionally and still probes for PIL each session to
+    drive compressed formats on any environment that ships codecs."""
+    if data[:2] == b"BM":
+        return decode_bmp24(data)
     if not _PIL:
         raise NotImplementedError(
-            "image decode requires PIL; this container ships no codecs"
+            "non-BMP image decode requires PIL; this container ships no codecs"
         )
     import io
 
@@ -279,3 +352,144 @@ def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         _energy_batches, schema="doc_id long, chunk_idx long, energy double"
     )
+
+
+# -- real decode: synthesized BMP files through the numpy parser --
+
+#: synthetic image dimensions per doc (coprime moduli so padding paths
+#: vary: widths 16..32 hit every row-padding remainder mod 4).
+_BMP_W_BASE, _BMP_W_MOD = 16, 17
+_BMP_H_BASE, _BMP_H_MOD = 12, 13
+
+
+def _bmp_pixel_planes(doc_id: int, w: int, h: int):
+    """The closed-form synthetic pixel content: per-channel affine
+    functions of (doc_id, x, y) mod 256 — chosen SQL-expressible so a
+    DuckDB oracle can recompute the decoded statistics without ever
+    parsing a BMP. Vectorized over the full raster."""
+    y, x = np.mgrid[0:h, 0:w].astype(np.int64)
+    d = int(doc_id)
+    r = (d * 7 + x * 3 + y * 5) % 256
+    g = (d * 11 + x * 5 + y * 7) % 256
+    b = (d * 13 + x * 7 + y * 11) % 256
+    return r, g, b
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """One deterministic real BMP file for a doc id."""
+    w = _BMP_W_BASE + int(doc_id) % _BMP_W_MOD
+    h = _BMP_H_BASE + int(doc_id) % _BMP_H_MOD
+    r, g, b = _bmp_pixel_planes(doc_id, w, h)
+    return encode_bmp24(np.stack([r, g, b], axis=-1).astype(np.uint8))
+
+
+def _bmp_synth_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow batches of doc ids -> real BMP payloads (binary column)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [synth_bmp(d) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def _bmp_decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow batches of BMP payloads -> decoded raster statistics via
+    the REAL decoder (``decode_image`` -> numpy BMP parser). All math
+    on exact int64 sums; the single division per channel is IEEE-exact
+    identically on both engines."""
+    for pdf in batches:
+        ids, ws, hs, mr, mg, mb, ck = [], [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_image(bytes(payload))
+            px = np.asarray(img.pixels, dtype=np.int64)
+            n = img.width * img.height
+            sums = px.reshape(-1, 3).sum(axis=0)
+            ids.append(doc_id)
+            ws.append(img.width)
+            hs.append(img.height)
+            mr.append(round(float(sums[0]) / n, 6))
+            mg.append(round(float(sums[1]) / n, 6))
+            mb.append(round(float(sums[2]) / n, 6))
+            ck.append(int(sums.sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int64"),
+                "height": pd.Series(hs, dtype="int64"),
+                "mean_r": mr,
+                "mean_g": mg,
+                "mean_b": mb,
+                "pix_checksum": pd.Series(ck, dtype="int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_decode_bmp",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         {_BMP_W_BASE} + doc_id % {_BMP_W_MOD} AS w,
+         {_BMP_H_BASE} + doc_id % {_BMP_H_MOD} AS h
+  FROM documents
+),
+xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+pix AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+       round(sum((doc_id * 7 + x * 3 + y * 5) % 256)::DOUBLE / (w * h), 6)
+         AS mean_r,
+       round(sum((doc_id * 11 + x * 5 + y * 7) % 256)::DOUBLE / (w * h), 6)
+         AS mean_g,
+       round(sum((doc_id * 13 + x * 7 + y * 11) % 256)::DOUBLE / (w * h), 6)
+         AS mean_b,
+       sum((doc_id * 7 + x * 3 + y * 5) % 256
+           + (doc_id * 11 + x * 5 + y * 7) % 256
+           + (doc_id * 13 + x * 7 + y * 11) % 256)::BIGINT AS pix_checksum
+FROM pix GROUP BY doc_id, w, h
+""",
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end-to-end and oracle-verified (round 13 —
+    closes the one stub the tree had): per document a genuine
+    uncompressed 24-bit BMP file is synthesized from a closed-form
+    pixel formula (mapInPandas stage 1), the binary payloads cross a
+    hash exchange exactly as camera blobs would in a real ingest, and
+    a second mapInPandas stage decodes every file with the pure-numpy
+    BMP parser (``decode_bmp24`` — header struct-unpack, padded
+    bottom-up BGR row unpack, channel reorder; NO codec library) and
+    emits per-image raster statistics. Because the pixels are a
+    SQL-expressible function of (doc_id, x, y), the DuckDB oracle
+    recomputes the SAME statistics from the formula — so any decoder
+    defect (padding, row order, channel order, header offset) flips
+    the value hash. The encoder/decoder pair is additionally
+    round-trip- and golden-byte-pinned in
+    ``tests/test_multimodal_decode.py``.
+
+    100 TB shape: both stages are Arrow-batched numpy over
+    ``mapInPandas`` — linear, partition-parallel, payloads never at
+    the driver; the exchange between synth and decode is
+    one-row-per-image of ~KB blobs (exactly the shape of a real
+    image-ingest shuffle). Image bytes stay opaque binary to Spark;
+    only fixed-width stats columns emerge — the decode-heavy column
+    never widens the downstream scan."""
+    d = load_spread(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(
+        _bmp_synth_batches, schema="doc_id long, payload binary"
+    )
+    # binary-through-exchange: repartition by id before decoding, the
+    # real topology of a fetch-then-decode pipeline (decode parallelism
+    # decoupled from source file layout).
+    decoded = payloads.repartition("doc_id").mapInPandas(
+        _bmp_decode_batches,
+        schema=(
+            "doc_id long, width long, height long, mean_r double, "
+            "mean_g double, mean_b double, pix_checksum long"
+        ),
+    )
+    return decoded

@@ -443,6 +443,9 @@ SUITES: dict[str, list[str]] = {
         "multimodal_frame_sample",
         "multimodal_resize",
         "multimodal_chunk_energy",
+        # r13: REAL image decode (synthesized BMP files through the
+        # pure-numpy BI_RGB parser, formula-recomputing oracle)
+        "multimodal_decode_bmp",
     ],
     "suite_assembly": [
         "pack_token_budget",
@@ -557,6 +560,9 @@ SUITES: dict[str, list[str]] = {
         "graph_bfs_reach",
         # r12: HyperBall-style neighborhood function (KMV ball sketches)
         "graph_neighborhood_function",
+        # r13: the HLL-register spelling (the at-scale form: packed
+        # 6-bit registers, map-side-combinable MAX merge)
+        "graph_neighborhood_registers",
         "events_survival_km",
         # r8 sixth batch: HITS hubs/authorities
         "graph_hits",

@@ -227,12 +227,12 @@ PRIORITY: tuple[str, ...] = (
     # suite_join_misc / suite_sim / suite_text / suite_analytics.)
     # r12 rotation (r11 verdict #6): direct in-round rows for the r11
     # plan rewrites that shipped with digest-only coverage of the NEW
-    # plan — the bucketed-TABLE global pagerank, the threshold-pruned
-    # streaming top-K merge, and the exchange-trimmed boilerplate
-    # n-gram filter
-    "graph_pagerank",
+    # plan — the threshold-pruned streaming top-K merge; the bucketed-
+    # TABLE global pagerank and the exchange-trimmed boilerplate
+    # n-gram filter rotated out in r13 (direct green r12 of the new
+    # plans; suite_analytics / suite_text digests) to fund the two r13
+    # first-round rows below.
     "stream_exec_topk_merge",
-    "text_boilerplate_ngrams",
     # r12 new operators: first direct rows per policy (each also
     # digest-seated in suite_analytics / suite_streaming so a future
     # rotation can vacate them)
@@ -246,7 +246,17 @@ PRIORITY: tuple[str, ...] = (
     "graph_neighborhood_function",
     "sim_late_interaction",
     "sim_binary_quantized",
+    # keeps its seat one more round (r12 verdict #6: landed after the
+    # round-12 sweep, one direct green so far)
     "feature_quantile_normalize",
+    # r13 new operators: first direct rows per policy (each also
+    # digest-seated in suite_analytics / suite_multimodal so a future
+    # rotation can vacate them) — the HLL-register neighborhood
+    # function (the measured at-scale spelling, r12 verdict #1) and
+    # the real PIL-free BMP decode (closes the tree's one stub, r12
+    # verdict #5)
+    "graph_neighborhood_registers",
+    "multimodal_decode_bmp",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —

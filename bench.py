@@ -3,15 +3,16 @@
 compact JSON lines {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ..., "reps": ..., "warmup_sec": ...,
 "loadavg_start": [...], "loadavg_end": [...]} — one per frozen query
-set (HEADLINE, EXT, R8, R9, R10, R11, R12), each emitted TWICE: full head copies
+set (HEADLINE, EXT, R8...), each emitted TWICE: full head copies
 in priority order first, then a size-bounded tail block ("dup":true) —
-one ~120-byte MINIMAL line per frozen metric (value-only) followed by
-the full HEADLINE line very last — so EVERY frozen value fits inside
-the driver's ~2 KB tail-retaining capture (round-9 fix: BENCH_r08's
-tail block led with five full lines and the capture cut the R9 value
-mid-line) and the frozen HEADLINE line is both the first and the very
-last stdout line, surviving either a head- or tail-retaining bounded
-capture.  Full per-query spread diagnostics go to stderr only
+one ~120-byte MINIMAL line per frozen metric OLDEST-first (round-13
+fix: newest-first let the 2 KB cap eat the freshest value once the
+set count grew), then ONE all-sets summary line carrying every frozen
+value (+ the batch/streaming split), then the full HEADLINE line very
+last — so EVERY frozen value fits inside the driver's ~2 KB
+tail-retaining capture and the frozen HEADLINE line is both the first
+and the very last stdout line, surviving either a head- or
+tail-retaining bounded capture.  Full per-query spread diagnostics go to stderr only
 (round-8 fix: they used to sit on stdout between the copies and
 pushed the headline value out of BENCH_r07.json).
 
@@ -441,6 +442,23 @@ def main() -> None:
         "value": round(sum(r14_timings.values()), 3),
         "queries": r14_timings,
     }
+    # Batch-vs-streaming split (round-13 fix, r12 verdict #4): the
+    # streaming-drain fixtures (stream_exec_* — availableNow replay
+    # through a real StreamingQuery, multi-trigger drain) cost wall
+    # time in fixture machinery, not plan execution, and
+    # stream_exec_asof_join_watermarked alone was ~50% of the frozen
+    # R14 total — masking batch-plan regressions inside the set. The
+    # frozen "value" stays sum-of-all (r12-comparable); every set's
+    # fields now ALSO carry value_batch / value_streaming so trend
+    # tools can watch the batch plans alone.
+    for f in (compact_fields, ext_fields, r8_fields, r9_fields,
+              r10_fields, r11_fields, r12_fields, r13_fields, r14_fields):
+        stream_t = {k: v for k, v in f["queries"].items()
+                    if k.startswith("stream_exec_")}
+        f["value_batch"] = round(f["value"] - sum(stream_t.values()), 3)
+        if stream_t:
+            f["value_streaming"] = round(sum(stream_t.values()), 3)
+            f["streaming_members"] = sorted(stream_t)
     compact = json.dumps(compact_fields, separators=(",", ":"))
     compact_ext = json.dumps(ext_fields, separators=(",", ":"))
     compact_r8 = json.dumps(r8_fields, separators=(",", ":"))
@@ -478,21 +496,25 @@ def main() -> None:
     print(json.dumps({**r12_fields, "spread": r12_spread}), file=sys.stderr)
     print(json.dumps({**r13_fields, "spread": r13_spread}), file=sys.stderr)
     print(json.dumps({**r14_fields, "spread": r14_spread}), file=sys.stderr)
-    # Tail-retention copies (round-9 fix: the driver's artifact keeps
-    # only the LAST ~2 KB of stdout, and BENCH_r08 lost the R9 value
-    # because the tail block led with five FULL compact lines — the
-    # capture cut the first one mid-line. The tail block is now
-    # size-bounded: one MINIMAL line per frozen metric (metric + value
-    # + unit + sf + 1-min loadavg pair, ~120 bytes each — enough to
-    # recover every frozen "value" and adjudicate load), then the full
-    # HEADLINE compact line very last so a tail-retaining parser's
-    # "last parseable line" still carries per-query medians. Worst-case
-    # cut lands inside the FIRST minimal line; every later line still
-    # parses, so all five frozen values survive any >=1.6 KB capture.
-    # "dup":true lets a parser that scans EVERY stdout JSON line dedup
-    # them instead of double-counting.
+    # Tail-retention copies (round-9 fix, REORDERED in round 13: the
+    # driver's artifact keeps only the LAST ~2 KB of stdout, and
+    # BENCH_r12 lost the NEWEST set's value because the tail block led
+    # with the newest minimal line — with nine frozen sets the block
+    # outgrew the cap and the cut landed on the freshest number, the
+    # one the round is judged on. Order is now OLDEST-first /
+    # NEWEST-last, and an ALL-SETS one-liner (every frozen value +
+    # batch split in ~250 bytes) sits after the minimal lines, so even
+    # when the cap eats the oldest minimal lines EVERY frozen value
+    # still survives inside the summary line. The full HEADLINE
+    # compact line stays very last so a tail-retaining parser's "last
+    # parseable line" still carries per-query medians. "dup":true lets
+    # a parser that scans EVERY stdout JSON line dedup instead of
+    # double-counting.
     load_pair = [LOADAVG_START[0], round(os.getloadavg()[0], 2)]
-    for f in (r14_fields, r13_fields, r12_fields, r11_fields, r10_fields, r9_fields, r8_fields, ext_fields, compact_fields):
+    all_fields = (compact_fields, ext_fields, r8_fields, r9_fields,
+                  r10_fields, r11_fields, r12_fields, r13_fields,
+                  r14_fields)
+    for f in all_fields:
         minimal = {
             "metric": f["metric"],
             "value": f["value"],
@@ -502,6 +524,23 @@ def main() -> None:
             "dup": True,
         }
         print(json.dumps(minimal, separators=(",", ":")), flush=True)
+    summary = {
+        "metric": "all_query_set_wall_clocks",
+        "values": {
+            f["metric"].replace("_query_set_wall_clock", ""): f["value"]
+            for f in all_fields
+        },
+        "values_batch": {
+            f["metric"].replace("_query_set_wall_clock", ""): f["value_batch"]
+            for f in all_fields
+            if "value_streaming" in f
+        },
+        "unit": "sec",
+        "sf": sf,
+        "load1": load_pair,
+        "dup": True,
+    }
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
     print(
         json.dumps({**compact_fields, "dup": True}, separators=(",", ":")),
         flush=True,

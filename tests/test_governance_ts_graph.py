@@ -491,3 +491,46 @@ def test_neighborhood_function_grows_monotonically(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert b.nf_est >= a.nf_est, (a, b)
         assert b.avg_ball_est >= a.avg_ball_est, (a, b)
+
+
+def test_neighborhood_registers_contract(spark, sf_dir):
+    """r13: the HLL-register spelling must (a) see the same node set
+    as the KMV sibling at every radius, (b) grow monotonically on this
+    fixture (registers of nested balls only grow; the aggregate
+    estimates here sit far enough above the linear-counting boundary
+    that the crossover can't invert them), (c) carry the m=16
+    estimator's 26% RSE in-schema, and (d) agree with the KMV sibling
+    within the SINGLE-DRAW error envelope. Why single-draw: on this
+    fixture the radius>=2 balls of every node are nearly the same set
+    (the graph is small and dense), so all per-node estimates share
+    one hash draw and the mean does NOT shrink the error ~sqrt(n) —
+    each family's aggregate is one +-RSE sample (26% registers,
+    ~18.6% KMV at k=32). The envelope is their sum, 45%; observed
+    divergence at sf0.001 is ~15%."""
+    from aws_etl_pipeline_spark.operators.graph import (
+        NF_ROUNDS,
+        NFR_RSE,
+        graph_neighborhood_function,
+        graph_neighborhood_registers,
+    )
+
+    reg = sorted(
+        graph_neighborhood_registers(spark, sf_dir).collect(),
+        key=lambda r: r.radius,
+    )
+    kmv = sorted(
+        graph_neighborhood_function(spark, sf_dir).collect(),
+        key=lambda r: r.radius,
+    )
+    assert [r.radius for r in reg] == list(range(1, NF_ROUNDS + 1))
+    assert len({r.n_nodes for r in reg}) == 1
+    for a, b in zip(reg, kmv):
+        assert a.n_nodes == b.n_nodes
+        assert a.rse == NFR_RSE
+        assert abs(a.avg_ball_est - b.avg_ball_est) <= 0.45 * b.avg_ball_est, (
+            a,
+            b,
+        )
+    for a, b in zip(reg, reg[1:]):
+        assert b.nf_est >= a.nf_est, (a, b)
+        assert b.avg_ball_est >= a.avg_ball_est, (a, b)

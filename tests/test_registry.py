@@ -28,8 +28,8 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 374  # COVERAGE.md "374 named queries total"
-DOCUMENTED_GRANULAR = 352
+DOCUMENTED_TOTAL = 376  # COVERAGE.md "376 named queries total"
+DOCUMENTED_GRANULAR = 354  # r13: +graph_neighborhood_registers, +multimodal_decode_bmp
 DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -300,9 +300,7 @@ def test_rotated_out_slots_stay_digest_covered():
     # plan, plus first-round rows for the r12 operators (each
     # digest-seated so a future rotation can vacate them)
     for rotated_in in (
-        "graph_pagerank",
         "stream_exec_topk_merge",
-        "text_boilerplate_ngrams",
         "graph_triangle_doulion",
         "stream_exec_asof_join_watermarked",
         "corpus_assembly_pipeline",
@@ -317,3 +315,17 @@ def test_rotated_out_slots_stay_digest_covered():
     ):
         assert rotated_in in PRIORITY, rotated_in
         assert rotated_in in digest_covered, rotated_in  # future rotation can vacate
+    # the round-13 rotation (r12 verdict #6): graph_pagerank and
+    # text_boilerplate_ngrams leave with direct green r12 of their
+    # rewritten plans (suite_analytics / suite_text digests) to fund
+    # first-round rows for the two r13 operators, each digest-seated
+    # so a future rotation can vacate them;
+    # feature_quantile_normalize keeps its seat one more round.
+    for rotated_out in ("graph_pagerank", "text_boilerplate_ngrams"):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in (
+        "graph_neighborhood_registers",
+        "multimodal_decode_bmp",
+    ):
+        assert rotated_in in PRIORITY, rotated_in
+        assert rotated_in in digest_covered, rotated_in
