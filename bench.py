@@ -289,6 +289,21 @@ HEADLINE_R14 = [
 ]
 
 
+#: HEADLINE_R15 (frozen in round 13; first recorded point BENCH_r13 —
+#: same one-ahead-capable naming as R8-R14): the round-13 surface —
+#: the HLL-register neighborhood function (the at-scale spelling with
+#: the measured 100x point its KMV sibling couldn't reach), the real
+#: PIL-free BMP decode through mapInPandas, and the cross-feature
+#: quantile normalization that landed after the r12 sweep (its set-
+#: membership here is its first frozen drift line). Never merged into
+#: earlier lines.
+HEADLINE_R15 = [
+    "graph_neighborhood_registers",
+    "multimodal_decode_bmp",
+    "feature_quantile_normalize",
+]
+
+
 WARMUP_SF = "/root/testdata/sf0.001"
 
 
@@ -308,7 +323,7 @@ def main() -> None:
     # JIT/page-cache state differed is distinguishable after the fact.
     t_w = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12 + HEADLINE_R13 + HEADLINE_R14:
+    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12 + HEADLINE_R13 + HEADLINE_R14 + HEADLINE_R15:
         try:
             queries[name].fn(spark, WARMUP_SF).count()
             clear_persisted()
@@ -351,6 +366,7 @@ def main() -> None:
     r12_timings, r12_spread = run_set(HEADLINE_R12)
     r13_timings, r13_spread = run_set(HEADLINE_R13)
     r14_timings, r14_spread = run_set(HEADLINE_R14)
+    r15_timings, r15_spread = run_set(HEADLINE_R15)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -442,6 +458,12 @@ def main() -> None:
         "value": round(sum(r14_timings.values()), 3),
         "queries": r14_timings,
     }
+    r15_fields = {
+        **compact_fields,
+        "metric": "headline_r15_query_set_wall_clock",
+        "value": round(sum(r15_timings.values()), 3),
+        "queries": r15_timings,
+    }
     # Batch-vs-streaming split (round-13 fix, r12 verdict #4): the
     # streaming-drain fixtures (stream_exec_* — availableNow replay
     # through a real StreamingQuery, multi-trigger drain) cost wall
@@ -452,7 +474,8 @@ def main() -> None:
     # fields now ALSO carry value_batch / value_streaming so trend
     # tools can watch the batch plans alone.
     for f in (compact_fields, ext_fields, r8_fields, r9_fields,
-              r10_fields, r11_fields, r12_fields, r13_fields, r14_fields):
+              r10_fields, r11_fields, r12_fields, r13_fields, r14_fields,
+              r15_fields):
         stream_t = {k: v for k, v in f["queries"].items()
                     if k.startswith("stream_exec_")}
         f["value_batch"] = round(f["value"] - sum(stream_t.values()), 3)
@@ -468,6 +491,7 @@ def main() -> None:
     compact_r12 = json.dumps(r12_fields, separators=(",", ":"))
     compact_r13 = json.dumps(r13_fields, separators=(",", ":"))
     compact_r14 = json.dumps(r14_fields, separators=(",", ":"))
+    compact_r15 = json.dumps(r15_fields, separators=(",", ":"))
     # stdout carries ONLY the compact lines (round-8 fix: BENCH_r07
     # lost the headline value because three dup lines trailed it with
     # the headline copy FIRST — the tail-retention capture cut the
@@ -487,6 +511,7 @@ def main() -> None:
     print(compact_r12, flush=True)
     print(compact_r13, flush=True)
     print(compact_r14, flush=True)
+    print(compact_r15, flush=True)
     print(json.dumps({**compact_fields, "spread": spread}), file=sys.stderr)
     print(json.dumps({**ext_fields, "spread": ext_spread}), file=sys.stderr)
     print(json.dumps({**r8_fields, "spread": r8_spread}), file=sys.stderr)
@@ -496,6 +521,7 @@ def main() -> None:
     print(json.dumps({**r12_fields, "spread": r12_spread}), file=sys.stderr)
     print(json.dumps({**r13_fields, "spread": r13_spread}), file=sys.stderr)
     print(json.dumps({**r14_fields, "spread": r14_spread}), file=sys.stderr)
+    print(json.dumps({**r15_fields, "spread": r15_spread}), file=sys.stderr)
     # Tail-retention copies (round-9 fix, REORDERED in round 13: the
     # driver's artifact keeps only the LAST ~2 KB of stdout, and
     # BENCH_r12 lost the NEWEST set's value because the tail block led
@@ -513,7 +539,7 @@ def main() -> None:
     load_pair = [LOADAVG_START[0], round(os.getloadavg()[0], 2)]
     all_fields = (compact_fields, ext_fields, r8_fields, r9_fields,
                   r10_fields, r11_fields, r12_fields, r13_fields,
-                  r14_fields)
+                  r14_fields, r15_fields)
     for f in all_fields:
         minimal = {
             "metric": f["metric"],
