@@ -310,13 +310,17 @@ def _cell_sim():
     return _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
 
 
-def _ivf_base(spark: SparkSession, sf_dir: str):
+def _ivf_base(spark: SparkSession, sf_dir: str, train_filter=None):
     """Norm table + per-label coarse centroids (explode -> per-dim
     DECIMAL-exact mean -> rebuild), both persisted — the shared build
-    inputs of every IVF tier and of the staged on-disk layout."""
+    inputs of every IVF tier and of the staged on-disk layout.
+    ``train_filter`` (optional Column) restricts the rows the
+    QUANTIZER is trained on without touching the norm table — the
+    frozen-quantizer device `sim_ivf_incremental` rides."""
     e = load_spread(spark, sf_dir, "embeddings")
     base = e.select("vec_id", "label", _as_double("embedding").alias("v"))
-    dims = base.select(
+    train = base.filter(train_filter) if train_filter is not None else base
+    dims = train.select(
         "label", F.posexplode("v").alias("d0", "x")
     ).select("label", (F.col("d0") + 1).alias("d"), "x")
     cent = (
@@ -2611,4 +2615,148 @@ def sim_binary_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
         .crossJoin(F.broadcast(rec))  # 1-row verdict scalar
+    )
+
+
+#: every DELTA_MOD-th corpus vector arrives in the "today" batch of
+#: the incremental-index exhibit (~14% of the corpus).
+DELTA_MOD = 7
+
+
+@query(
+    "sim_ivf_incremental",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+tr AS (
+  SELECT * FROM e WHERE vec_id >= {N_QUERIES} AND vec_id % {DELTA_MOD} != 0
+),
+dims AS (
+  SELECT label, u.d, u.x
+  FROM tr, LATERAL (SELECT unnest(generate_series(1, len(v))) AS d,
+                           unnest(v) AS x) u
+),
+cent AS (
+  SELECT label AS cell, list(c ORDER BY d) AS cv
+  FROM (SELECT label, d,
+               CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+        FROM dims GROUP BY label, d)
+  GROUP BY label
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+),
+idx AS (
+  SELECT vec_id, cell, (vec_id % {DELTA_MOD} = 0) AS from_delta FROM (
+    SELECT n.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, cent.cv)
+                      / (n.nrm * sqrt(list_sum(list_transform(cent.cv, x -> x*x))))
+                      DESC, cent.cell) AS rn
+    FROM n CROSS JOIN cent WHERE n.vec_id >= {N_QUERIES}
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, cent.cv)
+                      / (n.nrm * sqrt(list_sum(list_transform(cent.cv, x -> x*x))))
+                      DESC, cent.cell) AS rn
+    FROM n CROSS JOIN cent WHERE n.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+)
+SELECT query_id, neighbor_id, cosine, from_delta FROM (
+  SELECT p.vec_id AS query_id, i.vec_id AS neighbor_id,
+         round(list_dot_product(qn.v, cn_.v) / (qn.nrm * cn_.nrm), 8) AS cosine,
+         i.from_delta,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY round(list_dot_product(qn.v, cn_.v) / (qn.nrm * cn_.nrm), 8) DESC,
+                    i.vec_id) AS rn
+  FROM probes p
+  JOIN idx i ON i.cell = p.cell
+  JOIN n qn  ON qn.vec_id = p.vec_id
+  JOIN n cn_ ON cn_.vec_id = i.vec_id
+) WHERE rn <= 3
+""",
+)
+def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the growing-segment
+    pattern every production vector store uses (FAISS ``IndexIVF.add``
+    after ``train``, Milvus growing segments, Lucene HNSW segment
+    merges): when today's embedding batch arrives you do NOT retrain
+    the quantizer or touch the existing index — the coarse centroids
+    stay FROZEN (trained on the base corpus only), the new batch is
+    assigned to cells with one broadcast pass over ITSELF, and it
+    serves immediately as a delta segment unioned under the same
+    probes; compaction into the partitioned layout
+    (`ivf_staged_layout`) happens offline on its own schedule.
+
+    Fixture split: every {DELTA_MOD}-th corpus vector is "today's
+    arrivals" (~14%); the quantizer trains on the other ~86%. Result
+    rows carry ``from_delta`` so the hash itself pins that fresh
+    vectors are served (and a pytest pins they appear among the
+    neighbors). The only corpus-wide relations are the base build —
+    exactly what the staged deployment amortizes to build-once.
+
+    100 TB shape: the incremental step costs O(|delta| x cells) via
+    a broadcast nested loop over the tiny frozen centroid relation —
+    the base corpus is NEVER rescanned, re-shuffled, or re-sorted on
+    ingest (the whole point; re-assigning 100 TB per daily batch is
+    the anti-pattern). Queries pay one union of a delta segment that
+    is small by construction between compactions. Assignment argmins
+    use the two-pass hash_argmin (no sorts, map-side-combined), same
+    as every IVF tier here."""
+    is_corpus = F.col("vec_id") >= N_QUERIES
+    is_delta = F.col("vec_id") % DELTA_MOD == 0
+    n, cent_n = _ivf_base(spark, sf_dir, train_filter=is_corpus & ~is_delta)
+    base_assign = hash_argmin(
+        n.filter(is_corpus & ~is_delta).select("vec_id", "v", "nrm"),
+        cent_n,
+        None,
+        -_cell_sim(),
+        ["vec_id"],
+    ).select("vec_id", "cell", F.lit(False).alias("from_delta"))
+    # THE incremental step: assignment scans only the arrivals
+    # (pushed filter), broadcast centroids — O(|delta| x cells).
+    delta_assign = hash_argmin(
+        n.filter(is_corpus & is_delta).select("vec_id", "v", "nrm"),
+        cent_n,
+        None,
+        -_cell_sim(),
+        ["vec_id"],
+    ).select("vec_id", "cell", F.lit(True).alias("from_delta"))
+    idx = base_assign.unionByName(delta_assign)
+    probes = _ivf_probes(n.filter(F.col("vec_id") < N_QUERIES), cent_n)
+    qn = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cn_ = n.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
+    cand = (
+        probes.join(idx, "cell")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "from_delta")
+        .join(F.broadcast(qn), "query_id")
+        .join(cn_, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+                8,
+            ).alias("cosine"),
+            "from_delta",
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "from_delta")
     )

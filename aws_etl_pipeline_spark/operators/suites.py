@@ -350,6 +350,8 @@ SUITES: dict[str, list[str]] = {
         "sim_bruteforce_pandas",
         "sim_lsh_ann",
         "sim_ivf_ann",
+        # r13: frozen-quantizer delta-segment index maintenance
+        "sim_ivf_incremental",
         "sim_ivf_sq8",
         "sim_ivf_sq8_rerank",
         "sim_ivf_truepq",
@@ -561,8 +563,12 @@ SUITES: dict[str, list[str]] = {
         # r12: HyperBall-style neighborhood function (KMV ball sketches)
         "graph_neighborhood_function",
         # r13: the HLL-register spelling (the at-scale form: packed
-        # 6-bit registers, map-side-combinable MAX merge)
+        # 6-bit registers, map-side-combinable MAX merge), and the
+        # interpolated HyperANF effective-diameter readout derived
+        # from it
         "graph_neighborhood_registers",
+        "graph_effective_diameter",
+        # (suite seat only — PRIORITY seat lives in registry.py)
         "events_survival_km",
         # r8 sixth batch: HITS hubs/authorities
         "graph_hits",

@@ -240,9 +240,10 @@ PRIORITY: tuple[str, ...] = (
     "stream_exec_asof_join_watermarked",
     "corpus_assembly_pipeline",
     "graph_triangle_capped",
-    "sim_mmr_rerank",
+    # (sim_mmr_rerank and decontaminate_fractional rotated out in r13
+    # — direct green r12; suite_sim / suite_text digests — to fund
+    # the effective-diameter and incremental-IVF first-round rows.)
     "er_golden_record",
-    "decontaminate_fractional",
     "graph_neighborhood_function",
     "sim_late_interaction",
     "sim_binary_quantized",
@@ -250,13 +251,19 @@ PRIORITY: tuple[str, ...] = (
     # round-12 sweep, one direct green so far)
     "feature_quantile_normalize",
     # r13 new operators: first direct rows per policy (each also
-    # digest-seated in suite_analytics / suite_multimodal so a future
-    # rotation can vacate them) — the HLL-register neighborhood
-    # function (the measured at-scale spelling, r12 verdict #1) and
-    # the real PIL-free BMP decode (closes the tree's one stub, r12
-    # verdict #5)
+    # digest-seated in suite_analytics / suite_multimodal / suite_sim
+    # so a future rotation can vacate them) — the HLL-register
+    # neighborhood function (the measured at-scale spelling, r12
+    # verdict #1), the real PIL-free BMP decode (closes the tree's
+    # one stub, r12 verdict #5), the HyperANF effective-diameter
+    # readout derived from the register rounds, and the frozen-
+    # quantizer incremental IVF delta segment. The second pair's
+    # seats are funded by sim_mmr_rerank and decontaminate_fractional
+    # rotating out (direct green r12; suite_sim / suite_text digests).
     "graph_neighborhood_registers",
     "multimodal_decode_bmp",
+    "graph_effective_diameter",
+    "sim_ivf_incremental",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —

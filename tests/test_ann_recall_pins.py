@@ -127,3 +127,30 @@ def test_binary_quantized_recall_and_packing(spark, sf_dir):
     assert ranks == sorted(ranks)
     cosines = [r.cosine for r in rows]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_incremental_delta_contract(spark):
+    """r13: the incremental-index invariants the hash can't see by
+    itself — (a) from_delta is exactly the id-split predicate
+    (vec_id % DELTA_MOD == 0), (b) delta vectors actually SERVE (at
+    least one appears among the neighbors at sf0.01 — ~14% of the
+    corpus is delta, 10 queries x 3 neighbors of it), and (c) the
+    result is well-formed top-3 per query."""
+    from collections import Counter
+
+    from aws_etl_pipeline_spark.llm.similarity import (
+        DELTA_MOD,
+        N_QUERIES,
+        sim_ivf_incremental,
+    )
+
+    rows = sim_ivf_incremental(spark, SF01).collect()
+    per_q = Counter(r.query_id for r in rows)
+    assert set(per_q) == set(range(N_QUERIES))
+    assert all(c == 3 for c in per_q.values())
+    for r in rows:
+        assert r.from_delta == (r.neighbor_id % DELTA_MOD == 0), r
+        assert r.neighbor_id >= N_QUERIES
+    assert any(r.from_delta for r in rows), (
+        "no delta vector served — the growing segment is invisible"
+    )

@@ -534,3 +534,33 @@ def test_neighborhood_registers_contract(spark, sf_dir):
     for a, b in zip(reg, reg[1:]):
         assert b.nf_est >= a.nf_est, (a, b)
         assert b.avg_ball_est >= a.avg_ball_est, (a, b)
+
+
+def test_effective_diameter_contract(spark, sf_dir):
+    """r13: the HyperANF readout must be internally consistent with
+    the register relation it derives from — d_eff in
+    (radius_hit - 1, radius_hit], q pinned, and recomputing the
+    interpolation in Python from the sibling's rounded nf values
+    reproduces the engine's number exactly."""
+    from aws_etl_pipeline_spark.operators.graph import (
+        EFFDIAM_Q,
+        graph_effective_diameter,
+        graph_neighborhood_registers,
+    )
+
+    row = graph_effective_diameter(spark, sf_dir).collect()[0]
+    assert row.q == EFFDIAM_Q
+    assert row.radius_hit - 1 < row.eff_diameter <= row.radius_hit
+    nfr = {
+        r.radius: r.nf_est
+        for r in graph_neighborhood_registers(spark, sf_dir).collect()
+    }
+    nfr[0] = float(row.n_nodes)
+    thr = EFFDIAM_Q * row.nf_max
+    r = min(rad for rad, nf in nfr.items() if nf >= thr)
+    expect = (
+        0.0
+        if r == 0
+        else round(r - 1 + (thr - nfr[r - 1]) / (nfr[r] - nfr[r - 1]), 4)
+    )
+    assert row.eff_diameter == expect

@@ -28,8 +28,9 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 376  # COVERAGE.md "376 named queries total"
-DOCUMENTED_GRANULAR = 354  # r13: +graph_neighborhood_registers, +multimodal_decode_bmp
+DOCUMENTED_TOTAL = 378  # COVERAGE.md "378 named queries total"
+DOCUMENTED_GRANULAR = 356  # r13: +graph_neighborhood_registers,
+# +multimodal_decode_bmp, +graph_effective_diameter, +sim_ivf_incremental
 DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -305,9 +306,7 @@ def test_rotated_out_slots_stay_digest_covered():
         "stream_exec_asof_join_watermarked",
         "corpus_assembly_pipeline",
         "graph_triangle_capped",
-        "sim_mmr_rerank",
         "er_golden_record",
-        "decontaminate_fractional",
         "graph_neighborhood_function",
         "sim_late_interaction",
         "sim_binary_quantized",
@@ -315,17 +314,25 @@ def test_rotated_out_slots_stay_digest_covered():
     ):
         assert rotated_in in PRIORITY, rotated_in
         assert rotated_in in digest_covered, rotated_in  # future rotation can vacate
-    # the round-13 rotation (r12 verdict #6): graph_pagerank and
-    # text_boilerplate_ngrams leave with direct green r12 of their
-    # rewritten plans (suite_analytics / suite_text digests) to fund
-    # first-round rows for the two r13 operators, each digest-seated
+    # the round-13 rotation (r12 verdict #6): graph_pagerank,
+    # text_boilerplate_ngrams, sim_mmr_rerank and
+    # decontaminate_fractional leave with direct green r12
+    # (suite_analytics / suite_text / suite_sim digests) to fund
+    # first-round rows for the four r13 operators, each digest-seated
     # so a future rotation can vacate them;
     # feature_quantile_normalize keeps its seat one more round.
-    for rotated_out in ("graph_pagerank", "text_boilerplate_ngrams"):
+    for rotated_out in (
+        "graph_pagerank",
+        "text_boilerplate_ngrams",
+        "sim_mmr_rerank",
+        "decontaminate_fractional",
+    ):
         assert rotated_out in digest_covered, rotated_out
     for rotated_in in (
         "graph_neighborhood_registers",
         "multimodal_decode_bmp",
+        "graph_effective_diameter",
+        "sim_ivf_incremental",
     ):
         assert rotated_in in PRIORITY, rotated_in
         assert rotated_in in digest_covered, rotated_in
