@@ -301,6 +301,11 @@ HEADLINE_R15 = [
     "graph_neighborhood_registers",
     "multimodal_decode_bmp",
     "feature_quantile_normalize",
+    # the second r13 batch, added before BENCH_r13 records the line's
+    # first driver point (same pre-first-point mutability note as
+    # sim_late_interaction in R14)
+    "graph_effective_diameter",
+    "sim_ivf_incremental",
 ]
 
 

@@ -1065,3 +1065,49 @@ def test_assembly_pipeline_broadcasts_are_bounded_only(spark, sf_dir):
     # joins plan as BroadcastNestedLoopJoin over 1-row sides, which
     # is fine; a CartesianProduct would not be)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_register_nf_round_is_sort_free_hash_aggregate(spark):
+    """r13: the register spelling's whole reason to exist is that the
+    HLL merge is an ALGEBRAIC max — so the per-round merge must plan
+    as a partial-aggregating HashAggregate with NO sort anywhere (the
+    KMV sibling's rank-filter round needs the sort; that cost model
+    difference is the 100x point). Built on a synthetic frame shaped
+    exactly like the round's inputs."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(1000).select(
+        (F.col("id") % 50).alias("ia"), ((F.col("id") * 7) % 50).alias("ib")
+    )
+    sk = spark.range(50).select(
+        F.col("id").alias("ia"), (F.col("id") % 640).cast("int").alias("val")
+    )
+    contrib = edges.join(sk.hint("shuffle_hash"), "ia").select(
+        F.col("ib").alias("node"), "val"
+    )
+    merged = (
+        contrib.unionByName(
+            sk.select(F.col("ia").alias("node"), "val")
+        )
+        .groupBy("node", F.shiftright("val", 6).alias("reg"))
+        .agg(F.max("val").alias("val"))
+        .select("node", "val")
+    )
+    plan = _plan(merged)
+    assert "HashAggregate" in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert "Sort " not in plan and "+- Sort" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_bmp_decode_plan_is_two_arrow_stages_one_exchange(spark, sf_dir):
+    """r13: the decode pipeline must be exactly two Arrow-batched
+    Python stages (synthesize, decode) separated by one hash exchange
+    of the binary payloads — no row-at-a-time Python, no extra
+    shuffles."""
+    from aws_etl_pipeline_spark.llm.multimodal import multimodal_decode_bmp
+
+    plan = _plan(multimodal_decode_bmp(spark, sf_dir))
+    assert plan.count("MapInPandas") >= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan
