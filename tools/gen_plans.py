@@ -79,6 +79,10 @@ SHOWCASE = {
     "sim_mmr_rerank": "greedy MMR: one corpus relevance scan folds to top-C via TakeOrdered; every loop relation is candidate-bounded (C-row cache, C^2 broadcast pair matrix)",
     "er_golden_record": "survivorship after clustering: mode/median as entity-partitioned windows over cluster-bounded groups; one entity-keyed shuffle",
     "decontaminate_fractional": "fractional screen: broadcast bench grams; per-doc DISTINCT folded inside the overlap aggregate — nothing gram-sized persisted or shuffled twice",
+    # round-13 additions
+    "graph_neighborhood_registers": "HLL-register HyperBall: per-round merge is a sort-free partial HashAggregate MAX over a shuffle_hash edge join — the combinable-aggregate cost model the KMV rank-filter can't have",
+    "multimodal_decode_bmp": "real image decode: two Arrow mapInPandas stages (synthesize, decode) around ONE hash exchange of binary payloads; zero row-wise Python",
+    "sim_ivf_incremental": "frozen quantizer: delta batch assigned via broadcast argmin over itself only (base corpus never rescanned), base UNION delta under shared probes",
 }
 
 
