@@ -88,6 +88,8 @@ def decode_bmp24(data: bytes) -> DecodedImage:
     not uncompressed 24-bit BI_RGB."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(data) < _BMP_HEADER_BYTES:
+        raise ValueError("truncated/invalid BMP: header short")
     (offset,) = struct.unpack_from("<I", data, 10)
     _hdr, w, h_signed = struct.unpack_from("<Iii", data, 14)
     _planes, bpp = struct.unpack_from("<HH", data, 26)
@@ -96,6 +98,13 @@ def decode_bmp24(data: bytes) -> DecodedImage:
         raise ValueError("only uncompressed 24-bit BI_RGB is supported")
     h = abs(h_signed)
     row_bytes = (w * 3 + 3) & ~3
+    # header sanity BEFORE any allocation (r13 advice): a malformed
+    # 'BM' payload must fail as a clean ValueError, not as an opaque
+    # frombuffer/reshape error or a header-driven giant allocation.
+    if w <= 0 or h <= 0:
+        raise ValueError("truncated/invalid BMP: non-positive dimensions")
+    if offset < _BMP_HEADER_BYTES or offset + row_bytes * h > len(data):
+        raise ValueError("truncated/invalid BMP: pixel data out of bounds")
     rows = np.frombuffer(
         data, dtype=np.uint8, count=row_bytes * h, offset=offset
     ).reshape(h, row_bytes)
@@ -117,7 +126,15 @@ def decode_image(data: bytes):
     path unconditionally and still probes for PIL each session to
     drive compressed formats on any environment that ships codecs."""
     if data[:2] == b"BM":
-        return decode_bmp24(data)
+        try:
+            return decode_bmp24(data)
+        except ValueError:
+            # a VALID 8/32-bit or RLE BMP is a ValueError to the
+            # strict BI_RGB-24 parser — on environments that ship PIL
+            # those variants must keep decoding (r13 advice: routing
+            # every b'BM' payload to the strict parser regressed them)
+            if not _PIL:
+                raise
     if not _PIL:
         raise NotImplementedError(
             "non-BMP image decode requires PIL; this container ships no codecs"
@@ -401,8 +418,12 @@ def _bmp_decode_batches(
 ) -> Iterator[pd.DataFrame]:
     """Arrow batches of BMP payloads -> decoded raster statistics via
     the REAL decoder (``decode_image`` -> numpy BMP parser). All math
-    on exact int64 sums; the single division per channel is IEEE-exact
-    identically on both engines."""
+    on exact int64 sums; the 6-decimal channel means are rounded in
+    INTEGER arithmetic (half-up: (sum*10^6 + n//2) // n, then one
+    exact small-integer-to-double division) spelled identically in the
+    DuckDB oracle — engine-independent by construction, instead of
+    leaning on Python round (half-even) and DuckDB round (half-away)
+    happening to agree because ties never occur (r13 advice)."""
     for pdf in batches:
         ids, ws, hs, mr, mg, mb, ck = [], [], [], [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -413,9 +434,9 @@ def _bmp_decode_batches(
             ids.append(doc_id)
             ws.append(img.width)
             hs.append(img.height)
-            mr.append(round(float(sums[0]) / n, 6))
-            mg.append(round(float(sums[1]) / n, 6))
-            mb.append(round(float(sums[2]) / n, 6))
+            mr.append((int(sums[0]) * 1000000 + n // 2) // n / 1e6)
+            mg.append((int(sums[1]) * 1000000 + n // 2) // n / 1e6)
+            mb.append((int(sums[2]) * 1000000 + n // 2) // n / 1e6)
             ck.append(int(sums.sum()))
         yield pd.DataFrame(
             {
@@ -442,12 +463,12 @@ WITH dims AS (
 xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
 pix AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
 SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
-       round(sum((doc_id * 7 + x * 3 + y * 5) % 256)::DOUBLE / (w * h), 6)
-         AS mean_r,
-       round(sum((doc_id * 11 + x * 5 + y * 7) % 256)::DOUBLE / (w * h), 6)
-         AS mean_g,
-       round(sum((doc_id * 13 + x * 7 + y * 11) % 256)::DOUBLE / (w * h), 6)
-         AS mean_b,
+       ((sum((doc_id * 7 + x * 3 + y * 5) % 256)::BIGINT * 1000000
+         + (w * h) // 2) // (w * h)) / 1e6 AS mean_r,
+       ((sum((doc_id * 11 + x * 5 + y * 7) % 256)::BIGINT * 1000000
+         + (w * h) // 2) // (w * h)) / 1e6 AS mean_g,
+       ((sum((doc_id * 13 + x * 7 + y * 11) % 256)::BIGINT * 1000000
+         + (w * h) // 2) // (w * h)) / 1e6 AS mean_b,
        sum((doc_id * 7 + x * 3 + y * 5) % 256
            + (doc_id * 11 + x * 5 + y * 7) % 256
            + (doc_id * 13 + x * 7 + y * 11) % 256)::BIGINT AS pix_checksum

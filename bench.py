@@ -317,6 +317,41 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 LOADAVG_START = [round(x, 2) for x in os.getloadavg()]
 
 
+def _cpu_calibration() -> tuple[float, float]:
+    """Fixed pure-CPU marker (r13 verdict #5): the r13 box-shift
+    adjudication needed two full quiet reruns to prove 'uniform
+    inflation'. This pins a deterministic single-threaded numpy
+    sweep (4M-element fused sqrt/mul/add x60, no BLAS threading, no
+    allocation churn after warm-up) whose wall time depends only on
+    the host's effective CPU speed — so cross-round normalization of
+    medians is mechanical: divide by the calib ratio. One warm-up
+    pass first (first touch pays page faults; ~2x)."""
+    import numpy as np
+
+    def one_pass() -> float:
+        a = np.arange(1 << 22, dtype=np.float64)
+        t0 = time.time()
+        for _ in range(60):
+            a = np.sqrt(a * 1.000001 + 1.0)
+        return time.time() - t0
+
+    one_pass()  # warm-up (page faults, code paths)
+    calib = round(one_pass(), 3)
+    try:
+        mhz = [
+            float(line.split(":")[1])
+            for line in open("/proc/cpuinfo")
+            if line.startswith("cpu MHz")
+        ]
+        mean_mhz = round(sum(mhz) / len(mhz), 1) if mhz else None
+    except OSError:
+        mean_mhz = None
+    return calib, mean_mhz
+
+
+CPU_CALIB_SEC, CPU_MHZ = _cpu_calibration()
+
+
 def main() -> None:
     sf_dir = SF_DIR
     queries = all_queries()
@@ -411,6 +446,12 @@ def main() -> None:
         # identical plans).
         "loadavg_start": LOADAVG_START,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # host-speed marker (r13 verdict #5): wall of a pinned
+        # single-thread numpy sweep + /proc/cpuinfo mean MHz, measured
+        # at process start. Cross-round comparisons divide medians by
+        # the calib ratio instead of re-running quiet-box pairs.
+        "cpu_calib_sec": CPU_CALIB_SEC,
+        "cpu_mhz": CPU_MHZ,
     }
     # The EXT line shares the protocol and self-adjudication fields but
     # carries its own metric name + total, so cross-round trend tools
@@ -569,6 +610,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "load1": load_pair,
+        "cpu_calib_sec": CPU_CALIB_SEC,
         "dup": True,
     }
     print(json.dumps(summary, separators=(",", ":")), flush=True)

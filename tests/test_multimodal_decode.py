@@ -87,6 +87,33 @@ def test_decoder_matches_generating_formula():
         assert (img.pixels[:, :, 2] == b).all()
 
 
+def test_malformed_bmp_rejected_cleanly():
+    """r13 advice: header lies (negative/zero dims, offset past EOF,
+    truncated pixel data) must surface as a clean ValueError before
+    any allocation — never an opaque numpy error or a header-driven
+    giant allocation."""
+    import struct
+
+    good = synth_bmp(1)
+
+    def mutate(off, fmt, val):
+        data = bytearray(good)
+        struct.pack_into(fmt, data, off, val)
+        return bytes(data)
+
+    for bad in (
+        mutate(18, "<i", -5),  # negative width
+        mutate(18, "<i", 0),  # zero width
+        mutate(22, "<i", 0),  # zero height
+        mutate(18, "<i", 1 << 24),  # oversized width vs payload
+        mutate(10, "<I", len(good) + 1),  # offset past EOF
+        good[: len(good) // 2],  # truncated pixel data
+        b"BM\x00\x01",  # header itself truncated
+    ):
+        with pytest.raises(ValueError):
+            decode_bmp24(bad)
+
+
 def test_decode_image_rejects_unknown_without_pil():
     """The NotImplementedError is now the FALLBACK: non-BMP payloads
     on a codec-less container still raise (honest boundary), BMP
