@@ -1672,6 +1672,102 @@ _NF_RUN_SEQ = 0
 #: radii measured (hops).
 NF_ROUNDS = 3
 
+#: pid roots this process has registered an atexit sweep for.
+_NF_ATEXIT_ROOTS: set[str] = set()
+
+
+def _nf_sweep_dead_roots(prefix: str) -> None:
+    """Remove neighborhood-function state roots owned by DEAD
+    processes: the owning pid is parsed exactly from the dir-name
+    suffix and the dir is removed only when that process no longer
+    exists (os.kill(pid, 0) probe), so a concurrent live session can
+    never lose its state mid-run (r12 advice: the old substring test
+    could)."""
+    import glob
+
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"{prefix}_*")
+    ):
+        try:
+            owner = int(os.path.basename(stale).rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        if owner == os.getpid():
+            continue
+        try:
+            os.kill(owner, 0)
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
+
+
+def _nf_pid_root(prefix: str) -> str:
+    """This process's state root for ``prefix``, with a best-effort
+    atexit sweep registered once — a cleanly-exiting session removes
+    its own state instead of leaving it for the next session's
+    dead-pid probe."""
+    root = os.path.join(tempfile.gettempdir(), f"{prefix}_{os.getpid()}")
+    if root not in _NF_ATEXIT_ROOTS:
+        _NF_ATEXIT_ROOTS.add(root)
+        import atexit
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
+def _nf_prune_runs(pid_root: str, keep: set[str]) -> None:
+    """Bound WITHIN-process state accumulation (r13 advice, medium):
+    bench invokes the neighborhood-function family 12+ times per run
+    and every invocation stages multi-round parquet state under a
+    fresh run_N — unpruned, an unbounded disk leak on the measurement
+    box. Build start is the safe point to delete older runs: queries
+    execute sequentially, so every earlier top-level plan has been
+    collected before a new build begins, and a family-digest union
+    (which builds all members before one collect) triggers only ONE
+    build among its register-family members because the later members
+    hit the in-session reuse cache instead of building again. The
+    newest existing run and any cache-pinned run are kept regardless,
+    as the safety margin for exactly that union-plan case."""
+    import glob
+
+    runs = sorted(
+        glob.glob(os.path.join(pid_root, "run_*")),
+        key=lambda p: int(p.rsplit("_", 1)[-1]),
+    )
+    for p in runs[:-1]:  # the newest run is never pruned
+        if p not in keep:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _nf_edges(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    """All-long symmetric edge relation (ia, ib) — both directions of
+    h60-hashed customer/supplier labels — staged ONCE per (process,
+    source fingerprint) and shared by every run of the owning
+    neighborhood-function spelling. The previous per-run edge rebuild
+    paid a 2x-pairs parquet write per invocation (~19 GB per run at
+    the 1000x replica) for byte-identical content."""
+    from .sketches import _h60_spark
+
+    fp = _source_fingerprint(sf_dir, ("lineitem", "orders"))
+    dest = os.path.join(_nf_pid_root(prefix), f"edges_{fp}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        pairs = _custsupp_labeled(spark, sf_dir)
+        ids = pairs.select(
+            _h60_spark(F.col("a")).alias("ia"),
+            _h60_spark(F.col("b")).alias("ib"),
+        )
+        tmp = f"{dest}.tmp-{os.getpid()}"
+        ids.union(
+            ids.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+        ).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return spark.read.parquet(dest)
+
 
 def _nf_oracle() -> str:
     from .sketches import _h60_sql
@@ -1751,8 +1847,10 @@ def graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     that fit locally (sf0.1 / 10x / 30x) are measured in SCALING.md;
     production HyperBall additionally shrinks the constant with HLL
     registers (~8x smaller than k=32 longs) and by propagating only
-    CHANGED sketches per round — both noted, not implemented, since
-    the KMV spelling is what the exact oracle parity buys.
+    CHANGED sketches per round — BOTH are implemented on the sibling
+    `graph_neighborhood_registers` (registers r13, changed-only delta
+    propagation r14); the KMV spelling here keeps the exact-parity
+    small-SF cross-check role.
 
     100 TB shape: sketch state lives EXPLODED as (node, h) long rows
     — node x {NF_K} rows of two longs, never an array column and
@@ -1769,37 +1867,21 @@ def graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     state off-heap. The oracle unrolls the exact balls
     (quadratic, small-SF-only) and applies the identical estimator
     arithmetic."""
-    from .sketches import _H60, _h60_spark
+    from .sketches import _H60
 
-    import glob
-
-    pairs = _custsupp_labeled(spark, sf_dir)  # staged fixture (r9)
     # Per-round state goes to PARQUET, not localCheckpoint: checkpoint
     # blocks are storage-pool residents and node x k rows of them plus
     # three concurrent shuffle stages exhausted the 12 GiB protocol
     # heap at the 100x replica. Disk-staged state is the HyperBall
     # practice anyway — the sketch file IS the round's output. The
     # state root is pid-keyed (no cross-session clash); stale roots
-    # from DEAD runs are swept on entry — the owning pid is parsed
-    # exactly from the dir-name suffix and the dir is removed only
-    # when that process no longer exists (os.kill(pid, 0) probe), so
-    # a concurrent live session can never lose its state mid-run
-    # (r12 advice: the old substring test could).
-    for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), "spark_graft_nfstate_*")
-    ):
-        try:
-            owner = int(os.path.basename(stale).rsplit("_", 1)[-1])
-        except ValueError:
-            continue
-        if owner == os.getpid():
-            continue
-        try:
-            os.kill(owner, 0)
-        except ProcessLookupError:
-            shutil.rmtree(stale, ignore_errors=True)
-        except PermissionError:
-            pass  # alive under another uid — leave it
+    # from DEAD runs are swept on entry, own older runs pruned at
+    # build start (r13 advice: unbounded run_N accumulation), and the
+    # symmetric long-edge relation is staged once per process and
+    # shared across runs.
+    _nf_sweep_dead_roots("spark_graft_nfstate")
+    pid_root = _nf_pid_root("spark_graft_nfstate")
+    _nf_prune_runs(pid_root, keep=set())
     # per-INVOCATION subdir under the pid root: a family digest builds
     # ONE union plan across members, so a second run in the same
     # session must never overwrite parquet state an earlier branch's
@@ -1807,24 +1889,14 @@ def graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     # register rounds inside the same digest plan).
     global _NF_RUN_SEQ
     _NF_RUN_SEQ += 1
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_nfstate_{os.getpid()}",
-        f"run_{_NF_RUN_SEQ}",
-    )
+    root = os.path.join(pid_root, f"run_{_NF_RUN_SEQ}")
 
     def mat(df: DataFrame, name: str) -> DataFrame:
         path = os.path.join(root, name)
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    ids = pairs.select(
-        _h60_spark(F.col("a")).alias("ia"), _h60_spark(F.col("b")).alias("ib")
-    )
-    edges = mat(
-        ids.union(ids.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))),
-        "edges",
-    )  # all-long edge relation, one per-run build
+    edges = _nf_edges(spark, sf_dir, "spark_graft_nfstate")
     # seed state: each node's sketch is {its own hash} — and the node
     # id IS that hash, so the seed is (id, id)
     sk = mat(
@@ -1983,6 +2055,222 @@ def _nfr_oracle() -> str:
     return f"WITH {ctes}\n{stats}"
 
 
+#: in-session reuse cache for COMPLETED register-round state roots
+#: (r13 verdict #2): (source fingerprint, rounds, m) -> run root. The
+#: producer (`graph_neighborhood_registers`) always rebuilds and
+#: repoints the cache — its bench reps keep measuring the full
+#: iterative build — while the derived readout
+#: (`graph_effective_diameter`) reuses the sibling's staged rounds
+#: when present instead of paying the entire build again for a 4-row
+#: epilogue.
+_NFREG_CACHE: dict[tuple[str, int, int], str] = {}
+
+
+def _nfr_val(h: F.Column) -> F.Column:
+    """Pack (register, rho) of a 60-bit hash into one small int:
+    val = (h % m) * 64 + rho, rho = 57 - bitlength(h // m)."""
+    w = F.shiftright(h, 4)  # h // 16, non-negative
+    rho = F.when(w == 0, F.lit(57)).otherwise(F.lit(57) - F.length(F.bin(w)))
+    return ((h % NFR_M) * 64 + rho).cast("int")
+
+
+def _nfr_state_root(
+    spark: SparkSession, sf_dir: str, *, reuse: bool
+) -> str:
+    """Stage the HLL-register HyperBall rounds for ``sf_dir`` and
+    return the run root holding m0..m{NF_ROUNDS} parquet relations of
+    (node, val, old_val) — full per-round register state plus, per
+    row, the register's previous-round value (NULL = register new
+    this round), which makes the CHANGED-ONLY subset a stored-column
+    filter instead of a second computation.
+
+    Delta propagation (r13 verdict #1, the HyperBall 'systolic'
+    optimization, Boldi & Vigna 2013 §4): round r ships
+    edges ⋈ delta_{r-1} instead of edges ⋈ state_{r-1}, where
+    delta_{r-1} = registers that ROSE (or appeared) in round r-1. The
+    final state is BIT-IDENTICAL by induction: a register of u that
+    did not change in round r-1 had its value already delivered to
+    every neighbor v during round r-1 (v's state dominates it), so
+    omitting it from round r's contribution stream drops only rows
+    the MAX merge would discard — the existing oracle pin survives
+    unchanged. The merge computes the delta for free: contributions
+    carry old=0, prior state old=1, and the single per-round
+    HashAggregate emits max(val) AND max(val where old)=old_val in
+    one pass — no extra exchange anywhere.
+
+    What this buys at scale: on a dense small-diameter graph the
+    frontier collapses after the ball-doubling round, so the LAST
+    round's contribution stream — the same size as every other
+    round's under full-state shipping — drops to the few registers
+    still rising. Per-round shipped-row accounting is a first-class
+    diagnostic (`nf_register_round_stats`), so the 1000x behavior is
+    row counts, not prose."""
+    key = (
+        _source_fingerprint(sf_dir, ("lineitem", "orders")),
+        NF_ROUNDS,
+        NFR_M,
+    )
+    if reuse:
+        cached = _NFREG_CACHE.get(key)
+        if cached is not None and os.path.exists(
+            os.path.join(cached, "_COMPLETE")
+        ):
+            return cached
+    _nf_sweep_dead_roots("spark_graft_nfregstate")
+    pid_root = _nf_pid_root("spark_graft_nfregstate")
+    _nf_prune_runs(pid_root, keep=set(_NFREG_CACHE.values()))
+    global _NF_RUN_SEQ
+    _NF_RUN_SEQ += 1
+    root = os.path.join(pid_root, f"run_{_NF_RUN_SEQ}")
+
+    def mat(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(root, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    edges = _nf_edges(spark, sf_dir, "spark_graft_nfregstate")
+    # seed: each node's own hash IS its id (KMV-sibling identity
+    # trick); every seed register is "new", so delta_0 = state_0.
+    prev = mat(
+        edges.select(F.col("ia").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            _nfr_val(F.col("node")).alias("val"),
+            F.lit(None).cast("int").alias("old_val"),
+        ),
+        "m0",
+    )
+    for r in range(1, NF_ROUNDS + 1):
+        delta = prev.filter(
+            F.col("old_val").isNull() | (F.col("val") > F.col("old_val"))
+        ).select("node", "val")
+        contrib = edges.join(
+            delta.withColumnRenamed("node", "ia").hint("shuffle_hash"), "ia"
+        ).select(F.col("ib").alias("node"), "val", F.lit(0).alias("old"))
+        # ONE exchange per round, and it is a combinable MAX: the
+        # groupBy below partial-aggregates map-side (HashAggregate,
+        # no sort anywhere), so what crosses the wire is the
+        # post-combine register relation, never the raw contribution
+        # stream when locality allows. old_val rides the same
+        # aggregate (max over the single old=1 row per register), so
+        # the NEXT round's delta needs no further pass.
+        prev = mat(
+            contrib.unionByName(
+                prev.select("node", "val", F.lit(1).alias("old"))
+            )
+            .groupBy("node", F.shiftright("val", 6).alias("reg"))
+            .agg(
+                F.max("val").alias("val"),
+                F.max(F.when(F.col("old") == 1, F.col("val"))).alias(
+                    "old_val"
+                ),
+            )
+            .select("node", "val", "old_val"),
+            f"m{r}",
+        )
+        # once the round's state is on parquet, the previous round's
+        # shuffle files are garbage — but Spark's ContextCleaner only
+        # reclaims them after a DRIVER GC notices the dropped refs.
+        import gc as _gc
+
+        _gc.collect()
+        _jvm = getattr(getattr(spark, "sparkContext", None), "_jvm", None)
+        if _jvm is not None:
+            _jvm.System.gc()
+    open(os.path.join(root, "_COMPLETE"), "w").close()
+    _NFREG_CACHE[key] = root
+    return root
+
+
+def _nfr_readout(spark: SparkSession, root: str) -> DataFrame:
+    """The per-radius estimator relation over staged register rounds:
+    radius, node count, mean/total ball estimate, in-schema RSE —
+    identical arithmetic to the oracle (scaled-BIGINT harmonic sums,
+    injected double literals; see `graph_neighborhood_registers`)."""
+    lc_est = F.lit(None).cast("double")
+    for v in range(1, NFR_M + 1):
+        lc_est = F.when(
+            F.col("cnt") == NFR_M - v, F.lit(NFR_LC[v])
+        ).otherwise(lc_est)
+    out = []
+    for r in range(1, NF_ROUNDS + 1):
+        sk = spark.read.parquet(os.path.join(root, f"m{r}")).select(
+            "node", "val"
+        )
+        per = sk.groupBy("node").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (
+                (F.lit(NFR_M) - F.count(F.lit(1)))
+                * F.lit(1 << 58).cast("long")
+                + F.sum(
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT),"
+                        " 58 - CAST(val % 64 AS INT))"
+                    )
+                )
+            ).alias("s"),
+        )
+        e_raw = F.lit(NFR_NUMER) / F.col("s").cast("double")
+        est = F.when(
+            (e_raw <= F.lit(NFR_LC_BOUND)) & (F.col("cnt") < NFR_M), lc_est
+        ).otherwise(e_raw)
+        out.append(
+            per.agg(
+                F.lit(r).cast("long").alias("radius"),
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.round(F.avg(est), 4).alias("avg_ball_est"),
+                F.round(F.sum(est), 2).alias("nf_est"),
+                F.lit(NFR_RSE).alias("rse"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def nf_register_round_stats(
+    spark: SparkSession, sf_dir: str
+) -> list[dict]:
+    """Per-round row accounting for the delta-propagation spelling
+    (diagnostic, NOT a registry query): for each staged round, the
+    full state row count, the changed-register (delta) row count, and
+    the number of rows the NEXT round's contribution stream ships
+    (sum over changed registers of their node's out-degree). This is
+    the number the 1000x adjudication runs on — under full-state
+    shipping every round ships ~state x degree; under delta shipping
+    the last rounds collapse with the frontier."""
+    root = _nfr_state_root(spark, sf_dir, reuse=True)
+    edges = _nf_edges(spark, sf_dir, "spark_graft_nfregstate")
+    deg = edges.groupBy(F.col("ia").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    stats = []
+    for r in range(0, NF_ROUNDS + 1):
+        m = spark.read.parquet(os.path.join(root, f"m{r}"))
+        delta = m.filter(
+            F.col("old_val").isNull() | (F.col("val") > F.col("old_val"))
+        )
+        dcnt = delta.groupBy("node").agg(F.count(F.lit(1)).alias("dcnt"))
+        shipped = (
+            dcnt.join(deg, "node")
+            .agg(F.sum(F.col("dcnt") * F.col("deg")))
+            .collect()[0][0]
+        )
+        stats.append(
+            {
+                "round": r,
+                "state_rows": m.count(),
+                "delta_rows": delta.count(),
+                "shipped_rows_next_round": int(shipped or 0)
+                if r < NF_ROUNDS
+                else None,
+            }
+        )
+    return stats
+
+
 @query("graph_neighborhood_registers", oracle=_nfr_oracle())
 def graph_neighborhood_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood function N(r) with TRUE HyperLogLog registers —
@@ -2023,128 +2311,14 @@ def graph_neighborhood_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever coexist on disk. Radii and fixture identical to the KMV
     sibling, so the two estimates cross-check each other; the KMV row
     keeps the exact-parity small-SF role, THIS row is the one you run
-    at 100 TB."""
-    from .sketches import _h60_spark
-
-    import glob
-
-    pairs = _custsupp_labeled(spark, sf_dir)  # staged fixture (r9)
-    # pid-keyed state root; dead-run roots swept with an exact pid
-    # parse + liveness probe (same discipline as the KMV sibling).
-    for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), "spark_graft_nfregstate_*")
-    ):
-        try:
-            owner = int(os.path.basename(stale).rsplit("_", 1)[-1])
-        except ValueError:
-            continue
-        if owner == os.getpid():
-            continue
-        try:
-            os.kill(owner, 0)
-        except ProcessLookupError:
-            shutil.rmtree(stale, ignore_errors=True)
-        except PermissionError:
-            pass
-    # per-INVOCATION subdir (see the KMV sibling's note): the
-    # effective-diameter readout re-runs these rounds inside the same
-    # digest union plan, and overwriting sk{r} would invalidate the
-    # earlier branch's already-analyzed file listing.
-    global _NF_RUN_SEQ
-    _NF_RUN_SEQ += 1
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_nfregstate_{os.getpid()}",
-        f"run_{_NF_RUN_SEQ}",
-    )
-
-    def mat(df: DataFrame, name: str) -> DataFrame:
-        path = os.path.join(root, name)
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-
-    ids = pairs.select(
-        _h60_spark(F.col("a")).alias("ia"), _h60_spark(F.col("b")).alias("ib")
-    )
-    edges = mat(
-        ids.union(ids.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))),
-        "edges",
-    )
-
-    def _val(h: F.Column) -> F.Column:
-        """Pack (register, rho) of a 60-bit hash into one small int:
-        val = (h % m) * 64 + rho, rho = 57 - bitlength(h // m)."""
-        w = F.shiftright(h, 4)  # h // 16, non-negative
-        rho = F.when(w == 0, F.lit(57)).otherwise(
-            F.lit(57) - F.length(F.bin(w))
-        )
-        return ((h % NFR_M) * 64 + rho).cast("int")
-
-    # seed: each node's own hash IS its id (KMV-sibling identity trick)
-    sk = mat(
-        edges.select(F.col("ia").alias("node"))
-        .distinct()
-        .select("node", _val(F.col("node")).alias("val")),
-        "sk0",
-    )
-    lc_est = F.lit(None).cast("double")
-    for v in range(1, NFR_M + 1):
-        lc_est = F.when(F.col("cnt") == NFR_M - v, F.lit(NFR_LC[v])).otherwise(
-            lc_est
-        )
-    out = []
-    for r in range(1, NF_ROUNDS + 1):
-        contrib = edges.join(
-            sk.withColumnRenamed("node", "ia").hint("shuffle_hash"), "ia"
-        ).select(F.col("ib").alias("node"), "val")
-        # ONE exchange per round, and it is a combinable MAX: the
-        # groupBy below partial-aggregates map-side (HashAggregate,
-        # no sort anywhere), so what crosses the wire is the
-        # post-combine register relation, never the raw m*edges
-        # contribution stream when locality allows.
-        sk = mat(
-            contrib.unionByName(sk)
-            .groupBy("node", F.shiftright("val", 6).alias("reg"))
-            .agg(F.max("val").alias("val"))
-            .select("node", "val"),
-            f"sk{r}",
-        )
-        import gc as _gc
-
-        _gc.collect()
-        _jvm = getattr(getattr(spark, "sparkContext", None), "_jvm", None)
-        if _jvm is not None:
-            _jvm.System.gc()
-        per = sk.groupBy("node").agg(
-            F.count(F.lit(1)).alias("cnt"),
-            (
-                (F.lit(NFR_M) - F.count(F.lit(1)))
-                * F.lit(1 << 58).cast("long")
-                + F.sum(
-                    F.expr(
-                        "shiftleft(CAST(1 AS BIGINT),"
-                        " 58 - CAST(val % 64 AS INT))"
-                    )
-                )
-            ).alias("s"),
-        )
-        e_raw = F.lit(NFR_NUMER) / F.col("s").cast("double")
-        est = F.when(
-            (e_raw <= F.lit(NFR_LC_BOUND)) & (F.col("cnt") < NFR_M), lc_est
-        ).otherwise(e_raw)
-        out.append(
-            per.agg(
-                F.lit(r).cast("long").alias("radius"),
-                F.count(F.lit(1)).cast("long").alias("n_nodes"),
-                F.round(F.avg(est), 4).alias("avg_ball_est"),
-                F.round(F.sum(est), 2).alias("nf_est"),
-                F.lit(NFR_RSE).alias("rse"),
-            )
-        )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res
+    at 100 TB. Since r14 rounds ship CHANGED registers only (delta
+    propagation — bit-identical state by max-merge monotonicity; see
+    `_nfr_state_root` for the induction and
+    `nf_register_round_stats` for the per-round shipped-row
+    accounting), which collapses the post-doubling rounds' exchange
+    on dense graphs while leaving every staged per-round state — and
+    therefore the oracle pin — unchanged."""
+    return _nfr_readout(spark, _nfr_state_root(spark, sf_dir, reuse=False))
 
 
 #: effective-diameter quantile (the HyperANF standard: the radius
@@ -2209,8 +2383,16 @@ def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: identical to graph_neighborhood_registers (this IS
     that plan plus a 4-row epilogue); n_nodes and rse ride along so
-    the dashboard row is self-describing."""
-    nfr = graph_neighborhood_registers(spark, sf_dir)
+    the dashboard row is self-describing. Since r14 the register
+    rounds are REUSED when the sibling already staged them in this
+    session (content-addressed cache keyed by source fingerprint +
+    rounds + m; r13 verdict #2): run right after the sibling — the
+    bench-set and digest topology — this pays only the epilogue
+    instead of re-running the entire iterative build for 4 rows; run
+    cold, it builds (and caches) the rounds itself, so its stand-alone
+    cost is unchanged. The staged rounds are deterministic functions
+    of the fixture, so reuse cannot change a value."""
+    nfr = _nfr_readout(spark, _nfr_state_root(spark, sf_dir, reuse=True))
     nf = nfr.select("radius", F.col("nf_est").alias("nf")).unionByName(
         nfr.filter(F.col("radius") == 1).select(
             F.lit(0).cast("long").alias("radius"),

@@ -536,6 +536,69 @@ def test_neighborhood_registers_contract(spark, sf_dir):
         assert b.avg_ball_est >= a.avg_ball_est, (a, b)
 
 
+def test_register_delta_propagation_contract(spark, sf_dir):
+    """r14: the changed-only propagation must (a) leave every staged
+    per-round state a superset-growing register relation whose delta
+    accounting is internally consistent (delta_rows <= state_rows;
+    shipped rows = sum of deg x changed registers), (b) collapse the
+    frontier on this dense fixture — the LAST round's delta must be
+    strictly smaller than the ball-doubling round's, which is the
+    entire point of shipping deltas — and (c) reuse: a diameter call
+    right after the sibling must consume the SAME staged root (no
+    second build), while a fresh registers call repoints the cache."""
+    import os
+
+    from aws_etl_pipeline_spark.operators.graph import (
+        _NFREG_CACHE,
+        _nfr_state_root,
+        graph_neighborhood_registers,
+        nf_register_round_stats,
+    )
+
+    graph_neighborhood_registers(spark, sf_dir).collect()
+    root1 = _nfr_state_root(spark, sf_dir, reuse=True)
+    assert os.path.exists(os.path.join(root1, "_COMPLETE"))
+    # reuse: a second reuse=True call returns the same root
+    assert _nfr_state_root(spark, sf_dir, reuse=True) == root1
+    stats = nf_register_round_stats(spark, sf_dir)
+    assert [s["round"] for s in stats] == [0, 1, 2, 3]
+    n_nodes = stats[0]["state_rows"]
+    for s in stats:
+        assert s["delta_rows"] <= s["state_rows"]
+    # seed: exactly one register per node, all new
+    assert stats[0]["delta_rows"] == n_nodes
+    # frontier collapse: the last round's delta is strictly below the
+    # doubling round's (dense graph — balls saturate by round 2)
+    assert stats[2]["delta_rows"] > stats[3]["delta_rows"] * 5
+    # state growth is monotone in rows (registers only get added)
+    for a, b in zip(stats, stats[1:]):
+        assert b["state_rows"] >= a["state_rows"]
+    # a fresh build (reuse=False) repoints the cache to a NEW root
+    root2 = _nfr_state_root(spark, sf_dir, reuse=False)
+    assert root2 != root1
+    assert root2 in _NFREG_CACHE.values()
+
+
+def test_register_state_runs_are_pruned(spark, sf_dir):
+    """r13 advice (medium): repeated invocations must NOT accumulate
+    run_N state dirs unboundedly — after several fresh builds only
+    the newest run, the cache-pinned run, and the shared edges stage
+    may remain under this process's root."""
+    import glob
+    import os
+
+    from aws_etl_pipeline_spark.operators.graph import (
+        _nf_pid_root,
+        graph_neighborhood_registers,
+    )
+
+    for _ in range(3):
+        graph_neighborhood_registers(spark, sf_dir).collect()
+    pid_root = _nf_pid_root("spark_graft_nfregstate")
+    runs = glob.glob(os.path.join(pid_root, "run_*"))
+    assert len(runs) <= 2, runs  # newest + at most one cache-pinned
+
+
 def test_effective_diameter_contract(spark, sf_dir):
     """r13: the HyperANF readout must be internally consistent with
     the register relation it derives from — d_eff in

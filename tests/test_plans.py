@@ -1082,16 +1082,25 @@ def test_register_nf_round_is_sort_free_hash_aggregate(spark):
     sk = spark.range(50).select(
         F.col("id").alias("ia"), (F.col("id") % 640).cast("int").alias("val")
     )
-    contrib = edges.join(sk.hint("shuffle_hash"), "ia").select(
-        F.col("ib").alias("node"), "val"
+    # r14 delta shape: contributions are the CHANGED-register subset
+    # (a stored-column filter), and the merge emits max(val) AND the
+    # prior value (old_val) in the same aggregate — still a plain
+    # algebraic MAX pair, so the pin is unchanged: HashAggregate,
+    # no sort, shuffle-hash join.
+    delta = sk.filter(F.col("val") % 3 != 0)
+    contrib = edges.join(delta.hint("shuffle_hash"), "ia").select(
+        F.col("ib").alias("node"), "val", F.lit(0).alias("old")
     )
     merged = (
         contrib.unionByName(
-            sk.select(F.col("ia").alias("node"), "val")
+            sk.select(F.col("ia").alias("node"), "val", F.lit(1).alias("old"))
         )
         .groupBy("node", F.shiftright("val", 6).alias("reg"))
-        .agg(F.max("val").alias("val"))
-        .select("node", "val")
+        .agg(
+            F.max("val").alias("val"),
+            F.max(F.when(F.col("old") == 1, F.col("val"))).alias("old_val"),
+        )
+        .select("node", "val", "old_val")
     )
     plan = _plan(merged)
     assert "HashAggregate" in plan, plan
