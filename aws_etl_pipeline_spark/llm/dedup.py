@@ -1179,3 +1179,128 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# -- incremental near-dup: a persisted band-signature index probed by
+#    the daily delta batch (the dedup twin of sim_ivf_incremental) --
+
+
+def _incr_minhash_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL.strip()}) AS sh
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents)
+),
+hashed AS (
+  SELECT doc_id, {_BASEHASH_SQL} AS hs FROM t
+),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_COLS_SQL}
+  FROM hashed
+),
+banded AS (
+  SELECT doc_id, [{", ".join(f"mh{k}" for k in range(N_MINHASH))}] AS sig,
+       {_BAND_SQL}
+  FROM sig
+),
+band_rows AS (
+  SELECT doc_id, sig, 0 AS band_idx, band0 AS band_hash FROM banded
+  UNION ALL SELECT doc_id, sig, 1, band1 FROM banded
+  UNION ALL SELECT doc_id, sig, 2, band2 FROM banded
+  UNION ALL SELECT doc_id, sig, 3, band3 FROM banded
+)
+SELECT DISTINCT b.doc_id AS batch_doc, h.doc_id AS hist_doc,
+       round(list_sum(list_transform(generate_series(1, {N_MINHASH}),
+               i -> CASE WHEN b.sig[i] = h.sig[i] THEN 1 ELSE 0 END))
+             / {N_MINHASH}.0, 6) AS est_jaccard
+FROM (SELECT * FROM band_rows WHERE doc_id % 2 = 1) b
+JOIN (SELECT * FROM band_rows WHERE doc_id % 2 = 0) h
+  ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash
+"""
+
+
+@query("dedup_incremental_minhash", oracle=_incr_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest — the production shape for "dedup
+    today's crawl drop against months of history" when exact
+    fingerprints (`dedup_incremental_bloom`) are not enough: the
+    HISTORY half of the corpus (even doc_ids) owns a PERSISTED
+    banded-minhash signature table (staged to parquet once per
+    fixture, content-addressed — the stored index a real pipeline
+    maintains across days); the NEW batch (odd doc_ids) is shingled
+    and minhashed ALONE and probes the stored bands with one
+    (band_idx, band_hash) equi-join. Emits (batch_doc, hist_doc,
+    est_jaccard) candidate pairs — the batch rows whose near-dup
+    twin already exists in history.
+
+    The point, visible in the plan: the history side is a parquet
+    SCAN of stored signatures (no second shingle -> minhash pipeline
+    anywhere — `tests/test_plans.py` pins exactly one stack() band
+    expansion), so each daily run pays O(|batch|) hashing +
+    an index probe, never a full-corpus re-shingle. At 100 TB the
+    band table is additionally bucketed by band_hash so the probe
+    shuffles only the batch side; after the probe the batch's own
+    signatures are appended to the index (here the stage is
+    immutable because the fixture is; `merge_into_parquet` is the
+    append device the upsert family already ships).
+
+    Candidate quality is identical to `dedup_minhash_lsh` — same 16
+    md5-derived permutations, 4 bands of 4 — so the estimated
+    Jaccard column is directly comparable across the family."""
+    import os
+
+    from ..api import _lsh_band_rows
+    from ..operators.graph import _STAGE_ROOT, _source_fingerprint, _stage
+
+    d = load_spread(spark, sf_dir, "documents")
+    key = _source_fingerprint(sf_dir, ("documents",))
+    hist = _stage(
+        spark,
+        os.path.join(_STAGE_ROOT, f"minhash_index_{key}"),
+        lambda: _lsh_band_rows(
+            d.where(F.col("doc_id") % 2 == 0),
+            "doc_id",
+            "text",
+            N_MINHASH,
+            N_BANDS,
+            SHINGLE,
+            include_sig=True,
+        ),
+    )
+    batch = _lsh_band_rows(
+        d.where(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+        N_MINHASH,
+        N_BANDS,
+        SHINGLE,
+        include_sig=True,
+    )
+    agreement = F.aggregate(
+        F.zip_with(
+            F.col("b.sig"), F.col("h.sig"), lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        # batch x index probe: the stored-signature side's plan-time
+        # size estimate derives from the staged parquet and is honest,
+        # but the batch side is a fresh shingle explosion the
+        # estimator under-counts 100x+ (same lesson as
+        # minhash_lsh_pairs) — pin a shuffle join.
+        batch.alias("b")
+        .hint("shuffle_hash")
+        .join(
+            hist.alias("h"),
+            (F.col("b.band_idx") == F.col("h.band_idx"))
+            & (F.col("b.band_hash") == F.col("h.band_hash")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_doc"),
+            F.col("h.doc_id").alias("hist_doc"),
+            F.round(agreement / float(N_MINHASH), 6).alias("est_jaccard"),
+        )
+        .distinct()
+    )

@@ -514,3 +514,226 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return decoded
+
+# -- real audio decode: synthesized RIFF/WAVE PCM through the numpy parser --
+
+
+class DecodedAudio(NamedTuple):
+    """Decoded PCM audio: what the pure-numpy WAV parser returns."""
+
+    sample_rate: int
+    n_channels: int
+    n_frames: int
+    samples: "np.ndarray"  # (n_frames, n_channels) int16
+
+
+def encode_wav16(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Serialize an (n_frames, n_channels) int16 array as a REAL
+    RIFF/WAVE file (canonical 44-byte header, PCM format 1, 16-bit,
+    little-endian interleaved frames) — byte-identical to what any
+    audio tool would write for plain PCM. Pure numpy + struct."""
+    n_frames, n_ch = samples.shape
+    block_align = n_ch * 2
+    data_size = n_frames * block_align
+    header = (
+        struct.pack("<4sI4s", b"RIFF", 36 + data_size, b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH",
+            b"fmt ",
+            16,
+            1,  # PCM
+            n_ch,
+            sample_rate,
+            sample_rate * block_align,
+            block_align,
+            16,  # bits per sample
+        )
+        + struct.pack("<4sI", b"data", data_size)
+    )
+    return header + samples.astype("<i2").tobytes()
+
+
+def decode_wav16(data: bytes) -> DecodedAudio:
+    """REAL audio decode without any codec library: walk the RIFF
+    chunk list with struct (tolerating extra chunks such as LIST/fact
+    before ``data``), validate 16-bit integer PCM, and unpack the
+    interleaved frames with one numpy ``frombuffer``/reshape. Header
+    sizes are validated BEFORE any allocation — malformed payloads
+    fail as clean ValueErrors, never as opaque numpy errors or
+    header-driven giant allocations (the BMP-decoder discipline)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(data)
+    fmt = None
+    while pos + 8 <= end:
+        cid, csize = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if csize > end - pos:
+            raise ValueError("truncated/invalid WAV: chunk out of bounds")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("truncated/invalid WAV: fmt chunk short")
+            fmt = struct.unpack_from("<HHIIHH", data, pos)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("truncated/invalid WAV: data before fmt")
+            audio_format, n_ch, rate, _brate, block_align, bits = fmt
+            if audio_format != 1 or bits != 16:
+                raise ValueError("only 16-bit integer PCM is supported")
+            if n_ch <= 0 or rate <= 0 or block_align != n_ch * 2:
+                raise ValueError("truncated/invalid WAV: bad fmt fields")
+            if csize % block_align != 0:
+                raise ValueError("truncated/invalid WAV: partial frame")
+            n_frames = csize // block_align
+            samples = np.frombuffer(
+                data, dtype="<i2", count=n_frames * n_ch, offset=pos
+            ).reshape(n_frames, n_ch)
+            return DecodedAudio(
+                sample_rate=rate,
+                n_channels=n_ch,
+                n_frames=n_frames,
+                samples=samples,
+            )
+        pos += csize + (csize & 1)  # RIFF chunks are word-aligned
+    raise ValueError("truncated/invalid WAV: no data chunk")
+
+
+#: synthetic audio geometry per doc: frame counts 120..220 (prime
+#: modulus so durations vary), alternating mono/stereo so the channel
+#: de-interleave path is exercised on every other file.
+_WAV_RATE = 8000
+_WAV_N_BASE, _WAV_N_MOD = 120, 101
+
+
+def _wav_sample_planes(doc_id: int, n_frames: int, n_ch: int) -> "np.ndarray":
+    """The closed-form synthetic waveform: per-channel affine integer
+    functions of (doc_id, frame, channel) wrapped to the int16 range —
+    chosen SQL-expressible so a DuckDB oracle can recompute the
+    decoded sample statistics without ever parsing a WAV file.
+    Vectorized over the full (frames x channels) grid."""
+    i, c = np.mgrid[0:n_frames, 0:n_ch].astype(np.int64)
+    d = int(doc_id)
+    return ((d * 31 + i * 17 + c * 7919) % 65536 - 32768).astype(np.int16)
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """One deterministic real WAV file for a doc id."""
+    n_frames = _WAV_N_BASE + int(doc_id) % _WAV_N_MOD
+    n_ch = 1 + int(doc_id) % 2
+    return encode_wav16(_wav_sample_planes(doc_id, n_frames, n_ch), _WAV_RATE)
+
+
+def _wav_synth_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow batches of doc ids -> real WAV payloads (binary column)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [synth_wav(d) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def _wav_decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow batches of WAV payloads -> per-channel decoded sample
+    statistics via the REAL parser (``decode_wav16``). Every output
+    is an EXACT int64 (sums, extrema, sum of squares) — no float
+    rounding anywhere, so oracle parity is engine-independent by
+    construction (the r13 rounding advice, applied from day one)."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id",
+                "sample_rate",
+                "n_channels",
+                "channel",
+                "n_frames",
+                "amp_sum",
+                "amp_min",
+                "amp_max",
+                "energy",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            au = decode_wav16(bytes(payload))
+            s = au.samples.astype(np.int64)
+            for c in range(au.n_channels):
+                ch = s[:, c]
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(au.sample_rate)
+                out["n_channels"].append(au.n_channels)
+                out["channel"].append(c)
+                out["n_frames"].append(au.n_frames)
+                out["amp_sum"].append(int(ch.sum()))
+                out["amp_min"].append(int(ch.min()))
+                out["amp_max"].append(int(ch.max()))
+                out["energy"].append(int((ch * ch).sum()))
+        yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+
+@query(
+    "multimodal_decode_wav",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         {_WAV_N_BASE} + doc_id % {_WAV_N_MOD} AS nf,
+         1 + doc_id % 2 AS nch
+  FROM documents
+),
+fr AS (SELECT doc_id, nf, nch, unnest(generate_series(0, nf - 1)) AS i FROM dims),
+smp AS (SELECT doc_id, nf, nch, i, unnest(generate_series(0, nch - 1)) AS c FROM fr),
+v AS (
+  SELECT doc_id, nf, nch, c,
+         (doc_id * 31 + i * 17 + c * 7919) % 65536 - 32768 AS s
+  FROM smp
+)
+SELECT doc_id, {_WAV_RATE}::BIGINT AS sample_rate, nch::BIGINT AS n_channels,
+       c::BIGINT AS channel, nf::BIGINT AS n_frames,
+       sum(s)::BIGINT AS amp_sum, min(s)::BIGINT AS amp_min,
+       max(s)::BIGINT AS amp_max, sum(s * s)::BIGINT AS energy
+FROM v GROUP BY doc_id, nf, nch, c
+""",
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end-to-end and oracle-verified — the audio
+    twin of ``multimodal_decode_bmp`` (r13 verdict #4): per document a
+    genuine RIFF/WAVE 16-bit PCM file (mono or stereo, varying
+    duration) is synthesized from a closed-form waveform (mapInPandas
+    stage 1), the binary payloads cross a hash exchange exactly as
+    recorded audio would in a real ingest, and a second mapInPandas
+    stage decodes every file with the pure-numpy WAV parser
+    (``decode_wav16`` — RIFF chunk walk, fmt validation, interleaved
+    int16 frame unpack; NO codec library) and emits per-channel sample
+    statistics. Because the samples are a SQL-expressible function of
+    (doc_id, frame, channel), the DuckDB oracle recomputes the SAME
+    statistics from the formula — any parser defect (chunk offsets,
+    channel de-interleave, sign handling, frame count) flips the value
+    hash. Every stat is an exact int64; no float rounding exists to
+    diverge between engines. The encoder/decoder pair is additionally
+    round-trip- and golden-byte-pinned in
+    ``tests/test_multimodal_decode.py``.
+
+    100 TB shape: both stages are Arrow-batched numpy over
+    ``mapInPandas`` — linear, partition-parallel, payloads never at
+    the driver; the synth->decode exchange is one-row-per-file of ~KB
+    blobs (the real fetch-then-decode topology, decode parallelism
+    decoupled from source layout). Audio bytes stay opaque binary to
+    Spark; only fixed-width stats columns emerge."""
+    d = load_spread(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(
+        _wav_synth_batches, schema="doc_id long, payload binary"
+    )
+    decoded = payloads.repartition("doc_id").mapInPandas(
+        _wav_decode_batches,
+        schema=(
+            "doc_id long, sample_rate long, n_channels long, channel long, "
+            "n_frames long, amp_sum long, amp_min long, amp_max long, "
+            "energy long"
+        ),
+    )
+    return decoded

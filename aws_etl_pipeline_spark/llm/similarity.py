@@ -2760,3 +2760,217 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "cosine", "from_delta")
     )
+
+
+#: retrain gate for the composed index-maintenance capstone: if the
+#: cosine between the base corpus's and the delta batch's per-dimension
+#: ENERGY profiles (second-moment vectors) falls below this, the
+#: arrivals no longer look like the distribution the quantizer was
+#: trained on and the index must be rebuilt. (Centroid-direction cosine
+#: — `quality_embedding_drift`'s signal — is noise for a zero-centered
+#: cloud; the energy profile is stable under same-distribution sampling
+#: at every fixture SF: 0.986-0.997 measured, so 0.95 separates cleanly.)
+MAINT_COS_FLOOR = 0.95
+
+#: shared SQL for the maintenance gate + both assignment branches
+_MAINT_CTES = f"""
+e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+corpus AS (SELECT * FROM e WHERE vec_id >= {N_QUERIES}),
+xx AS (
+  SELECT CASE WHEN vec_id % {DELTA_MOD} = 0 THEN 1 ELSE 0 END AS grp, u.d, u.x
+  FROM corpus, LATERAL (SELECT unnest(generate_series(1, len(v))) AS d,
+                               unnest(v) AS x) u
+),
+m2 AS (
+  SELECT grp, d,
+         CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS e2
+  FROM xx GROUP BY grp, d
+),
+gate AS (
+  SELECT CAST(sum(CAST(a.e2 * b.e2 AS DECIMAL(38,18))) AS DOUBLE)
+         / (sqrt(CAST(sum(CAST(a.e2 * a.e2 AS DECIMAL(38,18))) AS DOUBLE))
+            * sqrt(CAST(sum(CAST(b.e2 * b.e2 AS DECIMAL(38,18))) AS DOUBLE)))
+         AS dc
+  FROM (SELECT * FROM m2 WHERE grp = 0) a
+  JOIN (SELECT * FROM m2 WHERE grp = 1) b ON a.d = b.d
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+)
+"""
+
+
+def _maint_cent_sql(train_pred: str) -> str:
+    """Per-label coarse-centroid CTE body over ``corpus`` rows
+    satisfying ``train_pred`` — the quantizer-train twin of
+    ``_ivf_base``'s, parameterized by the training population."""
+    return f"""(
+  SELECT label AS cell, list(c ORDER BY d) AS cv
+  FROM (SELECT label, d,
+               CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+        FROM (SELECT label, u.d, u.x
+              FROM corpus, LATERAL (SELECT unnest(generate_series(1, len(v))) AS d,
+                                           unnest(v) AS x) u
+              WHERE {train_pred})
+        GROUP BY label, d)
+  GROUP BY label
+)"""
+
+
+def _maint_assign_sql(cent_cte: str, rows_pred: str) -> str:
+    """Nearest-cell assignment of ``n`` rows satisfying ``rows_pred``
+    against ``cent_cte`` — the SQL twin of ``hash_argmin`` over the
+    broadcast centroid relation."""
+    return f"""(
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, cent.cv)
+                      / (n.nrm * sqrt(list_sum(list_transform(cent.cv, x -> x*x))))
+                      DESC, cent.cell) AS rn
+    FROM n CROSS JOIN {cent_cte} cent
+    WHERE n.vec_id >= {N_QUERIES} AND ({rows_pred})
+  ) WHERE rn = 1
+)"""
+
+
+def _maintenance_drift(spark: SparkSession, sf_dir: str) -> float:
+    """The gate scalar: cosine between base and delta per-dimension
+    energy profiles. One corpus scan with (2 x dims) state, folded to
+    a single row — the collect is a bounded 1-row control-plane read
+    (the MMR / scalar-verdict precedent), never corpus-sized."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    x = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        (F.col("vec_id") % DELTA_MOD == 0).cast("int").alias("grp"),
+        F.posexplode(_as_double("embedding")).alias("d", "x"),
+    )
+    m2 = x.groupBy("grp", "d").agg(
+        (
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("e2")
+    )
+    a = m2.where(F.col("grp") == 0).select("d", F.col("e2").alias("a2"))
+    b = m2.where(F.col("grp") == 1).select("d", F.col("e2").alias("b2"))
+    row = (
+        a.join(b, "d")
+        .agg(
+            (
+                F.sum((F.col("a2") * F.col("b2")).cast("decimal(38,18)")).cast(
+                    "double"
+                )
+                / (
+                    F.sqrt(
+                        F.sum(
+                            (F.col("a2") * F.col("a2")).cast("decimal(38,18)")
+                        ).cast("double")
+                    )
+                    * F.sqrt(
+                        F.sum(
+                            (F.col("b2") * F.col("b2")).cast("decimal(38,18)")
+                        ).cast("double")
+                    )
+                )
+            ).alias("dc")
+        )
+        .collect()
+    )
+    return float(row[0]["dc"])
+
+
+def _maintenance_assign(
+    spark: SparkSession, sf_dir: str, retrain: bool
+) -> DataFrame:
+    """The two physical branches of the maintenance decision.
+
+    ``retrain=False`` (the common day): the quantizer stays FROZEN —
+    trained on the base corpus only, exactly `sim_ivf_incremental`'s
+    device — and assignment scans ONLY the delta batch (pushed
+    ``vec_id % {DELTA_MOD}`` filter): O(|delta| x cells) work, the
+    base index untouched.
+
+    ``retrain=True`` (the drift day): the quantizer retrains on the
+    FULL corpus (base + delta) and every corpus vector is re-assigned
+    — the corpus-sized rebuild, paid only when the gate fires."""
+    is_corpus = F.col("vec_id") >= N_QUERIES
+    is_delta = F.col("vec_id") % DELTA_MOD == 0
+    train = is_corpus if retrain else (is_corpus & ~is_delta)
+    n, cent_n = _ivf_base(spark, sf_dir, train_filter=train)
+    rows = is_corpus if retrain else (is_corpus & is_delta)
+    return hash_argmin(
+        n.filter(rows).select("vec_id", "v", "nrm"),
+        cent_n,
+        None,
+        -_cell_sim(),
+        ["vec_id"],
+    ).select("vec_id", "cell")
+
+
+@query(
+    "sim_index_maintenance",
+    oracle=f"""
+WITH {_MAINT_CTES}
+SELECT f.vec_id, f.cell, round(g.dc, 6) AS drift_cosine,
+       FALSE AS retrain_required
+FROM {_maint_assign_sql(_maint_cent_sql(f"vec_id % {DELTA_MOD} != 0"), f"vec_id % {DELTA_MOD} = 0")} f,
+     gate g
+WHERE g.dc >= {MAINT_COS_FLOOR}
+UNION ALL
+SELECT r.vec_id, r.cell, round(g.dc, 6) AS drift_cosine,
+       TRUE AS retrain_required
+FROM {_maint_assign_sql(_maint_cent_sql("TRUE"), "TRUE")} r,
+     gate g
+WHERE g.dc < {MAINT_COS_FLOOR}
+""",
+)
+def sim_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The similarity family's composed capstone (r13 verdict #8):
+    drift-gated index maintenance — the daily decision loop of a
+    production vector store, under ONE oracle. The delta batch (every
+    {DELTA_MOD}-th corpus vector, `sim_ivf_incremental`'s fixture)
+    arrives; the gate computes the cosine between base and delta
+    per-dimension ENERGY profiles (a one-scan drift monitor in the
+    `quality_embedding_drift` family — the vector-space alarm that an
+    embedding-model rev rotated/rescaled the space); and the engine
+    takes exactly one branch:
+
+      * gate >= {MAINT_COS_FLOOR} (no drift — the common day): the
+        quantizer stays FROZEN, only the delta batch is assigned
+        (O(|delta| x cells)); output is the delta segment's
+        (vec_id, cell) rows.
+      * gate < {MAINT_COS_FLOOR} (drift): full retrain — centroids
+        recomputed over base+delta and EVERY corpus vector
+        re-assigned; output is corpus-sized.
+
+    Every row carries (drift_cosine, retrain_required), so the
+    driver's value hash pins that BOTH engines computed the same gate
+    scalar AND took the same branch — the oracle spells the decision
+    as a gate-predicated UNION of the two branches. The Spark side
+    branches in Python on a 1-row collected scalar (bounded
+    control-plane; the MMR precedent) so only the taken branch's plan
+    is ever BUILT: `tests/test_plans.py` pins that the no-drift plan
+    assigns only delta rows and trains nothing on the full corpus,
+    and the retrain branch is pytest-driven with a perturbed gate
+    (`tests/test_llm.py`).
+
+    100 TB shape: the gate is one corpus scan folding to (2 x dims)
+    state — map-side-combined, nothing corpus-sized moves; the common
+    day then touches only the arrivals (the whole point of the
+    ladder: `sim_ivf_incremental` serves the delta, this query
+    decides WHEN that stops being sound); the corpus-sized rebuild is
+    paid exactly when the monitor says the frozen geometry is stale —
+    the retrain-vs-delta economics, encoded."""
+    dc = _maintenance_drift(spark, sf_dir)
+    retrain = not (dc >= MAINT_COS_FLOOR)
+    assign = _maintenance_assign(spark, sf_dir, retrain)
+    return assign.select(
+        "vec_id",
+        "cell",
+        F.round(F.lit(dc), 6).alias("drift_cosine"),
+        F.lit(retrain).alias("retrain_required"),
+    )

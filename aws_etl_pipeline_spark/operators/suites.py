@@ -344,6 +344,8 @@ SUITES: dict[str, list[str]] = {
         # r9 eleventh batch: b-bit minwise hashing (32x signature
         # memory cut, debiased estimator next to the full-width one)
         "dedup_minhash_bbit",
+        # r14: persisted band-signature index probed by the delta batch
+        "dedup_incremental_minhash",
     ],
     "suite_sim": [
         "sim_bruteforce_topk",
@@ -352,6 +354,8 @@ SUITES: dict[str, list[str]] = {
         "sim_ivf_ann",
         # r13: frozen-quantizer delta-segment index maintenance
         "sim_ivf_incremental",
+        # r14: drift-gated retrain-vs-delta maintenance capstone
+        "sim_index_maintenance",
         "sim_ivf_sq8",
         "sim_ivf_sq8_rerank",
         "sim_ivf_truepq",
@@ -448,6 +452,9 @@ SUITES: dict[str, list[str]] = {
         # r13: REAL image decode (synthesized BMP files through the
         # pure-numpy BI_RGB parser, formula-recomputing oracle)
         "multimodal_decode_bmp",
+        # r14: REAL audio decode (synthesized RIFF/WAVE PCM through the
+        # pure-numpy chunk-walk parser, formula-recomputing oracle)
+        "multimodal_decode_wav",
     ],
     "suite_assembly": [
         "pack_token_budget",

@@ -231,8 +231,10 @@ PRIORITY: tuple[str, ...] = (
     # TABLE global pagerank and the exchange-trimmed boilerplate
     # n-gram filter rotated out in r13 (direct green r12 of the new
     # plans; suite_analytics / suite_text digests) to fund the two r13
-    # first-round rows below.
-    "stream_exec_topk_merge",
+    # first-round rows below. stream_exec_topk_merge itself rotated
+    # out r14 — direct green r12+r13 of the threshold-pruned plan;
+    # suite_streaming digest — to keep the block at the 50-row budget
+    # with the three r14 newcomers seated.
     # r12 new operators: first direct rows per policy (each also
     # digest-seated in suite_analytics / suite_streaming so a future
     # rotation can vacate them)
@@ -244,12 +246,13 @@ PRIORITY: tuple[str, ...] = (
     # — direct green r12; suite_sim / suite_text digests — to fund
     # the effective-diameter and incremental-IVF first-round rows.)
     "er_golden_record",
-    "graph_neighborhood_function",
+    # (graph_neighborhood_function rotated out r14 — direct green
+    # r12+r13; suite_analytics digest; its at-scale register sibling
+    # keeps a seat below. feature_quantile_normalize rotated out r14 —
+    # direct green r12+r13 after its r12-verdict-#6 extra round;
+    # suite_analytics digest. Both seats fund the r14 newcomers.)
     "sim_late_interaction",
     "sim_binary_quantized",
-    # keeps its seat one more round (r12 verdict #6: landed after the
-    # round-12 sweep, one direct green so far)
-    "feature_quantile_normalize",
     # r13 new operators: first direct rows per policy (each also
     # digest-seated in suite_analytics / suite_multimodal / suite_sim
     # so a future rotation can vacate them) — the HLL-register
@@ -260,10 +263,26 @@ PRIORITY: tuple[str, ...] = (
     # quantizer incremental IVF delta segment. The second pair's
     # seats are funded by sim_mmr_rerank and decontaminate_fractional
     # rotating out (direct green r12; suite_sim / suite_text digests).
+    # graph_neighborhood_registers and graph_effective_diameter KEEP
+    # their seats in r14: the changed-only delta propagation + the
+    # in-session round-cache landed after the r13 artifacts, so the
+    # NEW plans' first direct rows are this round's (the
+    # graph_personalized_pagerank changed-plan precedent).
+    # multimodal_decode_bmp likewise keeps its seat: the r13-advice
+    # integer-rounding respelling changed both engines' mean columns.
     "graph_neighborhood_registers",
     "multimodal_decode_bmp",
     "graph_effective_diameter",
     "sim_ivf_incremental",
+    # r14 new operators: first direct rows per policy (each also
+    # digest-seated in suite_dedup / suite_multimodal / suite_sim so a
+    # future rotation can vacate them) — the persisted-band-index
+    # incremental near-dup probe (r13 verdict #3), the real RIFF/WAVE
+    # PCM decode (r13 verdict #4), and the drift-gated
+    # retrain-vs-delta maintenance capstone (r13 verdict #8).
+    "dedup_incremental_minhash",
+    "multimodal_decode_wav",
+    "sim_index_maintenance",
     # (window_ranking rotated out r5 — suite_window digest; direct
     # green r4.)
     # (sql_cte_chain / scan_partition_pruned rotated out r4 —

@@ -541,3 +541,96 @@ def test_fractional_decon_is_weaker_than_binary_screen(spark, sf_dir):
         assert 0 <= f.n_flagged <= f.n_any_overlap <= f.n_train, f
         assert f.n_any_overlap == strict[src].n_contaminated, (f, strict[src])
         assert 0.0 <= f.avg_overlap_frac <= 1.0, f
+
+
+def test_incremental_minhash_agrees_with_full_lsh(spark, sf_dir):
+    """The incremental probe (stored history index x live batch
+    signatures) must surface EXACTLY the full LSH run's cross-parity
+    pairs — same bands, same permutations, so candidates and
+    estimated Jaccard coincide; the only difference is who computed
+    the history signatures and when."""
+    from aws_etl_pipeline_spark.llm.dedup import (
+        dedup_incremental_minhash,
+        dedup_minhash_lsh,
+    )
+
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+        if (r.doc_a % 2) != (r.doc_b % 2)
+    }
+    incr = {
+        tuple(sorted((r.batch_doc, r.hist_doc))): r.est_jaccard
+        for r in dedup_incremental_minhash(spark, sf_dir).collect()
+    }
+    assert incr == full
+    assert len(incr) > 0  # fixture must exercise the probe
+
+
+def test_incremental_minhash_index_is_staged_once(spark, sf_dir):
+    """The history band-signature table is a content-addressed parquet
+    stage: after one run the index exists on disk, and the query plan
+    reads it as a FileScan (the stored-index probe) rather than
+    rebuilding the shingle->minhash pipeline for history."""
+    import os
+
+    from aws_etl_pipeline_spark.llm.dedup import dedup_incremental_minhash
+    from aws_etl_pipeline_spark.operators.graph import (
+        _STAGE_ROOT,
+        _source_fingerprint,
+    )
+
+    df = dedup_incremental_minhash(spark, sf_dir)
+    df.count()
+    key = _source_fingerprint(sf_dir, ("documents",))
+    dest = os.path.join(_STAGE_ROOT, f"minhash_index_{key}")
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert f"minhash_index_{key}" in plan
+
+
+def test_index_maintenance_common_day_is_delta_sized(spark, sf_dir):
+    """With the fixture's in-distribution delta the gate must choose
+    the frozen branch: output rows = the delta batch exactly, flag
+    False, drift cosine above the floor."""
+    from aws_etl_pipeline_spark.catalog import load_table
+    from aws_etl_pipeline_spark.llm.similarity import (
+        DELTA_MOD,
+        MAINT_COS_FLOOR,
+        N_QUERIES,
+        sim_index_maintenance,
+    )
+
+    rows = sim_index_maintenance(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    n_delta = e.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % DELTA_MOD == 0)
+    ).count()
+    assert len(rows) == n_delta
+    assert all(not r.retrain_required for r in rows)
+    assert all(r.drift_cosine >= MAINT_COS_FLOOR for r in rows)
+    assert all(r.vec_id % DELTA_MOD == 0 for r in rows)
+
+
+def test_index_maintenance_drift_day_retrains_everything(spark, sf_dir, monkeypatch):
+    """Force the gate (floor above the measured cosine): the retrain
+    branch must re-assign the FULL corpus under a quantizer trained on
+    base+delta, and the flag must flip on every row."""
+    from aws_etl_pipeline_spark.catalog import load_table
+    from aws_etl_pipeline_spark.llm import similarity as sim
+
+    monkeypatch.setattr(sim, "MAINT_COS_FLOOR", 1.5)
+    rows = sim.sim_index_maintenance(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    n_corpus = e.filter(F.col("vec_id") >= sim.N_QUERIES).count()
+    assert len(rows) == n_corpus
+    assert all(r.retrain_required for r in rows)
+    # the two physical branches really are different relations: the
+    # frozen branch assigns only the delta batch, and that batch is a
+    # strict subset of what the retrain branch re-assigned
+    frozen_ids = {
+        r.vec_id
+        for r in sim._maintenance_assign(spark, sf_dir, retrain=False).collect()
+    }
+    retrained_ids = {r.vec_id for r in rows}
+    assert frozen_ids and frozen_ids < retrained_ids

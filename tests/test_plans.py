@@ -1120,3 +1120,54 @@ def test_bmp_decode_plan_is_two_arrow_stages_one_exchange(spark, sf_dir):
     assert plan.count("MapInPandas") >= 2, plan
     assert "BatchEvalPython" not in plan, plan
     assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_wav_decode_plan_is_two_arrow_stages_one_exchange(spark, sf_dir):
+    """r14: the audio decode pipeline mirrors the BMP contract —
+    exactly two Arrow-batched Python stages (synthesize, decode)
+    separated by one hash exchange of the binary payloads; no
+    row-at-a-time Python, no extra shuffles."""
+    from aws_etl_pipeline_spark.llm.multimodal import multimodal_decode_wav
+
+    plan = _plan(multimodal_decode_wav(spark, sf_dir))
+    assert plan.count("MapInPandas") >= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_incremental_minhash_probes_stored_index(spark, sf_dir):
+    """r14: the incremental near-dup probe must read the HISTORY side
+    from the staged parquet index — exactly ONE live stack() band
+    expansion (the batch side), one shuffle-hash band join, and no
+    cartesian anywhere. A second shingle->minhash pipeline in the plan
+    means the full-corpus re-shingle came back."""
+    from aws_etl_pipeline_spark.llm.dedup import dedup_incremental_minhash
+
+    df = dedup_incremental_minhash(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("stack(4") == 1, plan  # batch side only
+    assert "minhash_index_" in plan, plan  # history = stored parquet
+    assert "ShuffledHashJoin" in plan, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_index_maintenance_common_day_trains_frozen_assigns_delta(spark, sf_dir):
+    """r14: on the no-drift branch the maintenance plan must (a) push
+    the delta-batch filter into the assignment scan — only arrivals
+    are assigned — and (b) train the quantizer WITHOUT the delta (the
+    frozen-quantizer contract): the train-side aggregation carries the
+    NOT-delta predicate. The corpus-sized re-assign exists only on the
+    retrain branch (exercised in tests/test_llm.py)."""
+    from aws_etl_pipeline_spark.llm.similarity import (
+        DELTA_MOD,
+        _maintenance_assign,
+    )
+
+    df = _maintenance_assign(spark, sf_dir, retrain=False)
+    plan = _plan(df)
+    assert f"% {DELTA_MOD}) = 0" in plan, plan  # delta-only assignment
+    # the frozen train population (NOT % DELTA_MOD = 0) must appear too
+    assert f"NOT ((vec_id" in plan, plan
+    # and the argmin contract holds: hash aggregates only, no sorted
+    # corpus-sized aggregate on the common day
+    assert "SortAggregate" not in plan, plan

@@ -28,9 +28,9 @@ def test_oracle_sql_is_single_statement():
 
 # -- counts pinned against COVERAGE.md and the driver's 50-row budget --
 
-DOCUMENTED_TOTAL = 378  # COVERAGE.md "378 named queries total"
-DOCUMENTED_GRANULAR = 356  # r13: +graph_neighborhood_registers,
-# +multimodal_decode_bmp, +graph_effective_diameter, +sim_ivf_incremental
+DOCUMENTED_TOTAL = 381  # COVERAGE.md "381 named queries total"
+DOCUMENTED_GRANULAR = 359  # r14: +dedup_incremental_minhash,
+# +multimodal_decode_wav, +sim_index_maintenance
 DOCUMENTED_SUITES = 22
 DOCUMENTED_ROWS_ONLY = 2  # gen_transactions, stream_file_ingest
 
@@ -301,16 +301,13 @@ def test_rotated_out_slots_stay_digest_covered():
     # plan, plus first-round rows for the r12 operators (each
     # digest-seated so a future rotation can vacate them)
     for rotated_in in (
-        "stream_exec_topk_merge",
         "graph_triangle_doulion",
         "stream_exec_asof_join_watermarked",
         "corpus_assembly_pipeline",
         "graph_triangle_capped",
         "er_golden_record",
-        "graph_neighborhood_function",
         "sim_late_interaction",
         "sim_binary_quantized",
-        "feature_quantile_normalize",
     ):
         assert rotated_in in PRIORITY, rotated_in
         assert rotated_in in digest_covered, rotated_in  # future rotation can vacate
@@ -333,6 +330,26 @@ def test_rotated_out_slots_stay_digest_covered():
         "multimodal_decode_bmp",
         "graph_effective_diameter",
         "sim_ivf_incremental",
+    ):
+        assert rotated_in in PRIORITY, rotated_in
+        assert rotated_in in digest_covered, rotated_in
+    # the round-14 rotation (r13 verdict #7): stream_exec_topk_merge
+    # (direct green r12+r13 of the threshold-pruned plan),
+    # graph_neighborhood_function (direct green r12+r13) and
+    # feature_quantile_normalize (direct green r12+r13 after its
+    # extra round) leave — suite_streaming / suite_analytics digests —
+    # to fund first-round rows for the three r14 operators, each
+    # digest-seated so a future rotation can vacate them.
+    for rotated_out in (
+        "stream_exec_topk_merge",
+        "graph_neighborhood_function",
+        "feature_quantile_normalize",
+    ):
+        assert rotated_out in digest_covered, rotated_out
+    for rotated_in in (
+        "dedup_incremental_minhash",
+        "multimodal_decode_wav",
+        "sim_index_maintenance",
     ):
         assert rotated_in in PRIORITY, rotated_in
         assert rotated_in in digest_covered, rotated_in
