@@ -2055,6 +2055,59 @@ def _nfr_oracle() -> str:
     return f"WITH {ctes}\n{stats}"
 
 
+def nf_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The neighborhood-function edge relation (ia, ib — h60-hashed
+    symmetric customer/supplier labels) as a Spark BUCKETED TABLE
+    ``CLUSTERED BY (ia) SORTED BY (ia) INTO {PR_EDGE_BUCKETS}
+    BUCKETS`` over an external parquet location, staged once per
+    fixture — the `pagerank_edges_table` layout applied to the
+    HyperBall family. A bucketed scan reports HashPartitioning(ia),
+    so every round's ``edges JOIN delta ON ia`` consumes the on-disk
+    layout with ZERO edge-side exchange; the seed's
+    ``SELECT DISTINCT ia`` partial-aggregates per bucket
+    exchange-free for the same reason. This is what makes register
+    SLICING affordable: G slices x {NF_ROUNDS} rounds of join passes
+    re-shuffle nothing edge-sized (the per-run parquet spelling paid
+    a full edge exchange per round — at the 1000x replica that is a
+    ~19 GB shuffle write per pass, x G*rounds passes)."""
+    key = _source_fingerprint(sf_dir, ("lineitem", "orders"))
+    tbl = f"nf_edges_b{PR_EDGE_BUCKETS}_{key}"
+    dest = os.path.join(_STAGE_ROOT, tbl)
+    if not spark.catalog.tableExists(tbl):
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+            spark.sql(
+                f"""CREATE TABLE IF NOT EXISTS {tbl}
+                    (ia BIGINT, ib BIGINT)
+                    USING parquet
+                    CLUSTERED BY (ia) SORTED BY (ia)
+                    INTO {PR_EDGE_BUCKETS} BUCKETS
+                    LOCATION '{dest}'"""
+            )
+        else:
+            from .sketches import _h60_spark
+
+            pairs = _custsupp_labeled(spark, sf_dir)
+            ids = pairs.select(
+                _h60_spark(F.col("a")).alias("ia"),
+                _h60_spark(F.col("b")).alias("ib"),
+            )
+            (
+                ids.union(
+                    ids.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+                )
+                # pre-shuffle to the bucket key so each bucket is
+                # written by one task: {PR_EDGE_BUCKETS} files, no
+                # tasks-x-buckets small-file fan-out
+                .repartition(PR_EDGE_BUCKETS, F.col("ia"))
+                .write.bucketBy(PR_EDGE_BUCKETS, "ia")
+                .sortBy("ia")
+                .option("path", dest)
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+    return spark.table(tbl)
+
+
 #: in-session reuse cache for COMPLETED register-round state roots
 #: (r13 verdict #2): (source fingerprint, rounds, m) -> run root. The
 #: producer (`graph_neighborhood_registers`) always rebuilds and
@@ -2128,56 +2181,103 @@ def _nfr_state_root(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    edges = _nf_edges(spark, sf_dir, "spark_graft_nfregstate")
+    # Register SLICING (r14, the out-of-core knob for the 1000x
+    # decade): registers are INDEPENDENT under the MAX merge — node
+    # u's seed populates exactly one register index (h % m), and a
+    # round never mixes indexes — so the whole iteration partitions
+    # EXACTLY by register index. SPARK_GRAFT_NF_SLICES=G runs the
+    # rounds G times on disjoint index classes (reg % G == s) and
+    # unions the per-slice states into the same m0..m{NF_ROUNDS}
+    # relations, BIT-IDENTICAL to the one-pass build: peak transient
+    # disk (the round-2 contribution shuffle — 97% of registers still
+    # rise in the ball-doubling round on this dense graph, so delta
+    # propagation cannot shrink it) divides by G, total work stays
+    # ~constant. The classic passes-for-footprint trade; a cluster
+    # needs G=1, a disk-bounded single box picks G to fit. Sliced
+    # mode reads edges from the BUCKETED TABLE (`nf_edges_table`) so
+    # the G x rounds join passes never re-shuffle the edge relation.
+    slices = int(os.environ.get("SPARK_GRAFT_NF_SLICES", "1"))
+    if slices > 1:
+        edges = nf_edges_table(spark, sf_dir)
+    else:
+        edges = _nf_edges(spark, sf_dir, "spark_graft_nfregstate")
     # seed: each node's own hash IS its id (KMV-sibling identity
     # trick); every seed register is "new", so delta_0 = state_0.
-    prev = mat(
+    seed = (
         edges.select(F.col("ia").alias("node"))
         .distinct()
         .select(
             "node",
             _nfr_val(F.col("node")).alias("val"),
             F.lit(None).cast("int").alias("old_val"),
-        ),
-        "m0",
-    )
-    for r in range(1, NF_ROUNDS + 1):
-        delta = prev.filter(
-            F.col("old_val").isNull() | (F.col("val") > F.col("old_val"))
-        ).select("node", "val")
-        contrib = edges.join(
-            delta.withColumnRenamed("node", "ia").hint("shuffle_hash"), "ia"
-        ).select(F.col("ib").alias("node"), "val", F.lit(0).alias("old"))
-        # ONE exchange per round, and it is a combinable MAX: the
-        # groupBy below partial-aggregates map-side (HashAggregate,
-        # no sort anywhere), so what crosses the wire is the
-        # post-combine register relation, never the raw contribution
-        # stream when locality allows. old_val rides the same
-        # aggregate (max over the single old=1 row per register), so
-        # the NEXT round's delta needs no further pass.
-        prev = mat(
-            contrib.unionByName(
-                prev.select("node", "val", F.lit(1).alias("old"))
-            )
-            .groupBy("node", F.shiftright("val", 6).alias("reg"))
-            .agg(
-                F.max("val").alias("val"),
-                F.max(F.when(F.col("old") == 1, F.col("val"))).alias(
-                    "old_val"
-                ),
-            )
-            .select("node", "val", "old_val"),
-            f"m{r}",
         )
-        # once the round's state is on parquet, the previous round's
-        # shuffle files are garbage — but Spark's ContextCleaner only
-        # reclaims them after a DRIVER GC notices the dropped refs.
-        import gc as _gc
+    )
 
-        _gc.collect()
-        _jvm = getattr(getattr(spark, "sparkContext", None), "_jvm", None)
-        if _jvm is not None:
-            _jvm.System.gc()
+    def run_rounds(seed_df: DataFrame, subdir: str) -> None:
+        prev = mat(seed_df, os.path.join(subdir, "m0"))
+        for r in range(1, NF_ROUNDS + 1):
+            delta = prev.filter(
+                F.col("old_val").isNull() | (F.col("val") > F.col("old_val"))
+            ).select("node", "val")
+            contrib = edges.join(
+                delta.withColumnRenamed("node", "ia").hint("shuffle_hash"),
+                "ia",
+            ).select(F.col("ib").alias("node"), "val", F.lit(0).alias("old"))
+            # ONE exchange per round, and it is a combinable MAX: the
+            # groupBy below partial-aggregates map-side (HashAggregate,
+            # no sort anywhere), so what crosses the wire is the
+            # post-combine register relation, never the raw contribution
+            # stream when locality allows. old_val rides the same
+            # aggregate (max over the single old=1 row per register), so
+            # the NEXT round's delta needs no further pass.
+            prev = mat(
+                contrib.unionByName(
+                    prev.select("node", "val", F.lit(1).alias("old"))
+                )
+                .groupBy("node", F.shiftright("val", 6).alias("reg"))
+                .agg(
+                    F.max("val").alias("val"),
+                    F.max(F.when(F.col("old") == 1, F.col("val"))).alias(
+                        "old_val"
+                    ),
+                )
+                .select("node", "val", "old_val"),
+                os.path.join(subdir, f"m{r}"),
+            )
+            # once the round's state is on parquet, the previous round's
+            # shuffle files are garbage — but Spark's ContextCleaner only
+            # reclaims them after a DRIVER GC notices the dropped refs.
+            import gc as _gc
+
+            _gc.collect()
+            _jvm = getattr(getattr(spark, "sparkContext", None), "_jvm", None)
+            if _jvm is not None:
+                _jvm.System.gc()
+
+    if slices == 1:
+        run_rounds(seed, "")
+    else:
+        for s in range(slices):
+            run_rounds(
+                seed.filter(F.shiftright("val", 6) % slices == s),
+                f"s{s}",
+            )
+        # combine: per-round union of the disjoint slice states — the
+        # rows are exactly the one-pass build's (registers partition
+        # by index), so every reader (readout, stats, oracle pin) is
+        # unchanged. Slice dirs are dropped as soon as each round's
+        # combined relation is on disk.
+        for r in range(0, NF_ROUNDS + 1):
+            parts = [
+                spark.read.parquet(os.path.join(root, f"s{s}", f"m{r}"))
+                for s in range(slices)
+            ]
+            combined = parts[0]
+            for p in parts[1:]:
+                combined = combined.unionByName(p)
+            mat(combined, f"m{r}")
+        for s in range(slices):
+            shutil.rmtree(os.path.join(root, f"s{s}"), ignore_errors=True)
     open(os.path.join(root, "_COMPLETE"), "w").close()
     _NFREG_CACHE[key] = root
     return root

@@ -309,6 +309,19 @@ HEADLINE_R15 = [
 ]
 
 
+#: HEADLINE_R16 (frozen in round 14; first recorded point BENCH_r14 —
+#: same one-ahead-capable naming as R8-R15): the round-14 surface —
+#: the persisted-band-index incremental near-dup probe, the real
+#: RIFF/WAVE PCM decode through mapInPandas, and the drift-gated
+#: retrain-vs-delta maintenance capstone. Never merged into earlier
+#: lines.
+HEADLINE_R16 = [
+    "dedup_incremental_minhash",
+    "multimodal_decode_wav",
+    "sim_index_maintenance",
+]
+
+
 WARMUP_SF = "/root/testdata/sf0.001"
 
 
@@ -363,7 +376,7 @@ def main() -> None:
     # JIT/page-cache state differed is distinguishable after the fact.
     t_w = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12 + HEADLINE_R13 + HEADLINE_R14 + HEADLINE_R15:
+    for name in HEADLINE + HEADLINE_EXT + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12 + HEADLINE_R13 + HEADLINE_R14 + HEADLINE_R15 + HEADLINE_R16:
         try:
             queries[name].fn(spark, WARMUP_SF).count()
             clear_persisted()
@@ -407,6 +420,7 @@ def main() -> None:
     r13_timings, r13_spread = run_set(HEADLINE_R13)
     r14_timings, r14_spread = run_set(HEADLINE_R14)
     r15_timings, r15_spread = run_set(HEADLINE_R15)
+    r16_timings, r16_spread = run_set(HEADLINE_R16)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -510,6 +524,12 @@ def main() -> None:
         "value": round(sum(r15_timings.values()), 3),
         "queries": r15_timings,
     }
+    r16_fields = {
+        **compact_fields,
+        "metric": "headline_r16_query_set_wall_clock",
+        "value": round(sum(r16_timings.values()), 3),
+        "queries": r16_timings,
+    }
     # Batch-vs-streaming split (round-13 fix, r12 verdict #4): the
     # streaming-drain fixtures (stream_exec_* — availableNow replay
     # through a real StreamingQuery, multi-trigger drain) cost wall
@@ -521,7 +541,7 @@ def main() -> None:
     # tools can watch the batch plans alone.
     for f in (compact_fields, ext_fields, r8_fields, r9_fields,
               r10_fields, r11_fields, r12_fields, r13_fields, r14_fields,
-              r15_fields):
+              r15_fields, r16_fields):
         stream_t = {k: v for k, v in f["queries"].items()
                     if k.startswith("stream_exec_")}
         f["value_batch"] = round(f["value"] - sum(stream_t.values()), 3)
@@ -538,6 +558,7 @@ def main() -> None:
     compact_r13 = json.dumps(r13_fields, separators=(",", ":"))
     compact_r14 = json.dumps(r14_fields, separators=(",", ":"))
     compact_r15 = json.dumps(r15_fields, separators=(",", ":"))
+    compact_r16 = json.dumps(r16_fields, separators=(",", ":"))
     # stdout carries ONLY the compact lines (round-8 fix: BENCH_r07
     # lost the headline value because three dup lines trailed it with
     # the headline copy FIRST — the tail-retention capture cut the
@@ -558,6 +579,7 @@ def main() -> None:
     print(compact_r13, flush=True)
     print(compact_r14, flush=True)
     print(compact_r15, flush=True)
+    print(compact_r16, flush=True)
     print(json.dumps({**compact_fields, "spread": spread}), file=sys.stderr)
     print(json.dumps({**ext_fields, "spread": ext_spread}), file=sys.stderr)
     print(json.dumps({**r8_fields, "spread": r8_spread}), file=sys.stderr)
@@ -568,6 +590,7 @@ def main() -> None:
     print(json.dumps({**r13_fields, "spread": r13_spread}), file=sys.stderr)
     print(json.dumps({**r14_fields, "spread": r14_spread}), file=sys.stderr)
     print(json.dumps({**r15_fields, "spread": r15_spread}), file=sys.stderr)
+    print(json.dumps({**r16_fields, "spread": r16_spread}), file=sys.stderr)
     # Tail-retention copies (round-9 fix, REORDERED in round 13: the
     # driver's artifact keeps only the LAST ~2 KB of stdout, and
     # BENCH_r12 lost the NEWEST set's value because the tail block led
@@ -585,7 +608,7 @@ def main() -> None:
     load_pair = [LOADAVG_START[0], round(os.getloadavg()[0], 2)]
     all_fields = (compact_fields, ext_fields, r8_fields, r9_fields,
                   r10_fields, r11_fields, r12_fields, r13_fields,
-                  r14_fields, r15_fields)
+                  r14_fields, r15_fields, r16_fields)
     for f in all_fields:
         minimal = {
             "metric": f["metric"],

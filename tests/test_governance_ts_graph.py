@@ -627,3 +627,67 @@ def test_effective_diameter_contract(spark, sf_dir):
         else round(r - 1 + (thr - nfr[r - 1]) / (nfr[r] - nfr[r - 1]), 4)
     )
     assert row.eff_diameter == expect
+
+
+def test_register_slicing_state_is_bit_identical(spark, sf_dir, monkeypatch):
+    """r14: SPARK_GRAFT_NF_SLICES=G partitions the HyperBall rounds by
+    register-index class (registers are independent under the MAX
+    merge), so the combined per-round state must be ROW-IDENTICAL to
+    the one-pass build — the out-of-core knob that divides the
+    1000x peak transient by G may not change a single register."""
+    import os
+
+    from aws_etl_pipeline_spark.operators.graph import (
+        NF_ROUNDS,
+        _nfr_state_root,
+    )
+
+    base_root = _nfr_state_root(spark, sf_dir, reuse=False)
+    base = {
+        r: sorted(
+            (x.node, x.val)
+            for x in spark.read.parquet(
+                os.path.join(base_root, f"m{r}")
+            ).collect()
+        )
+        for r in range(NF_ROUNDS + 1)
+    }
+    monkeypatch.setenv("SPARK_GRAFT_NF_SLICES", "3")
+    sliced_root = _nfr_state_root(spark, sf_dir, reuse=False)
+    assert sliced_root != base_root
+    for r in range(NF_ROUNDS + 1):
+        got = sorted(
+            (x.node, x.val)
+            for x in spark.read.parquet(
+                os.path.join(sliced_root, f"m{r}")
+            ).collect()
+        )
+        assert got == base[r], f"round {r} diverged under slicing"
+        # slice staging dirs are gone once the round is combined
+    assert not [
+        d for d in os.listdir(sliced_root) if d.startswith("s")
+    ], "slice dirs must be dropped after combine"
+
+
+def test_nf_bucketed_edges_join_has_no_edge_exchange(spark, sf_dir):
+    """r14: sliced mode reads edges from the bucketed TABLE; the
+    round join must consume the bucketed layout with zero edge-side
+    exchange (the pagerank_edges_table contract applied to the
+    HyperBall family) — otherwise G slices x rounds re-shuffle the
+    edge relation G*rounds times and slicing stops being affordable."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_spark.operators.graph import nf_edges_table
+
+    edges = nf_edges_table(spark, sf_dir)
+    delta = edges.select(F.col("ia"), F.lit(1).alias("val")).limit(10)
+    plan = (
+        edges.join(delta.hint("shuffle_hash"), "ia")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "bucket=true" in plan.lower() or "SelectedBucketsCount" in plan, plan
+    # the edge-side scan must not sit under an Exchange: the only
+    # exchange in the join subtree is the delta side's
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
