@@ -2055,23 +2055,69 @@ def _nfr_oracle() -> str:
     return f"WITH {ctes}\n{stats}"
 
 
+#: per-bucket-file byte target for the NF edge table. A bucketed scan
+#: reads ONE bucket file per task with no splitting, so the bucket
+#: count must grow with the fixture or bucket files grow unboundedly:
+#: at the 1000x replica a fixed 32 buckets put ~600 MB (1.2 GB
+#: decompressed) in EVERY one of 32 concurrent local[32] tasks and
+#: blew the 12 GiB protocol heap before any operator state did —
+#: measured, not hypothetical (first 1000x attempt died in the round-1
+#: join's bucket reads). ~128 MB per file keeps a task's decompression
+#: + pipelined join/agg footprint bounded at ANY fixture scale, which
+#: is the same sizing a real cluster wants (one bucket ~ one HDFS
+#: block ~ one task).
+NF_BUCKET_TARGET_BYTES = 128 << 20
+
+
+def _nf_edge_buckets(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-aware bucket count for `nf_edges_table`: a power of two
+    (so differently-sized fixtures' layouts stay co-partitionable after
+    coalescing) chosen so each bucket file lands near
+    NF_BUCKET_TARGET_BYTES, floored at PR_EDGE_BUCKETS=32 so
+    fixture-scale tables keep the pinned 32-bucket plan. Sized from
+    the staged distinct-pair parquet (built anyway as the table's
+    input): the edge table is ~4x its bytes — both directions, and
+    two near-incompressible h60-hashed longs per row."""
+    pairs_dir = _stage_dir_of_custsupp(spark, sf_dir)
+    size = sum(
+        os.path.getsize(os.path.join(pairs_dir, f))
+        for f in os.listdir(pairs_dir)
+        if f.endswith(".parquet")
+    )
+    b = PR_EDGE_BUCKETS
+    while b < 1024 and (size * 4) / b > NF_BUCKET_TARGET_BYTES:
+        b *= 2
+    return b
+
+
+def _stage_dir_of_custsupp(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the distinct customer–supplier pair list is staged and
+    return its parquet directory (the sizing input for
+    `_nf_edge_buckets`)."""
+    custsupp_pairs(spark, sf_dir)  # stages on first touch
+    key = _source_fingerprint(sf_dir, ("lineitem", "orders"))
+    return os.path.join(_STAGE_ROOT, f"custsupp_{key}")
+
+
 def nf_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The neighborhood-function edge relation (ia, ib — h60-hashed
     symmetric customer/supplier labels) as a Spark BUCKETED TABLE
-    ``CLUSTERED BY (ia) SORTED BY (ia) INTO {PR_EDGE_BUCKETS}
+    ``CLUSTERED BY (ia) SORTED BY (ia) INTO {_nf_edge_buckets()}
     BUCKETS`` over an external parquet location, staged once per
     fixture — the `pagerank_edges_table` layout applied to the
-    HyperBall family. A bucketed scan reports HashPartitioning(ia),
-    so every round's ``edges JOIN delta ON ia`` consumes the on-disk
-    layout with ZERO edge-side exchange; the seed's
-    ``SELECT DISTINCT ia`` partial-aggregates per bucket
+    HyperBall family, with a SCALE-AWARE bucket count (~128 MB per
+    bucket file; see `_nf_edge_buckets`). A bucketed scan reports
+    HashPartitioning(ia), so every round's ``edges JOIN delta ON ia``
+    consumes the on-disk layout with ZERO edge-side exchange; the
+    seed's ``SELECT DISTINCT ia`` partial-aggregates per bucket
     exchange-free for the same reason. This is what makes register
     SLICING affordable: G slices x {NF_ROUNDS} rounds of join passes
     re-shuffle nothing edge-sized (the per-run parquet spelling paid
     a full edge exchange per round — at the 1000x replica that is a
     ~19 GB shuffle write per pass, x G*rounds passes)."""
     key = _source_fingerprint(sf_dir, ("lineitem", "orders"))
-    tbl = f"nf_edges_b{PR_EDGE_BUCKETS}_{key}"
+    buckets = _nf_edge_buckets(spark, sf_dir)
+    tbl = f"nf_edges_b{buckets}_{key}"
     dest = os.path.join(_STAGE_ROOT, tbl)
     if not spark.catalog.tableExists(tbl):
         if os.path.exists(os.path.join(dest, "_SUCCESS")):
@@ -2080,7 +2126,7 @@ def nf_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (ia BIGINT, ib BIGINT)
                     USING parquet
                     CLUSTERED BY (ia) SORTED BY (ia)
-                    INTO {PR_EDGE_BUCKETS} BUCKETS
+                    INTO {buckets} BUCKETS
                     LOCATION '{dest}'"""
             )
         else:
@@ -2096,10 +2142,10 @@ def nf_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ids.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
                 )
                 # pre-shuffle to the bucket key so each bucket is
-                # written by one task: {PR_EDGE_BUCKETS} files, no
+                # written by one task: {buckets} files, no
                 # tasks-x-buckets small-file fan-out
-                .repartition(PR_EDGE_BUCKETS, F.col("ia"))
-                .write.bucketBy(PR_EDGE_BUCKETS, "ia")
+                .repartition(buckets, F.col("ia"))
+                .write.bucketBy(buckets, "ia")
                 .sortBy("ia")
                 .option("path", dest)
                 .mode("overwrite")
@@ -2257,9 +2303,15 @@ def _nfr_state_root(
     if slices == 1:
         run_rounds(seed, "")
     else:
+        # ONE distinct pass over the edge table; each slice filters
+        # the materialized node list instead of re-running the
+        # bucket-wide DISTINCT G times (G-1 saved scans of the full
+        # edge relation — ~12 passes over 1.2 B rows at the 1000x
+        # replica before this).
+        seed_full = mat(seed, "_seed")
         for s in range(slices):
             run_rounds(
-                seed.filter(F.shiftright("val", 6) % slices == s),
+                seed_full.filter(F.shiftright("val", 6) % slices == s),
                 f"s{s}",
             )
         # combine: per-round union of the disjoint slice states — the
@@ -2278,6 +2330,7 @@ def _nfr_state_root(
             mat(combined, f"m{r}")
         for s in range(slices):
             shutil.rmtree(os.path.join(root, f"s{s}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(root, "_seed"), ignore_errors=True)
     open(os.path.join(root, "_COMPLETE"), "w").close()
     _NFREG_CACHE[key] = root
     return root
