@@ -83,6 +83,9 @@ SHOWCASE = {
     "graph_neighborhood_registers": "HLL-register HyperBall: per-round merge is a sort-free partial HashAggregate MAX over a shuffle_hash edge join — the combinable-aggregate cost model the KMV rank-filter can't have",
     "multimodal_decode_bmp": "real image decode: two Arrow mapInPandas stages (synthesize, decode) around ONE hash exchange of binary payloads; zero row-wise Python",
     "sim_ivf_incremental": "frozen quantizer: delta batch assigned via broadcast argmin over itself only (base corpus never rescanned), base UNION delta under shared probes",
+    "dedup_incremental_minhash": "incremental near-dup: batch side shingles+minhashes alone; history side is a parquet SCAN of the stored band index (one stack() in the whole plan) probed by a banded equi-join",
+    "multimodal_decode_wav": "real audio decode: two Arrow mapInPandas stages (RIFF/WAVE synth, struct+numpy PCM parse) around ONE hash exchange of binary payloads; exact-int64 stats, zero row-wise Python",
+    "sim_index_maintenance": "drift-gated maintenance: one map-side-combined energy-profile scan decides the branch; the no-drift day builds ONLY the delta-assignment plan — no corpus-sized stage exists in it",
 }
 
 
