@@ -20,3 +20,19 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _sweep_tracked_cache():
+    """Unpersist the previous test's tracked blocks before each test —
+    the same boundary discipline every harness applies before building
+    a query plan (``__spark_entry__._with_cache_sweep``, ``bench.py``,
+    ``tools/check.py``). Without it a prior test's persisted relation
+    leaks into later plan-shape assertions through CacheManager
+    subtree substitution (observed: test_llm.py's tracked band rows
+    rewrote test_plans.py's incremental-minhash plan into an
+    InMemoryTableScan the production path never sees)."""
+    from aws_etl_pipeline_spark.cache import clear_persisted
+
+    clear_persisted()
+    yield
