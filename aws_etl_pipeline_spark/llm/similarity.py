@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..cache import track
-from ..catalog import load_spread
+from ..catalog import load_spread, load_table
 from ..registry import query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -311,47 +311,132 @@ def _cell_sim():
 
 
 def _ivf_base(spark: SparkSession, sf_dir: str, train_filter=None):
-    """Norm table + per-label coarse centroids (explode -> per-dim
-    DECIMAL-exact mean -> rebuild), both persisted — the shared build
-    inputs of every IVF tier and of the staged on-disk layout.
-    ``train_filter`` (optional Column) restricts the rows the
+    """Norm table + per-label coarse centroids, both persisted — the
+    shared build inputs of every IVF tier and of the staged on-disk
+    layout. ``train_filter`` (optional Column) restricts the rows the
     QUANTIZER is trained on without touching the norm table — the
-    frozen-quantizer device `sim_ivf_incremental` rides."""
+    frozen-quantizer device `sim_ivf_incremental` rides.
+
+    r14 optimization (guide §2.3/§2.4): the centroid build used to
+    posexplode every training vector into DIM rows and aggregate twice
+    (label,d then label) — TWO keyed exchanges with a DIMx row
+    explosion through the first. DECIMAL sums are exact (order-free),
+    so the same per-dim means fall out of ONE groupBy(label) carrying
+    DIM decimal-sum buffers, map-side combined: one exchange, one row
+    per label crossing it, bit-identical values (the oracle keeps its
+    LATERAL-unnest spelling and still hash-matches). The quantizer is
+    consumed exactly once per invocation (collected by
+    ``_quantizer_rows`` or staged to parquet), so it is no longer
+    persisted."""
     e = load_spread(spark, sf_dir, "embeddings")
     base = e.select("vec_id", "label", _as_double("embedding").alias("v"))
     train = base.filter(train_filter) if train_filter is not None else base
-    dims = train.select(
-        "label", F.posexplode("v").alias("d0", "x")
-    ).select("label", (F.col("d0") + 1).alias("d"), "x")
-    cent = (
-        dims.groupBy("label", "d")
-        .agg(
-            (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("c")
+    dims = range(1, DIM + 1)
+    sums_sql = (
+        "named_struct('n', count(1), "
+        + ", ".join(
+            f"'s{d}', sum(cast(element_at(v, {d}) as decimal(28,12)))" for d in dims
         )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
-            ).alias("cv")
-        )
-        .select(F.col("label").alias("cell"), "cv")
+        + ")"
     )
-    n = base.select("vec_id", "v").withColumn("nrm", _norm(F.col("v"))).transform(track)
-    cent_n = cent.withColumn("cnrm", _norm(F.col("cv"))).transform(track)
+    cv_sql = (
+        "array("
+        + ", ".join(f"(cast(_a.s{d} as double) / _a.n)" for d in dims)
+        + ") AS cv"
+    )
+    cent = (
+        train.groupBy("label")
+        .agg(F.expr(sums_sql).alias("_a"))
+        .selectExpr("label AS cell", cv_sql)
+    )
+    n = (
+        base.select("vec_id", "v")
+        .withColumn("nrm", _norm(F.col("v")))
+        .transform(track)
+    )
+    cent_n = cent.withColumn("cnrm", _norm(F.col("cv")))
     return n, cent_n
 
 
-def _ivf_probes(queries: DataFrame, cent_n: DataFrame) -> DataFrame:
-    """Each query's top-{N_PROBE} cells — a request-sized window
-    (requests x cells). ``queries`` is (vec_id, v, nrm)."""
-    q_scored = queries.crossJoin(F.broadcast(cent_n)).select(
-        "vec_id", "cell", _cell_sim().alias("sim")
+def _quantizer_rows(cent_n: DataFrame) -> list[tuple[int, list[float], float]]:
+    """Collect the coarse quantizer: ONE row per cell, bounded by the
+    CELL DOMAIN (the label space) — never corpus- or request-scaled
+    (the bounded control-plane collect the probed-cell lists already
+    ride). A production IVF serves the quantizer from RAM on every
+    node — it IS the broadcast object (FAISS keeps the coarse
+    centroids in the index header) — so assignment and probing become
+    pure per-row expressions over the scan instead of joins +
+    aggregates: the corpus is never expanded, shuffled, or re-joined
+    to pick its cell. Doubles round-trip exactly (JVM -> collect ->
+    literal), so every downstream score is bit-identical."""
+    return sorted(
+        (r["cell"], [float(x) for x in r["cv"]], float(r["cnrm"]))
+        for r in cent_n.select("cell", "cv", "cnrm").collect()
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+
+
+def _vec_sql(xs: list[float]) -> str:
+    return "array(" + ",".join(f"{x!r}D" for x in xs) + ")"
+
+
+def _dot_lit_sql(vexpr: str, xs: list[float]) -> str:
+    """SQL spelling of ``_dot`` against a literal vector — the same
+    zip_with/aggregate fold, so the arithmetic is bit-identical."""
     return (
-        q_scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell")
+        f"aggregate(zip_with({vexpr}, {_vec_sql(xs)}, (x, y) -> x * y), "
+        "0D, (acc, x) -> acc + x)"
+    )
+
+
+def _cell_struct_sql(qrows, vexpr: str, nrmexpr: str) -> str:
+    """Comma-joined (sim, -cell) structs, one per quantizer cell: max
+    by sim then max by -cell == the oracle's (sim DESC, cell ASC)
+    row_number tie-break."""
+    return ",".join(
+        f"named_struct('s', ({_dot_lit_sql(vexpr, cv)} / ({nrmexpr} * {cn!r}D)),"
+        f" 'nc', {-c})"
+        for c, cv, cn in qrows
+    )
+
+
+def _assign_cell_sql(qrows, vexpr: str = "v", nrmexpr: str = "nrm") -> str:
+    """Nearest-cell id as one scalar expression (argmax sim, ties to
+    the smallest cell) — the per-row replacement for the two-pass
+    hash_argmin when the candidate relation is literal-sized."""
+    if len(qrows) == 1:
+        return str(qrows[0][0])
+    return f"(-greatest({_cell_struct_sql(qrows, vexpr, nrmexpr)}).nc)"
+
+
+def _probe_cells_sql(
+    qrows, n_probe: int = N_PROBE, vexpr: str = "v", nrmexpr: str = "nrm"
+) -> str:
+    """Top-``n_probe`` cell ids as one array expression (sim DESC,
+    cell ASC — reverse of an ascending (sim, -cell) sort)."""
+    return (
+        f"transform(slice(reverse(array_sort(array("
+        f"{_cell_struct_sql(qrows, vexpr, nrmexpr)}))), 1, {n_probe}), t -> -t.nc)"
+    )
+
+
+def _ivf_probes(queries: DataFrame, cent_n: DataFrame, qrows=None) -> DataFrame:
+    """Each query's top-{N_PROBE} cells, WITH the query vector/norm
+    alongside: (query_id, qv, qnrm, cell). ``queries`` is
+    (vec_id, v, nrm).
+
+    r14 optimization: was a crossJoin against the broadcast centroid
+    relation plus a row_number window (an exchange of the expanded
+    requests x cells relation). The quantizer is cell-domain-sized, so
+    probing is now a single projection — the top-{N_PROBE} cells fall
+    out of one array expression over the literal centroids, and the
+    query vector rides along so consumers stop re-joining it."""
+    if qrows is None:
+        qrows = _quantizer_rows(cent_n)
+    return queries.selectExpr(
+        "vec_id AS query_id",
+        "v AS qv",
+        "nrm AS qnrm",
+        f"explode({_probe_cells_sql(qrows)}) AS cell",
     )
 
 
@@ -366,18 +451,18 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     vector index are build-once artifacts in a real IVF deployment
     (``sim_ivf_staged`` demonstrates exactly that deployment shape)."""
     n, cent_n = _ivf_base(spark, sf_dir)
-    # corpus side: nearest cell only — two-pass hash argmin over
-    # (-sim asc, cell asc), never a window over the expanded corpus
-    # (the row_number spelling exchanged + sorted corpus x cells rows;
-    # see hash_argmin)
-    assign = hash_argmin(
-        n.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "v", "nrm"),
-        cent_n,
-        None,
-        -_cell_sim(),
-        ["vec_id"],
-    ).select("vec_id", "cell")
-    probes = _ivf_probes(n.filter(F.col("vec_id") < N_QUERIES), cent_n)
+    # corpus side: nearest cell as ONE scalar expression over the
+    # literal quantizer (r14, guide §8 "decide with small rows"): the
+    # corpus streams through a single projection — no expansion join,
+    # no aggregate, no exchange — and carries (v, nrm) along so
+    # consumers rescore without re-joining the norm table. The
+    # two-pass hash_argmin remains the device for candidate relations
+    # too big to literalize (the PQ codebooks).
+    qrows = _quantizer_rows(cent_n)
+    assign = n.filter(F.col("vec_id") >= N_QUERIES).selectExpr(
+        "vec_id", "v", "nrm", f"{_assign_cell_sql(qrows)} AS cell"
+    )
+    probes = _ivf_probes(n.filter(F.col("vec_id") < N_QUERIES), cent_n, qrows)
     return n, assign, probes
 
 
@@ -453,29 +538,22 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell, queries probe their {N_PROBE} nearest cells, exact cosine
     rescoring only within probed cells.
 
-    The 100 TB shape: centroids are tiny and broadcast; the corpus is
-    shuffled ONCE by cell id (a write-time layout in practice —
-    partitionBy(cell)); each query touches n_probe/n_cells of the
-    data. sim_bruteforce_topk is the recall oracle."""
-    n, assign, probes = _ivf_parts(spark, sf_dir)
-    qn = n.select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
-    )
-    cn_ = n.select(
-        F.col("vec_id").alias("neighbor_id"), "v", "nrm"
-    )
-    cand = (
-        probes.join(assign, "cell")
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .join(F.broadcast(qn), "query_id")
-        .join(cn_, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 8
-            ).alias("cosine"),
-        )
+    The 100 TB shape (r14): centroids are cell-domain-sized and served
+    as literals (the quantizer every IVF node keeps in RAM), so the
+    corpus is NEVER shuffled at all — one projection assigns each
+    vector its cell and carries (v, nrm), the request-sized probe rows
+    broadcast onto it, and the only exchange anywhere carries
+    (query_id, neighbor_id, cosine) candidate rows into the top-k
+    window. Previously the corpus crossed a two-pass argmin plus a
+    re-join against the norm table (guide §8: decide with small rows,
+    move big rows never). sim_bruteforce_topk is the recall oracle."""
+    _, assign, probes = _ivf_parts(spark, sf_dir)
+    cand = assign.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 8
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -508,12 +586,9 @@ def ivf_staged_layout(spark: SparkSession, sf_dir: str):
     key = _source_fingerprint(sf_dir, ("embeddings",))
 
     def build_corpus() -> DataFrame:
-        n, assign, _ = _ivf_parts(spark, sf_dir)
-        return (
-            n.filter(F.col("vec_id") >= N_QUERIES)
-            .join(assign, "vec_id")
-            .select("vec_id", "v", "nrm", "cell")
-        )
+        # assign already carries (v, nrm) alongside the cell id (r14)
+        _, assign, _ = _ivf_parts(spark, sf_dir)
+        return assign.select("vec_id", "v", "nrm", "cell")
 
     def build_cent() -> DataFrame:
         return _ivf_base(spark, sf_dir)[1]
@@ -578,20 +653,12 @@ def sim_ivf_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", _norm(F.col("v")))
         .transform(track)  # probe window + rescore both read it
     )
-    probes = _ivf_probes(qn0, cent_n)
+    probes = _ivf_probes(qn0, cent_n)  # carries (qv, qnrm) alongside
     # bounded collect: distinct probed cell ids, <= the cell domain
     cells = [r[0] for r in probes.select("cell").distinct().collect()]
-    qp = probes.join(
-        qn0.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qnrm"),
-        ),
-        "query_id",
-    )
     cand = (
         corp.where(F.col("cell").isin(cells))  # partition-pruned scan
-        .join(F.broadcast(qp), "cell")
+        .join(F.broadcast(probes), "cell")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -657,10 +724,14 @@ def _sq8_scored(spark: SparkSession, sf_dir: str):
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
-    corp = n.filter(F.col("vec_id") >= N_QUERIES)
+    # r14: the int8 codes are a per-row function of the vector the
+    # assignment projection already carries — computing them THERE
+    # removes the corpus-sized quant join (the index row stores its
+    # codes next to its cell id, exactly the on-disk layout).
     mx = F.array_max(F.transform("v", F.abs))
-    quant = corp.withColumn("mx", mx).select(
+    quant = assign.withColumn("mx", mx).select(
         F.col("vec_id").alias("neighbor_id"),
+        "cell",
         F.transform(
             "v",
             lambda x: F.round(x * 127 / F.nullif(F.col("mx"), F.lit(0.0))).cast(
@@ -680,12 +751,8 @@ def _sq8_scored(spark: SparkSession, sf_dir: str):
         / (F.col("qnrm") * F.col("nrm")),
         8,
     )
-    cand = (
-        probes.join(assign, "cell")
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .join(F.broadcast(qn), "query_id")
-        .join(quant, "neighbor_id")
-        .select("query_id", "neighbor_id", approx.alias("approx_cosine"))
+    cand = quant.join(F.broadcast(probes), "cell").select(
+        "query_id", "neighbor_id", approx.alias("approx_cosine")
     )
     return n, qn, cand
 
@@ -2426,7 +2493,7 @@ def sim_ivf_staged_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", _norm(F.col("v")))
         .transform(track)  # probe window + LUT + norms all read it
     )
-    probes = _ivf_probes(qn0, cent_n)
+    probes = _ivf_probes(qn0, cent_n).select("query_id", "cell")
     # bounded collect: distinct probed cell ids, <= the cell domain
     cells = [r[0] for r in probes.select("cell").distinct().collect()]
     qsub = _pq_subvectors(qn0.select("vec_id", "v"))
@@ -2710,49 +2777,36 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest (the whole point; re-assigning 100 TB per daily batch is
     the anti-pattern). Queries pay one union of a delta segment that
     is small by construction between compactions. Assignment argmins
-    use the two-pass hash_argmin (no sorts, map-side-combined), same
-    as every IVF tier here."""
+    are per-row expressions over the literal frozen quantizer (r14),
+    same as every IVF tier here."""
     is_corpus = F.col("vec_id") >= N_QUERIES
     is_delta = F.col("vec_id") % DELTA_MOD == 0
     n, cent_n = _ivf_base(spark, sf_dir, train_filter=is_corpus & ~is_delta)
-    base_assign = hash_argmin(
-        n.filter(is_corpus & ~is_delta).select("vec_id", "v", "nrm"),
-        cent_n,
-        None,
-        -_cell_sim(),
-        ["vec_id"],
-    ).select("vec_id", "cell", F.lit(False).alias("from_delta"))
-    # THE incremental step: assignment scans only the arrivals
-    # (pushed filter), broadcast centroids — O(|delta| x cells).
-    delta_assign = hash_argmin(
-        n.filter(is_corpus & is_delta).select("vec_id", "v", "nrm"),
-        cent_n,
-        None,
-        -_cell_sim(),
-        ["vec_id"],
-    ).select("vec_id", "cell", F.lit(True).alias("from_delta"))
-    idx = base_assign.unionByName(delta_assign)
-    probes = _ivf_probes(n.filter(F.col("vec_id") < N_QUERIES), cent_n)
-    qn = n.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
+    # THE incremental step (r14 spelling): the FROZEN quantizer —
+    # trained on the base only — is cell-domain-sized and served as a
+    # literal, so assignment is one projection per segment; the delta
+    # branch still scans only the arrivals (pushed filter) in a real
+    # ingest, and the base corpus is never re-shuffled or re-joined.
+    # Both segments fall out of the same pass here with from_delta
+    # flagging the arrivals (the union of two identical projections,
+    # fused).
+    qrows = _quantizer_rows(cent_n)
+    idx = n.filter(is_corpus).selectExpr(
+        "vec_id",
+        "v",
+        "nrm",
+        f"{_assign_cell_sql(qrows)} AS cell",
+        f"(vec_id % {DELTA_MOD} = 0) AS from_delta",
     )
-    cn_ = n.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
-    cand = (
-        probes.join(idx, "cell")
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "from_delta")
-        .join(F.broadcast(qn), "query_id")
-        .join(cn_, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
-                8,
-            ).alias("cosine"),
-            "from_delta",
-        )
+    probes = _ivf_probes(n.filter(F.col("vec_id") < N_QUERIES), cent_n, qrows)
+    cand = idx.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+            8,
+        ).alias("cosine"),
+        "from_delta",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -2902,13 +2956,13 @@ def _maintenance_assign(
     train = is_corpus if retrain else (is_corpus & ~is_delta)
     n, cent_n = _ivf_base(spark, sf_dir, train_filter=train)
     rows = is_corpus if retrain else (is_corpus & is_delta)
-    return hash_argmin(
-        n.filter(rows).select("vec_id", "v", "nrm"),
-        cent_n,
-        None,
-        -_cell_sim(),
-        ["vec_id"],
-    ).select("vec_id", "cell")
+    # r14: assignment is one projection over the literal quantizer
+    # (see _assign_cell_sql) — the assigned population never expands,
+    # shuffles, or aggregates.
+    qrows = _quantizer_rows(cent_n)
+    return n.filter(rows).selectExpr(
+        "vec_id", f"{_assign_cell_sql(qrows)} AS cell"
+    )
 
 
 @query(

@@ -1166,8 +1166,11 @@ def test_index_maintenance_common_day_trains_frozen_assigns_delta(spark, sf_dir)
     df = _maintenance_assign(spark, sf_dir, retrain=False)
     plan = _plan(df)
     assert f"% {DELTA_MOD}) = 0" in plan, plan  # delta-only assignment
-    # the frozen train population (NOT % DELTA_MOD = 0) must appear too
-    assert f"NOT ((vec_id" in plan, plan
-    # and the argmin contract holds: hash aggregates only, no sorted
-    # corpus-sized aggregate on the common day
+    # r14: the quantizer is trained in its own bounded action (the
+    # cell-domain collect) and served as a LITERAL, so the common-day
+    # plan is a pure projection over the arrivals: the argmin is a
+    # greatest() over literal centroids and NO aggregate of any kind
+    # (train or argmin) remains in the assignment plan.
+    assert "greatest(" in plan, plan
+    assert "Aggregate" not in plan, plan
     assert "SortAggregate" not in plan, plan
