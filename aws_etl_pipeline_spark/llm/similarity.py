@@ -920,6 +920,49 @@ def _pq_d2() -> F.Column:
     return d2
 
 
+def _pq_d2_scalar() -> F.Column:
+    """`_pq_d2` over the scalar-column spelling (sv1..svN / cv1..cvN):
+    the same left-associated sum of squared differences over the same
+    doubles — bit-identical values — but each operand is a flat double
+    column instead of an array element_at, so the expanded
+    (subvectors x codewords) relation pays no per-element null/bounds
+    checks or array headers (r15, guide §2.3 'narrower types' applied
+    to the argmin expansion — the expansion is the whole cost of PQ
+    assignment)."""
+    terms = []
+    for i in range(1, PQ_SUBDIM + 1):
+        dx = F.col(f"sv{i}") - F.col(f"cv{i}")
+        terms.append(dx * dx)
+    d2 = terms[0]
+    for t in terms[1:]:
+        d2 = d2 + t
+    return d2
+
+
+def _pq_scalar_sub(sub: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv[array]) -> (vec_id, sub, sv1..svN): the scalar
+    spelling of the subvector relation (element_at of a dense
+    fixed-width slice — identical doubles)."""
+    return sub.select(
+        "vec_id",
+        "sub",
+        *[
+            F.element_at("sv", d).alias(f"sv{d}")
+            for d in range(1, PQ_SUBDIM + 1)
+        ],
+    )
+
+
+def _pq_scalar_cand(cent: DataFrame) -> DataFrame:
+    """(sub, cell, cv[array]) -> (sub, cell, cv1..cvN) for the argmin
+    expansion's build side."""
+    return cent.selectExpr(
+        "sub",
+        "cell",
+        *[f"element_at(cv, {d}) AS cv{d}" for d in range(1, PQ_SUBDIM + 1)],
+    )
+
+
 def hash_argmin(
     narrow: DataFrame,
     cand: DataFrame,
@@ -927,6 +970,7 @@ def hash_argmin(
     score: F.Column,
     keys: list[str],
     out: str = "cell",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distributed argmin over a broadcast candidate relation with
     (score asc, cell asc) tie-break, using ONLY hash aggregates — the
@@ -949,7 +993,13 @@ def hash_argmin(
     min(cell) for the oracle's deterministic tie-break. Two codegen
     passes over the expansion instead of one sorted one — the classic
     two-pass argmin trade, and the only shape whose shuffle volume is
-    one row per key at any scale."""
+    one row per key at any scale.
+
+    ``carry`` (r15, guide §2.4): extra ``narrow`` columns functionally
+    dependent on ``keys`` (e.g. the subvector the key was derived
+    from) ride the final hash aggregate as additional group keys, so
+    consumers that need them do not pay a join back onto ``narrow``
+    after the argmin."""
     def expand(df: DataFrame) -> DataFrame:
         j = (
             df.join(F.broadcast(cand), expand_on)
@@ -962,7 +1012,7 @@ def hash_argmin(
     return (
         expand(narrow.join(mins, list(keys)))
         .filter(F.col("_sc") == F.col("_msc"))
-        .groupBy(*keys)
+        .groupBy(*keys, *carry)
         .agg(F.min("cell").alias(out))
     )
 
@@ -976,55 +1026,127 @@ def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
     SortAggregate and sort-spilled corpus x PQ_K rows at the 1000x
     replica; see hash_argmin). Matches the oracle's row_number
     (d2 asc, cell asc) tie-break exactly; the corpus never shuffles
-    expanded for assignment."""
-    return hash_argmin(sub, cent, "sub", _pq_d2(), ["vec_id", "sub"]).select(
-        "vec_id", "sub", "cell"
+    expanded for assignment. r15: the expansion runs in the scalar
+    spelling (see _pq_d2_scalar) — same doubles, same tie-break."""
+    return hash_argmin(
+        _pq_scalar_sub(sub),
+        _pq_scalar_cand(cent),
+        "sub",
+        _pq_d2_scalar(),
+        ["vec_id", "sub"],
+    ).select("vec_id", "sub", "cell")
+
+
+def _pq_codebook_local(spark: SparkSession, rows) -> DataFrame:
+    """Bounded codebook rows -> a LocalRelation (sub, cell, cv). The
+    codebook is the PQ index header (FAISS keeps it in RAM on every
+    node); serving it as a local relation means downstream plans never
+    re-walk the training lineage."""
+    return spark.createDataFrame(
+        [(int(s), int(c), list(cv)) for s, c, cv in rows],
+        "sub int, cell int, cv array<double>",
     )
 
 
-def _pq_encode(sub: DataFrame, cent: DataFrame) -> DataFrame:
-    """_pq_assign plus the subvector joined back on — the training
-    loop needs (cell, sv) pairs for the centroid update; plain
-    encoding (codes for ADC) uses _pq_assign directly and skips the
-    join."""
-    return _pq_assign(sub, cent).join(sub, ["vec_id", "sub"]).select(
-        "vec_id", "sub", "cell", "sv"
+def _pq_lloyd_rows(items) -> list:
+    """The PQ Lloyd rounds over the collected BOUNDED sample, run on
+    the driver — ``items`` is [(vec_id, sub, sv list)], at most
+    PQ_TRAIN_SAMPLE x PQ_M rows. Reproduces the relational spelling
+    BIT-FOR-BIT (pinned by tests/test_llm.py's replica comparison and
+    by every PQ oracle hash):
+
+    * d2 is the left-associated float64 sum of squared differences —
+      numpy is only used for vectorized elementwise ops; the
+      cross-dimension accumulation is an explicit left-assoc loop, so
+      each partial sum is the same IEEE double the codegen'd
+      expression produces;
+    * the argmin takes the FIRST minimum over codewords ordered by
+      cell asc == the (d2 asc, cell asc) tie-break;
+    * the update quantizes each member coordinate to DECIMAL(·,12)
+      (HALF_UP via shortest-repr, exactly Spark's double->decimal
+      cast), sums exactly, converts the sum to double
+      (correctly-rounded, same as Decimal.toDouble), and divides by
+      the member count in float64.
+    """
+    import numpy as np
+    from decimal import Decimal, ROUND_HALF_UP
+
+    q12 = Decimal("1E-12")
+    by_sub: dict[int, list] = {}
+    for vid, s, sv in items:
+        by_sub.setdefault(int(s), []).append((int(vid), sv))
+    cents: dict[int, list] = {}
+    for s, members in by_sub.items():
+        seed = sorted(
+            (vid - N_QUERIES, [float(x) for x in sv])
+            for vid, sv in members
+            if vid < N_QUERIES + PQ_K
+        )
+        cents[s] = seed
+    for _ in range(PQ_ITERS):
+        new_cents: dict[int, list] = {}
+        for s, members in by_sub.items():
+            cl = cents[s]
+            cells = np.array([c for c, _ in cl])
+            bmat = np.array([cv for _, cv in cl], dtype=np.float64)
+            vmat = np.array([sv for _, sv in members], dtype=np.float64)
+            acc = (vmat[:, 0, None] - bmat[None, :, 0]) ** 2
+            for d in range(1, PQ_SUBDIM):
+                acc = acc + (vmat[:, d, None] - bmat[None, :, d]) ** 2
+            assigned = cells[np.argmin(acc, axis=1)]
+            groups: dict[int, list] = {}
+            for (_, sv), c in zip(members, assigned):
+                groups.setdefault(int(c), []).append(sv)
+            out = []
+            for c in sorted(groups):
+                mem = groups[c]
+                cv = []
+                for d in range(PQ_SUBDIM):
+                    ssum = sum(
+                        (
+                            Decimal(repr(float(sv[d]))).quantize(
+                                q12, ROUND_HALF_UP
+                            )
+                            for sv in mem
+                        ),
+                        Decimal(0),
+                    )
+                    cv.append(float(ssum) / len(mem))
+                out.append((c, cv))
+            new_cents[s] = out
+        cents = new_cents
+    return sorted(
+        (s, c, tuple(cv)) for s, cl in cents.items() for c, cv in cl
     )
 
 
 def _pq_train(sub: DataFrame) -> DataFrame:
-    """Per-subspace Lloyd's k-means over corpus subvectors — PQ_M
-    independent codebooks trained in ONE grouped pipeline (the sub
-    column rides every key, so this is lloyd_assign generalized by a
-    group key, not PQ_M separate jobs). Deterministic by the same
-    construction as kmeans_train: seed = the first PQ_K corpus
-    vectors' subvectors, ties on cell asc, means through DECIMAL.
-    Returns the final codebook (sub, cell, cv)."""
-    cent = sub.filter(F.col("vec_id") < N_QUERIES + PQ_K).select(
-        "sub",
-        (F.col("vec_id") - N_QUERIES).cast("int").alias("cell"),
-        F.col("sv").alias("cv"),
+    """Per-subspace Lloyd's k-means over corpus subvectors,
+    deterministic by the same construction as kmeans_train: seed = the
+    first PQ_K corpus vectors' subvectors, ties on cell asc, means
+    through DECIMAL. Returns the final codebook (sub, cell, cv) as a
+    LOCAL relation.
+
+    r15 (guide §1.2 step 1 — fix the distributed algorithm): PQ
+    training is bounded by PQ_TRAIN_SAMPLE (the FAISS practice:
+    codebooks train on a fixed sample regardless of index size, and
+    the trained codebook IS the index header every node holds). The
+    relational spelling paid 2 x PQ_ITERS broadcast-expand argmin
+    passes plus per-round collect jobs over a relation of at most
+    PQ_TRAIN_SAMPLE x PQ_M rows — pure fixed overhead at every SF,
+    measured ~5 s of the query's 11.4 s wall at sf0.1. Now: ONE
+    bounded control-plane collect of the sample (~1 MB), the Lloyd
+    rounds run driver-side with bit-identical arithmetic
+    (_pq_lloyd_rows — pinned by a replica test and the oracle
+    hashes), and the codebook is re-served as a local relation.
+    Corpus-scaled work (the full-corpus encode) stays distributed —
+    only the sample and the index header ever touch the driver."""
+    spark = sub.sparkSession
+    raw = sub.select("vec_id", "sub", "sv").collect()
+    rows = _pq_lloyd_rows(
+        [(r["vec_id"], r["sub"], [float(x) for x in r["sv"]]) for r in raw]
     )
-    for _ in range(PQ_ITERS):
-        assign = _pq_encode(sub, cent)
-        dims = assign.select("sub", "cell", F.posexplode("sv").alias("d0", "x"))
-        cent = (
-            dims.groupBy("sub", "cell", "d0")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("c")
-            )
-            .groupBy("sub", "cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d0", "c"))),
-                    lambda s: s.getField("c"),
-                ).alias("cv")
-            )
-        )
-    return cent
+    return _pq_codebook_local(spark, rows)
 
 
 def _adc_tables(cent: DataFrame, qsub: DataFrame):
@@ -1090,10 +1212,9 @@ def _truepq_scored(spark: SparkSession, sf_dir: str):
     sub = _pq_subvectors(n.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "v"))
     # train on the bounded deterministic sample (see PQ_TRAIN_SAMPLE);
     # the trained codebook feeds three consumers (encode, sqnorm table,
-    # query LUT) — persist the small relation so training runs once.
-    cent = track(
-        _pq_train(sub.filter(F.col("vec_id") < N_QUERIES + PQ_TRAIN_SAMPLE))
-    )
+    # query LUT) — it is a LOCAL relation (r15, see _pq_train), so
+    # every consumer reads 2048 local rows and no persist is needed.
+    cent = _pq_train(sub.filter(F.col("vec_id") < N_QUERIES + PQ_TRAIN_SAMPLE))
     codes = _pq_assign(sub, cent).select(
         F.col("vec_id").alias("neighbor_id"), "sub", F.col("cell").alias("code")
     )

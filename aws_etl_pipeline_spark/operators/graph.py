@@ -1191,43 +1191,65 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+aggregate passes (edges shuffled by c then by s — at scale,
     keep two copies of the edge list pre-partitioned each way and
     both shuffles amortize to zero across rounds); score state is
-    node-sized; the L1 norm is a broadcast 1-row scalar, never a
-    driver collect. Scores are DECIMAL-summed and rounded to 12 after
+    node-sized; the L1 norm is a bounded 1-row control-plane scalar.
+    Scores are DECIMAL-summed and rounded to 12 after
     every normalization so both engines walk the identical fixpoint
     trajectory."""
     pairs = custsupp_pairs(spark, sf_dir).transform(track)  # staged (r9)
     _dec = "decimal(30,12)"
 
     def l1_normalize(df, key, col):
-        # checkpoint the raw sums: the normalization references df
-        # TWICE (rows + the L1 total), which unpinned compounds to
-        # 2^(2*ITERS) recomputes of the whole chain (measured 51 s at
-        # sf0.01), and even persisted the six nested normalizations
-        # leave a tree the optimizer re-walks per broadcast subjob
-        # (measured 24 s). localCheckpoint truncates lineage each
-        # round — the connected-components device (api.py) — so every
-        # round plans flat against node-sized state (measured ~12 s,
-        # within ~1x of the DuckDB oracle's own 11.6 s on this join-
-        # heavy 6-pass algorithm).
-        df = df.localCheckpoint()
+        # The normalization references df TWICE (rows + the L1 total),
+        # which unpinned compounds to 2^(2*ITERS) recomputes of the
+        # whole chain (measured 51 s at sf0.01); the r9 fix was an
+        # EAGER localCheckpoint + broadcast-crossJoin of the 1-row
+        # total, which profile_split shows cost 8.1 s of build-time
+        # checkpoint jobs at sf0.1 (execute was 0.07 s) — per round an
+        # eager materialization job, a broadcast-exchange subjob, and
+        # a per-round physical planning (toRdd) pass.
+        #
+        # r15 (guide §1.2 "remove passes"): the checkpoint goes LAZY
+        # and the L1 total is collected as its materializing action —
+        # a bounded 1-row control-plane collect (the _quantizer_rows
+        # device, r14) folded back as a literal. One job per
+        # normalization instead of an eager checkpoint job plus a
+        # broadcast-exchange subjob plus the crossJoin; the checkpoint
+        # still truncates lineage so every round plans flat. Doubles
+        # round-trip exactly through collect, so round(col/tot, 12)
+        # is bit-identical to the broadcast spelling. Measured 7.62 s
+        # -> 3.7 s at sf0.1 (same session, with the broadcast state
+        # join below).
+        df = df.localCheckpoint(eager=False)
         tot = df.agg(
             F.sum(F.col(col).cast(_dec)).cast("double").alias("_tot")
-        )
-        return df.crossJoin(F.broadcast(tot)).select(
-            key, F.round(F.col(col) / F.col("_tot"), 12).alias(col)
+        ).collect()[0][0]
+        return df.select(
+            key, F.round(F.col(col) / F.lit(tot), 12).alias(col)
         )
 
     hubs = pairs.select("c").distinct().select("c", F.lit(1.0).alias("h"))
     auths = None
+    # r15 (guide §3.1): the score state is node-sized (|c| + |s| rows
+    # of (key, double)) and the persisted/collected state relations
+    # carry no usable size estimate, so the planner was SortMergeJoin-
+    # ing — exchanging AND sorting the 587k-row edge relation on c
+    # then on s EVERY round (6 edge shuffles). Broadcasting the state
+    # side makes each round one broadcast-hash join over the cached
+    # edge list with map-side partial aggregation: the edge relation
+    # is never exchanged or sorted. At a scale where node state
+    # outgrows a broadcast (billions of nodes), the documented
+    # alternative is two edge copies pre-partitioned by c and by s so
+    # rounds exchange only node-sized state; at any broadcastable
+    # node count this shape is strictly cheaper.
     for _ in range(HITS_ITERS):
         araw = (
-            pairs.join(hubs, "c")
+            pairs.join(F.broadcast(hubs), "c")
             .groupBy("s")
             .agg(F.sum(F.col("h").cast(_dec)).cast("double").alias("a"))
         )
         auths = l1_normalize(araw, "s", "a")
         hraw = (
-            pairs.join(auths, "s")
+            pairs.join(F.broadcast(auths), "s")
             .groupBy("c")
             .agg(F.sum(F.col("a").cast(_dec)).cast("double").alias("h"))
         )

@@ -634,3 +634,85 @@ def test_index_maintenance_drift_day_retrains_everything(spark, sf_dir, monkeypa
     }
     retrained_ids = {r.vec_id for r in rows}
     assert frozen_ids and frozen_ids < retrained_ids
+
+
+def test_pq_driver_train_matches_relational_spelling(spark, sf_dir):
+    """r15: _pq_train runs the Lloyd rounds driver-side on the bounded
+    sample (_pq_lloyd_rows). This replica pins BIT-equality against
+    the relational spelling it replaced: broadcast-expand two-pass
+    hash argmin (d2 asc, cell asc) + one groupBy(sub, cell) of
+    DECIMAL(28,12) per-dim sums divided by the member count."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_spark.llm.similarity import (
+        N_QUERIES,
+        PQ_ITERS,
+        PQ_K,
+        PQ_SUBDIM,
+        PQ_TRAIN_SAMPLE,
+        _ivf_parts,
+        _pq_assign,
+        _pq_codebook_local,
+        _pq_subvectors,
+        _pq_train,
+    )
+
+    n, _, _ = _ivf_parts(spark, sf_dir)
+    sub = _pq_subvectors(
+        n.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "v")
+    )
+    subt = sub.filter(F.col("vec_id") < N_QUERIES + PQ_TRAIN_SAMPLE)
+
+    # the relational spelling (what _pq_train computed before r15)
+    dims = range(1, PQ_SUBDIM + 1)
+    sums_sql = (
+        "named_struct('n', count(1), "
+        + ", ".join(
+            f"'s{d}', sum(cast(element_at(sv, {d}) as decimal(28,12)))"
+            for d in dims
+        )
+        + ")"
+    )
+    cv_sql = (
+        "array("
+        + ", ".join(f"(cast(_a.s{d} as double) / _a.n)" for d in dims)
+        + ") AS cv"
+    )
+    seed = subt.filter(F.col("vec_id") < N_QUERIES + PQ_K).select(
+        "sub",
+        (F.col("vec_id") - N_QUERIES).cast("int").alias("cell"),
+        F.col("sv").alias("cv"),
+    )
+    rows = sorted(
+        (r["sub"], r["cell"], [float(x) for x in r["cv"]])
+        for r in seed.collect()
+    )
+    cent = _pq_codebook_local(spark, rows)
+    for _ in range(PQ_ITERS):
+        assign = _pq_assign(subt, cent).join(subt, ["vec_id", "sub"])
+        upd = (
+            assign.groupBy("sub", "cell")
+            .agg(F.expr(sums_sql).alias("_a"))
+            .selectExpr("sub", "cell", cv_sql)
+        )
+        rows = sorted(
+            (r["sub"], r["cell"], [float(x) for x in r["cv"]])
+            for r in upd.collect()
+        )
+        cent = _pq_codebook_local(spark, rows)
+    relational = [(s, c, tuple(cv)) for s, c, cv in rows]
+
+    driver = sorted(
+        (r["sub"], r["cell"], tuple(r["cv"]))
+        for r in _pq_train(subt).collect()
+    )
+
+    def bits(rows_):
+        return [
+            struct.pack("d", x) for (_, _, cv) in rows_ for x in cv
+        ]
+
+    assert [r[:2] for r in driver] == [r[:2] for r in relational]
+    assert bits(driver) == bits(relational)
