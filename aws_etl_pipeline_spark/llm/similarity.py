@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..cache import track
-from ..catalog import load_spread, load_table
+from ..catalog import load_spread
 from ..registry import query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -375,6 +375,17 @@ def _quantizer_rows(cent_n: DataFrame) -> list[tuple[int, list[float], float]]:
     )
 
 
+#: Guard for every literal-centroid device (_assign_cell_sql,
+#: _probe_cells_sql, _argmin_d2_sql): max DOUBLE literals inlined per
+#: generated expression. Past this, Catalyst tree size and the Janino
+#: 64 KB method-body limit make the literal spelling a liability
+#: (interpreted fallback + planning blowup), so callers must keep (or
+#: fall back to) the broadcast/hash_argmin path — r14 ADVICE #4.
+#: 4096 ≈ 64 cells x DIM, well inside the measured-safe envelope of
+#: the r14 plans (20 cells x 64 dims) with 3x headroom.
+LITERAL_ARGMIN_MAX_DOUBLES = 4096
+
+
 def _vec_sql(xs: list[float]) -> str:
     return "array(" + ",".join(f"{x!r}D" for x in xs) + ")"
 
@@ -392,6 +403,23 @@ def _cell_struct_sql(qrows, vexpr: str, nrmexpr: str) -> str:
     """Comma-joined (sim, -cell) structs, one per quantizer cell: max
     by sim then max by -cell == the oracle's (sim DESC, cell ASC)
     row_number tie-break."""
+    if not qrows:
+        # r14 ADVICE #3: an empty quantizer (e.g. a train_filter that
+        # matched no rows) used to surface as an opaque SQL parse
+        # error from the empty greatest()/array() expression.
+        raise ValueError(
+            "empty quantizer: the centroid relation produced no cells"
+        )
+    n_doubles = len(qrows) * (len(qrows[0][1]) + 1)
+    if n_doubles > LITERAL_ARGMIN_MAX_DOUBLES:
+        # r14 ADVICE #4: the literal device scales as n_cells x DIM
+        # inlined literals; past the codegen-safe budget callers must
+        # use the broadcast/hash_argmin path (the PQ codebooks do).
+        raise ValueError(
+            f"quantizer too large to literalize: {len(qrows)} cells x "
+            f"{len(qrows[0][1])} dims = {n_doubles} doubles > "
+            f"{LITERAL_ARGMIN_MAX_DOUBLES}; use the hash_argmin path"
+        )
     return ",".join(
         f"named_struct('s', ({_dot_lit_sql(vexpr, cv)} / ({nrmexpr} * {cn!r}D)),"
         f" 'nc', {-c})"
@@ -1729,20 +1757,42 @@ GROUP BY a.cell
     )
 
 
-def lloyd_assign(base: DataFrame, k: int, iters: int):
-    """Deterministic Lloyd's k-means over ``base`` (vec_id, v) — the
-    shared cluster core under kmeans_train and dedup_semantic. Seed =
-    the first k vectors; per iteration, assignment is a broadcast
-    cross-join + two-pass hash argmin (ties on cell asc) and the
-    update is one explode -> DECIMAL-exact-mean -> rebuild aggregation,
-    so the DuckDB blocks from :func:`_kmeans_blocks` replay it exactly.
-    Returns ``(assign, cent)``: final membership (vec_id, cell, v) and
-    final centroids (cell, cv). At 100 TB: per iteration one broadcast
-    of k centroids + one shuffle of (cell, dim) partial sums plus the
-    per-key hash argmin's one-row-per-vector exchanges — the expanded
-    corpus x k relation itself is never shuffled or sorted (the
-    row_number spelling here exchanged AND window-sorted corpus x k
-    rows per iteration; see hash_argmin)."""
+def _argmin_d2_sql(crows, vexpr: str = "v") -> str:
+    """Nearest-centroid cell by squared distance as ONE scalar
+    expression: least() over (d2, cell) structs — lexicographic struct
+    comparison IS the oracle's (d2 asc, cell asc) tie-break. Each d2
+    is the left-associated sum of squared differences against the
+    LITERAL centroid, bit-identical to the zip_with/aggregate fold
+    (the fold's 0.0 seed adds exactly nothing to a first term that is
+    a square)."""
+    if not crows:
+        raise ValueError(
+            "empty centroid set: the seed filter matched no rows"
+        )
+
+    def d2(cv):
+        # the fold-with-literal-array spelling (the r14 _dot_lit_sql
+        # device): tree size O(DIM) per cell — the inlined element_at
+        # spelling was measured to REGRESS (a ~2k-node Catalyst tree
+        # per cell re-walked on every iteration's planning).
+        return (
+            f"aggregate(zip_with({vexpr}, {_vec_sql(cv)}, "
+            "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+        )
+
+    if len(crows) == 1:
+        return f"{crows[0][0]}L"
+    structs = ",".join(
+        f"named_struct('s', {d2(cv)}, 'c', {c}L)" for c, cv in crows
+    )
+    return f"least({structs}).c"
+
+
+def _lloyd_assign_relational(base: DataFrame, k: int, iters: int):
+    """The distributed Lloyd spelling (broadcast cross-join + two-pass
+    hash argmin per iteration, posexplode DECIMAL-mean update) — the
+    fallback when k x DIM outgrows the literal-centroid device, and
+    the replica the literal path is pinned against in tests."""
     cent = base.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
@@ -1775,6 +1825,74 @@ def lloyd_assign(base: DataFrame, k: int, iters: int):
                 ).alias("cv")
             )
         )
+    return assign, cent
+
+
+def lloyd_assign(base: DataFrame, k: int, iters: int):
+    """Deterministic Lloyd's k-means over ``base`` (vec_id, v) — the
+    shared cluster core under kmeans_train and dedup_semantic. Seed =
+    the first k vectors, ties on cell asc, DECIMAL-exact means, so the
+    DuckDB blocks from :func:`_kmeans_blocks` replay it exactly.
+    Returns ``(assign, cent)``: final membership (vec_id, cell, v) and
+    final centroids (cell, cv — a LOCAL relation).
+
+    r15 (guide §2.4, the r14 literal-quantizer discipline): the
+    centroid set is CELL-DOMAIN-sized (k rows), so each iteration
+    collects it (bounded control-plane collect, doubles round-trip
+    exactly) and assignment becomes a pure projection — the literal
+    argmin expression of :func:`_argmin_d2_sql` — with the update ONE
+    groupBy(cell) carrying DIM decimal-sum buffers, map-side combined
+    (bit-identical to the posexplode spelling: DECIMAL sums are exact
+    and order-free, per-dim division unchanged). Per iteration: one
+    map-side-combined exchange and one k-row collect; the corpus is
+    never expanded, joined, or argmin-aggregated. The relational
+    spelling remains as the guarded fallback for k x DIM beyond the
+    codegen-safe literal budget (LITERAL_ARGMIN_MAX_DOUBLES), and as
+    the bit-equality replica in tests."""
+    if k * DIM > LITERAL_ARGMIN_MAX_DOUBLES:
+        return _lloyd_assign_relational(base, k, iters)
+    spark = base.sparkSession
+    # base feeds iters+1 actions (seed collect + one update collect
+    # per iteration) plus the returned assign — persist it once.
+    base = track(base)
+    seed = base.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    crows = sorted(
+        (int(r["cell"]), [float(x) for x in r["cv"]])
+        for r in seed.collect()
+    )
+    dims = range(1, DIM + 1)
+    sums_sql = (
+        "named_struct('n', count(1), "
+        + ", ".join(
+            f"'s{d}', sum(cast(element_at(v, {d}) as decimal(28,12)))"
+            for d in dims
+        )
+        + ")"
+    )
+    cv_sql = (
+        "array("
+        + ", ".join(f"(cast(_a.s{d} as double) / _a.n)" for d in dims)
+        + ") AS cv"
+    )
+    assign = None
+    for _ in range(iters):
+        assign = base.selectExpr(
+            "vec_id", f"{_argmin_d2_sql(crows)} AS cell", "v"
+        ).select("vec_id", "cell", "v")
+        upd = (
+            assign.groupBy("cell")
+            .agg(F.expr(sums_sql).alias("_a"))
+            .selectExpr("cell", cv_sql)
+        )
+        crows = sorted(
+            (int(r["cell"]), [float(x) for x in r["cv"]])
+            for r in upd.collect()
+        )
+    cent = spark.createDataFrame(
+        [(c, list(cv)) for c, cv in crows], "cell bigint, cv array<double>"
+    )
     return assign, cent
 
 

@@ -716,3 +716,36 @@ def test_pq_driver_train_matches_relational_spelling(spark, sf_dir):
 
     assert [r[:2] for r in driver] == [r[:2] for r in relational]
     assert bits(driver) == bits(relational)
+
+
+def test_lloyd_literal_matches_relational_spelling(spark, sf_dir):
+    """r15: lloyd_assign assigns via the literal-centroid projection
+    (_argmin_d2_sql) with per-iteration bounded centroid collects.
+    Pin BIT-equality of both membership and final centroids against
+    the relational spelling (_lloyd_assign_relational) it replaced."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_spark.llm.similarity import (
+        K_CELLS,
+        KMEANS_ITERS,
+        _as_double,
+        _lloyd_assign_relational,
+        lloyd_assign,
+    )
+    from aws_etl_pipeline_spark.catalog import load_spread
+
+    e = load_spread(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", _as_double("embedding").alias("v"))
+    a1, c1 = lloyd_assign(base, K_CELLS, KMEANS_ITERS)
+    a2, c2 = _lloyd_assign_relational(base, K_CELLS, KMEANS_ITERS)
+    m1 = sorted((r["vec_id"], r["cell"]) for r in a1.collect())
+    m2 = sorted((r["vec_id"], r["cell"]) for r in a2.collect())
+    assert m1 == m2
+    k1 = sorted((r["cell"], tuple(r["cv"])) for r in c1.collect())
+    k2 = sorted((r["cell"], tuple(r["cv"])) for r in c2.collect())
+    assert [c for c, _ in k1] == [c for c, _ in k2]
+    b1 = [struct.pack("d", x) for _, cv in k1 for x in cv]
+    b2 = [struct.pack("d", x) for _, cv in k2 for x in cv]
+    assert b1 == b2

@@ -372,16 +372,18 @@ def test_gram_matrix_pair_expansion_never_shuffles(spark, sf_dir):
 
 
 def test_semantic_dedup_broadcasts_centroids_no_pair_cartesian(spark, sf_dir):
-    # dedup_semantic's only cross-join is the broadcast of k centroids
-    # for assignment/priority (BroadcastNestedLoopJoin over 8 rows);
+    # dedup_semantic's cluster assignment is a PROJECTION over the
+    # literal centroid set (r15 lloyd_assign: least() over (d2, cell)
+    # structs — no centroid join of any kind survives in the plan);
     # the within-cell pair stage must be an EQUI-join on cell, never a
-    # CartesianProduct, and nothing in the plan evaluates Python.
+    # CartesianProduct/nested loop, and nothing evaluates Python.
     from aws_etl_pipeline_spark.llm.dedup import dedup_semantic
 
     df = dedup_semantic(spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan  # k-row centroid broadcast
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "least(" in plan  # the literal-centroid argmin projection
     assert not python_eval_nodes(df)
 
 
