@@ -13,6 +13,8 @@ body.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -144,6 +146,38 @@ def _stage_events_timesliced(spark: SparkSession, sf_dir: str) -> tuple[str, str
     with open(os.path.join(stage_dir, "_STAGED"), "w") as fh:
         fh.write(key)
     return stage_dir, key
+
+
+#: State-store partition count for the availableNow drain fixtures.
+#: ``spark.sql.shuffle.partitions`` at STREAM START pins the number of
+#: state-store instances for the query's lifetime; every micro-batch
+#: then pays per-instance task launch + checkpoint commit. The right
+#: sizing tracks STATE VOLUME / throughput, not the session core count:
+#: these fixtures hold interval-bounded state (thousands of rows), and
+#: 32 near-empty state stores per operator per micro-batch measured as
+#: 2.5-3x pure overhead at sf0.1 (stream-stream join 11.0 s -> 4.0 s at
+#: 8 partitions, identical output). Production deployments size it to
+#: their state volume via this knob; results are partition-count
+#: independent (exact aggregates/joins, global watermarks).
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
+
+def _start_state_sized(writer) -> StreamingQuery:
+    """``writer.start()`` with ``spark.sql.shuffle.partitions`` set to
+    STREAM_STATE_PARTITIONS for the start call (the streaming query
+    snapshots the conf at start; the session value is restored
+    immediately, so concurrent batch plans never see it)."""
+    spark = SparkSession.getActiveSession()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    try:
+        return writer.start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _drain(q: StreamingQuery, timeout_s: int | None = None) -> None:
@@ -527,10 +561,9 @@ def stream_exec_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_dir)
     )
-    q = (
+    q = _start_state_sized(
         stream.writeStream.foreachBatch(merge_batch)
         .trigger(availableNow=True)
-        .start()
     )
     _drain(q)
     return spark.read.parquet(target_dir).select(
@@ -821,10 +854,9 @@ def stream_exec_upsert_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_dir)
     )
-    q = (
+    q = _start_state_sized(
         stream.writeStream.foreachBatch(_dual_sink_batch_fn(json_dir, target_dir))
         .trigger(availableNow=True)
-        .start()
     )
     _drain(q)
     # the stream drain necessarily runs at build time (the operator IS
@@ -1136,12 +1168,11 @@ def stream_exec_stream_join_watermarked(spark: SparkSession, sf_dir: str) -> Dat
         F.col("evt_user").alias("user_id"),
     )
     qname = f"streamexec_ssjoin_wm_{key}"
-    q = (
+    q = _start_state_sized(
         joined.writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
     _drain(q)
     return spark.table(qname)
@@ -1340,10 +1371,9 @@ def stream_exec_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_dir)
     )
-    q = (
+    q = _start_state_sized(
         stream.writeStream.foreachBatch(merge_batch)
         .trigger(availableNow=True)
-        .start()
     )
     _drain(q)
 
@@ -1486,10 +1516,9 @@ def stream_exec_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_dir)
     )
-    q = (
+    q = _start_state_sized(
         stream.writeStream.foreachBatch(merge_batch)
         .trigger(availableNow=True)
-        .start()
     )
     _drain(q)
     from pyspark.sql import functions as F
@@ -1627,10 +1656,9 @@ def stream_exec_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_dir)
     )
-    q = (
+    q = _start_state_sized(
         stream.writeStream.foreachBatch(merge_batch)
         .trigger(availableNow=True)
-        .start()
     )
     _drain(q)
     return (
@@ -1746,10 +1774,9 @@ def stream_exec_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prior_ts BETWEEN evt_ts - INTERVAL 6 HOURS AND evt_ts"
         ),
     ).select("evt_id", "evt_ts", "evt_user", "prior_id", "prior_ts")
-    q = (
+    q = _start_state_sized(
         joined.writeStream.foreachBatch(merge_batch)
         .trigger(availableNow=True)
-        .start()
     )
     _drain(q)
     return spark.read.parquet(target_dir).select(
@@ -1882,10 +1909,9 @@ def stream_exec_asof_join_watermarked(
             "prior_ts BETWEEN evt_ts - INTERVAL 6 HOURS AND evt_ts"
         ),
     ).select("evt_id", "evt_ts", "evt_user", "prior_id", "prior_ts")
-    q = (
+    q = _start_state_sized(
         joined.writeStream.foreachBatch(merge_batch)
         .trigger(availableNow=True)
-        .start()
     )
     _drain(q)
     return spark.read.parquet(target_dir).select(
