@@ -413,17 +413,20 @@ def connected_components(
     # branches are planned independently, so symmetrize-then-checkpoint
     # ran the (expensive) edge-generation plan twice (measured 2x on
     # dedup_connected_components at sf0.1, r8)
+    # r15: checkpoints are LAZY — each round's convergence collect is
+    # the materializing action, so a round costs ONE job instead of an
+    # eager checkpoint job plus the collect (the graph_hits device).
     base = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     sym = base.union(
         base.select(F.col("m").alias("n"), F.col("n").alias("m"))
-    ).localCheckpoint()  # cheap: reads the base checkpoint; keeps rounds flat
+    ).localCheckpoint(eager=False)  # reads the base checkpoint; keeps rounds flat
     lbl = (
         sym.select("n")
         .distinct()
         .select("n", F.col("n").alias("cid"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = object()
     for _ in range(max_iter):
@@ -435,7 +438,7 @@ def connected_components(
         lbl = (
             lbl.join(nbr, "n", "left")
             .select("n", F.least("cid", F.coalesce("nbr_cid", "cid")).alias("cid"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         label_sum = lbl.agg(F.sum(F.col("cid").cast("decimal(30,0)"))).collect()[0][0]
         if label_sum == prev_sum:

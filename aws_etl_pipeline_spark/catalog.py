@@ -51,6 +51,21 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+def load_spread_keyed(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """``load_spread``, hash-partitioned on ``key`` instead of
+    round-robin (r15, guide §2.4): for compute-heavy pipelines whose
+    downstream windows/aggregates key on supersets of ``key``, the
+    keyed exchange both spreads the compute AND satisfies those
+    clustering requirements, so the exploded/token-scaled
+    intermediates they produce never re-exchange. The explicit
+    partition count pins the spread (AQE would coalesce a small raw
+    table to one partition and single-thread the per-row hashing)."""
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism, key)
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> None:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..cache import track
-from ..catalog import load_spread, load_table
+from ..catalog import load_spread, load_spread_keyed, load_table
 from ..registry import query
 
 N_MINHASH = 16  # minhash permutations
@@ -124,7 +124,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     doesn't, reduce state is one row per distinct repeated passage."""
     from ..api import passage_dedup
 
-    d = load_spread(spark, sf_dir, "documents")
+    d = load_spread_keyed(spark, sf_dir, "documents", "doc_id")
     return passage_dedup(
         d, "doc_id", "text", window=PASSAGE_W, stride=PASSAGE_STRIDE
     )
@@ -242,7 +242,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..api import minhash_lsh_pairs
 
-    d = load_spread(spark, sf_dir, "documents")
+    d = load_spread_keyed(spark, sf_dir, "documents", "doc_id")
     return minhash_lsh_pairs(
         d, "doc_id", "text", n_hashes=N_MINHASH, n_bands=N_BANDS, shingle=SHINGLE
     )
@@ -793,7 +793,7 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     side's passages (dedup_substring's windows) instead."""
     from ..api import containment_lsh_pairs
 
-    d = load_spread(spark, sf_dir, "documents")
+    d = load_spread_keyed(spark, sf_dir, "documents", "doc_id")
     return containment_lsh_pairs(
         d, "doc_id", "text", n_hashes=N_MINHASH, n_bands=N_BANDS,
         shingle=SHINGLE, threshold=0.2,

@@ -1693,7 +1693,19 @@ def classifier_train_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     training arithmetic: identical counts, identical smoothed logs,
     identical argmax on both engines.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # r15 (guide §2.4, the text_winnowing device): ONE keyed shuffle of
+    # the raw documents up front. The single-file scan ran the token
+    # explode + doc_terms partial aggregation on one core, and the
+    # doc-keyed stages each re-exchanged token-scaled rows. After
+    # hash(doc_id): doc_terms' groupBy(doc_id, source, term), the
+    # scoring groupBy(doc_id, actual, cls) and the argmax window
+    # (doc_id) are all subset-keyed on it — partition-local, no
+    # token-scaled exchange anywhere (the model-side re-aggregations
+    # move vocab-scaled rows only). Explicit count pins the compute
+    # spread (AQE would coalesce the ~MB of docs to one partition).
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = d.select(
         "doc_id", "source", F.explode(_words()).alias("term")
     )
@@ -1826,6 +1838,11 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-bounded model — at 100 TB both sides hash-partition on the
     bigram key and no N x M blowup exists anywhere.
     """
+    # r15: measured and left alone — both the spread (explode is
+    # split+element_at, no hashing; 32-way partials exchange MORE
+    # map-side rows than the 1-partition collapse) and a persisted
+    # instance relation (cache-write barrier) were slower at sf0.1
+    # than this shape (1.09 s vs 1.50-1.71 s, same session).
     d = load_table(spark, sf_dir, "documents")
     ws = _words()
     inst = (

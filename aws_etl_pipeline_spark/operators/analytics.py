@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..cache import track
-from ..catalog import load_table
+from ..catalog import load_spread, load_table
 from ..registry import query
 
 __all__ = [
@@ -5109,7 +5109,13 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups*B — the property that makes the Poisson bootstrap the
     at-scale choice over resample-and-recompute."""
     hexes = _pb_hex_thresholds()
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # r15 (guide §2.1): the single-file events scan ran PB_REPS/8 md5
+    # draws per row plus the replicate explode on one core; spread the
+    # compute-heavy map side (the groupBy(event_type, b) shuffles only
+    # groups x replicates partial rows either way).
+    ev = load_spread(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     pts = ev.select(
         "event_type",
         "event_id",

@@ -1133,6 +1133,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
+    # r15: examined — the graph_hits broadcast-state + lazy-checkpoint
+    # device was tried here and measured SLOWER (3.38 s vs 2.8 s, same
+    # session): LPA's per-round output is already edge-sized into a
+    # map-side-combined count, and serializing the rounds through
+    # per-round broadcast builds cost more than the SMJ it removed.
+    # Left in the original shape.
     for _ in range(LPA_ITERS):
         votes = (
             edges.join(labels.withColumnRenamed("node", "a"), "a")
@@ -1939,7 +1945,20 @@ def graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def mat(df: DataFrame, name: str) -> DataFrame:
         path = os.path.join(root, name)
-        df.write.mode("overwrite").parquet(path)
+        # r15: the session default sizes post-shuffle partitions by
+        # BYTES (adaptive.coalescePartitions.parallelismFirst=false,
+        # session.py) — right for byte-proportional stages, but the
+        # sketch/register rounds shuffle tiny packed values with
+        # compute-DENSE per-row merges, and byte-advisory coalescing
+        # single-threaded them (measured 2x slower at sf0.1). Pin
+        # parallelism-first for the round's materializing write.
+        pf = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+        old_pf = spark.conf.get(pf, "true")
+        spark.conf.set(pf, "true")
+        try:
+            df.write.mode("overwrite").parquet(path)
+        finally:
+            spark.conf.set(pf, old_pf)
         return spark.read.parquet(path)
 
     edges = _nf_edges(spark, sf_dir, "spark_graft_nfstate")
@@ -2270,7 +2289,20 @@ def _nfr_state_root(
 
     def mat(df: DataFrame, name: str) -> DataFrame:
         path = os.path.join(root, name)
-        df.write.mode("overwrite").parquet(path)
+        # r15: the session default sizes post-shuffle partitions by
+        # BYTES (adaptive.coalescePartitions.parallelismFirst=false,
+        # session.py) — right for byte-proportional stages, but the
+        # sketch/register rounds shuffle tiny packed values with
+        # compute-DENSE per-row merges, and byte-advisory coalescing
+        # single-threaded them (measured 2x slower at sf0.1). Pin
+        # parallelism-first for the round's materializing write.
+        pf = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+        old_pf = spark.conf.get(pf, "true")
+        spark.conf.set(pf, "true")
+        try:
+            df.write.mode("overwrite").parquet(path)
+        finally:
+            spark.conf.set(pf, old_pf)
         return spark.read.parquet(path)
 
     # Register SLICING (r14, the out-of-core knob for the 1000x

@@ -434,8 +434,15 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     probe = l.withColumn("bucket", month_bucket(F.col("l_shipdate")))
+    # r15 (guide §3.1): the bucketed interval side is dimension-sized
+    # (orders/STRIDE campaigns x <=2 buckets) but its post-filter size
+    # estimate kept the planner on a sort-merge join — exchanging AND
+    # sorting the probe fact relation by a ~84-distinct-value month
+    # key (skew + capped parallelism). Broadcasting the interval side
+    # leaves the fact scan in place: the bucket fan-out is evaluated
+    # map-side with no exchange of probe rows at all.
     joined = probe.join(
-        camp_b,
+        F.broadcast(camp_b),
         (probe["bucket"] == camp_b["bucket"])
         & F.col("l_shipdate").between(F.col("start_d"), F.col("end_d")),
     )

@@ -27,6 +27,17 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r15 (guide §2.2 "fewer, larger reduce partitions"): size
+    # post-shuffle partitions by BYTES (the advisory target), not by
+    # core count. The default (true) pins every tiny shuffle at
+    # defaultParallelism tasks — measured 8-25% pure scheduling
+    # overhead per query at bench SF and the direct cause of
+    # dedup_minhash_lsh's 32-core > 8-core anti-scaling; at 100 TB
+    # byte-sized partitions are exactly what the guide prescribes.
+    # Compute-dense/small-bytes stages that need parallelism pin it
+    # explicitly (load_spread / load_spread_keyed's explicit counts,
+    # the NF register rounds' parallelism-first override).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     # Partitioned-layout discovery: the default threshold (32 dirs)
     # launches a cluster job to list directories — pure task-overhead
     # for the staged bucketed fixtures (~500 local dirs list in ms on
