@@ -3138,15 +3138,37 @@ def _maintenance_drift(spark: SparkSession, sf_dir: str) -> float:
     a single row — the collect is a bounded 1-row control-plane read
     (the MMR / scalar-verdict precedent), never corpus-sized."""
     e = load_spread(spark, sf_dir, "embeddings")
-    x = e.filter(F.col("vec_id") >= N_QUERIES).select(
+    # r15 (guide §2.3, the _ivf_base device): was posexplode(DIMx) ->
+    # groupBy(grp, d) — a 64-fold row explosion through a keyed
+    # exchange. One groupBy(grp) carrying DIM decimal-sum buffers is
+    # bit-identical (exact order-free DECIMAL sums of the same
+    # products, same per-dim division) and folds map-side to 2 rows;
+    # the (grp, d, e2) shape is rebuilt from the 2-row result so the
+    # profile-cosine arithmetic below is untouched.
+    x0 = e.filter(F.col("vec_id") >= N_QUERIES).select(
         (F.col("vec_id") % DELTA_MOD == 0).cast("int").alias("grp"),
-        F.posexplode(_as_double("embedding")).alias("d", "x"),
+        _as_double("embedding").alias("v"),
     )
-    m2 = x.groupBy("grp", "d").agg(
-        (
-            F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("e2")
+    dims = range(1, DIM + 1)
+    sums_sql = (
+        "named_struct('n', count(1), "
+        + ", ".join(
+            f"'s{d}', sum(cast(element_at(v, {d}) * element_at(v, {d})"
+            " as decimal(38,18)))"
+            for d in dims
+        )
+        + ")"
+    )
+    e2s_sql = (
+        "array("
+        + ", ".join(f"(cast(_a.s{d} as double) / _a.n)" for d in dims)
+        + ") AS e2s"
+    )
+    m2 = (
+        x0.groupBy("grp")
+        .agg(F.expr(sums_sql).alias("_a"))
+        .selectExpr("grp", e2s_sql)
+        .select("grp", F.posexplode("e2s").alias("d", "e2"))
     )
     a = m2.where(F.col("grp") == 0).select("d", F.col("e2").alias("a2"))
     b = m2.where(F.col("grp") == 1).select("d", F.col("e2").alias("b2"))

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..cache import track
-from ..catalog import load_spread, load_table
+from ..catalog import load_spread, load_spread_keyed, load_table
 from ..registry import query
 
 #: tiny per-language stopword profiles for the n-gram/stopword scorer.
@@ -2428,22 +2428,27 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     value at the standard cume_dist >= q rank. Both windows run over
     bounded relations; thresholds fold to one broadcast row and
     bucketing stays a scan-fused comparison."""
-    d = load_spread(spark, sf_dir, "documents")
-    words = track(
-        d.select("doc_id", F.explode(_words()).alias("w"))
-    )  # tf + vocab + dl passes
-    tf = words.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    # r15 (guide §1.2 "don't compute things twice"; §2.4): the word
+    # explode used to persist and feed THREE aggregation passes (tf,
+    # vocab, dl). Both vocab counts and doc lengths are exact sums
+    # over the tf relation (c(w) = Σ_doc tf, dl(doc) = Σ_w tf —
+    # integer-valued doubles, identical arithmetic), so the explode
+    # now runs ONCE into the keyed tf aggregate — partition-local
+    # after the doc_id-keyed spread — and the smaller tf relation
+    # (distinct (doc, w) pairs, persisted: three consumers) feeds the
+    # re-aggregations.
+    d = load_spread_keyed(spark, sf_dir, "documents", "doc_id")
+    words = d.select("doc_id", F.explode(_words()).alias("w"))
+    tf = track(
+        words.groupBy("doc_id", "w").agg(
+            F.count(F.lit(1)).cast("double").alias("tf")
+        )
     )
-    vocab = words.groupBy("w").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
-    )
+    vocab = tf.groupBy("w").agg(F.sum("tf").alias("c"))
     stats = vocab.agg(
         F.sum("c").alias("tot"), F.count(F.lit(1)).cast("double").alias("vsz")
     )
-    dl = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("n")
-    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
     # shuffle_hash pins (r11, found at the 1000x replica): the vocab
     # join and the doc-keyed fold both sit on corpus-sized relations
     # whose plan-time size estimates derive from aggregates over a

@@ -1500,7 +1500,11 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(teleport)
             .groupBy("node")
             .agg(F.round(F.sum("v"), 12).alias("r"))
-            .localCheckpoint()
+            # r15: LAZY — the next round's bucket collect (or the
+            # final action) materializes it; one job per round instead
+            # of an eager checkpoint job plus the collect (the
+            # graph_hits device). Still truncates the loop lineage.
+            .localCheckpoint(eager=False)
         )
     return ranks.where(F.col("r") > 0).select("node", F.col("r").alias("ppr"))
 
