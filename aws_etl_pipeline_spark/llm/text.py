@@ -1285,17 +1285,25 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, 'a_b' label asc) identically on both engines; merges
     are byte-exact string ops. The oracle unrolls the same rounds as
     chained CTEs."""
-    from functools import reduce
-
     outs, _ = _bpe_train(spark, sf_dir)
-    return reduce(DataFrame.unionAll, outs)
+    return outs
 
 
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """The shared BPE training loop: returns ``(outs, wins)`` — the
-    per-round (round, pair, merge_count) rows and the per-round 1-row
-    winner relations (a, b, cnt), the latter consumed as broadcast
-    merge rules by bpe_encode_corpus."""
+    per-round (round, pair, merge_count) output relation and the
+    per-round winner TUPLES (a, b, cnt), the latter consumed as
+    literal merge rules by bpe_encode_corpus.
+
+    r15 (guide §1.2, the bounded control-plane device): each round's
+    argmax winner is ONE row, so it is collected (the TakeOrdered the
+    tracked 1-row relation already ran) and folded back as LITERAL
+    pattern/replacement strings — the per-round crossJoin(broadcast)
+    and the per-round persists of the winner AND the re-written
+    vocabulary disappear; rounds become projections over the one
+    persisted base vocabulary, and only the per-round pair-count
+    argmax touches the cluster. Winner selection, counts and the
+    emitted rows are byte-identical (same ordering, same strings)."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(_words()).alias("term"))
@@ -1309,7 +1317,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             "freq",
         )
     )
-    outs, wins = [], []
+    out_rows, wins = [], []
     for r in range(1, BPE_ROUNDS + 1):
         arr = F.split(F.expr("substring(w, 2, length(w) - 2)"), _BPE_C + _BPE_O)
         wp = words.withColumn("arr", arr)
@@ -1335,26 +1343,22 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             .groupBy("a", "b")
             .agg(F.sum("freq").cast("long").alias("cnt"))
         )
-        win = track(
-            pc.orderBy(F.desc("cnt"), F.concat_ws("_", "a", "b").asc()).limit(1)
+        row = (
+            pc.orderBy(F.desc("cnt"), F.concat_ws("_", "a", "b").asc())
+            .limit(1)
+            .collect()
         )
-        wins.append(win)
-        outs.append(
-            win.select(
-                F.lit(r).cast("long").alias("round"),
-                F.concat_ws("_", "a", "b").alias("pair"),
-                F.col("cnt").alias("merge_count"),
-            )
+        a, b_, cnt = row[0]["a"], row[0]["b"], int(row[0]["cnt"])
+        wins.append((a, b_, cnt))
+        out_rows.append((r, f"{a}_{b_}", cnt))
+        pat = F.lit(_BPE_O + a + _BPE_C + _BPE_O + b_ + _BPE_C)
+        rep = F.lit(_BPE_O + a + b_ + _BPE_C)
+        words = words.select(
+            F.replace(F.col("w"), pat, rep).alias("w"), "freq"
         )
-        pat = F.concat(
-            F.lit(_BPE_O), F.col("a"), F.lit(_BPE_C),
-            F.lit(_BPE_O), F.col("b"), F.lit(_BPE_C),
-        )
-        rep = F.concat(F.lit(_BPE_O), F.col("a"), F.col("b"), F.lit(_BPE_C))
-        words = track(
-            words.crossJoin(F.broadcast(win))
-            .select(F.replace(F.col("w"), pat, rep).alias("w"), "freq")
-        )
+    outs = spark.createDataFrame(
+        out_rows, "round bigint, pair string, merge_count bigint"
+    )
     return outs, wins
 
 
@@ -1432,13 +1436,13 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select("doc_id", wrap.alias("w")).select(
         "doc_id", "w", n_marks(F.col("w")).cast("long").alias("n0")
     )
-    for win in wins:
-        pat = F.concat(
-            F.lit(_BPE_O), F.col("a"), F.lit(_BPE_C),
-            F.lit(_BPE_O), F.col("b"), F.lit(_BPE_C),
-        )
-        rep = F.concat(F.lit(_BPE_O), F.col("a"), F.col("b"), F.lit(_BPE_C))
-        docs = docs.crossJoin(F.broadcast(win)).select(
+    # r15: the learned merges are literal tuples (see _bpe_train), so
+    # each apply round is a pure projection — no per-round broadcast
+    # join; the whole encode is BPE_ROUNDS chained replace()s.
+    for a, b, _cnt in wins:
+        pat = F.lit(_BPE_O + a + _BPE_C + _BPE_O + b + _BPE_C)
+        rep = F.lit(_BPE_O + a + b + _BPE_C)
+        docs = docs.select(
             "doc_id", F.replace(F.col("w"), pat, rep).alias("w"), "n0"
         )
     nt = n_marks(F.col("w")).cast("long")
