@@ -36,10 +36,10 @@ SHOWCASE = {
     "join_fuzzy_blocked": "entity-resolution: hash equi-join on blocking keys, levenshtein only inside blocks, no nested loop",
     "text_repetition": "all repetition signals per-row (sorted-run-length fold): a pure map over the scan, zero exchanges",
     # round-6 additions
-    "dedup_semantic": "SemDeDup: broadcast k-row centroids for assignment, within-cell pair equi-join (no cartesian), anti-shaped prune verdict",
+    "dedup_semantic": "SemDeDup: literal-centroid argmin PROJECTION for assignment (r15), within-cell pair equi-join (no cartesian), anti-shaped prune verdict",
     "dedup_containment_lsh": "containment scored ONLY on banded-minhash bucket candidates: two equi-joins, no all-pairs",
     "sim_ivf_sq8": "IVF probes rescored against int8 codes: broadcast query set, corpus joined by key, no nested loop",
-    "sim_ivf_truepq": "true PQ: per-subspace codebooks trained and applied via broadcast equi-joins, ADC scoring from broadcast LUT, no nested loop",
+    "sim_ivf_truepq": "true PQ: sample-trained codebooks served as local relations (r15), scalar-column argmin encode, ADC scoring from broadcast LUT, no nested loop",
     "sample_importance_resampling": "DSIR: 64-row feature models broadcast into the word stream; selection is TakeOrderedAndProject",
     "graph_triangle_count": "oriented wedge-close: two vertex-keyed equi-joins, wedge volume bounded by orientation",
     # round-7 additions
@@ -66,7 +66,7 @@ SHOWCASE = {
     "agg_trimmed_mean": "trimmed/winsorized means from the same histogram device: clamp arithmetic on cumulative counts, DECIMAL sums, no row-level sort",
     "etl_partition_checksums": "order-insensitive reconciliation checksum: hash+sum fused into ONE scan pass — no join, no window",
     "er_fellegi_sunter": "FS linkage: blocked equi-join candidates (brand+prefix+length, oversized blocks capped), u-estimate broadcast, per-record argmax window",
-    "graph_hits": "3 HITS rounds: edge-keyed join+agg per half-round, L1 norms as broadcast scalars, localCheckpoint keeps round k planning flat",
+    "graph_hits": "3 HITS rounds: broadcast-state join+agg per half-round (edges never exchange), L1 norms as collected literals, lazy checkpoints keep rounds flat",
     # round-11-continuation additions
     "events_bayesian_ab": "Bayesian A/B: ONE conditional counting aggregate touches the data; posterior grid, cumsums, and decision all on a 2048-row compile-time relation",
     "sample_poisson_bootstrap": "Poisson bootstrap: 4 md5s/row -> 32-way array posexplode -> map-side-combined exact aggregate; shuffle carries groups x 32 partials",
