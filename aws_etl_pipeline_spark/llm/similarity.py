@@ -369,10 +369,22 @@ def _quantizer_rows(cent_n: DataFrame) -> list[tuple[int, list[float], float]]:
     aggregates: the corpus is never expanded, shuffled, or re-joined
     to pick its cell. Doubles round-trip exactly (JVM -> collect ->
     literal), so every downstream score is bit-identical."""
-    return sorted(
+    rows = sorted(
         (r["cell"], [float(x) for x in r["cv"]], float(r["cnrm"]))
         for r in cent_n.select("cell", "cv", "cnrm").collect()
     )
+    for c, cv, _ in rows:
+        # r14 ADVICE #2: the literal devices assume the DENSE
+        # fixed-DIM embedding contract (element_at(v, d) per dim,
+        # count(1) as the per-dim divisor). A ragged or truncated
+        # embedding column would silently drift from the oracle —
+        # fail loudly at the control-plane boundary instead.
+        if len(cv) != DIM:
+            raise ValueError(
+                f"quantizer cell {c} has {len(cv)} dims, expected DIM={DIM}: "
+                "embeddings must be dense fixed-width vectors"
+            )
+    return rows
 
 
 #: Guard for every literal-centroid device (_assign_cell_sql,
