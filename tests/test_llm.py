@@ -749,3 +749,39 @@ def test_lloyd_literal_matches_relational_spelling(spark, sf_dir):
     b1 = [struct.pack("d", x) for _, cv in k1 for x in cv]
     b2 = [struct.pack("d", x) for _, cv in k2 for x in cv]
     assert b1 == b2
+
+
+def test_literal_argmin_guard_cutover(spark, sf_dir):
+    """r14 ADVICE #3/#4 (r15): the literal-centroid devices raise
+    loudly on an empty quantizer and refuse cell domains past the
+    codegen-safe literal budget; lloyd_assign falls back to the
+    relational spelling past the same bound (plan shows the two-pass
+    hash argmin instead of the least() projection)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import aws_etl_pipeline_spark.llm.similarity as S
+    from aws_etl_pipeline_spark.catalog import load_spread
+    from aws_etl_pipeline_spark.plans.explain import plan_string
+
+    # empty quantizer -> clear ValueError, not an opaque SQL parse error
+    with _pytest.raises(ValueError, match="empty quantizer"):
+        S._assign_cell_sql([])
+    with _pytest.raises(ValueError, match="empty centroid"):
+        S._argmin_d2_sql([])
+
+    # oversized cell domain -> refuse to literalize
+    big = [(c, [0.0] * S.DIM, 1.0) for c in range(
+        S.LITERAL_ARGMIN_MAX_DOUBLES // S.DIM + 2
+    )]
+    with _pytest.raises(ValueError, match="too large to literalize"):
+        S._assign_cell_sql(big)
+
+    # lloyd_assign cuts over to the relational spelling past the bound
+    e = load_spread(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", S._as_double("embedding").alias("v"))
+    lit_assign, _ = S.lloyd_assign(base, S.K_CELLS, 1)
+    assert "least(" in plan_string(lit_assign)
+    big_k = S.LITERAL_ARGMIN_MAX_DOUBLES // S.DIM + 1
+    rel_assign, _ = S.lloyd_assign(base, big_k, 1)
+    assert "least(" not in plan_string(rel_assign)
